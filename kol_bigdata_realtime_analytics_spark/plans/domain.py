@@ -1,0 +1,373 @@
+"""Domain queries: the reference's scoring/windowing semantics on TESTDATA.
+
+The flagship query (trending_scores) is the batch-shape of the reference's
+streaming hot path (reference: streaming/spark_jobs/trending_stream.py:410-509):
+parse events -> windowed engagement -> trending score -> ranked output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kol_bigdata_realtime_analytics_spark.functions.counts import (
+    PARSE_COUNT_ORACLE_SQL,
+    parse_count,
+)
+from kol_bigdata_realtime_analytics_spark.functions.scoring import (
+    composite_score,
+    kol_tier,
+    trending_label,
+    trending_raw,
+    trending_score,
+    trending_velocity,
+    trust_rule_score,
+)
+from kol_bigdata_realtime_analytics_spark.plans.registry import register, table
+
+# ---------------------------------------------------------------------------
+# F2 + R2 + T2 — FLAGSHIP: windowed engagement -> trending score -> ranking.
+# Tumbling 5-minute windows per user (the streaming layer adds the 1-minute
+# slide + stateful momentum; batch semantics here are oracle-checkable).
+# All the score math is native Column expressions — zero Python UDFs.
+# ---------------------------------------------------------------------------
+
+_TRENDING_ORACLE = """
+WITH win AS (
+  SELECT (epoch_us(ts) // 300000000) * 300000000 AS window_start_us,
+         user_id,
+         COUNT(*) AS n_events,
+         SUM(value) AS engagement
+  FROM events
+  GROUP BY 1, 2
+), scored AS (
+  SELECT window_start_us, user_id, n_events,
+         ROUND(engagement, 2) AS engagement,
+         (engagement / 5.0) * (1 + 0.1 * ln(1 + n_events)) AS velocity,
+         0.5 * ((engagement / 5.0) * (1 + 0.1 * ln(1 + n_events)) / 100.0)
+           + 0.3 * (n_events / 10.0) + 0.2 * 1.0 AS raw
+  FROM win
+)
+SELECT window_start_us, user_id, n_events, engagement,
+       ROUND(velocity, 6) AS velocity,
+       ROUND(100.0 / (1 + exp(-0.8 * (raw - 2.0))), 6) AS trending_score,
+       CASE WHEN 100.0 / (1 + exp(-0.8 * (raw - 2.0))) >= 80 THEN 'Viral'
+            WHEN 100.0 / (1 + exp(-0.8 * (raw - 2.0))) >= 60 THEN 'Hot'
+            WHEN 100.0 / (1 + exp(-0.8 * (raw - 2.0))) >= 40 THEN 'Warm'
+            WHEN 100.0 / (1 + exp(-0.8 * (raw - 2.0))) >= 25 THEN 'Normal'
+            ELSE 'Cold' END AS label
+FROM scored
+"""
+
+
+@register("trending_scores", oracle=_TRENDING_ORACLE)
+def trending_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: 5-min windowed engagement per user -> native trending score."""
+    ev = table(spark, sf_dir, "events")
+    agg = (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("engagement_raw"))
+    )
+    vel = trending_velocity(F.col("engagement_raw"), F.col("n_events"))
+    raw = trending_raw(vel, F.col("n_events"))
+    score = trending_score(raw)
+    return agg.select(
+        F.unix_micros(F.col("w.start")).alias("window_start_us"),
+        "user_id",
+        "n_events",
+        F.round("engagement_raw", 2).alias("engagement"),
+        F.round(vel, 6).alias("velocity"),
+        F.round(score, 6).alias("trending_score"),
+        trending_label(score).alias("label"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R2 — sliding-window aggregation (5 min / 1 min slide), batch shape of the
+# reference's trending window (trending_stream.py:458-470). The oracle expands
+# the slide by cross-joining each event to its 5 covering windows.
+# ---------------------------------------------------------------------------
+
+_SLIDING_ORACLE = """
+SELECT (epoch_us(ts) // 60000000 - i.i) * 60000000            AS window_start_us,
+       (epoch_us(ts) // 60000000 - i.i) * 60000000 + 300000000 AS window_end_us,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS total_value,
+       ROUND(AVG(value), 6) AS avg_value
+FROM events, (SELECT unnest(range(0, 5)) AS i) i
+GROUP BY 1, 2, 3
+"""
+
+
+@register("sliding_window_engagement", oracle=_SLIDING_ORACLE)
+def sliding_window_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute windows sliding every 1 minute, keyed by event_type."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "5 minutes", "1 minute").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            F.unix_micros(F.col("w.end")).alias("window_end_us"),
+            "event_type",
+            "n_events",
+            "total_value",
+            "avg_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# R3 — tumbling-window campaign metrics with ratio edge cases
+# (ref: features_stream.py:91-119 — CTR = clicks/impressions, CVR = conv/clicks)
+# ---------------------------------------------------------------------------
+
+_CAMPAIGN_ORACLE = """
+SELECT (epoch_us(ts) // 300000000) * 300000000 AS window_start_us,
+       user_id % 10 AS campaign_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN event_type IN ('view', 'click') THEN 1 ELSE 0 END) AS BIGINT) AS impressions,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS conversions,
+       ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2) AS revenue,
+       ROUND(CASE WHEN SUM(CASE WHEN event_type IN ('view', 'click') THEN 1 ELSE 0 END) > 0
+             THEN CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS DOUBLE)
+                  / SUM(CASE WHEN event_type IN ('view', 'click') THEN 1 ELSE 0 END)
+             ELSE 0.0 END, 6) AS ctr,
+       ROUND(CASE WHEN SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) > 0
+             THEN CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE)
+                  / SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+             ELSE 0.0 END, 6) AS cvr
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("campaign_window_metrics", oracle=_CAMPAIGN_ORACLE)
+def campaign_window_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 5-min campaign funnel metrics with divide-by-zero guards."""
+    ev = table(spark, sf_dir, "events")
+    t = F.col("event_type")
+    impressions = F.sum(F.when(t.isin("view", "click"), 1).otherwise(0)).cast("long")
+    clicks = F.sum(F.when(t == "click", 1).otherwise(0)).cast("long")
+    conversions = F.sum(F.when(t == "purchase", 1).otherwise(0)).cast("long")
+    agg = (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), (F.col("user_id") % 10).alias("campaign_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            impressions.alias("impressions"),
+            clicks.alias("clicks"),
+            conversions.alias("conversions"),
+            F.round(F.sum(F.when(t == "purchase", F.col("value")).otherwise(0)), 2).alias("revenue"),
+        )
+    )
+    ctr = F.when(F.col("impressions") > 0, F.col("clicks").cast("double") / F.col("impressions")).otherwise(0.0)
+    cvr = F.when(F.col("clicks") > 0, F.col("conversions").cast("double") / F.col("clicks")).otherwise(0.0)
+    return agg.select(
+        F.unix_micros(F.col("w.start")).alias("window_start_us"),
+        "campaign_id",
+        "n_events",
+        "impressions",
+        "clicks",
+        "conversions",
+        "revenue",
+        F.round(ctr, 6).alias("ctr"),
+        F.round(cvr, 6).alias("cvr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F1 — parse_count as a NATIVE expression (the reference has 4 Python-UDF
+# copies). Raw strings are constructed deterministically from integer columns
+# so both engines build byte-identical inputs, then parsed independently.
+# ---------------------------------------------------------------------------
+
+_RAW_EXPR_SQL = """
+CASE event_id % 6
+  WHEN 0 THEN CAST(user_id AS VARCHAR) || '.' || CAST(event_id % 10 AS VARCHAR) || 'K'
+  WHEN 1 THEN CAST(user_id AS VARCHAR) || '.' || CAST(event_id % 10 AS VARCHAR) || 'M'
+  WHEN 2 THEN CAST(user_id AS VARCHAR) || 'B'
+  WHEN 3 THEN CAST(user_id AS VARCHAR) || ',' || lpad(CAST(event_id % 1000 AS VARCHAR), 3, '0')
+  WHEN 4 THEN ''
+  ELSE '  ' || CAST(user_id AS VARCHAR) || '.' || CAST(event_id % 10 AS VARCHAR) || 'k  '
+END
+"""
+
+_PARSE_COUNT_ORACLE = f"""
+SELECT event_id, raw, {PARSE_COUNT_ORACLE_SQL.format(col="raw")} AS parsed
+FROM (SELECT event_id, {_RAW_EXPR_SQL} AS raw FROM events)
+"""
+
+
+@register("parse_count_events", oracle=_PARSE_COUNT_ORACLE)
+def parse_count_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Human-count parsing ("11.3K" -> 11300) as a codegen'd native expr."""
+    ev = table(spark, sf_dir, "events")
+    u = F.col("user_id").cast("string")
+    d = (F.col("event_id") % 10).cast("string")
+    raw = (
+        F.when(F.col("event_id") % 6 == 0, F.concat(u, F.lit("."), d, F.lit("K")))
+        .when(F.col("event_id") % 6 == 1, F.concat(u, F.lit("."), d, F.lit("M")))
+        .when(F.col("event_id") % 6 == 2, F.concat(u, F.lit("B")))
+        .when(
+            F.col("event_id") % 6 == 3,
+            F.concat(u, F.lit(","), F.lpad((F.col("event_id") % 1000).cast("string"), 3, "0")),
+        )
+        .when(F.col("event_id") % 6 == 4, F.lit(""))
+        .otherwise(F.concat(F.lit("  "), u, F.lit("."), d, F.lit("k  ")))
+    )
+    return ev.select("event_id", raw.alias("raw")).withColumn("parsed", parse_count(F.col("raw")))
+
+
+# ---------------------------------------------------------------------------
+# Rule trust score + tiering (ref: silver_to_gold.py:211-240) on synthetic
+# profile fields derived deterministically from customer.
+# ---------------------------------------------------------------------------
+
+_TRUST_ORACLE = """
+WITH prof AS (
+  SELECT c_custkey,
+         c_acctbal > 5000 AS verified,
+         c_custkey % 3 != 0 AS has_img,
+         c_custkey % 4000 AS age_days,
+         c_acctbal / 1000.0 AS ff_ratio,
+         CASE WHEN c_custkey % 5 = 0 THEN 0 WHEN c_custkey % 5 = 1 THEN 1 ELSE NULL END AS label,
+         CAST(ROUND(GREATEST(c_acctbal, 0) * 1000) AS BIGINT) AS followers
+  FROM customer
+)
+SELECT c_custkey,
+       ROUND(GREATEST(LEAST(
+         30.0
+         + CASE WHEN verified THEN 20.0 ELSE 0.0 END
+         + CASE WHEN has_img THEN 10.0 ELSE 0.0 END
+         + LEAST(age_days / 365.0 * 20.0, 20.0)
+         + LEAST(ff_ratio / 10.0 * 20.0, 20.0)
+         + CASE WHEN label = 1 THEN 20.0 WHEN label = 0 THEN -30.0 ELSE 0.0 END,
+         100.0), 0.0), 6) AS trust_score,
+       CASE WHEN followers >= 1000000 THEN 'mega'
+            WHEN followers >= 100000 THEN 'macro'
+            WHEN followers >= 10000 THEN 'micro'
+            WHEN followers >= 1000 THEN 'nano'
+            ELSE 'starter' END AS tier
+FROM prof
+"""
+
+
+@register("trust_scores", oracle=_TRUST_ORACLE)
+def trust_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based trust score (+20 verified, +10 img, age & ratio terms, label bonus, clamp 0-100)."""
+    c = table(spark, sf_dir, "customer")
+    prof = c.select(
+        "c_custkey",
+        (F.col("c_acctbal") > 5000).alias("verified"),
+        (F.col("c_custkey") % 3 != 0).alias("has_img"),
+        (F.col("c_custkey") % 4000).alias("age_days"),
+        (F.col("c_acctbal") / 1000.0).alias("ff_ratio"),
+        F.when(F.col("c_custkey") % 5 == 0, 0).when(F.col("c_custkey") % 5 == 1, 1).alias("label"),
+        F.round(F.greatest(F.col("c_acctbal"), F.lit(0)) * 1000, 0).cast("long").alias("followers"),
+    )
+    score = trust_rule_score("verified", "has_img", "age_days", "ff_ratio", label=F.col("label"))
+    return prof.select(
+        "c_custkey",
+        F.round(score, 6).alias("trust_score"),
+        kol_tier("followers").alias("tier"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Composite score + per-user ranking (ref: scores.py:186 + dashboard stitch
+# J5 re-expressed as ONE engine-side join-free aggregation + window rank)
+# ---------------------------------------------------------------------------
+
+_COMPOSITE_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+         AVG(value) AS trending,
+         LEAST(COUNT(*) / 10.0, 100.0) AS success,
+         LEAST(SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END) / 10.0, 100.0) AS trust
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       ROUND(trending, 6) AS trending,
+       ROUND(success, 6) AS success,
+       ROUND(trust, 6) AS trust,
+       ROUND(0.4 * trending + 0.35 * success + 0.25 * trust, 6) AS composite,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY ROUND(0.4 * trending + 0.35 * success + 0.25 * trust, 6) DESC, user_id ASC
+       ) AS BIGINT) AS rank
+FROM per_user
+"""
+
+
+@register("composite_leaderboard", oracle=_COMPOSITE_ORACLE)
+def composite_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite 0.4/0.35/0.25 blend + global leaderboard rank (window fn)."""
+    ev = table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.avg("value").alias("trending"),
+        F.least(F.count("*") / 10.0, F.lit(100.0)).alias("success"),
+        F.least(
+            F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0)) / 10.0,
+            F.lit(100.0),
+        ).alias("trust"),
+    )
+    comp = F.round(composite_score("trending", "success", "trust"), 6)
+    w = Window.orderBy(comp.desc(), F.col("user_id").asc())
+    return per_user.select(
+        "user_id",
+        F.round("trending", 6).alias("trending"),
+        F.round("success", 6).alias("success"),
+        F.round("trust", 6).alias("trust"),
+        comp.alias("composite"),
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Engineered-feature math (ref: feature_engineering.py:154-346 — log1p, sqrt,
+# capping, ratios, interactions; representative subset, exact same fns)
+# ---------------------------------------------------------------------------
+
+# NOTE on float determinism: these are ROW-WISE computations — both engines
+# see bit-identical input doubles and IEEE ops are deterministic, so
+# truncation (floor(x*1e6)/1e6) is exactly reproducible. ROUND is not: at an
+# exact decimal tie (e.g. 2091.14/64 = 32.6740625) Spark HALF_UPs the
+# shortest decimal repr while DuckDB rounds the binary value — they disagree.
+_FEATURES_ORACLE = """
+SELECT c_custkey,
+       floor(ln(1 + GREATEST(c_acctbal, 0)) * 1000000) / 1000000        AS log_bal,
+       floor(sqrt(GREATEST(c_acctbal, 0)) * 1000000) / 1000000          AS sqrt_bal,
+       floor(LEAST(GREATEST(c_acctbal, 0.0), 5000.0) * 1000000) / 1000000 AS bal_capped,
+       floor(c_acctbal / (1.0 + c_custkey % 100) * 1000000) / 1000000   AS bal_per_unit,
+       CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END                        AS is_delinquent,
+       floor(ln(1 + GREATEST(c_acctbal, 0)) * sqrt(1.0 + c_custkey % 100) * 1000000) / 1000000 AS interaction
+FROM customer
+"""
+
+
+def trunc6(col):
+    """Deterministic 6-decimal truncation for row-wise float outputs."""
+    return F.floor(col * 1000000) / 1000000
+
+
+@register("engineered_features", oracle=_FEATURES_ORACLE)
+def engineered_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """log1p / sqrt / capping / ratio / indicator / interaction features."""
+    c = table(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    pos = F.greatest(bal, F.lit(0))
+    unit = 1.0 + F.col("c_custkey") % 100
+    return c.select(
+        "c_custkey",
+        trunc6(F.log1p(pos)).alias("log_bal"),
+        trunc6(F.sqrt(pos)).alias("sqrt_bal"),
+        trunc6(F.least(pos.cast("double"), F.lit(5000.0))).alias("bal_capped"),
+        trunc6(bal / unit).alias("bal_per_unit"),
+        F.when(bal < 0, 1).otherwise(0).alias("is_delinquent"),
+        trunc6(F.log1p(pos) * F.sqrt(unit)).alias("interaction"),
+    )

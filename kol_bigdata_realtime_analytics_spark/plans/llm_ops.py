@@ -1,0 +1,260 @@
+"""LLM-data-pipeline queries: dedup, similarity search, text analysis,
+multimodal — the north-star extensions (BASELINE.json), run on the
+`documents` and `embeddings` TESTDATA tables.
+
+Oracle-checked where DuckDB can express the op (exact dedup, Jaccard,
+cosine, text metrics, fingerprints). MinHash-LSH / SimHash use engine hash
+functions (xxhash64) DuckDB doesn't share -> rows-only checks + pytest
+ground-truth comparisons against the exact variants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kol_bigdata_realtime_analytics_spark.functions.text import (
+    AVG_TOKEN_LENGTH_ORACLE_SQL,
+    DOC_FINGERPRINT_ORACLE_SQL,
+    PUNCT_RATIO_ORACLE_SQL,
+    STOPWORD_RATIO_ORACLE_SQL,
+    TOKEN_COUNT_ORACLE_SQL,
+    avg_token_length,
+    doc_fingerprint_md5,
+    language_id,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count,
+)
+from kol_bigdata_realtime_analytics_spark.operators.dedup import (
+    exact_dedup_fingerprints,
+    jaccard_pairs,
+    minhash_lsh_candidates,
+    simhash_neardup_pairs,
+)
+from kol_bigdata_realtime_analytics_spark.operators.multimodal import (
+    decode_features,
+    with_binary_payload,
+)
+from kol_bigdata_realtime_analytics_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_neardup_pairs,
+)
+from kol_bigdata_realtime_analytics_spark.plans.registry import register, table
+
+# ---------------------------------------------------------------------------
+# Exact dedup — fingerprint + group (hash-groupBy; 1 shuffle of 32-byte keys)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+    SELECT {DOC_FINGERPRINT_ORACLE_SQL.format(col="text")} AS fingerprint,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups by md5(normalized text)."""
+    return exact_dedup_fingerprints(table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram (token-set) Jaccard within (lang, source) blocks
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, lang, source,
+             list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS tok
+      FROM documents WHERE trim(COALESCE(text, '')) != ''
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.tok, b.tok))), 6) AS jaccard
+    FROM base a JOIN base b ON a.lang = b.lang AND a.source = b.source
+    WHERE a.doc_id < b.doc_id
+      AND ROUND(CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+                / len(list_distinct(list_concat(a.tok, b.tok))), 6) >= 0.5
+    """,
+)
+def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact token-set Jaccard >= 0.5, blocked by (lang, source)."""
+    docs = table(spark, sf_dir, "documents").filter(F.trim(F.coalesce("text", F.lit(""))) != "")
+    return jaccard_pairs(docs, "text", "doc_id", ["lang", "source"], threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH + SimHash — engine-hash based, rows-only driver check;
+# pytest compares their candidate sets against the exact Jaccard query.
+# ---------------------------------------------------------------------------
+
+
+@register("minhash_lsh_candidates", oracle=None)
+def minhash_lsh_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash-LSH near-dup candidate pairs (xxhash64 signatures)."""
+    return minhash_lsh_candidates(table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@register("simhash_neardups", oracle=None)
+def simhash_neardups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming <= 3) via 16-bit chunk banding."""
+    return simhash_neardup_pairs(table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Text-analysis profile — all native exprs, mirrored in the oracle
+# ---------------------------------------------------------------------------
+
+_BPE_RE = "[A-Za-z0-9]+|[^A-Za-z0-9\\s]"
+
+
+@register(
+    "text_profile",
+    oracle=f"""
+    SELECT doc_id,
+           {TOKEN_COUNT_ORACLE_SQL.format(col="text")} AS n_tokens,
+           CAST(len(regexp_extract_all(COALESCE(text, ''), '{_BPE_RE}')) AS BIGINT) AS n_bpe_tokens,
+           floor(({AVG_TOKEN_LENGTH_ORACLE_SQL.format(col="text")}) * 1000000) / 1000000 AS avg_token_len,
+           floor(({PUNCT_RATIO_ORACLE_SQL.format(col="text")}) * 1000000) / 1000000 AS punct_ratio,
+           floor(({STOPWORD_RATIO_ORACLE_SQL.format(col="text")}) * 1000000) / 1000000 AS stopword_ratio,
+           CASE WHEN ({STOPWORD_RATIO_ORACLE_SQL.format(col="text")}) >= 0.03
+                     AND regexp_matches(COALESCE(text, ''), '^[\\x00-\\x7F]*$')
+                THEN 'en' ELSE 'unknown' END AS lang_pred,
+           lang AS lang_actual
+    FROM documents
+    """,
+)
+def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc text metrics: token counts, BPE-ish tokens, punct/stopword ratios, lang id."""
+    docs = table(spark, sf_dir, "documents")
+    from kol_bigdata_realtime_analytics_spark.plans.domain import trunc6
+
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        F.regexp_count(F.coalesce(F.col("text"), F.lit("")), F.lit(_BPE_RE)).cast("long").alias("n_bpe_tokens"),
+        trunc6(avg_token_length("text")).alias("avg_token_len"),
+        trunc6(punct_ratio("text")).alias("punct_ratio"),
+        trunc6(stopword_ratio("text")).alias("stopword_ratio"),
+        language_id("text").alias("lang_pred"),
+        F.col("lang").alias("lang_actual"),
+    )
+
+
+@register(
+    "quality_scores",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+             CAST({TOKEN_COUNT_ORACLE_SQL.format(col="text")} AS DOUBLE) AS n_tokens,
+             {PUNCT_RATIO_ORACLE_SQL.format(col="text")} AS pr,
+             {STOPWORD_RATIO_ORACLE_SQL.format(col="text")} AS sr
+      FROM documents
+    )
+    SELECT doc_id,
+           floor(LEAST(n_tokens / 100.0, 1.0)
+                 * (1.0 - LEAST(pr, 0.5))
+                 * (0.5 + LEAST(sr, 0.5)) * 1000000) / 1000000 AS quality
+    FROM m
+    """,
+)
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document quality score in [0, 1]."""
+    from kol_bigdata_realtime_analytics_spark.plans.domain import trunc6
+
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", trunc6(quality_score("text")).alias("quality"))
+
+
+@register(
+    "doc_fingerprints",
+    oracle=f"""
+    SELECT doc_id, {DOC_FINGERPRINT_ORACLE_SQL.format(col="text")} AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable md5 content fingerprint per document."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", doc_fingerprint_md5("text").alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ann_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS c_vec FROM embeddings),
+    scored AS (
+      SELECT q.q_id, c.c_id,
+             ROUND(list_dot_product(q.q_vec, c.c_vec)
+                   / (sqrt(list_dot_product(q.q_vec, q.q_vec)) * sqrt(list_dot_product(c.c_vec, c.c_vec))),
+                   6) AS cosine
+      FROM c, q WHERE c.c_id != q.q_id
+    )
+    SELECT q_id, c_id, cosine, rank FROM (
+      SELECT q_id, c_id, cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-3 for query vectors (vec_id < 5) — ANN baseline."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return brute_force_topk(emb, queries, k=3)
+
+
+@register(
+    "embedding_neardup_pairs",
+    oracle="""
+    WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.vec, b.vec)
+                 / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))),
+                 6) AS cosine
+    FROM base a JOIN base b ON a.label = b.label
+    WHERE a.vec_id < b.vec_id
+      AND ROUND(list_dot_product(a.vec, b.vec)
+                / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))),
+                6) >= 0.95
+    """,
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dups: cosine >= 0.95 within label blocks (IVF-style blocking)."""
+    return cosine_neardup_pairs(table(spark, sf_dir, "embeddings"), block_col="label", threshold=0.95)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal: binary payload + Arrow-batched decode stub (mapInPandas)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
+           CAST((octet_length(encode(text)) * 7) % 480 AS BIGINT) AS height,
+           CAST(octet_length(encode(text)) % 16 AS BIGINT) AS n_frames
+    FROM documents
+    """,
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload -> mapInPandas decode stub -> typed feature columns."""
+    docs = table(spark, sf_dir, "documents")
+    return decode_features(with_binary_payload(docs, "text", "doc_id"))

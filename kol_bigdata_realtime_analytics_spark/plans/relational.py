@@ -1,0 +1,548 @@
+"""Core relational operator coverage (SURVEY.md §2.2-2.8).
+
+Each query exercises one reference operator family on the TESTDATA star
+schema, paired with a DuckDB oracle. Aliases match the oracle exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kol_bigdata_realtime_analytics_spark.plans.registry import register, table
+
+# ---------------------------------------------------------------------------
+# A1 — multi-measure hash aggregation (ref: bronze_to_silver.py:552-566 shape;
+# classic TPC-H Q1). Catalyst does partial (map-side) + final agg automatically.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(l_quantity) AS BIGINT)                                   AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                                    AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                 AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)   AS sum_charge,
+           ROUND(AVG(l_quantity), 6)                                         AS avg_qty,
+           ROUND(AVG(l_extendedprice), 6)                                    AS avg_price,
+           ROUND(AVG(l_discount), 6)                                         AS avg_disc,
+           COUNT(*)                                                          AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-measure grouped agg: sum/avg/count over filtered lineitem."""
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2 — KPI agg with countDistinct (ref: silver_to_gold.py:574-587)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "platform_kpi",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS unique_users,
+           COUNT(*)                                AS n_events,
+           ROUND(SUM(value), 2)                    AS total_value,
+           ROUND(AVG(value), 6)                    AS avg_value,
+           ROUND(MAX(value), 2)                    AS max_value,
+           ROUND(MIN(value), 2)                    AS min_value
+    FROM events GROUP BY event_type
+    """,
+)
+def platform_kpi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-platform KPI rollup: exact distinct users + value stats."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("unique_users"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.round(F.max("value"), 2).alias("max_value"),
+        F.round(F.min("value"), 2).alias("min_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3 — grouped count (ref: silver_to_gold.py:262,474)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_priority_count",
+    oracle="SELECT o_orderpriority, COUNT(*) AS n FROM orders GROUP BY o_orderpriority",
+)
+def orders_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().count() — simplest agg shape."""
+    return table(spark, sf_dir, "orders").groupBy("o_orderpriority").agg(F.count("*").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# A4 — global (ungrouped) aggregation; timestamps as epoch micros
+# (ref: silver_to_gold.py:348-351)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_global_stats",
+    oracle="""
+    SELECT epoch_us(MIN(ts)) AS min_ts_us, epoch_us(MAX(ts)) AS max_ts_us,
+           COUNT(*) AS n, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    """,
+)
+def events_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global min/max/count in one pass."""
+    ev = table(spark, sf_dir, "events")
+    return ev.agg(
+        F.unix_micros(F.min("ts")).alias("min_ts_us"),
+        F.unix_micros(F.max("ts")).alias("max_ts_us"),
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5 — distinct (ref: silver_to_gold.py:318-323 dim_time build)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "distinct_order_dates",
+    oracle="SELECT DISTINCT CAST(strftime(o_orderdate, '%Y%m%d') AS INTEGER) AS date_key FROM orders",
+)
+def distinct_order_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """distinct date keys (yyyyMMdd int) — dim_time input."""
+    return (
+        table(spark, sf_dir, "orders")
+        .select(F.date_format("o_orderdate", "yyyyMMdd").cast("int").alias("date_key"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# W1 — latest-per-key via row_number window (ref: product_tracker.py:287-292)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "latest_event_per_user",
+    oracle="""
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, ROUND(value, 2) AS value
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest row per key — deterministic dedup (tie-broken on event_id)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "event_type",
+            F.round("value", 2).alias("value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1 — dimension-enrichment broadcast joins (ref: silver_to_gold.py:161-199).
+# nation (25 rows) and region (5 rows) are canonical broadcast dims.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_enriched",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation, r.r_name AS region,
+           ROUND(c.c_acctbal, 2) AS acctbal, c.c_mktsegment
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def customer_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema enrichment: fact side joins two broadcast dims (no shuffle)."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("n_name").alias("nation"),
+            F.col("r_name").alias("region"),
+            F.round("c_acctbal", 2).alias("acctbal"),
+            "c_mktsegment",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2 + T2 — join, aggregate, top-k (ref: silver_to_gold.py:184-199 +
+# trino_client.py:323-364). Tie-safe sort includes the unique key.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "top_spenders",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, COUNT(*) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS total_spend
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY total_spend DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+def top_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + agg + deterministic top-k by spend."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total_spend"))
+        .orderBy(F.col("total_spend").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi/anti joins — not in the reference surface (SURVEY §2.3 notes only
+# inner/left equi) but part of a complete engine; EXISTS / NOT EXISTS.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "active_customer_count",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_active FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def active_customer_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS) + count."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").agg(F.count("*").alias("n_active"))
+
+
+# ---------------------------------------------------------------------------
+# T1 — order + pagination (ref: trino_client.py:111-139 LIMIT/OFFSET)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_page",
+    oracle="""
+    SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice, o_orderpriority
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 50 OFFSET 100
+    """,
+)
+def orders_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY ... LIMIT n OFFSET m — serving-layer pagination."""
+    return (
+        table(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .offset(100)
+        .limit(50)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "o_orderpriority",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# T3 — weighted top-k by expression (ref: cache_warmer.py:248-262)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "weighted_top_parts",
+    oracle="""
+    SELECT p_partkey, p_name, ROUND(COALESCE(p_retailprice, 0) + COALESCE(p_size, 0) * 10, 2) AS weight
+    FROM part
+    ORDER BY weight DESC, p_partkey ASC
+    LIMIT 15
+    """,
+)
+def weighted_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k on a computed weight expression (COALESCE defaults like the ref)."""
+    p = table(spark, sf_dir, "part")
+    weight = F.round(F.coalesce(F.col("p_retailprice"), F.lit(0)) + F.coalesce(F.col("p_size"), F.lit(0)) * 10, 2)
+    return (
+        p.select("p_partkey", "p_name", weight.alias("weight"))
+        .orderBy(F.col("weight").desc(), F.col("p_partkey").asc())
+        .limit(15)
+    )
+
+
+# ---------------------------------------------------------------------------
+# T4 — range-filtered top-k (ref: trending.py:161-205 viral/rising slices)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_value_band_topk",
+    oracle="""
+    SELECT event_id, user_id, event_type, ROUND(value, 2) AS value
+    FROM events
+    WHERE value BETWEEN 40 AND 80
+    ORDER BY value DESC, event_id ASC
+    LIMIT 25
+    """,
+)
+def events_value_band_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score-band slice + top-k (the 'rising' leaderboard shape)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("value").between(40, 80))
+        .select("event_id", "user_id", "event_type", F.round("value", 2).alias("value"))
+        .orderBy(F.col("value").desc(), F.col("event_id").asc())
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# T5 — prefix search (ref: redis_client.py:266-278 ZRANGEBYLEX autocomplete)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_prefix_search",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_name LIKE 'Customer#00000001%'
+    ORDER BY c_name ASC, c_custkey ASC
+    LIMIT 10
+    """,
+)
+def customer_prefix_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix autocomplete as a filter + sort + limit."""
+    return (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_name").startswith("Customer#00000001"))
+        .select("c_custkey", "c_name")
+        .orderBy(F.col("c_name").asc(), F.col("c_custkey").asc())
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# U1 — unionByName with missing columns (ref: bronze_to_silver.py:225-227)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "union_accounts",
+    oracle="""
+    SELECT c_custkey AS account_id, c_name AS name, ROUND(c_acctbal, 2) AS acctbal,
+           c_mktsegment AS mktsegment, 'customer' AS kind
+    FROM customer
+    UNION ALL
+    SELECT s_suppkey + 1000000 AS account_id, s_name AS name, ROUND(s_acctbal, 2) AS acctbal,
+           CAST(NULL AS VARCHAR) AS mktsegment, 'supplier' AS kind
+    FROM supplier
+    """,
+)
+def union_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName(allowMissingColumns=True) of heterogeneous sources."""
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("account_id"),
+        F.col("c_name").alias("name"),
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.lit("customer").alias("kind"),
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        (F.col("s_suppkey") + 1000000).alias("account_id"),
+        F.col("s_name").alias("name"),
+        F.round("s_acctbal", 2).alias("acctbal"),
+        F.lit("supplier").alias("kind"),
+    )
+    return c.unionByName(s, allowMissingColumns=True)
+
+
+# ---------------------------------------------------------------------------
+# A9 — one-pass conditional aggregation (the reference runs one filter+count
+# job per label — SURVEY flags it as a perf bug; this is the single-pass fix)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_type_breakdown",
+    oracle="""
+    SELECT CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)    AS errors,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT)   AS signups,
+           CAST(SUM(CASE WHEN event_type IN ('view', 'click') THEN 1 ELSE 0 END) AS BIGINT) AS impressions,
+           COUNT(*) AS total
+    FROM events
+    """,
+)
+def event_type_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label distribution in ONE job via sum(when(...)) — not N filter+count jobs."""
+    ev = table(spark, sf_dir, "events")
+
+    def cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    t = F.col("event_type")
+    return ev.agg(
+        cnt(t == "purchase").alias("purchases"),
+        cnt(t == "error").alias("errors"),
+        cnt(t == "signup").alias("signups"),
+        cnt(t.isin("view", "click")).alias("impressions"),
+        F.count("*").alias("total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P5 — when/otherwise tier bucketing + agg (ref: silver_to_gold.py:233-240)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "acctbal_tiers",
+    oracle="""
+    SELECT CASE WHEN c_acctbal >= 7500 THEN 'platinum'
+                WHEN c_acctbal >= 5000 THEN 'gold'
+                WHEN c_acctbal >= 2500 THEN 'silver'
+                WHEN c_acctbal >= 0    THEN 'bronze'
+                ELSE 'delinquent' END AS tier,
+           COUNT(*) AS n, ROUND(AVG(c_acctbal), 6) AS avg_bal
+    FROM customer GROUP BY 1
+    """,
+)
+def acctbal_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """when/otherwise chain bucketing then grouped agg."""
+    c = table(spark, sf_dir, "customer")
+    tier = (
+        F.when(F.col("c_acctbal") >= 7500, "platinum")
+        .when(F.col("c_acctbal") >= 5000, "gold")
+        .when(F.col("c_acctbal") >= 2500, "silver")
+        .when(F.col("c_acctbal") >= 0, "bronze")
+        .otherwise("delinquent")
+    )
+    return (
+        c.select(tier.alias("tier"), "c_acctbal")
+        .groupBy("tier")
+        .agg(F.count("*").alias("n"), F.round(F.avg("c_acctbal"), 6).alias("avg_bal"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Date/time scalar functions — dim_time build (ref: silver_to_gold.py:327-343).
+# Spark dayofweek is 1=Sunday..7=Saturday; DuckDB dayofweek is 0=Sunday — the
+# oracle adds 1. day/month names via format pattern vs dayname()/monthname().
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "date_dim",
+    oracle="""
+    SELECT DISTINCT
+           CAST(strftime(o_orderdate, '%Y%m%d') AS INTEGER) AS date_key,
+           CAST(year(o_orderdate) AS INTEGER)       AS year,
+           CAST(quarter(o_orderdate) AS INTEGER)    AS quarter,
+           CAST(month(o_orderdate) AS INTEGER)      AS month,
+           CAST(weekofyear(o_orderdate) AS INTEGER) AS week_of_year,
+           CAST(dayofmonth(o_orderdate) AS INTEGER) AS day_of_month,
+           CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS day_of_week,
+           dayname(o_orderdate)   AS day_name,
+           monthname(o_orderdate) AS month_name
+    FROM orders
+    """,
+)
+def date_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dim_time: every date-part extraction the reference uses, in one select."""
+    o = table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        F.date_format(d, "yyyyMMdd").cast("int").alias("date_key"),
+        F.year(d).alias("year"),
+        F.quarter(d).alias("quarter"),
+        F.month(d).alias("month"),
+        F.weekofyear(d).alias("week_of_year"),
+        F.dayofmonth(d).alias("day_of_month"),
+        F.dayofweek(d).alias("day_of_week"),
+        F.date_format(d, "EEEE").alias("day_name"),
+        F.date_format(d, "MMMM").alias("month_name"),
+    ).distinct()
+
+
+# ---------------------------------------------------------------------------
+# S7/JSON — JSON-string field extraction (ref: trending_stream.py:436-441
+# from_json over Kafka value; here over the events.props JSON column)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "props_json_extract",
+    oracle="""
+    SELECT CAST(json_extract(props, '$.k') AS INTEGER) AS k, COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse a JSON payload column and aggregate on an extracted field."""
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select(k.alias("k"), "value")
+        .groupBy("k")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )

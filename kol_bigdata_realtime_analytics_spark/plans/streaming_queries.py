@@ -1,0 +1,59 @@
+"""Streaming queries registered for the driver.
+
+These run a REAL Structured Streaming query (readStream over the parquet dir,
+memory sink, processAllAvailable) and return the materialized result — so the
+driver's oracle check validates streaming semantics end-to-end, not just the
+batch plan. Complete output mode means the bounded replay emits every window
+(watermark only gates state eviction), making results == batch semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kol_bigdata_realtime_analytics_spark.plans.registry import register, table
+from kol_bigdata_realtime_analytics_spark.streaming.trending import run_trending_stream
+
+_STREAM_TRENDING_ORACLE = """
+WITH win AS (
+  SELECT (epoch_us(ts) // 300000000) * 300000000 AS ws_us,
+         user_id AS key,
+         COUNT(*) AS n_events,
+         SUM(value) AS eng
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT ws_us AS window_start_us, key, n_events,
+       ROUND(eng, 2) AS engagement,
+       ROUND((eng / 5.0) * (1 + 0.1 * ln(1 + n_events)), 6) AS velocity,
+       ROUND(100.0 / (1 + exp(-0.8 * (
+         0.5 * ((eng / 5.0) * (1 + 0.1 * ln(1 + n_events)) / 100.0)
+         + 0.3 * (n_events / 10.0) + 0.2 - 2.0))), 6) AS trending_score
+FROM win
+"""
+
+
+@register("streaming_trending", oracle=_STREAM_TRENDING_ORACLE)
+def streaming_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end Structured Streaming run of the trending hot path."""
+    # raw file schema (ts is a nanos long via nanosAsLong — see registry.table)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # file stream source needs a DIRECTORY; glob-filter to just events.parquet
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    result = run_trending_stream(spark, stream, query_name="streaming_trending_mem")
+    return result.select(
+        F.unix_micros("window_start").alias("window_start_us"),
+        "key",
+        "n_events",
+        "engagement",
+        "velocity",
+        "trending_score",
+    )
