@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized through the no-op sink (format("noop")) — full
+executor-side execution, no driver collect skew. One warm-up action first so
+JVM/codegen startup isn't billed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from kol_bigdata_realtime_analytics_spark.plans import REGISTRY  # noqa: E402
+from kol_bigdata_realtime_analytics_spark.session import get_spark  # noqa: E402
+
+#: headline set: the flagship + every operator family's heaviest representative
+HEADLINE = [
+    "trending_scores",
+    "sliding_window_engagement",
+    "campaign_window_metrics",
+    "pricing_summary",
+    "platform_kpi",
+    "top_spenders",
+    "latest_event_per_user",
+    "composite_leaderboard",
+    "parse_count_events",
+    "date_dim",
+    "dedup_exact",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_candidates",
+    "simhash_neardups",
+    "text_profile",
+    "ann_cosine_topk",
+    "embedding_neardup_pairs",
+    "multimodal_decode",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark(app_name="bench")
+    # warm up JVM / parquet footer caches outside the timed region
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = REGISTRY[name]
+        t0 = time.perf_counter()
+        df = q.fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -75,8 +75,15 @@ def minhash_lsh_candidates(
     — tiny keys — then self-joins within buckets only.
     """
     rows_per_band = num_hashes // bands
+    # signature computation is CPU-bound: spread a coarse input (e.g. one
+    # parquet file locally) across all cores before hashing. At cluster scale
+    # the scan already has many splits and this shuffle is round-robin-cheap
+    # relative to the signature work it parallelizes.
+    par = df.sparkSession.sparkContext.defaultParallelism
     sig = (
-        df.select(F.col(id_col).alias("doc"), word_shingles(F.col(text_col), shingle_n).alias("sh"))
+        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("txt"))
+        .repartition(par)
+        .select("doc", word_shingles(F.col("txt"), shingle_n).alias("sh"))
         .filter(F.size("sh") > 0)
         .select("doc", minhash_signature(F.col("sh"), num_hashes).alias("sig"))
     )
@@ -168,11 +175,11 @@ _POWERS = ", ".join(
 
 def with_simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(doc, sim) — attach the 64-bit SimHash of text_col."""
-    tk = tokens(F.col(text_col))
-    prepared = df.select(
-        F.col(id_col).alias("doc"),
-        F.transform(tk, lambda t: F.xxhash64(t)).alias("_th"),
-        F.size(tk).alias("_n"),
+    par = df.sparkSession.sparkContext.defaultParallelism
+    prepared = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("txt")).repartition(par).select(
+        "doc",
+        F.transform(tokens(F.col("txt")), lambda t: F.xxhash64(t)).alias("_th"),
+        F.size(tokens(F.col("txt"))).alias("_n"),
     )
     sim = F.expr(_SIMHASH_SQL.format(th="_th", n="_n", powers=_POWERS))
     return prepared.select("doc", sim.alias("sim"))

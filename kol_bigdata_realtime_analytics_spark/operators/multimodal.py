@@ -63,5 +63,14 @@ def _decode_stub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def decode_features(df: DataFrame) -> DataFrame:
-    """Run the Arrow-batched decode operator over (doc_id, payload) rows."""
-    return df.select("doc_id", "payload").mapInPandas(_decode_stub, schema=DECODE_SCHEMA)
+    """Run the Arrow-batched decode operator over (doc_id, payload) rows.
+
+    Repartitioned first: decode is CPU-bound per row, so a coarse input (one
+    file split) must spread across cores/executors before the Python stage.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select("doc_id", "payload")
+        .repartition(par)
+        .mapInPandas(_decode_stub, schema=DECODE_SCHEMA)
+    )

@@ -1,0 +1,141 @@
+"""Fixed-point tests for the domain function library (FIXTURES.md §8 vectors)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from kol_bigdata_realtime_analytics_spark.functions.counts import parse_count
+from kol_bigdata_realtime_analytics_spark.functions.scoring import (
+    composite_score,
+    engagement,
+    engagement_rate,
+    kol_tier,
+    trending_label,
+    trending_raw,
+    trending_score,
+    trending_velocity,
+    trust_rule_score,
+    virality_index,
+)
+from kol_bigdata_realtime_analytics_spark.functions.text import (
+    language_id,
+    punct_ratio,
+    stopword_ratio,
+    token_count,
+)
+
+
+def one_col(spark, rows, schema, expr):
+    df = spark.createDataFrame(rows, schema)
+    return [r[0] for r in df.select(expr).collect()]
+
+
+# reference parse vectors: tiktok_bronze_to_silver.py:60-77 via FIXTURES.md §8
+PARSE_VECTORS = [
+    ("11.3K", 11300),
+    ("1.3M", 1300000),
+    ("2B", 2000000000),
+    ("12,345", 12345),
+    ("", 0),
+    (None, 0),
+    ("36.5K", 36500),
+    ("852.3K", 852300),
+    ("33.6M", 33600000),
+    ("  7.2k  ", 7200),
+    ("garbage", 0),
+    ("42", 42),
+]
+
+
+def test_parse_count_vectors(spark):
+    rows = [(s,) for s, _ in PARSE_VECTORS]
+    got = one_col(spark, rows, "raw string", parse_count("raw"))
+    assert got == [v for _, v in PARSE_VECTORS]
+
+
+def test_trending_sigmoid_tuning_points(spark):
+    """Reference tuning: raw=1 -> ~30, raw=2 -> 50, raw=5 -> ~85 (predict.py:879-884)."""
+    df = spark.createDataFrame([(1.0,), (2.0,), (5.0,)], "raw double")
+    got = [r[0] for r in df.select(trending_score(F.col("raw"))).collect()]
+    assert got[1] == pytest.approx(50.0)
+    assert got[0] == pytest.approx(100 / (1 + math.exp(0.8)), rel=1e-9)  # ~31.0
+    assert got[2] == pytest.approx(100 / (1 + math.exp(-2.4)), rel=1e-9)  # ~91.7 with k=0.8
+    assert 25 < got[0] < 35 and 80 < got[2] < 95
+
+
+def test_trending_velocity_formula(spark):
+    df = spark.createDataFrame([(500, 10)], "eng long, n long")
+    got = one_col(spark, [(500, 10)], "eng long, n long", trending_velocity("eng", "n"))
+    expected = (500 / 5.0) * (1 + 0.1 * math.log1p(10))
+    assert got[0] == pytest.approx(expected, rel=1e-12)
+
+
+def test_trending_labels(spark):
+    rows = [(85.0,), (65.0,), (45.0,), (30.0,), (10.0,)]
+    got = one_col(spark, rows, "s double", trending_label("s"))
+    assert got == ["Viral", "Hot", "Warm", "Normal", "Cold"]
+
+
+def test_trust_rule_score_components(spark):
+    # verified + img + maxed age + maxed ratio + label1 = 30+20+10+20+20+20 -> clamp 100
+    rows = [
+        (True, True, 4000, 200.0, 1),
+        (False, False, 0, 0.0, 0),  # 30 - 30 = 0
+        (False, True, 365, 5.0, None),  # 30+10+20+10 = 70... age=365 -> 20? 365/365*20=20
+    ]
+    schema = "verified boolean, img boolean, age int, ratio double, label int"
+    expr = trust_rule_score("verified", "img", "age", "ratio", "label")
+    got = one_col(spark, rows, schema, expr)
+    assert got[0] == 100.0
+    assert got[1] == 0.0
+    assert got[2] == pytest.approx(30 + 10 + 20.0 + 10.0)
+
+
+def test_kol_tier_ladder(spark):
+    rows = [(5_000_000,), (800_000,), (150_000,), (25_000,), (5_000,), (500,), (None,)]
+    got = one_col(spark, rows, "f long", kol_tier("f"))
+    assert got == ["mega", "macro", "macro", "micro", "nano", "starter", "starter"]
+
+
+def test_engagement_and_rate(spark):
+    rows = [(100, 20, 5, 1000), (None, None, None, 0)]
+    schema = "l long, c long, s long, v long"
+    df = spark.createDataFrame(rows, schema)
+    out = df.select(
+        engagement("l", "c", "s").alias("e"),
+        engagement_rate(engagement("l", "c", "s"), "v").alias("r"),
+    ).collect()
+    assert out[0]["e"] == 125 and out[0]["r"] == pytest.approx(0.125)
+    assert out[1]["e"] == 0 and out[1]["r"] == 0.0
+
+
+def test_virality_and_composite(spark):
+    rows = [(500, 1000, 80.0, 60.0, 40.0)]
+    schema = "fav long, fol long, t double, s double, tr double"
+    df = spark.createDataFrame(rows, schema)
+    out = df.select(
+        virality_index("fav", "fol").alias("v"),
+        composite_score("t", "s", "tr").alias("c"),
+    ).collect()[0]
+    assert out["v"] == pytest.approx(0.5)
+    assert out["c"] == pytest.approx(0.4 * 80 + 0.35 * 60 + 0.25 * 40)
+
+
+def test_text_metrics(spark):
+    rows = [("the cat sat on a mat.",), ("",), (None,)]
+    df = spark.createDataFrame(rows, "text string")
+    out = df.select(
+        token_count("text").alias("n"),
+        punct_ratio("text").alias("p"),
+        stopword_ratio("text").alias("s"),
+        language_id("text").alias("l"),
+    ).collect()
+    assert out[0]["n"] == 6
+    assert out[0]["s"] == pytest.approx(2 / 6)  # 'the', 'a' ('on' not in list)
+    assert out[0]["p"] == pytest.approx(1 / 21)
+    assert out[0]["l"] == "en"
+    assert out[1]["n"] == 0 and out[1]["s"] == 0.0 and out[1]["l"] == "unknown"
+    assert out[2]["n"] == 0 and out[2]["l"] == "unknown"

@@ -1,0 +1,126 @@
+"""Operator tests: dedup family, similarity search, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kol_bigdata_realtime_analytics_spark.operators.dedup import (
+    exact_dedup_fingerprints,
+    jaccard_pairs,
+    minhash_lsh_candidates,
+    simhash_neardup_pairs,
+    with_simhash,
+    word_shingles,
+)
+from kol_bigdata_realtime_analytics_spark.operators.multimodal import (
+    decode_features,
+    with_binary_payload,
+)
+from kol_bigdata_realtime_analytics_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_neardup_pairs,
+    lsh_neardup_pairs,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank", "en", "a"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bend", "en", "a"),  # near-dup of 1
+    (3, "completely different text about spark query engines and shuffles", "en", "a"),
+    (4, "the quick brown fox jumps over the lazy dog near the river bank", "en", "a"),  # exact dup of 1
+    (5, "  The  quick brown fox jumps over the lazy dog near the river bank ", "en", "a"),  # ws/case-normalized dup of 1
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string, lang string, source string")
+
+
+def test_exact_dedup_groups_normalized_dups(spark, docs_df):
+    out = exact_dedup_fingerprints(docs_df, "text", "doc_id").collect()
+    groups = {r["keep_id"]: r["n_copies"] for r in out}
+    assert groups[1] == 3  # docs 1, 4, 5 share a normalized fingerprint
+    assert groups[2] == 1 and groups[3] == 1
+
+
+def test_jaccard_finds_near_dup(spark, docs_df):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in jaccard_pairs(
+        docs_df, "text", "doc_id", ["lang", "source"], threshold=0.5
+    ).collect()}
+    assert pairs[(1, 2)] > 0.8  # 12 shared tokens of 13
+    assert pairs[(1, 4)] == 1.0
+    assert (1, 3) not in pairs
+
+
+def test_minhash_lsh_finds_planted_dups(spark, docs_df):
+    cand = {(r["id_a"], r["id_b"]) for r in minhash_lsh_candidates(docs_df, "text", "doc_id").collect()}
+    assert (1, 2) in cand  # near-dup must collide in some band
+    assert (1, 4) in cand  # identical text -> identical signature
+    assert (1, 3) not in cand  # unrelated text should not collide
+
+
+def test_simhash_identical_and_near(spark, docs_df):
+    sims = {r["doc"]: r["sim"] for r in with_simhash(docs_df, "text", "doc_id").collect()}
+    assert sims[1] == sims[4]  # exact same tokens -> same simhash
+
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    # near-dup (1 token of 13 changed) must be closer than unrelated text;
+    # short docs flip several bits per edit, so no absolute threshold here
+    assert hamming(sims[1], sims[2]) < hamming(sims[1], sims[3])
+
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_neardup_pairs(
+        docs_df, "text", "doc_id", max_hamming=10
+    ).collect()}
+    assert pairs[(1, 4)] == 0  # exact dups collide in every chunk
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d",)], "t string")
+    out = df.select(word_shingles(F.col("t"), 3).alias("s")).collect()[0]["s"]
+    assert out == ["a b c", "b c d"]
+
+
+VECS = [
+    (0, [1.0, 0.0, 0.0, 0.0], 0),
+    (1, [0.999, 0.001, 0.0, 0.0], 0),  # near-dup of 0
+    (2, [0.0, 1.0, 0.0, 0.0], 0),
+    (3, [0.0, 0.0, 1.0, 0.0], 1),
+    (4, [0.0, 0.0, 0.999, 0.001], 1),  # near-dup of 3
+]
+
+
+@pytest.fixture(scope="module")
+def vecs_df(spark):
+    return spark.createDataFrame(VECS, "vec_id long, embedding array<float>, label int")
+
+
+def test_brute_force_topk(spark, vecs_df):
+    out = brute_force_topk(vecs_df, vecs_df.filter(F.col("vec_id") == 0), k=2).collect()
+    ranked = [(r["c_id"], r["rank"]) for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranked[0][0] == 1  # nearest neighbour of 0 is 1
+    assert out[0]["cosine"] <= 1.0
+
+
+def test_cosine_neardup_blocked(spark, vecs_df):
+    pairs = {(r["id_a"], r["id_b"]) for r in cosine_neardup_pairs(vecs_df, threshold=0.95).collect()}
+    assert pairs == {(0, 1), (3, 4)}  # blocking by label keeps only same-label pairs
+
+
+def test_lsh_neardup_agrees_with_exact(spark, vecs_df):
+    got = {(r["id_a"], r["id_b"]) for r in lsh_neardup_pairs(vecs_df, dim=4, threshold=0.95).collect()}
+    # LSH may drop pairs (probabilistic) but must not invent them
+    assert got <= {(0, 1), (3, 4)}
+    assert (0, 1) in got  # sign-pattern of near-identical vectors matches
+
+
+def test_multimodal_decode_schema_and_values(spark, docs_df):
+    out = decode_features(with_binary_payload(docs_df, "text", "doc_id")).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    expected_len = len(DOCS[0][1].encode())
+    assert by_id[1]["byte_len"] == expected_len
+    assert by_id[1]["width"] == expected_len % 640
+    assert by_id[1]["height"] == (expected_len * 7) % 480
+    assert set(out[0].asDict()) == {"doc_id", "byte_len", "width", "height", "n_frames"}
