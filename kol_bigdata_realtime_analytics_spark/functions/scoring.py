@@ -105,9 +105,12 @@ def trust_rule_score(
     label: Column | str | None = None,
 ) -> Column:
     """verified +20, profile-img +10, min(age/365*20, 20), min(ratio/10*20, 20),
-    label bonus +-20/-30, clamped to [0, 100]. Base 30 so an average real
-    account lands mid-range."""
-    score = F.lit(30.0)
+    label bonus (+20 trustworthy / -30 untrustworthy), clamped to [0, 100].
+
+    Exact reference semantics (silver_to_gold.py:211-230; there the label is
+    `is_untrustworthy` with 0 -> +20 and 1 -> -30 — here `label` is
+    IS-TRUSTWORTHY: 1 -> +20, 0 -> -30, null -> 0)."""
+    score = F.lit(0.0)
     score = score + F.when(F.coalesce(_c(verified).cast("boolean"), F.lit(False)), 20.0).otherwise(0.0)
     score = score + F.when(F.coalesce(_c(has_profile_image).cast("boolean"), F.lit(False)), 10.0).otherwise(0.0)
     age = F.coalesce(_c(account_age_days), F.lit(0)).cast("double")
@@ -121,14 +124,14 @@ def trust_rule_score(
 
 
 def kol_tier(followers: Column | str) -> Column:
-    """Follower-count tier ladder (ref tier thresholds, silver_to_gold.py:233-240)."""
+    """Follower-count tier ladder (ref thresholds + labels, silver_to_gold.py:233-240)."""
     f = F.coalesce(_c(followers), F.lit(0))
     return (
-        F.when(f >= 1_000_000, "mega")
-        .when(f >= 100_000, "macro")
-        .when(f >= 10_000, "micro")
-        .when(f >= 1_000, "nano")
-        .otherwise("starter")
+        F.when(f >= 1_000_000, "Mega")
+        .when(f >= 100_000, "Macro")
+        .when(f >= 10_000, "Micro")
+        .when(f >= 1_000, "Nano")
+        .otherwise("Rising")
     )
 
 

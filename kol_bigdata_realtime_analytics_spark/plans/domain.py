@@ -242,18 +242,17 @@ WITH prof AS (
 )
 SELECT c_custkey,
        ROUND(GREATEST(LEAST(
-         30.0
-         + CASE WHEN verified THEN 20.0 ELSE 0.0 END
+         CASE WHEN verified THEN 20.0 ELSE 0.0 END
          + CASE WHEN has_img THEN 10.0 ELSE 0.0 END
          + LEAST(age_days / 365.0 * 20.0, 20.0)
          + LEAST(ff_ratio / 10.0 * 20.0, 20.0)
          + CASE WHEN label = 1 THEN 20.0 WHEN label = 0 THEN -30.0 ELSE 0.0 END,
          100.0), 0.0), 6) AS trust_score,
-       CASE WHEN followers >= 1000000 THEN 'mega'
-            WHEN followers >= 100000 THEN 'macro'
-            WHEN followers >= 10000 THEN 'micro'
-            WHEN followers >= 1000 THEN 'nano'
-            ELSE 'starter' END AS tier
+       CASE WHEN followers >= 1000000 THEN 'Mega'
+            WHEN followers >= 100000 THEN 'Macro'
+            WHEN followers >= 10000 THEN 'Micro'
+            WHEN followers >= 1000 THEN 'Nano'
+            ELSE 'Rising' END AS tier
 FROM prof
 """
 

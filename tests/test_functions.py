@@ -80,24 +80,24 @@ def test_trending_labels(spark):
 
 
 def test_trust_rule_score_components(spark):
-    # verified + img + maxed age + maxed ratio + label1 = 30+20+10+20+20+20 -> clamp 100
+    # verified(20) + img(10) + maxed age(20) + maxed ratio(20) + label1(20) = 90
     rows = [
         (True, True, 4000, 200.0, 1),
-        (False, False, 0, 0.0, 0),  # 30 - 30 = 0
-        (False, True, 365, 5.0, None),  # 30+10+20+10 = 70... age=365 -> 20? 365/365*20=20
+        (False, False, 0, 0.0, 0),  # -30 -> clamp 0
+        (False, True, 365, 5.0, None),  # 10 + 20 + 10 = 40
     ]
     schema = "verified boolean, img boolean, age int, ratio double, label int"
     expr = trust_rule_score("verified", "img", "age", "ratio", "label")
     got = one_col(spark, rows, schema, expr)
-    assert got[0] == 100.0
+    assert got[0] == 90.0
     assert got[1] == 0.0
-    assert got[2] == pytest.approx(30 + 10 + 20.0 + 10.0)
+    assert got[2] == pytest.approx(10 + 20.0 + 10.0)
 
 
 def test_kol_tier_ladder(spark):
     rows = [(5_000_000,), (800_000,), (150_000,), (25_000,), (5_000,), (500,), (None,)]
     got = one_col(spark, rows, "f long", kol_tier("f"))
-    assert got == ["mega", "macro", "macro", "micro", "nano", "starter", "starter"]
+    assert got == ["Mega", "Macro", "Macro", "Micro", "Nano", "Rising", "Rising"]
 
 
 def test_engagement_and_rate(spark):
