@@ -225,6 +225,58 @@ def parse_count_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Momentum (batch form): avg velocity of the previous <=3 windows per key —
+# the piece the reference specifies (README.md:748-756) but stubs
+# (trending_stream.py:479). Window-frame average, oracle-checkable.
+# ---------------------------------------------------------------------------
+
+_MOMENTUM_ORACLE = """
+WITH win AS (
+  SELECT (epoch_us(ts) // 300000000) * 300000 AS window_start_ms,
+         user_id AS key,
+         COUNT(*) AS n_events,
+         SUM(value) AS engagement
+  FROM events GROUP BY 1, 2
+), vel AS (
+  SELECT window_start_ms, key, n_events, engagement,
+         (engagement / 5.0) * (1 + 0.1 * ln(1 + n_events)) AS velocity
+  FROM win
+), mom AS (
+  SELECT *, COALESCE(AVG(velocity) OVER (
+           PARTITION BY key ORDER BY window_start_ms
+           ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), 0.0) AS momentum
+  FROM vel
+)
+SELECT window_start_ms, key, n_events,
+       ROUND(engagement, 2) AS engagement,
+       floor(velocity * 1000000) / 1000000 AS velocity,
+       floor(momentum * 1000000) / 1000000 AS momentum,
+       floor(100.0 / (1 + exp(-0.8 * (
+         0.5 * (velocity / 100.0) + 0.3 * (n_events / 10.0)
+         + 0.2 * (1.0 + momentum) - 2.0))) * 1000000) / 1000000 AS trending_score
+FROM mom
+"""
+
+
+@register("trending_momentum", oracle=_MOMENTUM_ORACLE)
+def trending_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed trending with REAL momentum (lagged-window velocity average)."""
+    from kol_bigdata_realtime_analytics_spark.streaming.momentum import momentum_batch
+
+    ev = table(spark, sf_dir, "events")
+    out = momentum_batch(ev)
+    return out.select(
+        "window_start_ms",
+        "key",
+        "n_events",
+        F.round("engagement", 2).alias("engagement"),
+        trunc6(F.col("velocity")).alias("velocity"),
+        trunc6(F.col("momentum")).alias("momentum"),
+        trunc6(F.col("trending_score")).alias("trending_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Rule trust score + tiering (ref: silver_to_gold.py:211-240) on synthetic
 # profile fields derived deterministically from customer.
 # ---------------------------------------------------------------------------

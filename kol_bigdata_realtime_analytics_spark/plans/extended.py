@@ -1,0 +1,302 @@
+"""Extended OLAP surface: rollup/cube, pivot, sessionization, as-of join,
+set ops, exact percentiles, summary stats.
+
+Beyond the reference's own operator inventory (SURVEY §2 notes it lacks
+grouping sets/session windows/as-of) — these complete the engine so a
+reference user never hits a wall. Every query is oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kol_bigdata_realtime_analytics_spark.plans.registry import register, table
+
+# ---------------------------------------------------------------------------
+# ROLLUP — hierarchical subtotals in one pass
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rollup_daily_events",
+    oracle="""
+    SELECT COALESCE(event_type, '__total__') AS event_type,
+           COALESCE(CAST(strftime(ts, '%Y%m%d') AS INTEGER), -1) AS date_key,
+           COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY ROLLUP (event_type, CAST(strftime(ts, '%Y%m%d') AS INTEGER))
+    """,
+)
+def rollup_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(event_type, day): leaf + per-type + grand-total rows at once."""
+    ev = table(spark, sf_dir, "events")
+    day = F.date_format("ts", "yyyyMMdd").cast("int")
+    return (
+        ev.select("event_type", day.alias("date_key"), "value")
+        .rollup("event_type", "date_key")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("__total__")).alias("event_type"),
+            F.coalesce(F.col("date_key"), F.lit(-1)).alias("date_key"),
+            "n",
+            "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUBE — all grouping combinations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cube_type_bucket",
+    oracle="""
+    SELECT COALESCE(event_type, '__all__') AS event_type,
+           COALESCE(user_id % 10, -1) AS bucket,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY CUBE (event_type, user_id % 10)
+    """,
+)
+def cube_type_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, user bucket): 4 grouping sets, one shuffle."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.select("event_type", (F.col("user_id") % 10).alias("bucket"))
+        .cube("event_type", "bucket")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("__all__")).alias("event_type"),
+            F.coalesce(F.col("bucket"), F.lit(-1)).alias("bucket"),
+            "n",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PIVOT — long -> wide with a FIXED pivot-value list (unbounded pivot values
+# would need a collect; fixed list keeps the plan static at any scale)
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ["view", "click", "purchase", "signup", "error"]
+
+
+@register(
+    "pivot_user_event_values",
+    oracle=f"""
+    SELECT user_id,
+           {", ".join(
+               f"ROUND(COALESCE(SUM(value) FILTER (WHERE event_type = '{t}'), 0), 2) AS {t}"
+               for t in _EVENT_TYPES
+           )}
+    FROM events GROUP BY user_id
+    """,
+)
+def pivot_user_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event_type into per-user value columns."""
+    ev = table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 2))
+    )
+    return out.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0.0)).alias(t) for t in _EVENT_TYPES]
+    )
+
+
+# ---------------------------------------------------------------------------
+# SESSIONIZATION — lag + cumulative gap-count (guide: 'Sessionization')
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_MIN = 30
+
+_SESSION_ORACLE = f"""
+WITH gaps AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > {_SESSION_GAP_MIN} * 60000000
+              OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts, event_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM gaps
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       COUNT(*) AS n_events,
+       epoch_us(MIN(ts)) AS session_start_us,
+       epoch_us(MAX(ts)) AS session_end_us
+FROM sess GROUP BY user_id, session_seq
+"""
+
+
+@register("sessionize_events", oracle=_SESSION_ORACLE)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions (30 min): lag -> boundary flag -> running sum."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_session = (
+        prev_ts.isNull()
+        | (F.unix_micros("ts") - F.unix_micros(prev_ts) > _SESSION_GAP_MIN * 60_000_000)
+    ).cast("int")
+    running = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        ev.withColumn("new_session", new_session)
+        .withColumn("session_seq", F.sum("new_session").over(running).cast("long"))
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.unix_micros(F.min("ts")).alias("session_start_us"),
+            F.unix_micros(F.max("ts")).alias("session_end_us"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# AS-OF JOIN — latest event at-or-before each order date per (synthetic) user
+# ---------------------------------------------------------------------------
+
+_ASOF_ORACLE = """
+WITH o AS (
+  SELECT o_orderkey, o_orderkey % 150 AS user_id, o_orderdate FROM orders
+   WHERE o_orderkey % 37 = 0
+)
+SELECT o.o_orderkey, o.user_id, epoch_us(o.o_orderdate) AS order_ts_us,
+       e.event_id AS last_event_id, epoch_us(e.ts) AS last_event_ts_us
+FROM o ASOF LEFT JOIN events e
+  ON o.user_id = e.user_id AND e.ts <= o.o_orderdate
+"""
+
+
+@register("asof_last_event_before_order", oracle=_ASOF_ORACLE)
+def asof_last_event_before_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (backward) join: composed equi-join + time filter + row_number."""
+    from kol_bigdata_realtime_analytics_spark.operators.asof import as_of_join
+
+    orders = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 37 == 0)
+        .select(
+            "o_orderkey",
+            (F.col("o_orderkey") % 150).alias("user_id"),
+            # NTZ -> TIMESTAMP under the UTC session pin (see registry.table)
+            F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+        )
+    )
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    joined = as_of_join(orders, ev, "user_id", "o_orderdate", "ts", ["event_id", "ts"])
+    return joined.select(
+        "o_orderkey",
+        "user_id",
+        F.unix_micros("o_orderdate").alias("order_ts_us"),
+        F.col("event_id").alias("last_event_id"),
+        F.unix_micros("ts").alias("last_event_ts_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SET OPS — INTERSECT / EXCEPT
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "building_buyers_intersect",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey FROM orders
+    """,
+)
+def building_buyers_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT of two key sets."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    o = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.intersect(o)
+
+
+@register(
+    "low_balance_except_buyers",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_acctbal < 0
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_totalprice > 50000
+    """,
+)
+def low_balance_except_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set difference) of key sets."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_acctbal") < 0).select("c_custkey")
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 50000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return c.exceptAll(o).distinct()
+
+
+# ---------------------------------------------------------------------------
+# EXACT PERCENTILES + SUMMARY STATS (A7 — describe() equivalent, one pass)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "value_percentiles",
+    oracle="""
+    SELECT event_type,
+           floor(quantile_cont(value, 0.5) * 1000000) / 1000000 AS p50,
+           floor(quantile_cont(value, 0.9) * 1000000) / 1000000 AS p90,
+           floor(quantile_cont(value, 0.99) * 1000000) / 1000000 AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (percentile, not approx)."""
+    ev = table(spark, sf_dir, "events")
+
+    def t6(c):
+        return F.floor(c * 1000000) / 1000000
+
+    return ev.groupBy("event_type").agg(
+        t6(F.percentile("value", F.lit(0.5))).alias("p50"),
+        t6(F.percentile("value", F.lit(0.9))).alias("p90"),
+        t6(F.percentile("value", F.lit(0.99))).alias("p99"),
+    )
+
+
+@register(
+    "events_summary_stats",
+    oracle="""
+    SELECT COUNT(value) AS n,
+           ROUND(AVG(value), 6) AS mean,
+           ROUND(stddev_samp(value), 6) AS std,
+           ROUND(MIN(value), 2) AS min,
+           ROUND(MAX(value), 2) AS max
+    FROM events
+    """,
+)
+def events_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """describe()-style summary in ONE declarative pass (A7)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.agg(
+        F.count("value").alias("n"),
+        F.round(F.avg("value"), 6).alias("mean"),
+        F.round(F.stddev_samp("value"), 6).alias("std"),
+        F.round(F.min("value"), 2).alias("min"),
+        F.round(F.max("value"), 2).alias("max"),
+    )
+
+
+@register("approx_distinct_users", oracle=None)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL approximate distinct (engine-specific sketch -> rows-only check;
+    pytest bounds its error against the exact count)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    )

@@ -61,6 +61,10 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     The long is converted back to a proper timestamp column with integer
     division (no double round-trip — nanos don't fit a double's mantissa).
     """
+    # pin UTC at runtime: parquet micros timestamps surface as TIMESTAMP_NTZ
+    # and any NTZ -> TIMESTAMP cast must interpret wall time as UTC to match
+    # DuckDB's UTC-naive epoch_us, whatever session the caller created.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F

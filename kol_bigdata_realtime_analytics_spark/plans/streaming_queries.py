@@ -34,6 +34,37 @@ FROM win
 """
 
 
+@register("streaming_momentum_stateful", oracle=None)
+def streaming_momentum_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True stateful streaming momentum (applyInPandasWithState, event-time
+    timeouts, O(1) state/key). Non-SQL-expressible -> rows-only driver check;
+    pytest proves stream == batch (tests/test_momentum.py), and the batch
+    form is oracle-checked as `trending_momentum`."""
+    from kol_bigdata_realtime_analytics_spark.streaming.momentum import momentum_stream
+
+    for q in spark.streams.active:
+        if q.name == "mom_state_mem":
+            q.stop()
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    q = (
+        momentum_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("mom_state_mem")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table("mom_state_mem")
+
+
 @register("streaming_trending", oracle=_STREAM_TRENDING_ORACLE)
 def streaming_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end Structured Streaming run of the trending hot path."""

@@ -1,0 +1,195 @@
+"""Stateful per-KOL momentum: avg velocity of the last 3 closed windows.
+
+The reference SPECIFIES momentum (README.md:748-756) but never implements it
+— its streaming UDF receives prev_engagement=None and hardcodes baselines
+(reference trending_stream.py:279-283; the Redis-lookup velocity hack at
+kafka_profile_stream.py:153-169 reads previous state per row in Python).
+This module implements it properly, twice:
+
+- `momentum_batch`   : window-function form (lag frame avg) — SQL-expressible,
+  duckdb-oracle checkable, used by the batch/serving path.
+- `momentum_stream`  : true streaming stateful operator via
+  applyInPandasWithState keyed by KOL: state = open tumbling windows +
+  the last 3 closed-window velocities; windows close when the event-time
+  watermark passes their end, emitting velocity + momentum + trending score.
+  Event-time timeouts flush idle keys. State is bounded: open windows are
+  pruned by watermark and the closed deque keeps <= 3 entries, so per-key
+  state is O(1) — the property that keeps this runnable with millions of keys.
+
+Both compute the SAME formula; tests assert stream == batch on replay.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from kol_bigdata_realtime_analytics_spark.functions.scoring import (
+    trending_label,
+    trending_raw,
+    trending_score,
+    trending_velocity,
+)
+
+WINDOW_SECONDS = 300
+_N_MOMENTUM = 3
+
+OUTPUT_SCHEMA = (
+    "window_start_ms long, key long, n_events long, engagement double, "
+    "velocity double, momentum double, trending_score double"
+)
+STATE_SCHEMA = (
+    "open_ws array<long>, open_n array<long>, open_eng array<double>, "
+    "closed_ws array<long>, closed_vel array<double>"
+)
+
+
+def momentum_batch(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Batch semantics: tumbling 5-min windows per key; momentum = avg
+    velocity over the previous <=3 windows (0 when none)."""
+    agg = events.groupBy(
+        F.window(ts_col, f"{WINDOW_SECONDS} seconds").alias("w"), F.col(key_col).alias("key")
+    ).agg(F.count("*").alias("n_events"), F.sum(value_col).alias("engagement"))
+    vel = trending_velocity(F.col("engagement"), F.col("n_events"))
+    with_vel = agg.select(
+        F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+        "key",
+        "n_events",
+        F.col("engagement").cast("double").alias("engagement"),
+        vel.alias("velocity"),
+    )
+    frame = (
+        Window.partitionBy("key").orderBy("window_start_ms").rowsBetween(-_N_MOMENTUM, -1)
+    )
+    mom = F.coalesce(F.avg("velocity").over(frame), F.lit(0.0))
+    with_mom = with_vel.withColumn("momentum", mom)
+    score = trending_score(trending_raw(F.col("velocity"), F.col("n_events"), F.col("momentum")))
+    return with_mom.withColumn("trending_score", score)
+
+
+def _velocity(eng: float, n: int) -> float:
+    import math
+
+    return (eng / 5.0) * (1.0 + 0.1 * math.log1p(n))
+
+
+def _score(vel: float, n: int, mom: float) -> float:
+    import math
+
+    raw = 0.5 * (vel / 100.0) + 0.3 * (n / 10.0) + 0.2 * (1.0 + mom)
+    return 100.0 / (1.0 + math.exp(-0.8 * (raw - 2.0)))
+
+
+def _close_windows(state_dict, watermark_ms):
+    """Close every open window whose END <= watermark; emit in window order."""
+    out = []
+    open_w = state_dict["open"]
+    closed = state_dict["closed"]  # list[(ws, velocity)] — last 3, ordered
+    for ws in sorted(list(open_w)):
+        if ws + WINDOW_SECONDS * 1000 <= watermark_ms:
+            n, eng = open_w.pop(ws)
+            vel = _velocity(eng, n)
+            prev = [v for _, v in closed[-_N_MOMENTUM:]]
+            mom = sum(prev) / len(prev) if prev else 0.0
+            out.append((ws, n, eng, vel, mom, _score(vel, n, mom)))
+            closed.append((ws, vel))
+            del closed[:-_N_MOMENTUM]
+    return out
+
+
+def _momentum_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    # -------- load state --------
+    if state.exists:
+        open_ws, open_n, open_eng, closed_ws, closed_vel = state.get
+        sd = {
+            "open": {w: [n, e] for w, n, e in zip(open_ws, open_n, open_eng)},
+            "closed": list(zip(closed_ws, closed_vel)),
+        }
+    else:
+        sd = {"open": {}, "closed": []}
+
+    # -------- fold new rows into open windows --------
+    if not state.hasTimedOut:
+        for pdf in pdfs:
+            ws_series = (pdf["ts"].astype("int64") // 10**6) // (WINDOW_SECONDS * 1000) * (
+                WINDOW_SECONDS * 1000
+            )
+            for ws, grp in pdf.groupby(ws_series):
+                slot = sd["open"].setdefault(int(ws), [0, 0.0])
+                slot[0] += len(grp)
+                slot[1] += float(grp["value"].sum())
+
+    # -------- close windows the watermark has passed --------
+    wm = state.getCurrentWatermarkMs()
+    emitted = _close_windows(sd, wm)
+
+    # -------- persist / schedule / cleanup --------
+    if sd["open"]:
+        nxt = min(ws + WINDOW_SECONDS * 1000 for ws in sd["open"])
+        state.update(
+            (
+                list(sd["open"].keys()),
+                [v[0] for v in sd["open"].values()],
+                [v[1] for v in sd["open"].values()],
+                [w for w, _ in sd["closed"]],
+                [v for _, v in sd["closed"]],
+            )
+        )
+        # wake up when the watermark can close the earliest open window
+        state.setTimeoutTimestamp(max(nxt, wm + 1))
+    elif sd["closed"]:
+        state.update(([], [], [], [w for w, _ in sd["closed"]], [v for _, v in sd["closed"]]))
+        # no open windows: state only feeds momentum of future windows; keep
+        # it until the key is idle for 3 windows past the watermark
+        state.setTimeoutTimestamp(wm + 3 * WINDOW_SECONDS * 1000)
+    else:
+        state.remove()
+
+    if emitted:
+        yield pd.DataFrame(
+            {
+                "window_start_ms": [e[0] for e in emitted],
+                "key": [key[0]] * len(emitted),
+                "n_events": [e[1] for e in emitted],
+                "engagement": [e[2] for e in emitted],
+                "velocity": [e[3] for e in emitted],
+                "momentum": [e[4] for e in emitted],
+                "trending_score": [e[5] for e in emitted],
+            }
+        )
+
+
+def momentum_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    watermark: str = "5 minutes",
+) -> DataFrame:
+    """Streaming form: watermarked, keyed, O(1)-state-per-key momentum op."""
+    prepared = events.select(
+        F.col(ts_col).alias("ts"), F.col(key_col).alias("key"), F.col(value_col).alias("value")
+    ).withWatermark("ts", watermark)
+    return prepared.groupBy("key").applyInPandasWithState(
+        _momentum_fn,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def attach_label(df: DataFrame) -> DataFrame:
+    return df.withColumn("label", trending_label(F.col("trending_score")))

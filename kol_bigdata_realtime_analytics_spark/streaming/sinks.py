@@ -1,0 +1,95 @@
+"""Streaming sinks — exactly-once-ish upserts WITHOUT driver collect.
+
+The reference's Redis sink collects every micro-batch to the driver then
+pipelines HSETs (reference trending_stream.py:298-363 via `.collect()` at
+:315) — a driver OOM at any real scale. The engine pattern:
+
+- `foreach_batch_ranking_sink`: per trigger, compute the SMALL top-k ranking
+  (executor-side aggregation; only k rows ever move) and atomically replace a
+  serving parquet table. Readers always see a complete snapshot (write temp,
+  then rename-style overwrite), which is the pre-materialized "ZSET" the
+  serving layer reads in O(1).
+- `foreach_partition_kv_sink`: when an external KV store (Redis/Cassandra) IS
+  configured, write per-PARTITION from executors (connection per partition,
+  pipelined), never via the driver. The client factory is injected so tests
+  use a plain dict and production passes a redis/cassandra client builder —
+  and the engine stays import-clean when those libs are absent.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def foreach_batch_ranking_sink(
+    out_path: str,
+    score_col: str,
+    key_cols: list[str],
+    k: int = 100,
+):
+    """Returns a foreachBatch fn maintaining a top-k ranking parquet table."""
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        ranked = (
+            batch_df.orderBy(F.col(score_col).desc(), *[F.col(c) for c in key_cols])
+            .limit(k)
+            .withColumn("epoch_id", F.lit(epoch_id))
+        )
+        # overwrite = atomic snapshot swap for parquet dir readers
+        ranked.write.mode("overwrite").parquet(out_path)
+
+    return sink
+
+
+def foreach_partition_kv_sink(
+    client_factory: Callable[[], dict],
+    key_fn: Callable[[dict], str],
+    ttl_seconds: int | None = None,
+):
+    """Returns a foreachBatch fn that writes rows partition-wise to a KV store.
+
+    client_factory runs ON THE EXECUTOR (once per partition) — e.g.
+    `lambda: redis.Redis(host=...)`. For tests it can return any
+    MutableMapping. TTL is passed through when the client supports expire().
+    """
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        def write_partition(rows: Iterator) -> None:
+            client = client_factory()
+            use_expire = ttl_seconds is not None and hasattr(client, "expire")
+            for row in rows:
+                d = row.asDict()
+                key = key_fn(d)
+                if hasattr(client, "hset"):
+                    client.hset(key, mapping={k: str(v) for k, v in d.items()})
+                    if use_expire:
+                        client.expire(key, ttl_seconds)
+                else:
+                    client[key] = d
+        batch_df.rdd.foreachPartition(write_partition)
+
+    return sink
+
+
+def write_stream_to_ranking(
+    scored: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    score_col: str = "trending_score",
+    key_cols: list[str] | None = None,
+    trigger_seconds: int = 30,
+    query_name: str = "ranking_sink",
+):
+    """Wire a scored streaming DataFrame into the ranking sink (complete mode:
+    each trigger re-emits the full standings, the sink keeps top-k)."""
+    return (
+        scored.writeStream.outputMode("complete")
+        .foreachBatch(foreach_batch_ranking_sink(out_path, score_col, key_cols or ["key"]))
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .queryName(query_name)
+        .start()
+    )

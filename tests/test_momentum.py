@@ -1,0 +1,83 @@
+"""Stateful momentum: streaming applyInPandasWithState == batch window-lag form."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from kol_bigdata_realtime_analytics_spark.streaming.momentum import (
+    momentum_batch,
+    momentum_stream,
+)
+
+
+@pytest.fixture(scope="module")
+def event_rows():
+    """Two keys, events spread over 8 five-minute windows + a far-future
+    flush row per key (advances the watermark so every real window closes)."""
+    base = datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    for w in range(8):
+        for k in (1, 2):
+            for j in range(3 + (w % 3)):
+                ts = base + timedelta(minutes=5 * w, seconds=13 * j + k)
+                rows.append((eid, ts, k, "view", float(10 * (w + 1) + j)))
+                eid += 1
+    flush_ts = base + timedelta(hours=2)
+    rows.append((eid, flush_ts, 99, "view", 1.0))
+    return rows
+
+
+SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+
+def test_stream_momentum_equals_batch(spark, tmp_path, event_rows):
+    df = spark.createDataFrame(event_rows, SCHEMA)
+    src = str(tmp_path / "mom_src")
+    df.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        momentum_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("mom_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["key"], r["window_start_ms"]): r
+        for r in spark.table("mom_out").collect()
+    }
+
+    # batch ground truth for keys 1,2 over the 8 real windows (flush row's own
+    # window stays open in streaming, so exclude key 99)
+    expected = {
+        (r["key"], r["window_start_ms"]): r
+        for r in momentum_batch(df.filter(F.col("user_id") != 99)).collect()
+    }
+
+    assert set(got) == set(expected)
+    for k, e in expected.items():
+        g = got[k]
+        assert g["n_events"] == e["n_events"]
+        assert g["engagement"] == pytest.approx(e["engagement"], rel=1e-12)
+        assert g["velocity"] == pytest.approx(e["velocity"], rel=1e-9)
+        assert g["momentum"] == pytest.approx(e["momentum"], rel=1e-9)
+        assert g["trending_score"] == pytest.approx(e["trending_score"], rel=1e-9)
+
+
+def test_batch_momentum_is_lagged_avg(spark, event_rows):
+    df = spark.createDataFrame(event_rows, SCHEMA).filter(F.col("user_id") == 1)
+    out = sorted(momentum_batch(df).collect(), key=lambda r: r["window_start_ms"])
+    assert out[0]["momentum"] == 0.0  # no history
+    assert out[1]["momentum"] == pytest.approx(out[0]["velocity"])
+    assert out[3]["momentum"] == pytest.approx(
+        (out[0]["velocity"] + out[1]["velocity"] + out[2]["velocity"]) / 3
+    )
+    # momentum rewards sustained velocity: score with momentum > score of w0
+    assert out[3]["trending_score"] > out[0]["trending_score"]
