@@ -41,8 +41,18 @@ HEADLINE = [
     "simhash_neardups",
     "text_profile",
     "ann_cosine_topk",
+    "ann_lsh_topk",
     "embedding_neardup_pairs",
     "multimodal_decode",
+    "trending_momentum",
+    "sessionize_events",
+    "session_window_native",
+    "asof_last_event_before_order",
+    "range_join_order_events",
+    "rollup_daily_events",
+    "pivot_user_event_values",
+    "ml_trust_inference",
+    "value_percentiles",
 ]
 
 

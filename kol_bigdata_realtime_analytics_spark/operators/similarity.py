@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import math
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -135,6 +137,86 @@ def lsh_bucket_id(vec_col: Column, dim: int, n_planes: int = 8, seed: int = 42) 
         bit = F.when(dot(v, plane) >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         bucket = bucket + bit * F.lit(2**i).cast("long")
     return bucket
+
+
+def _lsh_buckets_udf(dim: int, n_planes: int, n_tables: int):
+    """All per-table bucket ids in one Arrow-batched matmul.
+
+    The native per-plane expression (lsh_bucket_id) is right for a handful of
+    planes; at n_tables*n_planes projections the literal-array expression
+    tree dominates compile time, so here the plane matrix rides inside the
+    udf closure and each batch is ONE (batch x dim) @ (dim x planes) product.
+    Bit packing matches lsh_bucket_id exactly (same LCG planes, same >= 0).
+    """
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.array(
+        [
+            _seeded_planes(dim, n_planes, seed=42 + 1000 * t)[p]
+            for t in range(n_tables)
+            for p in range(n_planes)
+        ],
+        dtype="float64",
+    ).T  # (dim, n_tables*n_planes)
+    powers = np.array([2**i for i in range(n_planes)], dtype="int64")
+
+    @pandas_udf("array<long>")
+    def _buckets(vecs: pd.Series) -> pd.Series:
+        X = np.stack([np.asarray(v, dtype="float64") for v in vecs])
+        bits = (X @ P >= 0).astype("int64").reshape(len(X), n_tables, n_planes)
+        ids = (bits * powers).sum(axis=2)
+        return pd.Series(list(ids))
+
+    return _buckets
+
+
+def lsh_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_planes: int = 6,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Approximate cosine top-k: multi-table random-hyperplane LSH.
+
+    Each table hashes with independent planes (fewer bits -> higher recall);
+    a query only scores candidates sharing a bucket in ANY table. At scale
+    this replaces the full candidate scan with one bucket equi-join on
+    (table, bucket) — the scored fraction is ~n_tables/2^n_planes of the
+    corpus per query. All n_tables buckets are computed in a SINGLE pass over
+    the candidate scan (posexplode), not one scan per table. Same output
+    contract as brute_force_topk (q_id, c_id, cosine, rank); recall is
+    probabilistic (tests bound it against the exact scorer).
+    """
+
+    buckets = _lsh_buckets_udf(dim, n_planes, n_tables)
+    c = candidates.select(
+        F.col(id_col).alias("c_id"), as_double_vec(F.col(vec_col)).alias("c_vec")
+    ).select("c_id", "c_vec", F.posexplode(buckets(F.col("c_vec"))).alias("t", "b"))
+    q = queries.select(
+        F.col(id_col).alias("q_id"), as_double_vec(F.col(vec_col)).alias("q_vec")
+    ).select("q_id", "q_vec", F.posexplode(buckets(F.col("q_vec"))).alias("t", "b"))
+    # score per bucket-match, THEN dedup: a pair hit in several tables is
+    # re-scored (cheap, codegen'd) so the dedup shuffle moves only narrow
+    # (q_id, c_id, cosine) rows, never the vectors themselves
+    scored = (
+        c.join(F.broadcast(q), ["t", "b"])
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select("q_id", "c_id", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"))
+        .groupBy("q_id", "c_id")
+        .agg(F.first("cosine").alias("cosine"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "cosine", F.col("rank").cast("long").alias("rank"))
+    )
 
 
 def lsh_neardup_pairs(

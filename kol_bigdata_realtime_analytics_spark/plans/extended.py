@@ -160,6 +160,104 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# NATIVE SESSION WINDOWS — F.session_window (dynamic-gap merge) vs the manual
+# lag/cumsum form above; semantics: events merge while gap < 5 min, session
+# end = last event + gap. One shuffle on (key), state merged by Catalyst.
+# ---------------------------------------------------------------------------
+
+_NATIVE_SESSION_ORACLE = """
+WITH gaps AS (
+  SELECT user_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 300000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS seq
+  FROM gaps
+)
+SELECT user_id,
+       epoch_us(MIN(ts)) AS session_start_us,
+       epoch_us(MAX(ts)) + 300000000 AS session_end_us,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS total_value
+FROM sess GROUP BY user_id, seq
+"""
+
+
+@register("session_window_native", oracle=_NATIVE_SESSION_ORACLE)
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-native session windows (5-min gap) — the operator the manual
+    sessionization composes by hand; also usable unchanged in streaming."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "5 minutes").alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            "user_id",
+            F.unix_micros("sw.start").alias("session_start_us"),
+            F.unix_micros("sw.end").alias("session_end_us"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# RANGE JOIN — equi key + time-band predicate (events within 7 days after
+# the order). Equi part keeps it a hash join (the band is a post-filter);
+# a pure band join would need a range-partitioned strategy.
+# ---------------------------------------------------------------------------
+
+_RANGE_JOIN_ORACLE = """
+WITH o AS (
+  SELECT o_orderkey, o_orderkey % 150 AS user_id, o_orderdate
+  FROM orders WHERE o_orderkey % 51 = 0
+)
+SELECT o.o_orderkey,
+       COUNT(e.event_id) AS n_events,
+       ROUND(COALESCE(SUM(e.value), 0), 2) AS total_value
+FROM o LEFT JOIN events e
+  ON o.user_id = e.user_id
+ AND e.ts >= o.o_orderdate
+ AND e.ts < o.o_orderdate + INTERVAL 7 DAY
+GROUP BY o.o_orderkey
+"""
+
+
+@register("range_join_order_events", oracle=_RANGE_JOIN_ORACLE)
+def range_join_order_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events in [orderdate, orderdate+7d) per sampled order: equi+band join."""
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 51 == 0)
+        .select(
+            "o_orderkey",
+            (F.col("o_orderkey") % 150).alias("user_id"),
+            F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+        )
+    )
+    o = o.withColumn("band_end", F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS"))
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    cond = (
+        (o["user_id"] == ev["user_id"])
+        & (ev["ts"] >= o["o_orderdate"])
+        & (ev["ts"] < o["band_end"])
+    )
+    return (
+        o.join(ev, cond, "left")
+        .groupBy("o_orderkey")
+        .agg(
+            F.count(ev["event_id"]).alias("n_events"),
+            F.round(F.coalesce(F.sum(ev["value"]), F.lit(0.0)), 2).alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # AS-OF JOIN — latest event at-or-before each order date per (synthetic) user
 # ---------------------------------------------------------------------------
 
@@ -238,6 +336,32 @@ def low_balance_except_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("c_custkey"))
     )
     return c.exceptAll(o).distinct()
+
+
+# ---------------------------------------------------------------------------
+# SQL SURFACE — the A8 stats shape issued through spark.sql over a view
+# (the reference serves these via Trino SQL; here the SAME SQL text runs
+# in-engine, parameterized — no f-string interpolation)
+# ---------------------------------------------------------------------------
+
+_SQL_STATS = """
+SELECT event_type,
+       COUNT(*) AS n,
+       COUNT(DISTINCT user_id) AS n_users,
+       ROUND(SUM(value), 2) AS total_value,
+       ROUND(AVG(value), 6) AS avg_value,
+       SUM(CASE WHEN value >= 100 THEN 1 ELSE 0 END) AS n_high
+FROM {events}
+GROUP BY event_type
+"""
+
+
+@register("sql_platform_stats", oracle=_SQL_STATS.format(events="events"))
+def sql_platform_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trino-style stats SQL (A8) executed by the engine itself: one ANSI-SQL
+    string, table name bound via a temp view instead of f-string splicing."""
+    table(spark, sf_dir, "events").createOrReplaceTempView("events_v")
+    return spark.sql(_SQL_STATS.format(events="events_v"))
 
 
 # ---------------------------------------------------------------------------

@@ -40,6 +40,7 @@ from kol_bigdata_realtime_analytics_spark.operators.multimodal import (
 from kol_bigdata_realtime_analytics_spark.operators.similarity import (
     brute_force_topk,
     cosine_neardup_pairs,
+    lsh_topk,
 )
 from kol_bigdata_realtime_analytics_spark.plans.registry import register, table
 
@@ -216,6 +217,20 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return brute_force_topk(emb, queries, k=3)
+
+
+@register("ann_lsh_topk", oracle=None)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path ANN: multi-table LSH bucket join instead of the full scan.
+
+    Approximate (engine-specific hashing -> rows-only driver check); pytest
+    bounds recall@3 against brute_force_topk on the same inputs."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    # loose buckets (4 bits x 8 tables): TESTDATA embeddings are near-random
+    # (top-3 cosine ~0.3), so tighter buckets would kill recall; with real
+    # clustered embeddings raise n_planes for a smaller scanned fraction
+    return lsh_topk(emb, queries, dim=64, k=3, n_planes=4, n_tables=8)
 
 
 @register(

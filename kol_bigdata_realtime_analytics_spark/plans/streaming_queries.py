@@ -34,6 +34,54 @@ FROM win
 """
 
 
+_EVENT_SCORE_ORACLE = """
+SELECT event_id, user_id,
+       floor(100.0 / (1 + exp(-0.8 * (value / 100.0 - 2.0))) * 1000000) / 1000000 AS event_score,
+       CASE WHEN 100.0 / (1 + exp(-0.8 * (value / 100.0 - 2.0))) >= 80 THEN 'Viral'
+            WHEN 100.0 / (1 + exp(-0.8 * (value / 100.0 - 2.0))) >= 60 THEN 'Hot'
+            WHEN 100.0 / (1 + exp(-0.8 * (value / 100.0 - 2.0))) >= 40 THEN 'Warm'
+            WHEN 100.0 / (1 + exp(-0.8 * (value / 100.0 - 2.0))) >= 25 THEN 'Normal'
+            ELSE 'Cold' END AS label
+FROM events
+"""
+
+
+@register("streaming_event_scores", oracle=_EVENT_SCORE_ORACLE)
+def streaming_event_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event APPEND-mode scoring (R4 append path: hot_path_scoring's
+    stateless shape, model inline as a native expr instead of per-row HTTP).
+    No aggregation -> no watermark/state; each event scores exactly once."""
+    from kol_bigdata_realtime_analytics_spark.functions.scoring import trending_label
+    from kol_bigdata_realtime_analytics_spark.plans.domain import trunc6
+
+    for q in spark.streams.active:
+        if q.name == "event_scores_mem":
+            q.stop()
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    score = F.lit(100.0) / (F.lit(1.0) + F.exp(-0.8 * (F.col("value") / 100.0 - 2.0)))
+    out = stream.select(
+        "event_id",
+        "user_id",
+        trunc6(score).alias("event_score"),
+        trending_label(score).alias("label"),
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("event_scores_mem")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table("event_scores_mem")
+
+
 @register("streaming_momentum_stateful", oracle=None)
 def streaming_momentum_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True stateful streaming momentum (applyInPandasWithState, event-time

@@ -74,6 +74,30 @@ def foreach_partition_kv_sink(
     return sink
 
 
+def cassandra_sink_writer(df: DataFrame, keyspace: str, table: str, checkpoint: str):
+    """S15: Cassandra stream sink (reference features_stream.py:124-132).
+
+    Requires the spark-cassandra-connector on the classpath — absent in this
+    container, so this only BUILDS the writer; .start() is the caller's call.
+    """
+    return (
+        df.writeStream.format("org.apache.spark.sql.cassandra")
+        .option("keyspace", keyspace)
+        .option("table", table)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+
+
+def await_any(spark, timeout_seconds: float | None = None) -> bool:
+    """R11: block until ANY active streaming query terminates (the reference
+    runs two sinks off one computation — features_stream.py:164-175)."""
+    if timeout_seconds is None:
+        spark.streams.awaitAnyTermination()
+        return True
+    return spark.streams.awaitAnyTermination(timeout_seconds * 1000)
+
+
 def write_stream_to_ranking(
     scored: DataFrame,
     out_path: str,

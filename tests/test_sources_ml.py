@@ -1,0 +1,205 @@
+"""Tests: kafka wire parsing, catalog DDL generation, in-engine ML scoring,
+LSH ANN recall, native session windows, range join."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kol_bigdata_realtime_analytics_spark.functions.ml_scoring import (
+    _LogisticStandIn,
+    score_with_model,
+    trust_logit,
+)
+from kol_bigdata_realtime_analytics_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+)
+from kol_bigdata_realtime_analytics_spark.sources import catalog
+from kol_bigdata_realtime_analytics_spark.sources.kafka import (
+    VIDEO_EVENT_SCHEMA,
+    parse_wire,
+    to_wire,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# kafka wire format
+# ---------------------------------------------------------------------------
+
+
+def _wire_df(spark, payloads: list[dict | str]):
+    rows = [
+        (
+            b"k",
+            (json.dumps(p) if isinstance(p, dict) else p).encode(),
+            "t",
+            0,
+            i,
+            "2024-01-01 00:00:%02d" % i,
+            0,
+        )
+        for i, p in enumerate(payloads)
+    ]
+    df = spark.createDataFrame(
+        rows, "key binary, value binary, topic string, partition int, offset long, ts_s string, timestampType int"
+    )
+    return df.withColumn("timestamp", F.to_timestamp("ts_s")).drop("ts_s")
+
+
+def test_parse_wire_roundtrip(spark):
+    events = [
+        {"kol_id": "a", "platform": "tiktok", "video_id": "v1", "views": 10,
+         "likes": 2, "comments": 1, "shares": 0, "event_time": "2024-01-01"},
+        {"kol_id": "b", "platform": "youtube", "video_id": "v2", "views": 99,
+         "likes": 5, "comments": 2, "shares": 1, "event_time": "2024-01-02"},
+    ]
+    out = parse_wire(_wire_df(spark, events), VIDEO_EVENT_SCHEMA).collect()
+    assert len(out) == 2
+    assert {r.kol_id for r in out} == {"a", "b"}
+    assert out[0].kafka_ts is not None
+
+
+def test_parse_wire_drops_corrupt_by_default(spark):
+    out = parse_wire(
+        _wire_df(spark, [{"kol_id": "ok", "views": 1}, "not json {{{"]),
+        VIDEO_EVENT_SCHEMA,
+    ).collect()
+    assert [r.kol_id for r in out] == ["ok"]
+
+
+def test_parse_wire_keep_corrupt_flags(spark):
+    out = parse_wire(
+        _wire_df(spark, [{"kol_id": "ok"}, "%%%"]), VIDEO_EVENT_SCHEMA, keep_corrupt=True
+    ).collect()
+    assert sorted(r._corrupt for r in out) == [False, True]
+
+
+def test_to_wire_then_parse_is_identity(spark):
+    df = spark.createDataFrame(
+        [("a", "tiktok", "v1", 10, 2, 1, 0, "x")],
+        "kol_id string, platform string, video_id string, views long, likes long, comments long, shares long, event_time string",
+    )
+    wired = to_wire(df, "kol_id").withColumn("timestamp", F.current_timestamp())
+    back = parse_wire(wired, VIDEO_EVENT_SCHEMA).drop("kafka_ts")
+    assert back.collect() == df.collect()
+    assert wired.schema["key"].dataType == T.StringType()
+
+
+# ---------------------------------------------------------------------------
+# catalog DDL
+# ---------------------------------------------------------------------------
+
+
+def test_type_ddl_nested():
+    t = T.StructType(
+        [
+            T.StructField("a", T.LongType(), False),
+            T.StructField("b", T.ArrayType(T.StringType())),
+            T.StructField("c", T.MapType(T.StringType(), T.DoubleType())),
+            T.StructField(
+                "d", T.StructType([T.StructField("x", T.TimestampType())])
+            ),
+        ]
+    )
+    ddl = catalog.create_table_ddl("cat.db.t", t, partition_by=("a",), location="s3://x/t")
+    assert "a BIGINT NOT NULL" in ddl
+    assert "b ARRAY<STRING>" in ddl
+    assert "c MAP<STRING, DOUBLE>" in ddl
+    assert "d STRUCT<x: TIMESTAMP>" in ddl
+    assert "PARTITIONED BY (a)" in ddl and "USING iceberg" in ddl
+    assert "LOCATION 's3://x/t'" in ddl
+
+
+def test_create_table_ddl_rejects_unknown_partition():
+    t = T.StructType([T.StructField("a", T.LongType())])
+    with pytest.raises(ValueError, match="partition columns"):
+        catalog.create_table_ddl("t", t, partition_by=("nope",))
+
+
+def test_write_table_parquet_fallback(spark, tmp_path):
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "id long, dt string")
+    catalog.write_table(df, "nocatalog.t", mode="overwrite", partition_by=("dt",),
+                        fallback_path=str(tmp_path / "t"))
+    got = spark.read.parquet(str(tmp_path / "t"))
+    assert got.count() == 2 and set(got.columns) == {"id", "dt"}
+
+
+def test_write_table_requires_fallback_without_catalog(spark):
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(RuntimeError, match="no Iceberg catalog"):
+        catalog.write_table(df, "nocatalog.t")
+
+
+def test_read_table_parquet_fallback(spark, tmp_path):
+    spark.createDataFrame([(1,), (2,)], "id long").write.parquet(str(tmp_path / "t"))
+    got = catalog.read_table(spark, "nocatalog.t", fallback_path=str(tmp_path / "t"))
+    assert got.count() == 2
+    with pytest.raises(RuntimeError, match="no Iceberg catalog"):
+        catalog.read_table(spark, "nocatalog.t")
+
+
+def test_cassandra_sink_writer_builds(spark):
+    from kol_bigdata_realtime_analytics_spark.streaming.sinks import cassandra_sink_writer
+
+    stream = spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    w = cassandra_sink_writer(stream, "ks", "tbl", "/tmp/ck")
+    # builder only — starting would need the connector jar
+    assert w is not None
+
+
+def test_await_any_times_out(spark):
+    from kol_bigdata_realtime_analytics_spark.streaming.sinks import await_any
+
+    assert await_any(spark, timeout_seconds=0.2) in (True, False)
+
+
+# ---------------------------------------------------------------------------
+# ML scoring: pandas_udf path == native expression path
+# ---------------------------------------------------------------------------
+
+
+def test_pandas_scorer_matches_native_expr(spark):
+    from kol_bigdata_realtime_analytics_spark.plans.ml import synthetic_profiles
+
+    prof = synthetic_profiles(spark, SF)
+    both = prof.select(
+        "c_custkey",
+        score_with_model(spark, prof).alias("pandas_path"),
+        trust_logit("followers", "posts", "engagement_rate", "verified", "age_days", "ff_ratio").alias("native_path"),
+    )
+    mismatch = both.filter(F.abs(F.col("pandas_path") - F.col("native_path")) > 1e-9)
+    assert mismatch.count() == 0
+    sample = both.limit(5).collect()
+    assert all(0.0 <= r.pandas_path <= 100.0 for r in sample)
+
+
+def test_standin_model_predict_proba_shape():
+    import numpy as np
+
+    m = _LogisticStandIn()
+    p = m.predict_proba(np.zeros((4, 6)))
+    assert p.shape == (4, 2)
+    assert np.allclose(p.sum(axis=1), 1.0)
+
+
+# ---------------------------------------------------------------------------
+# LSH ANN recall vs exact
+# ---------------------------------------------------------------------------
+
+
+def test_lsh_topk_recall(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, queries, k=3).select("q_id", "c_id").collect()
+    approx = lsh_topk(emb, queries, dim=64, k=3, n_planes=4, n_tables=8)
+    got = {(r.q_id, r.c_id) for r in approx.select("q_id", "c_id").collect()}
+    want = {(r.q_id, r.c_id) for r in exact}
+    recall = len(got & want) / len(want)
+    assert recall >= 0.5, f"recall@3 too low: {recall}"
