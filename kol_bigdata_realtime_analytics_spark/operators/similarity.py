@@ -237,3 +237,68 @@ def lsh_neardup_pairs(
     return cosine_neardup_pairs(
         with_bucket, id_col=id_col, vec_col=vec_col, block_col="lsh_bucket", threshold=threshold
     )
+
+
+def ivf_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Approximate cosine top-k: IVF (inverted-file) coarse quantizer.
+
+    Build phase: every candidate vector is assigned to its nearest centroid
+    (one broadcast nested-loop over n_centroids rows — no shuffle of the
+    corpus itself). Search phase: each query probes only its n_probe nearest
+    centroids' lists, so the scored fraction is ~n_probe/n_centroids of the
+    corpus. At 100 TB the assignment is a one-off write of a `cent_id`
+    partition column; searches then prune to n_probe partitions.
+
+    Centroids here are the n_centroids lowest-id vectors (deterministic
+    stand-in for a k-means sample — the engine contract only needs a fixed
+    coarse quantizer). Output contract matches brute_force_topk; recall is
+    approximate (tests bound it against the exact scorer).
+    """
+    cents = (
+        candidates.orderBy(F.col(id_col).asc())
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cent_id"), as_double_vec(F.col(vec_col)).alias("cent_vec"))
+    )
+    base = candidates.select(
+        F.col(id_col).alias("c_id"), as_double_vec(F.col(vec_col)).alias("c_vec")
+    )
+    wc = Window.partitionBy("c_id").orderBy(F.col("cent_cos").desc(), F.col("cent_id").asc())
+    assigned = (
+        base.crossJoin(F.broadcast(cents))
+        .select("c_id", "c_vec", "cent_id", cosine(F.col("c_vec"), F.col("cent_vec")).alias("cent_cos"))
+        .withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") == 1)
+        .select("c_id", "c_vec", "cent_id")
+    )
+    qbase = queries.select(
+        F.col(id_col).alias("q_id"), as_double_vec(F.col(vec_col)).alias("q_vec")
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.col("cent_cos").desc(), F.col("cent_id").asc())
+    probed = (
+        qbase.crossJoin(F.broadcast(cents))
+        .select("q_id", "q_vec", "cent_id", cosine(F.col("q_vec"), F.col("cent_vec")).alias("cent_cos"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("q_id", "q_vec", "cent_id")
+    )
+    scored = (
+        assigned.join(F.broadcast(probed), "cent_id")
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select("q_id", "c_id", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"))
+        .groupBy("q_id", "c_id")
+        .agg(F.first("cosine").alias("cosine"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "cosine", F.col("rank").cast("long").alias("rank"))
+    )

@@ -9,5 +9,6 @@ from kol_bigdata_realtime_analytics_spark.plans import llm_ops  # noqa: F401
 from kol_bigdata_realtime_analytics_spark.plans import streaming_queries  # noqa: F401
 from kol_bigdata_realtime_analytics_spark.plans import extended  # noqa: F401
 from kol_bigdata_realtime_analytics_spark.plans import ml  # noqa: F401
+from kol_bigdata_realtime_analytics_spark.plans import advanced  # noqa: F401
 
 __all__ = ["REGISTRY", "get_queries", "get_oracles"]

@@ -124,3 +124,20 @@ def test_multimodal_decode_schema_and_values(spark, docs_df):
     assert by_id[1]["width"] == expected_len % 640
     assert by_id[1]["height"] == (expected_len * 7) % 480
     assert set(out[0].asDict()) == {"doc_id", "byte_len", "width", "height", "n_frames"}
+
+
+def test_ivf_topk_recall_on_testdata(spark, sf_small):
+    """IVF probe-2-of-8 must recover most of the exact top-3 (recall@3 bound)."""
+    from kol_bigdata_realtime_analytics_spark.operators.similarity import ivf_topk
+    from kol_bigdata_realtime_analytics_spark.plans.registry import table
+
+    emb = table(spark, sf_small, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {(r["q_id"], r["c_id"]) for r in brute_force_topk(emb, queries, k=3).collect()}
+    approx = {(r["q_id"], r["c_id"]) for r in ivf_topk(emb, queries, k=3, n_centroids=8, n_probe=2).collect()}
+    assert len(approx & exact) / len(exact) >= 0.2  # random-ish vectors; probing 1/4 of lists
+    # every query must still return a full top-k (lists are non-empty)
+    per_q = {}
+    for q, _ in approx:
+        per_q[q] = per_q.get(q, 0) + 1
+    assert all(v == 3 for v in per_q.values())
