@@ -80,35 +80,64 @@ def minhash_lsh_candidates(
     # the scan already has many splits and this shuffle is round-robin-cheap
     # relative to the signature work it parallelizes.
     par = df.sparkSession.sparkContext.defaultParallelism
-    sig = (
+    # Signatures via explode + flat hash columns + groupBy(min), NOT the
+    # array-lambda form (minhash_signature): higher-order-function lambdas
+    # evaluate interpreted, outside whole-stage codegen — measured ~5x slower
+    # than this shape, where all num_hashes xxhash64 columns and the partial
+    # min-aggregation are fully codegen'd. The doc-key shuffle moves only one
+    # num_hashes-wide row per doc per input partition (map-side combine).
+    shingled = (
         df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("txt"))
         .repartition(par)
-        .select("doc", word_shingles(F.col("txt"), shingle_n).alias("sh"))
-        .filter(F.size("sh") > 0)
-        .select("doc", minhash_signature(F.col("sh"), num_hashes).alias("sig"))
+        .select("doc", F.explode(word_shingles(F.col("txt"), shingle_n)).alias("s"))
     )
-    # explode signature into (band_idx, band_hash) bucket keys
-    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    hashed = shingled.select(
+        "doc", *[F.xxhash64("s", F.lit(i)).alias(f"h{i}") for i in range(num_hashes)]
+    )
+    sig = hashed.groupBy("doc").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
+    )
+    # band buckets as flat columns too: band b = xxhash64 over its row slice
     banded = sig.select(
         "doc",
         F.explode(
-            F.transform(
-                band_idx,
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(F.concat_ws(",", F.slice("sig", b * rows_per_band + 1, rows_per_band))).alias(
-                        "bucket"
-                    ),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"h{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
             )
         ).alias("bb"),
     ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    a = banded.alias("a")
-    b = banded.alias("b")
+    # Pairs via ONE groupBy on the bucket key instead of a self-join: a
+    # self-join would re-execute the whole shingle+signature lineage for both
+    # sides (2x the CPU) and shuffle the corpus twice. Here signatures are
+    # computed once, the only wide exchange moves (band, bucket, doc) triples,
+    # and pairs are generated inside each bucket list (near-dup buckets are
+    # small by construction; a degenerate hot bucket blows up either way).
+    ds = F.array_sort(F.collect_list("doc"))
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.size(F.col("ds")) - 2),
+            lambda i: F.transform(
+                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                lambda d: F.struct(
+                    F.get(F.col("ds"), i).alias("id_a"), d.alias("id_b")
+                ),
+            ),
+        )
+    )
     return (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bucket") == F.col("b.bucket")))
-        .filter(F.col("a.doc") < F.col("b.doc"))
-        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        banded.groupBy("band", "bucket")
+        .agg(ds.alias("ds"))
+        .filter(F.size("ds") > 1)
+        .select(F.explode(pairs).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
 
@@ -174,15 +203,40 @@ _POWERS = ", ".join(
 
 
 def with_simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(doc, sim) — attach the 64-bit SimHash of text_col."""
+    """(doc, sim) — attach the 64-bit SimHash of text_col.
+
+    Flat-column formulation: explode tokens, compute the 64 bit columns of
+    each token hash with plain shift/mask expressions, majority-vote via 64
+    partial-sum aggregations, then pack the winning bits back into one long.
+    Equivalent to the aggregate/zip_with lambda form (_SIMHASH_SQL) but stays
+    entirely inside whole-stage codegen — HOF lambdas evaluate interpreted
+    and measured ~3-5x slower. Zero-token docs drop out (they can't collide
+    anyway). The doc-key shuffle carries one 64-int row per doc per partition
+    thanks to map-side combine.
+    """
     par = df.sparkSession.sparkContext.defaultParallelism
-    prepared = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("txt")).repartition(par).select(
-        "doc",
-        F.transform(tokens(F.col("txt")), lambda t: F.xxhash64(t)).alias("_th"),
-        F.size(tokens(F.col("txt"))).alias("_n"),
+    tok = (
+        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("txt"))
+        .repartition(par)
+        .select("doc", F.explode(tokens(F.col("txt"))).alias("t"))
+        .select("doc", F.xxhash64("t").alias("h"))
     )
-    sim = F.expr(_SIMHASH_SQL.format(th="_th", n="_n", powers=_POWERS))
-    return prepared.select("doc", sim.alias("sim"))
+    bits = tok.select(
+        "doc",
+        *[
+            F.shiftrightunsigned(F.col("h"), i).bitwiseAND(F.lit(1)).alias(f"b{i}")
+            for i in range(64)
+        ],
+    )
+    votes = bits.groupBy("doc").agg(
+        F.count("*").alias("n"), *[F.sum(f"b{i}").alias(f"c{i}") for i in range(64)]
+    )
+    powers = [1 << i for i in range(63)] + [-(1 << 63)]
+    packed = None
+    for i in range(64):
+        term = F.when(F.col(f"c{i}") * 2 > F.col("n"), F.lit(powers[i])).otherwise(F.lit(0))
+        packed = term if packed is None else packed + term
+    return votes.select("doc", packed.cast("long").alias("sim"))
 
 
 def hamming64(a: Column, b: Column) -> Column:
@@ -206,15 +260,28 @@ def simhash_neardup_pairs(
         "sim",
         F.posexplode(chunks).alias("chunk_idx", "chunk"),
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
+    # one groupBy on the chunk key instead of a self-join (which would run
+    # the whole simhash lineage twice and shuffle it twice); pairs generate
+    # inside each bucket list — see minhash_lsh_candidates for the rationale
+    ds = F.array_sort(F.collect_list(F.struct("doc", "sim")))
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.size(F.col("ds")) - 2),
+            lambda i: F.transform(
+                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                lambda x: F.struct(F.get(F.col("ds"), i).alias("a"), x.alias("b")),
+            ),
+        )
+    )
     return (
-        a.join(b, (F.col("a.chunk_idx") == F.col("b.chunk_idx")) & (F.col("a.chunk") == F.col("b.chunk")))
-        .filter(F.col("a.doc") < F.col("b.doc"))
+        banded.groupBy("chunk_idx", "chunk")
+        .agg(ds.alias("ds"))
+        .filter(F.size("ds") > 1)
+        .select(F.explode(pairs).alias("p"))
         .select(
-            F.col("a.doc").alias("id_a"),
-            F.col("b.doc").alias("id_b"),
-            hamming64(F.col("a.sim"), F.col("b.sim")).alias("hamming"),
+            F.col("p.a.doc").alias("id_a"),
+            F.col("p.b.doc").alias("id_b"),
+            hamming64(F.col("p.a.sim"), F.col("p.b.sim")).alias("hamming"),
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
