@@ -27,16 +27,36 @@ def as_double_vec(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
-def dot(a: Column, b: Column) -> Column:
+def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Dot product, sequential fold order (i = 0..dim-1) in both forms.
+
+    With a known `dim`, unrolls to a flat chain of GetArrayItem multiplies —
+    whole-stage-codegen'd, measured several × faster than the lambda form
+    (higher-order-function lambdas evaluate interpreted). Without `dim`,
+    falls back to zip_with/aggregate. Identical float results: both sum
+    left-to-right, matching DuckDB's list_dot_product order.
+    """
+    if dim is not None:
+        terms = [F.element_at(a, i + 1) * F.element_at(b, i + 1) for i in range(dim)]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
 
-def norm(a: Column) -> Column:
+def norm(a: Column, dim: int | None = None) -> Column:
+    if dim is not None:
+        terms = [F.element_at(a, i + 1) * F.element_at(a, i + 1) for i in range(dim)]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return F.sqrt(out)
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
+    return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
 
 
 def brute_force_topk(
@@ -45,6 +65,7 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 3,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k per query: (q_id, c_id, cosine) with rank <= k.
 
@@ -62,7 +83,7 @@ def brute_force_topk(
         .select(
             "q_id",
             "c_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
+            F.round(cosine(F.col("q_vec"), F.col("c_vec"), dim), 6).alias("cosine"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
@@ -79,6 +100,7 @@ def cosine_neardup_pairs(
     vec_col: str = "embedding",
     block_col: str | None = "label",
     threshold: float = 0.95,
+    dim: int | None = None,
 ) -> DataFrame:
     """Pairs (a < b) with cosine >= threshold, equi-blocked by block_col.
 
@@ -90,6 +112,9 @@ def cosine_neardup_pairs(
         *( [F.col(block_col).alias("blk")] if block_col else [] ),
         as_double_vec(F.col(vec_col)).alias("vec"),
     )
+    # per-ROW norm before the join (not per pair): O(n·dim) instead of
+    # O(pairs·dim); with dim known the pair-side dot is codegen'd too
+    base = base.withColumn("nrm", norm(F.col("vec"), dim))
     a = base.alias("a")
     b = base.alias("b")
     cond = F.col("a.vid") < F.col("b.vid")
@@ -102,7 +127,9 @@ def cosine_neardup_pairs(
         .select(
             F.col("a.vid").alias("id_a"),
             F.col("b.vid").alias("id_b"),
-            F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6).alias("cosine"),
+            F.round(
+                dot(F.col("a.vec"), F.col("b.vec"), dim) / (F.col("a.nrm") * F.col("b.nrm")), 6
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
@@ -207,7 +234,7 @@ def lsh_topk(
     scored = (
         c.join(F.broadcast(q), ["t", "b"])
         .filter(F.col("c_id") != F.col("q_id"))
-        .select("q_id", "c_id", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"))
+        .select("q_id", "c_id", F.round(cosine(F.col("q_vec"), F.col("c_vec"), dim), 6).alias("cosine"))
         .groupBy("q_id", "c_id")
         .agg(F.first("cosine").alias("cosine"))
     )
@@ -235,7 +262,8 @@ def lsh_neardup_pairs(
         lsh_bucket_id(F.col(vec_col), dim, n_planes).alias("lsh_bucket"),
     )
     return cosine_neardup_pairs(
-        with_bucket, id_col=id_col, vec_col=vec_col, block_col="lsh_bucket", threshold=threshold
+        with_bucket, id_col=id_col, vec_col=vec_col, block_col="lsh_bucket",
+        threshold=threshold, dim=dim,
     )
 
 
@@ -247,6 +275,7 @@ def ivf_topk(
     k: int = 3,
     n_centroids: int = 8,
     n_probe: int = 2,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k: IVF (inverted-file) coarse quantizer.
 
@@ -273,7 +302,7 @@ def ivf_topk(
     wc = Window.partitionBy("c_id").orderBy(F.col("cent_cos").desc(), F.col("cent_id").asc())
     assigned = (
         base.crossJoin(F.broadcast(cents))
-        .select("c_id", "c_vec", "cent_id", cosine(F.col("c_vec"), F.col("cent_vec")).alias("cent_cos"))
+        .select("c_id", "c_vec", "cent_id", cosine(F.col("c_vec"), F.col("cent_vec"), dim).alias("cent_cos"))
         .withColumn("rn", F.row_number().over(wc))
         .filter(F.col("rn") == 1)
         .select("c_id", "c_vec", "cent_id")
@@ -284,7 +313,7 @@ def ivf_topk(
     wq = Window.partitionBy("q_id").orderBy(F.col("cent_cos").desc(), F.col("cent_id").asc())
     probed = (
         qbase.crossJoin(F.broadcast(cents))
-        .select("q_id", "q_vec", "cent_id", cosine(F.col("q_vec"), F.col("cent_vec")).alias("cent_cos"))
+        .select("q_id", "q_vec", "cent_id", cosine(F.col("q_vec"), F.col("cent_vec"), dim).alias("cent_cos"))
         .withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= n_probe)
         .select("q_id", "q_vec", "cent_id")
@@ -292,7 +321,7 @@ def ivf_topk(
     scored = (
         assigned.join(F.broadcast(probed), "cent_id")
         .filter(F.col("c_id") != F.col("q_id"))
-        .select("q_id", "c_id", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"))
+        .select("q_id", "c_id", F.round(cosine(F.col("q_vec"), F.col("c_vec"), dim), 6).alias("cosine"))
         .groupBy("q_id", "c_id")
         .agg(F.first("cosine").alias("cosine"))
     )
