@@ -1,0 +1,375 @@
+"""Subquery surface: EXISTS / NOT IN / scalar / correlated shapes.
+
+The reference's SQL surface (Trino serving layer, `serving/api/services/
+trino_client.py`) never issues subqueries, but a user migrating an OLAP
+workload will. These queries re-express the classic TPC-H subquery shapes
+(Q4/Q13/Q15/Q16/Q17/Q18 + correlated-scalar variants) as Spark plans that
+de-correlate explicitly — every correlated subquery becomes a broadcast-able
+aggregate + join, which is exactly the physical plan you want at 100 TB
+(the subquery side is always the small side and never re-executes per row).
+
+Determinism: float sums that feed comparisons or equality (Q15's MAX, the
+above-average filters) are carried in DECIMAL(18,6) so summation order can
+never flip a boundary row between engines; plain reported sums follow the
+registry ROUND rules.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kol_bigdata_realtime_analytics_spark.plans.registry import register, table
+
+
+# ---------------------------------------------------------------------------
+# EXISTS — TPC-H Q4 shape (order-priority checking)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "exists_late_ship_priority",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def exists_late_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS de-correlated to a LEFT SEMI join (TPC-H Q4 shape).
+
+    The semi join carries the extra non-equi predicate alongside the orderkey
+    equi-key, so Spark still plans a hash join on l_orderkey — no per-row
+    re-execution, one shuffle, and the probe side short-circuits on first
+    match (semi-join semantics)."""
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    cond = (F.col("l.l_orderkey") == F.col("o.o_orderkey")) & (
+        F.col("l.l_shipdate") > F.col("o.o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        orders.alias("o")
+        .join(li.alias("l"), cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Subquery-in-FROM — TPC-H Q13 shape (customer order distribution)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_order_distribution",
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+      SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    ) GROUP BY c_count
+    """,
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of orders-per-customer incl. zero (TPC-H Q13 shape).
+
+    Left join preserves order-less customers; COUNT(o_orderkey) (not *)
+    counts them as 0. Two-level agg: the second groupBy keys on a tiny
+    domain (distinct order counts), so the second shuffle is negligible."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy(cust.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+# ---------------------------------------------------------------------------
+# Scalar subquery over an aggregate view — TPC-H Q15 shape (top supplier)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "top_revenue_suppliers",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS rev_d
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, CAST(ROUND(r.rev_d, 2) AS DOUBLE) AS total_revenue
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.rev_d = (SELECT MAX(rev_d) FROM rev)
+    """,
+)
+def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier(s) hitting the quarter's max revenue (TPC-H Q15 shape).
+
+    The scalar subquery (MAX over the revenue view) de-correlates to an
+    unpartitioned max-rank window over the already-aggregated per-supplier
+    frame — that frame is tiny (one row per supplier), so the single-
+    partition window is safe at any corpus scale; the 100 TB lineitem scan
+    happens exactly once. Revenue compares in DECIMAL so ties are exact."""
+    li = table(spark, sf_dir, "lineitem")
+    sup = table(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")).alias(
+                "rev_d"
+            )
+        )
+    )
+    w = Window.orderBy(F.col("rev_d").desc())
+    top = rev.withColumn("rnk", F.rank().over(w)).filter(F.col("rnk") == 1)
+    return (
+        sup.join(F.broadcast(top), sup.s_suppkey == top.l_suppkey)
+        .select("s_suppkey", "s_name", F.round("rev_d", 2).cast("double").alias("total_revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# NOT IN — TPC-H Q16 shape (supplier exclusion)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "brand_supplier_counts",
+    oracle="""
+    SELECT p.p_brand, CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size <= 10
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand
+    """,
+)
+def brand_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct suppliers per brand, excluding flagged suppliers (Q16 shape).
+
+    NOT IN de-correlates to a broadcast LEFT ANTI join (valid because
+    s_suppkey is non-null; a nullable NOT IN list needs the null-aware
+    variant, which Spark also plans as BroadcastNestedLoop when required).
+    Both the part dim and the exclusion list broadcast — lineitem shuffles
+    once, for the distinct-count agg."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    bad = table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Correlated scalar subquery — TPC-H Q17 shape (small-quantity revenue)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "small_qty_part_revenue",
+    oracle="""
+    SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) / 7.0, 2) AS DOUBLE)
+           AS avg_yearly
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand = 'Brand#1'
+      AND l.l_quantity < (
+        SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey
+      )
+    """,
+)
+def small_qty_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue of below-avg-quantity lineitems for one brand (Q17 shape).
+
+    The correlated AVG de-correlates to one groupBy(l_partkey) aggregate
+    joined back by key — computed once for ~200k parts instead of once per
+    probing row. The threshold avg is carried as exact integer fractions
+    (sum_qty, n): `qty < 0.2 * sum/n`  ⇔  `qty * n * 5 < sum` — integer
+    compare, no float boundary to disagree on (l_quantity is integral).
+    The oracle keeps the literal correlated form to prove equivalence."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    per_part = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.count("*").alias("n_li"),
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(per_part, li.l_partkey == per_part.ap_partkey)
+        .filter(F.col("l_quantity").cast("long") * F.col("n_li") * 5 < F.col("sum_qty"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")) / 7.0, 2)
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# IN over a grouped HAVING subquery — TPC-H Q18 shape (large orders)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "large_order_customers",
+    oracle="""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           CAST(ROUND(o.o_totalprice, 2) AS DOUBLE) AS o_totalprice,
+           CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS BIGINT)) > 210
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+    LIMIT 20
+    """,
+)
+def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers behind the largest orders (TPC-H Q18 shape).
+
+    IN (grouped HAVING) de-correlates to: aggregate lineitem once, filter the
+    aggregate, and inner-join it back — the filtered key set is small (~1% of
+    orders), so it broadcasts and orders/customer never see a wide shuffle.
+    The reused lineitem aggregate doubles as the output total_qty, so
+    lineitem is scanned once and aggregated once."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
+        .filter(F.col("total_qty") > 210)
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).cast("double").alias("o_totalprice"),
+            F.col("total_qty").cast("long").alias("total_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Correlated scalar against the row's own group — above-average filter
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "nation_above_avg_customers",
+    oracle="""
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_above,
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS bal_above
+    FROM (
+      SELECT c_nationkey, c_acctbal,
+             SUM(CAST(c_acctbal AS DECIMAL(18,6))) OVER (PARTITION BY c_nationkey) AS tot,
+             COUNT(*) OVER (PARTITION BY c_nationkey) AS cnt
+      FROM customer
+    )
+    WHERE CAST(c_acctbal AS DECIMAL(18,6)) * cnt > tot
+    GROUP BY c_nationkey
+    """,
+)
+def nation_above_avg_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per nation: customers richer than their nation's average balance.
+
+    The correlated `avg(...) WHERE same nation` becomes a window aggregate
+    partitioned by the correlation key — one shuffle on c_nationkey, no join
+    at all. The comparison is `bal * cnt > total` in exact DECIMAL, so a
+    customer sitting exactly on the average resolves identically in both
+    engines (a float avg could round either way)."""
+    cust = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey")
+    dec = F.col("c_acctbal").cast("decimal(18,6)")
+    return (
+        cust.select(
+            "c_nationkey",
+            "c_acctbal",
+            F.sum(dec).over(w).alias("tot"),
+            F.count("*").over(w).alias("cnt"),
+        )
+        .filter(dec * F.col("cnt") > F.col("tot"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_above"),
+            F.round(F.sum(dec), 2).cast("double").alias("bal_above"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# HAVING against a global scalar subquery
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "brands_above_global_avg_qty",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS g_sum,
+             CAST(COUNT(*) AS BIGINT) AS g_cnt
+      FROM lineitem
+    )
+    SELECT p.p_brand,
+           CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS brand_qty,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    HAVING SUM(CAST(l.l_quantity AS BIGINT)) * (SELECT g_cnt FROM g)
+           > (SELECT g_sum FROM g) * COUNT(*)
+    """,
+)
+def brands_above_global_avg_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brands whose average lineitem quantity beats the global average.
+
+    HAVING-vs-scalar de-correlates to a 1-row global aggregate cross-joined
+    (broadcast) onto the grouped frame; `sum*g_cnt > g_sum*cnt` keeps the
+    avg comparison in exact integers. Lineitem is scanned twice here by
+    design — fusing both aggregates into one pass (grouping sets) is the
+    alternative when the scan dominates; at 100 TB the global row comes from
+    table statistics anyway."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    g = li.agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("g_sum"),
+        F.count("*").alias("g_cnt"),
+    )
+    per_brand = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("brand_qty"),
+            F.count("*").alias("n_items"),
+        )
+    )
+    return (
+        per_brand.crossJoin(F.broadcast(g))
+        .filter(F.col("brand_qty") * F.col("g_cnt") > F.col("g_sum") * F.col("n_items"))
+        .select("p_brand", "brand_qty", "n_items")
+    )
