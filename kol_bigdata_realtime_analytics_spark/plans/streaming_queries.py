@@ -136,3 +136,89 @@ def streaming_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
         "velocity",
         "trending_score",
     )
+
+
+_ATTRIBUTION_ORACLE = """
+WITH v AS (SELECT user_id, ts AS l_ts FROM events WHERE event_type = 'view'),
+     c AS (SELECT user_id, ts AS r_ts FROM events WHERE event_type = 'click'),
+     pairs AS (
+       SELECT v.user_id, epoch_us(c.r_ts) - epoch_us(v.l_ts) AS gap_us
+       FROM v JOIN c ON v.user_id = c.user_id
+        AND c.r_ts > v.l_ts AND c.r_ts <= v.l_ts + INTERVAL 2 HOUR
+     )
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_attributed,
+       CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+       CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+FROM pairs GROUP BY user_id
+"""
+
+
+def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over events.parquet with the nanos-ts conversion."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    return (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+
+
+def _run_to_memory(df: DataFrame, name: str, output_mode: str = "append") -> None:
+    spark = df.sparkSession
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    q = df.writeStream.outputMode(output_mode).format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+
+
+@register("stream_stream_click_attribution", oracle=_ATTRIBUTION_ORACLE)
+def stream_stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-stream interval join (click attribution): views and clicks
+    are two watermarked streams equi-joined on user_id with a 2-hour
+    event-time interval; pair rows append to the sink, then one batch agg
+    summarizes per user. State on both sides is watermark-bounded — the
+    100 TB/day-safe join shape (vs the reference's Redis lookup hack,
+    kafka_profile_stream.py:153-161)."""
+    from kol_bigdata_realtime_analytics_spark.streaming.joins import attribution_pairs
+
+    events = _event_stream(spark, sf_dir)
+    _run_to_memory(attribution_pairs(events, max_gap="2 hours"), "ss_attr_mem")
+    return (
+        spark.table("ss_attr_mem")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_attributed"),
+            F.min("gap_us").alias("min_gap_us"),
+            F.max("gap_us").alias("max_gap_us"),
+        )
+    )
+
+
+_STREAM_DEDUP_ORACLE = """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_unique_users
+FROM events GROUP BY event_type
+"""
+
+
+@register("streaming_dedup_events", oracle=_STREAM_DEDUP_ORACLE)
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming dedup via dropDuplicatesWithinWatermark keyed on
+    (user_id, event_type): at-least-once re-deliveries collapse to one row
+    per key with watermark-bounded state (a plain dropDuplicates would hold
+    state forever). Survivor-row choice is arbitrary, so the checked output
+    is the per-type survivor COUNT — deterministic and SQL-oracle-able."""
+    from kol_bigdata_realtime_analytics_spark.streaming.joins import dedup_within_watermark
+
+    events = _event_stream(spark, sf_dir)
+    deduped = dedup_within_watermark(events, ["user_id", "event_type"], watermark="10 minutes")
+    _run_to_memory(deduped, "ss_dedup_mem")
+    return (
+        spark.table("ss_dedup_mem")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_unique_users"))
+    )

@@ -50,3 +50,61 @@ def test_windowed_engagement_window_bounds(spark, event_rows):
         delta = r["e"] - r["s"]
         assert delta.total_seconds() == 300  # 5-minute windows
         assert r["s"].minute % 5 == 0 and r["s"].second == 0  # aligned
+
+
+def test_interval_join_stream_equals_batch(spark, tmp_path):
+    """Stream-stream interval join emits exactly the batch join's pair set."""
+    from kol_bigdata_realtime_analytics_spark.streaming.joins import attribution_pairs
+
+    base = datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    for u in range(3):
+        for m in (0, 7, 20, 90):
+            rows.append((eid, base.replace(hour=m // 60, minute=m % 60), u, "view", 1.0))
+            eid += 1
+        for m in (5, 12, 200):
+            rows.append((eid, base.replace(hour=m // 60, minute=m % 60), u, "click", 1.0))
+            eid += 1
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    batch_df = spark.createDataFrame(rows, schema)
+    src = str(tmp_path / "ss_join_src")
+    batch_df.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(batch_df.schema).parquet(src)
+    out = attribution_pairs(stream, max_gap="2 hours")
+    q = out.writeStream.outputMode("append").format("memory").queryName("t_ssj").start()
+    q.processAllAvailable()
+    q.stop()
+    got = {tuple(r) for r in spark.table("t_ssj").collect()}
+    want = {tuple(r) for r in attribution_pairs(batch_df, max_gap="2 hours").collect()}
+    assert got == want
+    assert len(got) > 0
+    # every gap respects the interval bound
+    for _, gap_us in got:
+        assert 0 < gap_us <= 2 * 3600 * 1_000_000
+
+
+def test_dedup_within_watermark_collapses_redeliveries(spark, tmp_path):
+    from kol_bigdata_realtime_analytics_spark.streaming.joins import dedup_within_watermark
+
+    base = datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    for u in range(4):
+        for rep in range(3):  # re-delivered 3x within the watermark
+            rows.append((eid, base.replace(second=rep), u, "view", 1.0))
+            eid += 1
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    batch_df = spark.createDataFrame(rows, schema)
+    src = str(tmp_path / "ss_dedup_src")
+    batch_df.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(batch_df.schema).parquet(src)
+    out = dedup_within_watermark(stream, ["user_id", "event_type"], watermark="10 minutes")
+    q = out.writeStream.outputMode("append").format("memory").queryName("t_ssd").start()
+    q.processAllAvailable()
+    q.stop()
+    got = spark.table("t_ssd")
+    assert got.count() == 4  # one survivor per (user, type)
+    assert got.select("user_id").distinct().count() == 4
