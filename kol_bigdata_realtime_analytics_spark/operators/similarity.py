@@ -30,11 +30,18 @@ def as_double_vec(col: Column) -> Column:
 def dot(a: Column, b: Column, dim: int | None = None) -> Column:
     """Dot product, sequential fold order (i = 0..dim-1) in both forms.
 
-    With a known `dim`, unrolls to a flat chain of GetArrayItem multiplies —
-    whole-stage-codegen'd, measured several × faster than the lambda form
-    (higher-order-function lambdas evaluate interpreted). Without `dim`,
-    falls back to zip_with/aggregate. Identical float results: both sum
+    With a known `dim`, unrolls to a flat chain of GetArrayItem multiplies;
+    without, uses zip_with/aggregate. Identical float results: both sum
     left-to-right, matching DuckDB's list_dot_product order.
+
+    MEASURED (sf0.1, dim=64, local[32]): the unrolled form is SLOWER —
+    brute-force top-k 1.3 s (lambda) vs 2.4 s (unrolled), blocked pair join
+    1.7 s vs 6.5 s steady-state. The 128-node expression tree blows the
+    per-expression codegen budget and the tree is duplicated into pushed-down
+    filters, so it evaluates interpreted per pair — worse than the
+    HigherOrderFunction loop it was meant to beat. Callers therefore default
+    to dim=None; the unrolled path stays for SMALL dims (<=16), where it does
+    win, and as the recorded experiment.
     """
     if dim is not None:
         terms = [F.element_at(a, i + 1) * F.element_at(b, i + 1) for i in range(dim)]
@@ -234,7 +241,7 @@ def lsh_topk(
     scored = (
         c.join(F.broadcast(q), ["t", "b"])
         .filter(F.col("c_id") != F.col("q_id"))
-        .select("q_id", "c_id", F.round(cosine(F.col("q_vec"), F.col("c_vec"), dim), 6).alias("cosine"))
+        .select("q_id", "c_id", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"))
         .groupBy("q_id", "c_id")
         .agg(F.first("cosine").alias("cosine"))
     )

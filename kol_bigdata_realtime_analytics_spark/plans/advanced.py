@@ -385,4 +385,4 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return ivf_topk(emb, queries, k=3, n_centroids=8, n_probe=2, dim=64)
+    return ivf_topk(emb, queries, k=3, n_centroids=8, n_probe=2)

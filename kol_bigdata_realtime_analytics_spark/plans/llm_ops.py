@@ -216,7 +216,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-3 for query vectors (vec_id < 5) — ANN baseline."""
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return brute_force_topk(emb, queries, k=3, dim=64)
+    return brute_force_topk(emb, queries, k=3)
 
 
 @register("ann_lsh_topk", oracle=None)
@@ -250,9 +250,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dups: cosine >= 0.95 within label blocks (IVF-style blocking)."""
-    return cosine_neardup_pairs(
-        table(spark, sf_dir, "embeddings"), block_col="label", threshold=0.95, dim=64
-    )
+    return cosine_neardup_pairs(table(spark, sf_dir, "embeddings"), block_col="label", threshold=0.95)
 
 
 # ---------------------------------------------------------------------------
