@@ -386,3 +386,44 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return ivf_topk(emb, queries, k=3, n_centroids=8, n_probe=2)
+
+
+# ---------------------------------------------------------------------------
+# Distribution analytics: percent_rank / cume_dist per segment
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "segment_percentile_position",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           floor(percent_rank() OVER w * 1000000) / 1000000 AS pct_rank,
+           floor(cume_dist() OVER w * 1000000) / 1000000 AS cum_dist
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal)
+    QUALIFY c_custkey < 100
+    """,
+)
+def segment_percentile_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each customer's balance position within their market segment.
+
+    percent_rank/cume_dist are rank-based — ties share a value and the
+    result is a pure function of the (segment, balance) multiset, so both
+    engines agree bit-for-bit ((rank-1)/(n-1) on exact integers). One
+    shuffle on the segment key; the c_custkey < 100 output filter cannot
+    prune the window input (the rank is over the WHOLE segment), which is
+    why it sits above the window — the plan audit confirms the scan still
+    prunes columns to the 3 needed."""
+    from kol_bigdata_realtime_analytics_spark.plans.domain import trunc6
+
+    cust = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    return (
+        cust.select(
+            "c_custkey",
+            "c_mktsegment",
+            trunc6(F.percent_rank().over(w)).alias("pct_rank"),
+            trunc6(F.cume_dist().over(w)).alias("cum_dist"),
+        )
+        .filter(F.col("c_custkey") < 100)
+    )

@@ -10,7 +10,7 @@ ground-truth comparisons against the exact variants.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kol_bigdata_realtime_analytics_spark.functions.text import (
@@ -273,3 +273,73 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload -> mapInPandas decode stub -> typed feature columns."""
     docs = table(spark, sf_dir, "documents")
     return decode_features(with_binary_payload(docs, "text", "doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF — the text-pipeline staple on top of term/document frequencies
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tfidf_top_terms",
+    oracle="""
+    WITH terms AS (
+      SELECT doc_id, unnest(string_split_regex(
+               trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM terms WHERE term <> '' GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM terms WHERE term <> '' GROUP BY term
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id, term, tf,
+           floor(tf * ln(CAST(n_docs AS DOUBLE) / df) * 1000000) / 1000000 AS tfidf,
+           rnk
+    FROM (
+      SELECT t.doc_id, t.term, t.tf, d.df, n.n_docs,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY t.doc_id
+               ORDER BY t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df) DESC, t.term ASC
+             ) AS BIGINT) AS rnk
+      FROM tf t JOIN df d ON t.term = d.term CROSS JOIN n
+      WHERE t.doc_id < 20
+    ) WHERE rnk <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 terms by TF-IDF (docs 0-19; idf = ln(N/df)).
+
+    Document frequency and N come from the WHOLE corpus; the doc_id filter
+    prunes only the tf branch, so the per-doc window is tiny while the idf
+    table stays corpus-accurate. The df side aggregates to one row per
+    distinct term (small) and broadcasts; at 100 TB this is the canonical
+    two-pass text-statistics shape — no driver collect, one wide shuffle per
+    aggregate, window partitioned by doc. tf*idf is bit-identical across
+    engines (integer tf/df/N -> same double ops), trunc6 on output.
+    """
+    from kol_bigdata_realtime_analytics_spark.plans.domain import trunc6
+
+    docs = table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
+    terms = docs.select("doc_id", F.explode(F.split(norm, " ")).alias("term")).filter(
+        F.col("term") != ""
+    )
+    tf = (
+        terms.filter(F.col("doc_id") < 20)
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    tfidf = F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))
+    w = Window.partitionBy("doc_id").orderBy(tfidf.desc(), F.col("term").asc())
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", trunc6(tfidf).alias("tfidf"), "rnk")
+    )
