@@ -1,0 +1,79 @@
+"""Machine-checked physical-plan properties (the PERF.md §1 audit as tests).
+
+These assert the load-bearing scale properties — partition pruning, parquet
+filter/column pushdown, broadcast joins, no-driver-collect top-k — so a
+regression in plan shape fails CI, not a 100 TB run.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kol_bigdata_realtime_analytics_spark.plans.registry import table
+
+
+def _formatted(df) -> str:
+    jvm = df.sparkSession._sc._jvm
+    return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_partition_pruning_on_dt(spark, tmp_path):
+    """A dt-partitioned table read with a dt predicate must scan ONE
+    partition directory — the property every medallion query at 100 TB
+    stands on (SURVEY §4: dt partitioning on Bronze/Iceberg tables)."""
+    df = spark.createDataFrame(
+        [(i, f"2024-01-{(i % 5) + 1:02d}", float(i)) for i in range(100)],
+        "id long, dt string, v double",
+    )
+    path = str(tmp_path / "dt_table")
+    df.write.partitionBy("dt").parquet(path)
+
+    back = spark.read.parquet(path).filter(F.col("dt") == "2024-01-03")
+    plan = _formatted(back)
+    # predicate must land in PartitionFilters (metadata-only pruning),
+    # not in the row-level PushedFilters
+    assert "PartitionFilters" in plan
+    assert "2024-01-03" in plan.split("PartitionFilters")[1].split("\n")[0]
+    assert back.count() == 20
+    # pruned scan reads exactly the one partition's files
+    n_files = back.select(F.input_file_name()).distinct().count()
+    all_files = spark.read.parquet(path).select(F.input_file_name()).distinct().count()
+    assert n_files < all_files
+
+
+def test_parquet_filter_and_column_pushdown(spark, sf_oracle):
+    """Row-group filter + column pruning must reach the parquet scan."""
+    li = table(spark, sf_oracle, "lineitem")
+    q = li.filter(F.col("l_quantity") < 5).select("l_orderkey", "l_quantity")
+    plan = _formatted(q)
+    assert "PushedFilters" in plan
+    assert "LessThan(l_quantity" in plan
+    # ReadSchema pruned to the 2 needed columns
+    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema
+
+
+@pytest.mark.parametrize(
+    "qname",
+    ["customer_enriched", "top_spenders", "regional_supplier_revenue", "shipping_priority"],
+)
+def test_dim_joins_broadcast(spark, sf_oracle, qname):
+    """Every dim-enrichment join must be a BroadcastHashJoin — the fact side
+    is never allowed on a shuffle for these shapes."""
+    from kol_bigdata_realtime_analytics_spark.plans import REGISTRY
+
+    plan = _formatted(REGISTRY[qname].fn(spark, sf_oracle))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_is_take_ordered(spark, sf_oracle):
+    """ORDER BY ... LIMIT k must plan as TakeOrderedAndProject (per-partition
+    top-k + merge), never a global sort of the full table."""
+    from kol_bigdata_realtime_analytics_spark.plans import REGISTRY
+
+    plan = _formatted(REGISTRY["top_spenders"].fn(spark, sf_oracle))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan

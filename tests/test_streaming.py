@@ -108,3 +108,29 @@ def test_dedup_within_watermark_collapses_redeliveries(spark, tmp_path):
     got = spark.table("t_ssd")
     assert got.count() == 4  # one survivor per (user, type)
     assert got.select("user_id").distinct().count() == 4
+
+
+def test_rocksdb_state_store_provider(spark, tmp_path, event_rows):
+    """The 100 TB state-store upgrade is flip-one-config (PERF.md §4): the
+    same windowed-agg stream must produce identical results on RocksDB."""
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    batch_df = spark.createDataFrame(event_rows, schema)
+    src = str(tmp_path / "rocks_src")
+    batch_df.write.mode("overwrite").parquet(src)
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    try:
+        stream = spark.readStream.schema(batch_df.schema).parquet(src)
+        out = run_trending_stream(spark, stream, query_name="t_rocksdb")
+        got = {tuple(r) for r in out.collect()}
+    finally:
+        if prev:
+            spark.conf.set(key, prev)
+        else:
+            spark.conf.unset(key)
+    want = {tuple(r) for r in scored(windowed_engagement(batch_df)).collect()}
+    assert got == want and len(got) > 0
