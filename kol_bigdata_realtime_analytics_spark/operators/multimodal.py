@@ -74,3 +74,122 @@ def decode_features(df: DataFrame) -> DataFrame:
         .repartition(par)
         .mapInPandas(_decode_stub, schema=DECODE_SCHEMA)
     )
+
+
+# ---------------------------------------------------------------------------
+# Resize — per-item transform, payload stays binary end-to-end
+# ---------------------------------------------------------------------------
+
+RESIZE_SCHEMA = "doc_id long, out_len long, width long, height long"
+
+
+def _resize_stub(target_w: int, target_h: int):
+    """STUB resizer: a real one would decode, `img.resize((w, h))`, re-encode.
+    Here the payload is byte-sliced to the target budget (deterministic) —
+    the Arrow batch path and the byte-handling in pandas are the real part."""
+    cap = max(1, (target_w * target_h) // 8)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = pdf["payload"].map(lambda b: bytes(b)[:cap])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "out_len": resized.map(len).astype("int64"),
+                    "width": pd.Series([target_w] * len(pdf), dtype="int64"),
+                    "height": pd.Series([target_h] * len(pdf), dtype="int64"),
+                }
+            )
+
+    return fn
+
+
+def resize_images(df: DataFrame, target_w: int = 64, target_h: int = 64) -> DataFrame:
+    """Arrow-batched resize over (doc_id, payload) rows."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select("doc_id", "payload")
+        .repartition(par)
+        .mapInPandas(_resize_stub(target_w, target_h), schema=RESIZE_SCHEMA)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Frame sampling — one input row fans out to 0..n frame rows (UDTF shape)
+# ---------------------------------------------------------------------------
+
+FRAME_SCHEMA = "doc_id long, frame_idx long, frame_len long"
+
+
+def _frame_sample_stub(every_n: int):
+    """STUB frame sampler: a real one would `av.open` and decode every Nth
+    frame. Frame count is the same deterministic fake as the decoder
+    (byte_len % 16); each emitted row is one sampled frame. Demonstrates the
+    1-to-many mapInPandas shape (explode-like, but computed Python-side)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            docs, idxs, lens = [], [], []
+            for doc, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                n_frames = n % 16
+                if n_frames == 0:
+                    continue
+                frame_len = n // n_frames
+                for i in range(0, n_frames, every_n):
+                    docs.append(int(doc))
+                    idxs.append(i)
+                    lens.append(frame_len)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(docs, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame_len": pd.Series(lens, dtype="int64"),
+                }
+            )
+
+    return fn
+
+
+def sample_frames(df: DataFrame, every_n: int = 4) -> DataFrame:
+    """Every-Nth-frame sampling over (doc_id, payload) rows."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select("doc_id", "payload")
+        .repartition(par)
+        .mapInPandas(_frame_sample_stub(every_n), schema=FRAME_SCHEMA)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Feature extraction — payload -> fixed-width embedding (the bridge from
+# multimodal columns into the similarity-search operators)
+# ---------------------------------------------------------------------------
+
+EMBED_DIM = 8
+EMBED_SCHEMA = "doc_id long, " + ", ".join(f"e{i} double" for i in range(EMBED_DIM))
+
+
+def _embed_stub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB feature extractor: a real one would run a vision/audio encoder
+    per Arrow batch (model broadcast once per worker). Emits a deterministic
+    md5-derived pseudo-embedding in [0, 1]^8 — exactly reproducible in SQL,
+    so the whole Python crossing is oracle-checked."""
+    import hashlib
+
+    for pdf in batches:
+        hexes = pdf["payload"].map(lambda b: hashlib.md5(bytes(b)).hexdigest())
+        out = {"doc_id": pdf["doc_id"].astype("int64")}
+        for i in range(EMBED_DIM):
+            out[f"e{i}"] = hexes.map(lambda h, i=i: int(h[2 * i : 2 * i + 2], 16) / 255.0)
+        yield pd.DataFrame(out)
+
+
+def embed_payload(df: DataFrame) -> DataFrame:
+    """Arrow-batched payload -> embedding columns (e0..e7)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select("doc_id", "payload")
+        .repartition(par)
+        .mapInPandas(_embed_stub, schema=EMBED_SCHEMA)
+    )

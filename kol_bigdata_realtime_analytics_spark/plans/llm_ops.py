@@ -275,6 +275,82 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_features(with_binary_payload(docs, "text", "doc_id"))
 
 
+@register(
+    "multimodal_resize",
+    oracle="""
+    SELECT doc_id,
+           CAST(LEAST(octet_length(encode(text)), 512) AS BIGINT) AS out_len,
+           CAST(64 AS BIGINT) AS width,
+           CAST(64 AS BIGINT) AS height
+    FROM documents
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload -> mapInPandas resize stub (64x64 -> 512-byte budget).
+
+    The pandas stage byte-slices the real payload (object-dtype bytes in
+    Arrow batches); the oracle checks the resulting lengths."""
+    from kol_bigdata_realtime_analytics_spark.operators.multimodal import resize_images
+
+    docs = table(spark, sf_dir, "documents")
+    return resize_images(with_binary_payload(docs, "text", "doc_id"), 64, 64)
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             octet_length(encode(text)) AS n,
+             octet_length(encode(text)) % 16 AS nf
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(f AS BIGINT) AS frame_idx,
+           CAST(n // nf AS BIGINT) AS frame_len
+    FROM b, unnest(range(0, nf, 4)) AS t(f)
+    WHERE nf > 0
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload -> every-4th-frame sampling (1-to-many mapInPandas).
+
+    One video row fans out to one row per sampled frame — the UDTF shape a
+    real frame extractor needs; frame counts/lengths are the decoder's
+    deterministic fakes so the fan-out itself is oracle-checked."""
+    from kol_bigdata_realtime_analytics_spark.operators.multimodal import sample_frames
+
+    docs = table(spark, sf_dir, "documents")
+    return sample_frames(with_binary_payload(docs, "text", "doc_id"), every_n=4)
+
+
+@register(
+    "multimodal_embed",
+    oracle="""
+    SELECT doc_id,
+           CAST(CAST('0x' || substr(md5(COALESCE(text, '')), 1,  2) AS INTEGER) AS DOUBLE) / 255.0 AS e0,
+           CAST(CAST('0x' || substr(md5(COALESCE(text, '')), 3,  2) AS INTEGER) AS DOUBLE) / 255.0 AS e1,
+           CAST(CAST('0x' || substr(md5(COALESCE(text, '')), 5,  2) AS INTEGER) AS DOUBLE) / 255.0 AS e2,
+           CAST(CAST('0x' || substr(md5(COALESCE(text, '')), 7,  2) AS INTEGER) AS DOUBLE) / 255.0 AS e3,
+           CAST(CAST('0x' || substr(md5(COALESCE(text, '')), 9,  2) AS INTEGER) AS DOUBLE) / 255.0 AS e4,
+           CAST(CAST('0x' || substr(md5(COALESCE(text, '')), 11, 2) AS INTEGER) AS DOUBLE) / 255.0 AS e5,
+           CAST(CAST('0x' || substr(md5(COALESCE(text, '')), 13, 2) AS INTEGER) AS DOUBLE) / 255.0 AS e6,
+           CAST(CAST('0x' || substr(md5(COALESCE(text, '')), 15, 2) AS INTEGER) AS DOUBLE) / 255.0 AS e7
+    FROM documents
+    """,
+)
+def multimodal_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload -> Arrow-batched feature extraction -> embedding cols.
+
+    The md5-derived pseudo-embedding makes the ENTIRE Python crossing
+    bit-checkable in SQL (int/255.0 is exact in both engines) — the bridge
+    from multimodal payloads into the similarity-search operators."""
+    from kol_bigdata_realtime_analytics_spark.operators.multimodal import embed_payload
+
+    docs = table(spark, sf_dir, "documents")
+    return embed_payload(with_binary_payload(docs, "text", "doc_id"))
+
+
 # ---------------------------------------------------------------------------
 # TF-IDF — the text-pipeline staple on top of term/document frequencies
 # ---------------------------------------------------------------------------
