@@ -131,6 +131,25 @@ def test_write_table_parquet_fallback(spark, tmp_path):
     assert got.count() == 2 and set(got.columns) == {"id", "dt"}
 
 
+def test_dynamic_overwrite_preserves_untouched_partitions(spark, tmp_path):
+    """The idempotent overwrite-merge pattern (SURVEY §7.4.4): re-writing one
+    dt partition must not clobber the others (the reference's read-keep-
+    others/union/overwrite dance is replaced by dynamic partition overwrite)."""
+    path = str(tmp_path / "dyn")
+    base = spark.createDataFrame(
+        [(1, "2024-01-01"), (2, "2024-01-02"), (3, "2024-01-02")], "id long, dt string"
+    )
+    catalog.write_table(base, "nocatalog.t", mode="overwrite", partition_by=("dt",),
+                        fallback_path=path)
+    # overwrite ONLY the 01-02 partition with corrected rows
+    fix = spark.createDataFrame([(20, "2024-01-02")], "id long, dt string")
+    catalog.write_table(fix, "nocatalog.t", mode="overwrite", partition_by=("dt",),
+                        fallback_path=path)
+    # partition-column type inference surfaces dt as DATE on read-back
+    got = {(r.id, str(r.dt)) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "2024-01-01"), (20, "2024-01-02")}
+
+
 def test_write_table_requires_fallback_without_catalog(spark):
     df = spark.createDataFrame([(1,)], "id long")
     with pytest.raises(RuntimeError, match="no Iceberg catalog"):
