@@ -419,3 +419,78 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "term", "tf", trunc6(tfidf).alias("tfidf"), "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# The composed training-data prep pipeline — quality filter -> language
+# filter -> exact dedup -> deterministic split, in ONE declarative plan.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "training_corpus_prep",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+             CAST({TOKEN_COUNT_ORACLE_SQL.format(col="text")} AS DOUBLE) AS n_tokens,
+             {PUNCT_RATIO_ORACLE_SQL.format(col="text")} AS pr,
+             {STOPWORD_RATIO_ORACLE_SQL.format(col="text")} AS sr,
+             regexp_matches(COALESCE(text, ''), '^[\\x00-\\x7F]*$') AS is_ascii,
+             {DOC_FINGERPRINT_ORACLE_SQL.format(col="text")} AS fp
+      FROM documents
+    ),
+    kept AS (
+      SELECT doc_id, n_tokens, fp
+      FROM m
+      WHERE LEAST(n_tokens / 100.0, 1.0) * (1.0 - LEAST(pr, 0.5))
+            * (0.5 + LEAST(sr, 0.5)) >= 0.2
+        AND sr >= 0.03 AND is_ascii
+    ),
+    deduped AS (
+      SELECT MIN(doc_id) AS doc_id, MIN(n_tokens) AS n_tokens
+      FROM kept GROUP BY fp
+    )
+    SELECT CASE
+             WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'f' THEN 'test'
+             WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'e' THEN 'dev'
+             ELSE 'train'
+           END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(n_tokens AS BIGINT)) AS BIGINT) AS total_tokens
+    FROM deduped GROUP BY 1
+    """,
+)
+def training_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end LLM training-data prep pipeline as ONE declarative plan:
+    quality-score filter (>= 0.2) -> language filter (en) -> exact dedup
+    (min doc_id per content fingerprint) -> deterministic hash split
+    (14:1:1 train/dev/test) -> per-split corpus stats.
+
+    Composes the individually-verified pieces (quality_score, language_id,
+    doc_fingerprint_md5, hash split) with no extra scan: filters evaluate in
+    the scan's codegen stage, the dedup is the only wide shuffle (32-byte
+    fingerprint keys), and the split is a pure function of doc_id (stable
+    across any partitioning/cluster size — SURVEY deterministic-sample note).
+    On min-doc_id-per-fingerprint ties n_tokens of duplicate docs are equal
+    by construction (identical normalized text), so MIN(n_tokens) is exact.
+    """
+    docs = table(spark, sf_dir, "documents")
+    m = docs.select(
+        "doc_id",
+        token_count("text").cast("double").alias("n_tokens"),
+        quality_score("text").alias("q"),
+        language_id("text").alias("lang_pred"),
+        doc_fingerprint_md5("text").alias("fp"),
+    )
+    kept = m.filter((F.col("q") >= 0.2) & (F.col("lang_pred") == "en"))
+    deduped = kept.groupBy("fp").agg(
+        F.min("doc_id").alias("doc_id"), F.min("n_tokens").alias("n_tokens")
+    )
+    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(nib == "f", "test").when(nib == "e", "dev").otherwise("train")
+    )
+    return deduped.groupBy(split.alias("split")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("n_tokens").cast("long")).alias("total_tokens"),
+    )
