@@ -193,3 +193,141 @@ def momentum_stream(
 
 def attach_label(df: DataFrame) -> DataFrame:
     return df.withColumn("label", trending_label(F.col("trending_score")))
+
+
+# ---------------------------------------------------------------------------
+# transformWithState form — Spark 4's arbitrary-stateful API. Same semantics
+# as momentum_stream, but state lives in named ValueStates (RocksDB-backed;
+# the provider is REQUIRED by this API) and window-close wake-ups are real
+# registered event-time timers instead of GroupState timeouts.
+# ---------------------------------------------------------------------------
+
+_OPEN_SCHEMA = "ws array<long>, n array<long>, eng array<double>"
+_CLOSED_SCHEMA = "ws array<long>, vel array<double>"
+
+
+def _ts_ms(series: pd.Series) -> pd.Series:
+    """Epoch millis regardless of the batch's datetime64 unit (ns vs us)."""
+    return series.astype("datetime64[ns]").astype("int64") // 10**6
+
+
+try:  # pyspark >= 4.0
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor as _SPBase
+except ImportError:  # pragma: no cover - older pyspark
+    _SPBase = object
+
+
+class _MomentumProcessor(_SPBase):
+    """StatefulProcessor: per-key open tumbling windows + last-3 velocities."""
+
+    def init(self, handle) -> None:
+        self.handle = handle
+        self.open = handle.getValueState("open", _OPEN_SCHEMA)
+        self.closed = handle.getValueState("closed", _CLOSED_SCHEMA)
+
+    # -- state (de)serialization ------------------------------------------
+    def _load(self) -> dict:
+        sd = {"open": {}, "closed": []}
+        if self.open.exists():
+            ws, n, eng = self.open.get()
+            sd["open"] = {w: [c, e] for w, c, e in zip(ws, n, eng)}
+        if self.closed.exists():
+            ws, vel = self.closed.get()
+            sd["closed"] = list(zip(ws, vel))
+        return sd
+
+    def _store(self, sd: dict, wm: int) -> None:
+        if sd["open"]:
+            self.open.update(
+                (
+                    list(sd["open"].keys()),
+                    [v[0] for v in sd["open"].values()],
+                    [v[1] for v in sd["open"].values()],
+                )
+            )
+            nxt = min(ws + WINDOW_SECONDS * 1000 for ws in sd["open"])
+            self.handle.registerTimer(max(nxt, wm + 1))
+        else:
+            self.open.clear()
+        if sd["closed"]:
+            self.closed.update(
+                ([w for w, _ in sd["closed"]], [v for _, v in sd["closed"]])
+            )
+            if not sd["open"]:
+                # closed-only state feeds future momentum; expire after 3 idle windows
+                self.handle.registerTimer(wm + 3 * WINDOW_SECONDS * 1000)
+        else:
+            self.closed.clear()
+
+    @staticmethod
+    def _emit(key, emitted):
+        return pd.DataFrame(
+            {
+                "window_start_ms": [e[0] for e in emitted],
+                "key": [key[0]] * len(emitted),
+                "n_events": [e[1] for e in emitted],
+                "engagement": [e[2] for e in emitted],
+                "velocity": [e[3] for e in emitted],
+                "momentum": [e[4] for e in emitted],
+                "trending_score": [e[5] for e in emitted],
+            }
+        )
+
+    # -- processing --------------------------------------------------------
+    def handleInputRows(self, key, rows, timerValues):
+        sd = self._load()
+        for pdf in rows:
+            ws_series = _ts_ms(pdf["ts"]) // (WINDOW_SECONDS * 1000) * (WINDOW_SECONDS * 1000)
+            for ws, grp in pdf.groupby(ws_series):
+                slot = sd["open"].setdefault(int(ws), [0, 0.0])
+                slot[0] += len(grp)
+                slot[1] += float(grp["value"].sum())
+        wm = timerValues.getCurrentWatermarkInMs()
+        emitted = _close_windows(sd, wm)
+        self._store(sd, wm)
+        if emitted:
+            yield self._emit(key, emitted)
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        sd = self._load()
+        wm = timerValues.getCurrentWatermarkInMs()
+        emitted = _close_windows(sd, wm)
+        if not sd["open"] and not emitted and sd["closed"]:
+            # idle-cleanup timer: drop closed-only state once it can no longer
+            # contribute momentum (3 windows behind the watermark)
+            if all(ws + 4 * WINDOW_SECONDS * 1000 <= wm for ws, _ in sd["closed"]):
+                sd["closed"] = []
+        self._store(sd, wm)
+        if emitted:
+            yield self._emit(key, emitted)
+
+    def close(self) -> None:
+        pass
+
+
+def momentum_tws(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    watermark: str = "5 minutes",
+) -> DataFrame:
+    """momentum_stream on the transformWithState API (Spark 4).
+
+    Identical output contract/semantics to momentum_stream; tests assert all
+    three forms (batch window, applyInPandasWithState, transformWithState)
+    agree row-for-row on replay. transformWithState REQUIRES the RocksDB
+    state-store provider — set it before the query starts:
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    """
+    proc = _MomentumProcessor()
+    prepared = events.select(
+        F.col(ts_col).alias("ts"), F.col(key_col).alias("key"), F.col(value_col).alias("value")
+    ).withWatermark("ts", watermark)
+    return prepared.groupBy("key").transformWithStateInPandas(
+        statefulProcessor=proc,
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="eventTime",
+    )
