@@ -424,3 +424,18 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
     )
+
+
+@register("approx_value_percentiles", oracle=None)
+def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for value_percentiles: approx_percentile (KLL-style sketch,
+    mergeable across partitions — one narrow shuffle of sketches instead of a
+    sort/exact-percentile pass over the group). accuracy=10000 bounds rank
+    error at 1/10000. Engine-specific sketch -> rows-only driver check;
+    pytest bounds the error against the exact percentiles."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_percentile("value", F.lit(0.5), F.lit(10000)).alias("p50"),
+        F.approx_percentile("value", F.lit(0.9), F.lit(10000)).alias("p90"),
+        F.approx_percentile("value", F.lit(0.99), F.lit(10000)).alias("p99"),
+    )

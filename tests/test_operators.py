@@ -141,3 +141,16 @@ def test_ivf_topk_recall_on_testdata(spark, sf_small):
     for q, _ in approx:
         per_q[q] = per_q.get(q, 0) + 1
     assert all(v == 3 for v in per_q.values())
+
+
+def test_approx_percentiles_bounded_error(spark, sf_oracle):
+    """approx_percentile (sketch scale path) stays within 1% of exact."""
+    from kol_bigdata_realtime_analytics_spark.plans import REGISTRY
+
+    exact = {r["event_type"]: r for r in REGISTRY["value_percentiles"].fn(spark, sf_oracle).collect()}
+    approx = {r["event_type"]: r for r in REGISTRY["approx_value_percentiles"].fn(spark, sf_oracle).collect()}
+    assert set(exact) == set(approx)
+    for et, e in exact.items():
+        a = approx[et]
+        for p in ("p50", "p90", "p99"):
+            assert abs(a[p] - e[p]) <= max(1.0, 0.01 * abs(e[p]))
