@@ -58,6 +58,13 @@ HEADLINE = [
     "pivot_user_event_values",
     "ml_trust_inference",
     "value_percentiles",
+    "training_corpus_prep",
+    "tfidf_top_terms",
+    "multimodal_embed",
+    "exists_late_ship_priority",
+    "customer_order_distribution",
+    "large_order_customers",
+    "segment_percentile_position",
 ]
 
 
