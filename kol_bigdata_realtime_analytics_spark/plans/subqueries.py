@@ -373,3 +373,163 @@ def brands_above_global_avg_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("brand_qty") * F.col("g_cnt") > F.col("g_sum") * F.col("n_items"))
         .select("p_brand", "brand_qty", "n_items")
     )
+
+
+# ---------------------------------------------------------------------------
+# Classic filtered-aggregate shapes (TPC-H Q6 / Q10 / Q14 / Q19 analogs) —
+# no subqueries, but they round out the OLAP surface: tight range predicates
+# that must push to the scan, conditional aggregation, OR-of-ANDs predicates.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "forecast_revenue_change",
+    oracle="""
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))), 2) AS DOUBLE)
+           AS potential_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue that would be recovered by dropping small-order discounts
+    (TPC-H Q6 shape): every predicate is scan-pushable (year range, discount
+    band, quantity cap), so the plan is scan -> partial agg -> one exchange
+    of a single row. The classic 'filters must reach the parquet reader'
+    benchmark query."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,6)")), 2
+            )
+            .cast("double")
+            .alias("potential_revenue")
+        )
+    )
+
+
+@register(
+    "returned_item_revenue",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2)
+                AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey ASC
+    LIMIT 20
+    """,
+)
+def returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers who returned the most revenue (TPC-H Q10 shape): the
+    returnflag filter pushes to the lineitem scan, nation broadcasts, and
+    the top-20 is TakeOrderedAndProject over the grouped frame. Revenue sums
+    in exact decimal so the ORDER BY ... LIMIT cut is tie-stable across
+    engines."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = table(spark, sf_dir, "nation")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "promo_revenue_share",
+    oracle="""
+    SELECT CAST(ROUND(
+             100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                              THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))
+                              ELSE CAST(0 AS DECIMAL(18,6)) END)
+             / SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 6)
+           AS DOUBLE) AS promo_share_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1995-09-01' AND l.l_shipdate < TIMESTAMP '1995-10-01'
+    """,
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of one month's revenue from promo parts (TPC-H Q14 shape):
+    conditional aggregation — SUM(CASE WHEN) promo vs total in ONE pass
+    (the reference computed label splits as two separate jobs, SURVEY A9).
+    Both sums are exact decimal, so the ratio is reproducible."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01").cast("timestamp"))
+    )
+    p = table(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    zero = F.lit(0).cast("decimal(18,6)")
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(rev), 6)
+            .cast("double")
+            .alias("promo_share_pct")
+        )
+    )
+
+
+@register(
+    "discounted_brand_revenue",
+    oracle="""
+    SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2)
+           AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity >= 20 AND l.l_quantity <= 40)
+    """,
+)
+def discounted_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-of-ANDs predicate revenue (TPC-H Q19 shape): three disjunctive
+    brand/size/quantity bands evaluated after a broadcast part join — the
+    disjunction can't push below the join as-is, but Catalyst extracts the
+    common p_size/l_quantity bounds into scan-level filters. The shape that
+    tests complex-predicate handling."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    band = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    return j.filter(band).agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
