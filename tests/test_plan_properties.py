@@ -77,3 +77,14 @@ def test_topk_is_take_ordered(spark, sf_oracle):
     plan = _formatted(REGISTRY["top_spenders"].fn(spark, sf_oracle))
     assert "TakeOrderedAndProject" in plan
     assert "Sort " not in plan
+
+
+def test_q6_all_predicates_pushed(spark, sf_oracle):
+    """forecast_revenue_change (Q6 shape): date range, discount band, and
+    quantity cap must ALL reach the parquet scan as PushedFilters."""
+    from kol_bigdata_realtime_analytics_spark.plans import REGISTRY
+
+    plan = _formatted(REGISTRY["forecast_revenue_change"].fn(spark, sf_oracle))
+    pushed = plan.split("PushedFilters:")[1].split("\n")[0]
+    for fragment in ("l_shipdate", "l_discount", "LessThan(l_quantity"):
+        assert fragment in pushed, f"{fragment} not pushed: {pushed}"
