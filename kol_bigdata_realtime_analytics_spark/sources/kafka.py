@@ -120,6 +120,35 @@ def parse_wire(
     return flat.filter(F.col(first_required).isNotNull())
 
 
+def parse_wire_dlq(
+    df: DataFrame,
+    schema: T.StructType,
+    ts_alias: str = "kafka_ts",
+) -> tuple[DataFrame, DataFrame]:
+    """S7 with a dead-letter side: (valid, dead) frames from ONE lineage.
+
+    `dead` keeps the RAW value bytes + kafka timestamp, so unparseable
+    events can be landed (partitioned parquet/kafka DLQ topic) and replayed
+    after a schema fix — at 100 TB you never drop data you can't re-pull.
+    Both frames share the parse projection; Spark evaluates the scan once
+    per sink and the filter is the only difference (no double parse cost in
+    a foreachBatch that persists the batch before splitting).
+    """
+    first_required = schema.fields[0].name
+    parsed = df.select(
+        F.col("value"),
+        F.from_json(F.col("value").cast("string"), schema).alias("data"),
+        F.col("timestamp").alias(ts_alias),
+    )
+    valid = parsed.filter(F.col(f"data.{first_required}").isNotNull()).select(
+        "data.*", ts_alias
+    )
+    dead = parsed.filter(F.col(f"data.{first_required}").isNull()).select(
+        F.col("value").alias("raw_value"), ts_alias
+    )
+    return valid, dead
+
+
 def to_wire(df: DataFrame, key_col: str) -> DataFrame:
     """S13 payload shape: key=<key_col>, value=to_json(struct(*)) — the
     project of every column into one JSON value column."""

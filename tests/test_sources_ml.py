@@ -222,3 +222,46 @@ def test_lsh_topk_recall(spark):
     want = {(r.q_id, r.c_id) for r in exact}
     recall = len(got & want) / len(want)
     assert recall >= 0.5, f"recall@3 too low: {recall}"
+
+
+def test_parse_wire_dlq_split(spark):
+    """Malformed payloads route to the dead-letter frame with raw bytes
+    intact; valid rows parse and flatten. One lineage, two sinks."""
+    from datetime import datetime
+
+    from kol_bigdata_realtime_analytics_spark.sources.kafka import (
+        VIDEO_EVENT_SCHEMA,
+        parse_wire_dlq,
+    )
+
+    good = '{"kol_id": "k1", "platform": "tiktok", "views": 10}'
+    bad_json = "{not json at all"
+    missing_key = '{"platform": "tiktok"}'
+    ts = datetime(2024, 1, 1)
+    wire = spark.createDataFrame(
+        [(good.encode(), ts), (bad_json.encode(), ts), (missing_key.encode(), ts)],
+        "value binary, timestamp timestamp",
+    )
+    valid, dead = parse_wire_dlq(wire, VIDEO_EVENT_SCHEMA)
+    v = valid.collect()
+    assert len(v) == 1 and v[0]["kol_id"] == "k1" and v[0]["views"] == 10
+    d = dead.collect()
+    assert {bytes(r["raw_value"]).decode() for r in d} == {bad_json, missing_key}
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Schema evolution across partitions: old files lack a column added
+    later; mergeSchema reads both generations with nulls backfilled — the
+    append-only lakehouse property the medallion layers rely on."""
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.mode(
+        "append"
+    ).parquet(path)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.mode("append").parquet(path)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r["id"]: r for r in merged.collect()}
+    assert rows[1]["score"] is None and rows[2]["score"] == 9.5
