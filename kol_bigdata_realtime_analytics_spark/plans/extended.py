@@ -439,3 +439,26 @@ def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_percentile("value", F.lit(0.9), F.lit(10000)).alias("p90"),
         F.approx_percentile("value", F.lit(0.99), F.lit(10000)).alias("p99"),
     )
+
+
+@register(
+    "user_event_type_sets",
+    oracle="""
+    SELECT user_id,
+           array_agg(DISTINCT event_type ORDER BY event_type) AS event_types,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM events GROUP BY user_id
+    """,
+)
+def user_event_type_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-valued aggregation: sorted distinct event types per user.
+
+    collect_set is unordered by construction (partial sets merge in shuffle
+    order), so determinism comes from sort_array on the OUTPUT — the rule
+    for any array-valued result this engine emits. Map-side partial sets
+    keep the shuffle narrow (<= |type domain| per user per partition)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("event_types"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
