@@ -427,3 +427,36 @@ def segment_percentile_position(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("c_custkey") < 100)
     )
+
+
+@register(
+    "stratified_sample",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+    FROM events
+    WHERE (event_type = 'view'  AND substr(md5(CAST(event_id AS VARCHAR)), 1, 1) IN ('0','1','2','3'))
+       OR (event_type != 'view' AND substr(md5(CAST(event_id AS VARCHAR)), 1, 1) = '0')
+    GROUP BY event_type
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum sampling: views at 4/16, everything else at
+    1/16 — the downsample-the-majority-class shape every training pipeline
+    needs. Hash membership (md5 nibble of the row key) is a pure function of
+    the row, so the SAME rows are sampled on any cluster size/partitioning —
+    `sampleBy`'s seeded RNG does not survive repartitioning. The predicate
+    evaluates in the scan stage; no shuffle beyond the final small agg."""
+    ev = table(spark, sf_dir, "events")
+    nib = F.substring(F.md5(F.col("event_id").cast("string")), 1, 1)
+    keep = (
+        (F.col("event_type") == "view") & nib.isin("0", "1", "2", "3")
+    ) | ((F.col("event_type") != "view") & (nib == "0"))
+    return (
+        ev.filter(keep)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("value_sum"),
+        )
+    )

@@ -88,3 +88,37 @@ def test_q6_all_predicates_pushed(spark, sf_oracle):
     pushed = plan.split("PushedFilters:")[1].split("\n")[0]
     for fragment in ("l_shipdate", "l_discount", "LessThan(l_quantity"):
         assert fragment in pushed, f"{fragment} not pushed: {pushed}"
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_oracle):
+    """Bucketed tables co-locate join keys at WRITE time: a join of two
+    tables bucketed on the same key must plan ZERO Exchange operators —
+    the 100 TB repeated-join pattern (bucket once, join shuffle-free
+    forever). SortMergeJoin over pre-bucketed inputs is expected."""
+    from kol_bigdata_realtime_analytics_spark.plans.registry import table as t
+
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    t(spark, sf_oracle, "orders").write.bucketBy(8, "o_custkey").sortBy(
+        "o_custkey"
+    ).mode("overwrite").saveAsTable("b_orders")
+    t(spark, sf_oracle, "customer").write.bucketBy(8, "c_custkey").sortBy(
+        "c_custkey"
+    ).mode("overwrite").saveAsTable("b_customer")
+    try:
+        # disable auto-broadcast so the join would OTHERWISE shuffle both sides
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = spark.table("b_orders").join(
+                spark.table("b_customer"),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            plan = _formatted(j)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        assert "Exchange" not in plan, plan
+        assert j.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
