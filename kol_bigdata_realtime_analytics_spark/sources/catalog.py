@@ -15,6 +15,7 @@ the identical call works against a real Iceberg catalog (S11/S12).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 # keyed by DataType.simpleString() output
@@ -147,3 +148,78 @@ def write_table(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(fallback_path)
+
+
+def merge_upsert_sql(
+    target: str,
+    source_view: str,
+    keys: tuple[str, ...],
+    columns: tuple[str, ...],
+    delete_flag: str | None = None,
+) -> str:
+    """MERGE INTO statement for Iceberg upserts, generated from one column
+    list (single-sourced like the DDL above).
+
+    The row-level alternative to dynamic partition overwrite for targets
+    that update by KEY rather than by partition (e.g. latest-profile
+    tables): matched rows update in place, new keys insert, and an optional
+    source-side tombstone flag deletes. On Iceberg this executes as
+    merge-on-read deltas or copy-on-write file rewrites — either way
+    scoped to touched files, never read-modify-write of the whole table.
+    Catalog-gated like every Iceberg path here (the SQL itself is pure and
+    unit-tested without one).
+    """
+    non_keys = [c for c in columns if c not in keys and c != delete_flag]
+    on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+    set_clause = ", ".join(f"t.{c} = s.{c}" for c in non_keys)
+    cols = ", ".join(c for c in columns if c != delete_flag)
+    vals = ", ".join(f"s.{c}" for c in columns if c != delete_flag)
+    delete_clause = (
+        f"WHEN MATCHED AND s.{delete_flag} THEN DELETE\n" if delete_flag else ""
+    )
+    return (
+        f"MERGE INTO {target} t\n"
+        f"USING {source_view} s\n"
+        f"ON {on}\n"
+        f"{delete_clause}"
+        f"WHEN MATCHED THEN UPDATE SET {set_clause}\n"
+        f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
+    )
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_by: tuple[str, ...] = (),
+    target_file_rows: int = 1_000_000,
+) -> int:
+    """Compact a small-files parquet table in place; returns files written.
+
+    Streaming sinks and frequent small appends leave thousands of tiny
+    files per partition — at 100 TB that is scan-planning death (one task
+    per file, footer reads dominate). Rewrite = read -> repartition to
+    ceil(rows/target) even chunks -> dynamic-overwrite the same path; only
+    rewritten partitions are replaced. On Iceberg the equivalent is
+    rewrite_data_files; this is the parquet-path fallback with the same
+    contract.
+    """
+    import math
+
+    # localCheckpoint breaks the lineage back to `path` — Spark (rightly)
+    # refuses to overwrite a path its plan still reads from; the checkpoint
+    # materializes the data executor-side first, making the rewrite atomic
+    # per partition under dynamic overwrite
+    df = spark.read.parquet(path).localCheckpoint(eager=True)
+    n_rows = df.count()
+    n_files = max(1, math.ceil(n_rows / target_file_rows))
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    w = (
+        df.repartition(n_files, *[F.col(c) for c in partition_by])
+        if partition_by
+        else df.repartition(n_files)
+    )
+    writer = w.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+    return n_files

@@ -265,3 +265,39 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     assert set(merged.columns) == {"id", "name", "score"}
     rows = {r["id"]: r for r in merged.collect()}
     assert rows[1]["score"] is None and rows[2]["score"] == 9.5
+
+
+def test_merge_upsert_sql_generation():
+    sql = catalog.merge_upsert_sql(
+        "cat.db.profiles", "updates", keys=("kol_id", "platform"),
+        columns=("kol_id", "platform", "followers", "verified", "_deleted"),
+        delete_flag="_deleted",
+    )
+    assert "MERGE INTO cat.db.profiles t" in sql
+    assert "ON t.kol_id = s.kol_id AND t.platform = s.platform" in sql
+    assert "WHEN MATCHED AND s._deleted THEN DELETE" in sql
+    assert "UPDATE SET t.followers = s.followers, t.verified = s.verified" in sql
+    assert "INSERT (kol_id, platform, followers, verified)" in sql
+    assert "_deleted" not in sql.split("INSERT")[1]  # tombstone never lands
+
+
+def test_compact_partitions_reduces_file_count(spark, tmp_path):
+    """64 tiny appends -> one compaction pass -> files collapse, rows and
+    values survive byte-identically."""
+    path = str(tmp_path / "smallfiles")
+    df = spark.range(2000).select(
+        F.col("id"), (F.col("id") % 2).cast("string").alias("dt")
+    )
+    # simulate a streaming sink: many tiny appends
+    df.repartition(32).write.mode("append").partitionBy("dt").parquet(path)
+    df.repartition(32).write.mode("append").partitionBy("dt").parquet(path)
+    before = spark.read.parquet(path)
+    n_files_before = before.select(F.input_file_name()).distinct().count()
+    rows_before = {(r.id, str(r.dt)) for r in before.collect()}
+
+    catalog.compact_partitions(spark, path, partition_by=("dt",))
+
+    after = spark.read.parquet(path)
+    n_files_after = after.select(F.input_file_name()).distinct().count()
+    assert n_files_after < n_files_before / 4
+    assert {(r.id, str(r.dt)) for r in after.collect()} == rows_before
