@@ -261,15 +261,19 @@ def grouping_sets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "shipping_priority",
     oracle="""
-    SELECT l_orderkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-           epoch_us(o_orderdate) AS order_ts_us
-    FROM customer JOIN orders ON c_custkey = o_custkey
-                  JOIN lineitem ON l_orderkey = o_orderkey
-    WHERE c_mktsegment = 'BUILDING'
-      AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
-      AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
-    GROUP BY l_orderkey, o_orderdate
-    ORDER BY revenue DESC, l_orderkey ASC
+    SELECT l_orderkey, CAST(ROUND(rev_d, 2) AS DOUBLE) AS revenue, order_ts_us
+    FROM (
+      SELECT l_orderkey,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS rev_d,
+             epoch_us(o_orderdate) AS order_ts_us
+      FROM customer JOIN orders ON c_custkey = o_custkey
+                    JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+        AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+      GROUP BY l_orderkey, o_orderdate
+    )
+    ORDER BY rev_d DESC, l_orderkey ASC
     LIMIT 10
     """,
 )
@@ -277,25 +281,27 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: filtered dim ⋈ orders ⋈ lineitem → top-10 revenue.
 
     The BUILDING-segment customer side shrinks ~5× at the scan (predicate
-    pushdown) and broadcasts; lineitem only shuffles for the final agg."""
+    pushdown) and broadcasts; lineitem only shuffles for the final agg.
+    Revenue accumulates in DECIMAL(18,6) — the ordering key that picks the
+    top-10 boundary is exact in both engines (the repo's determinism rule:
+    float sums feeding comparisons/ordering are carried in DECIMAL)."""
     cutoff = F.lit("1995-03-15 00:00:00").cast("timestamp")
     c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
     li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    rev_d = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
-        )
+        .agg(F.sum(rev_d).alias("rev_d"))
+        .orderBy(F.col("rev_d").desc(), F.col("l_orderkey").asc())
+        .limit(10)
         .select(
             "l_orderkey",
-            "revenue",
+            F.round(F.col("rev_d"), 2).cast("double").alias("revenue"),
             F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("order_ts_us"),
         )
-        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
-        .limit(10)
     )
 
 
@@ -303,7 +309,8 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "regional_supplier_revenue",
     oracle="""
     SELECT r_name, n_name,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2)
+                AS DOUBLE) AS revenue,
            COUNT(*) AS n_items
     FROM lineitem
       JOIN supplier ON l_suppkey = s_suppkey
@@ -327,7 +334,12 @@ def regional_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.round(
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )

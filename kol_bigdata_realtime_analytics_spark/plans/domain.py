@@ -244,7 +244,7 @@ WITH win AS (
 ), mom AS (
   SELECT *, COALESCE(AVG(velocity) OVER (
            PARTITION BY key ORDER BY window_start_ms
-           ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), 0.0) AS momentum
+           RANGE BETWEEN 900000 PRECEDING AND 1 PRECEDING), 0.0) AS momentum
   FROM vel
 )
 SELECT window_start_ms, key, n_events,
@@ -260,7 +260,9 @@ FROM mom
 
 @register("trending_momentum", oracle=_MOMENTUM_ORACLE)
 def trending_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Windowed trending with REAL momentum (lagged-window velocity average)."""
+    """Windowed trending with REAL momentum (avg velocity over the previous
+    3 window *slots* — RANGE frame, resets after idle gaps; see
+    streaming/momentum.py for why that is the scale-correct definition)."""
     from kol_bigdata_realtime_analytics_spark.streaming.momentum import momentum_batch
 
     ev = table(spark, sf_dir, "events")

@@ -211,9 +211,24 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     (user_id, event_type): at-least-once re-deliveries collapse to one row
     per key with watermark-bounded state (a plain dropDuplicates would hold
     state forever). Survivor-row choice is arbitrary, so the checked output
-    is the per-type survivor COUNT — deterministic and SQL-oracle-able."""
+    is the per-type survivor COUNT — deterministic and SQL-oracle-able.
+
+    Oracle scope: the operator only guarantees dedup of duplicates arriving
+    within the 10-minute watermark horizon; the exact COUNT(DISTINCT) oracle
+    additionally relies on the replay being a SINGLE micro-batch (one source
+    file, no maxFilesPerTrigger), during which the watermark is still at
+    epoch so every recurrence collapses. The guard below pins that
+    assumption — a multi-file sf_dir would legitimately emit extra
+    survivors and must not silently flip this check to flaky."""
+    import glob as _glob
+
     from kol_bigdata_realtime_analytics_spark.streaming.joins import dedup_within_watermark
 
+    src_files = _glob.glob(f"{sf_dir}/events.parquet")
+    assert len(src_files) == 1, (
+        "streaming_dedup_events' exact-count oracle assumes a single-file, "
+        f"single-micro-batch replay; found {len(src_files)} source files"
+    )
     events = _event_stream(spark, sf_dir)
     deduped = dedup_within_watermark(events, ["user_id", "event_type"], watermark="10 minutes")
     _run_to_memory(deduped, "ss_dedup_mem")

@@ -193,26 +193,37 @@ def compact_partitions(
     partition_by: tuple[str, ...] = (),
     target_file_rows: int = 1_000_000,
 ) -> int:
-    """Compact a small-files parquet table in place; returns files written.
+    """Compact a small-files parquet table; returns files written.
 
     Streaming sinks and frequent small appends leave thousands of tiny
     files per partition — at 100 TB that is scan-planning death (one task
     per file, footer reads dominate). Rewrite = read -> repartition to
-    ceil(rows/target) even chunks -> dynamic-overwrite the same path; only
-    rewritten partitions are replaced. On Iceberg the equivalent is
-    rewrite_data_files; this is the parquet-path fallback with the same
-    contract.
+    ceil(rows/target) even chunks. On Iceberg the equivalent is
+    rewrite_data_files; this is the parquet-path fallback.
+
+    Durability: the compacted copy is FULLY written to a sibling temp dir
+    first (a complete durable replacement), then swapped in with
+    per-partition-directory renames. Unlike an in-place dynamic overwrite
+    (where the only durable copy is deleted mid-commit while the
+    replacement exists only in the write-in-flight), a crash before the
+    swap leaves the original untouched, and a crash mid-swap leaves every
+    partition with a durable copy at `path`, `<dir>.compact-bak`, or the
+    temp dir — re-running the compaction recovers. Plain parquet has no
+    transaction log, so the directory rename IS the commit; renames are
+    atomic on POSIX filesystems/HDFS but not on S3-style object stores —
+    use Iceberg there.
     """
     import math
+    import os
+    import shutil
 
-    # localCheckpoint breaks the lineage back to `path` — Spark (rightly)
-    # refuses to overwrite a path its plan still reads from; the checkpoint
-    # materializes the data executor-side first, making the rewrite atomic
-    # per partition under dynamic overwrite
-    df = spark.read.parquet(path).localCheckpoint(eager=True)
+    df = spark.read.parquet(path)
     n_rows = df.count()
     n_files = max(1, math.ceil(n_rows / target_file_rows))
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    tmp = path.rstrip("/") + ".compact-tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)  # stale leftover from an interrupted run
+
     w = (
         df.repartition(n_files, *[F.col(c) for c in partition_by])
         if partition_by
@@ -221,5 +232,24 @@ def compact_partitions(
     writer = w.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    writer.parquet(path)
+    writer.parquet(tmp)
+
+    def _swap(old: str, new: str) -> None:
+        bak = old + ".compact-bak"
+        if os.path.exists(bak):
+            shutil.rmtree(bak)
+        if os.path.exists(old):
+            os.rename(old, bak)
+        os.rename(new, old)
+        if os.path.exists(bak):
+            shutil.rmtree(bak)
+
+    if partition_by:
+        prefix = f"{partition_by[0]}="
+        for entry in sorted(os.listdir(tmp)):
+            if entry.startswith(prefix):
+                _swap(os.path.join(path, entry), os.path.join(tmp, entry))
+        shutil.rmtree(tmp)
+    else:
+        _swap(path, tmp)
     return n_files

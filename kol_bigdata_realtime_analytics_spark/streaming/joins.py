@@ -22,6 +22,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+_INTERVAL_UNIT_SECONDS = {
+    "second": 1,
+    "seconds": 1,
+    "minute": 60,
+    "minutes": 60,
+    "hour": 3600,
+    "hours": 3600,
+    "day": 86400,
+    "days": 86400,
+}
+
+
+def _interval_seconds(interval: str) -> int:
+    """'2 hours' / '10 minutes' -> seconds (the subset of Spark's interval
+    grammar these operators use)."""
+    amount, unit = interval.strip().split()
+    return int(amount) * _INTERVAL_UNIT_SECONDS[unit.lower()]
+
 
 def interval_join(
     left: DataFrame,
@@ -31,15 +49,27 @@ def interval_join(
     right_ts: str = "r_ts",
     max_gap: str = "10 minutes",
     left_watermark: str = "10 minutes",
-    right_watermark: str = "20 minutes",
+    right_watermark: str | None = None,
 ) -> DataFrame:
     """Equi-key + event-time-interval join of two (streaming) frames.
 
     Matches right rows with ``left_ts < right_ts <= left_ts + max_gap``.
-    The right watermark must cover the left watermark + the interval width,
-    otherwise Spark cannot prove when left state is closable (it errors out
-    rather than silently growing state).
+
+    Watermark contract: for an INNER stream-stream join Spark accepts any
+    watermark pair and never errors — the watermarks plus the interval
+    condition only determine how long each side's join state is retained
+    (left rows stay joinable until the right watermark passes
+    ``left_ts + max_gap``). Only OUTER interval joins require the
+    watermark/condition relationship up front, because NULL-padded rows
+    can't be emitted until the other side is provably closed. To keep left
+    state retention tight and correct for any ``max_gap``, the right
+    watermark defaults to ``left_watermark + max_gap`` instead of a fixed
+    constant.
     """
+    if right_watermark is None:
+        right_watermark = (
+            f"{_interval_seconds(left_watermark) + _interval_seconds(max_gap)} seconds"
+        )
     cond = (
         (F.col(f"l.{key}") == F.col(f"r.{key}"))
         & (F.col(f"r.{right_ts}") > F.col(f"l.{left_ts}"))

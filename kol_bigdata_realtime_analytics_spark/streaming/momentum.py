@@ -16,7 +16,15 @@ This module implements it properly, twice:
   pruned by watermark and the closed deque keeps <= 3 entries, so per-key
   state is O(1) — the property that keeps this runnable with millions of keys.
 
-Both compute the SAME formula; tests assert stream == batch on replay.
+Momentum is RANGE-based, not row-based: the average covers closed windows in
+the previous 3 window *slots* (start in [ws-3W, ws-W]). A key idle for >= 3
+windows therefore restarts at momentum 0 — deliberate, because it is the only
+definition where per-key streaming state is both bounded AND *expirable*
+(closed velocities older than 4 slots behind the watermark can never feed a
+future window, so idle keys can be dropped from the state store entirely; a
+rows-based "last 3 ever" would pin every key forever). All three forms share
+this definition and tests assert they agree row-for-row, including across a
+>3-window idle gap.
 """
 
 from __future__ import annotations
@@ -38,6 +46,7 @@ from kol_bigdata_realtime_analytics_spark.functions.scoring import (
 
 WINDOW_SECONDS = 300
 _N_MOMENTUM = 3
+_WMS = WINDOW_SECONDS * 1000
 
 OUTPUT_SCHEMA = (
     "window_start_ms long, key long, n_events long, engagement double, "
@@ -56,7 +65,9 @@ def momentum_batch(
     value_col: str = "value",
 ) -> DataFrame:
     """Batch semantics: tumbling 5-min windows per key; momentum = avg
-    velocity over the previous <=3 windows (0 when none)."""
+    velocity over the windows in the previous 3 window slots (RANGE frame
+    on window_start_ms — 0 after an idle gap of >= 3 windows, matching the
+    streaming forms' expirable state)."""
     agg = events.groupBy(
         F.window(ts_col, f"{WINDOW_SECONDS} seconds").alias("w"), F.col(key_col).alias("key")
     ).agg(F.count("*").alias("n_events"), F.sum(value_col).alias("engagement"))
@@ -69,7 +80,9 @@ def momentum_batch(
         vel.alias("velocity"),
     )
     frame = (
-        Window.partitionBy("key").orderBy("window_start_ms").rowsBetween(-_N_MOMENTUM, -1)
+        Window.partitionBy("key")
+        .orderBy("window_start_ms")
+        .rangeBetween(-_N_MOMENTUM * _WMS, -1)
     )
     mom = F.coalesce(F.avg("velocity").over(frame), F.lit(0.0))
     with_mom = with_vel.withColumn("momentum", mom)
@@ -91,20 +104,36 @@ def _score(vel: float, n: int, mom: float) -> float:
 
 
 def _close_windows(state_dict, watermark_ms):
-    """Close every open window whose END <= watermark; emit in window order."""
+    """Close every open window whose END <= watermark; emit in window order.
+
+    Momentum for a window starting at ws averages the velocities of closed
+    windows whose start lies in [ws - 3W, ws) — the previous 3 slots, so an
+    idle gap >= 3 windows resets momentum to 0 (same as momentum_batch's
+    RANGE frame)."""
     out = []
     open_w = state_dict["open"]
-    closed = state_dict["closed"]  # list[(ws, velocity)] — last 3, ordered
+    closed = state_dict["closed"]  # list[(ws, velocity)], ascending ws
     for ws in sorted(list(open_w)):
-        if ws + WINDOW_SECONDS * 1000 <= watermark_ms:
+        if ws + _WMS <= watermark_ms:
             n, eng = open_w.pop(ws)
             vel = _velocity(eng, n)
-            prev = [v for _, v in closed[-_N_MOMENTUM:]]
+            prev = [v for w, v in closed if ws - _N_MOMENTUM * _WMS <= w < ws]
             mom = sum(prev) / len(prev) if prev else 0.0
             out.append((ws, n, eng, vel, mom, _score(vel, n, mom)))
             closed.append((ws, vel))
             del closed[:-_N_MOMENTUM]
     return out
+
+
+def _expire_closed(closed, watermark_ms):
+    """Drop closed-window velocities that can no longer feed any momentum.
+
+    An entry at w contributes to windows starting <= w + 3W; the last such
+    window closes once the watermark reaches w + 4W. Events older than the
+    watermark are dropped by withWatermark, so no window starting earlier
+    can ever open — after that point the entry is dead state."""
+    horizon = (_N_MOMENTUM + 1) * _WMS
+    return [(w, v) for w, v in closed if w + horizon > watermark_ms]
 
 
 def _momentum_fn(
@@ -134,10 +163,11 @@ def _momentum_fn(
     # -------- close windows the watermark has passed --------
     wm = state.getCurrentWatermarkMs()
     emitted = _close_windows(sd, wm)
+    sd["closed"] = _expire_closed(sd["closed"], wm)
 
     # -------- persist / schedule / cleanup --------
     if sd["open"]:
-        nxt = min(ws + WINDOW_SECONDS * 1000 for ws in sd["open"])
+        nxt = min(ws + _WMS for ws in sd["open"])
         state.update(
             (
                 list(sd["open"].keys()),
@@ -151,9 +181,10 @@ def _momentum_fn(
         state.setTimeoutTimestamp(max(nxt, wm + 1))
     elif sd["closed"]:
         state.update(([], [], [], [w for w, _ in sd["closed"]], [v for _, v in sd["closed"]]))
-        # no open windows: state only feeds momentum of future windows; keep
-        # it until the key is idle for 3 windows past the watermark
-        state.setTimeoutTimestamp(wm + 3 * WINDOW_SECONDS * 1000)
+        # no open windows: state only feeds momentum of future windows; wake
+        # when the newest closed entry expires so idle keys leave the store
+        last = max(w for w, _ in sd["closed"])
+        state.setTimeoutTimestamp(max(last + (_N_MOMENTUM + 1) * _WMS, wm + 1))
     else:
         state.remove()
 
@@ -245,7 +276,7 @@ class _MomentumProcessor(_SPBase):
                     [v[1] for v in sd["open"].values()],
                 )
             )
-            nxt = min(ws + WINDOW_SECONDS * 1000 for ws in sd["open"])
+            nxt = min(ws + _WMS for ws in sd["open"])
             self.handle.registerTimer(max(nxt, wm + 1))
         else:
             self.open.clear()
@@ -254,8 +285,10 @@ class _MomentumProcessor(_SPBase):
                 ([w for w, _ in sd["closed"]], [v for _, v in sd["closed"]])
             )
             if not sd["open"]:
-                # closed-only state feeds future momentum; expire after 3 idle windows
-                self.handle.registerTimer(wm + 3 * WINDOW_SECONDS * 1000)
+                # closed-only state feeds future momentum; wake when the
+                # newest entry expires so idle keys leave the store
+                last = max(w for w, _ in sd["closed"])
+                self.handle.registerTimer(max(last + (_N_MOMENTUM + 1) * _WMS, wm + 1))
         else:
             self.closed.clear()
 
@@ -284,6 +317,7 @@ class _MomentumProcessor(_SPBase):
                 slot[1] += float(grp["value"].sum())
         wm = timerValues.getCurrentWatermarkInMs()
         emitted = _close_windows(sd, wm)
+        sd["closed"] = _expire_closed(sd["closed"], wm)
         self._store(sd, wm)
         if emitted:
             yield self._emit(key, emitted)
@@ -292,11 +326,7 @@ class _MomentumProcessor(_SPBase):
         sd = self._load()
         wm = timerValues.getCurrentWatermarkInMs()
         emitted = _close_windows(sd, wm)
-        if not sd["open"] and not emitted and sd["closed"]:
-            # idle-cleanup timer: drop closed-only state once it can no longer
-            # contribute momentum (3 windows behind the watermark)
-            if all(ws + 4 * WINDOW_SECONDS * 1000 <= wm for ws, _ in sd["closed"]):
-                sd["closed"] = []
+        sd["closed"] = _expire_closed(sd["closed"], wm)
         self._store(sd, wm)
         if emitted:
             yield self._emit(key, emitted)

@@ -83,6 +83,77 @@ def test_batch_momentum_is_lagged_avg(spark, event_rows):
     assert out[3]["trending_score"] > out[0]["trending_score"]
 
 
+def test_idle_gap_resets_momentum_stream_equals_batch(spark, tmp_path):
+    """A key idle for > 3 windows restarts at momentum 0 in BOTH forms.
+
+    Replayed file-by-file (maxFilesPerTrigger=1) so the watermark advances
+    across micro-batches and the closed-state expiry timer actually fires —
+    the revived key's momentum must come out 0 because its pre-gap
+    velocities are outside the RANGE frame (batch) / expired (stream)."""
+    base = datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    # activity in windows 0,1 then an idle gap, then windows 7,8
+    for w in (0, 1, 7, 8):
+        for j in range(4):
+            ts = base + timedelta(minutes=5 * w, seconds=11 * j)
+            rows.append((eid, ts, 1, "view", float(100 + 10 * w + j)))
+            eid += 1
+    flush_ts = base + timedelta(hours=2)
+    rows.append((eid, flush_ts, 99, "view", 1.0))
+
+    df = spark.createDataFrame(rows, SCHEMA)
+    src = tmp_path / "mom_gap_src"
+    src.mkdir()
+    # one file per window chunk => one micro-batch each, watermark advances
+    for i, cut in enumerate([(0, 1), (7,), (8,), (None,)]):
+        if cut == (None,):
+            part = df.filter(F.col("user_id") == 99)
+        else:
+            lo = base + timedelta(minutes=5 * cut[0])
+            hi = base + timedelta(minutes=5 * (cut[-1] + 1))
+            part = df.filter(
+                (F.col("user_id") == 1) & (F.col("ts") >= lo) & (F.col("ts") < hi)
+            )
+        part.coalesce(1).write.mode("overwrite").parquet(str(src / f"f{i}"))
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "f*"))
+    )
+    q = (
+        momentum_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("mom_gap_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["key"], r["window_start_ms"]): r
+        for r in spark.table("mom_gap_out").collect()
+    }
+    expected = {
+        (r["key"], r["window_start_ms"]): r
+        for r in momentum_batch(df.filter(F.col("user_id") != 99)).collect()
+    }
+    assert set(got) == set(expected)
+    for k, e in expected.items():
+        g = got[k]
+        assert g["momentum"] == pytest.approx(e["momentum"], rel=1e-9), k
+        assert g["trending_score"] == pytest.approx(e["trending_score"], rel=1e-9), k
+    # the revived window (w=7) must have restarted at momentum 0
+    starts = sorted(ms for (k, ms) in got if k == 1)
+    assert len(starts) == 4
+    w7_ms, w8_ms = starts[2], starts[3]
+    assert expected[(1, w7_ms)]["momentum"] == 0.0
+    assert got[(1, w7_ms)]["momentum"] == 0.0
+    # and w=8 sees only w=7 (not the pre-gap windows)
+    assert got[(1, w8_ms)]["momentum"] == pytest.approx(got[(1, w7_ms)]["velocity"])
+
+
 def test_tws_momentum_equals_batch(spark, tmp_path, event_rows):
     """transformWithState (Spark 4 API, RocksDB-backed) == batch semantics.
 
