@@ -20,10 +20,19 @@ No Python UDFs anywhere — xxhash64 / md5 / array ops are all JVM-native.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from kol_bigdata_realtime_analytics_spark.functions.text import doc_fingerprint_md5, tokens
+
+#: Default per-bucket candidate cap for the LSH banding joins. A degenerate
+#: hot bucket (boilerplate/templated text hashing identically in some band)
+#: otherwise concentrates an O(n²) pair blow-up and an n-element collect_list
+#: buffer in ONE task — at 100 TB that is one OOM'ing straggler. Buckets over
+#: the cap are skipped (their docs are near-identical boilerplate better
+#: handled by exact dedup) and reported by the *_skipped_buckets companions
+#: so the truncation is visible, never silent.
+DEFAULT_MAX_BUCKET = 10_000
 
 
 def exact_dedup_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -60,7 +69,7 @@ def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
     return F.array(*sigs)
 
 
-def minhash_lsh_candidates(
+def _minhash_banded(
     df: DataFrame,
     text_col: str,
     id_col: str,
@@ -68,12 +77,7 @@ def minhash_lsh_candidates(
     bands: int = 8,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Candidate near-duplicate pairs (id_a < id_b) via banded MinHash LSH.
-
-    rows_per_band = num_hashes / bands; two docs collide if ANY band of their
-    signatures matches exactly. The bucket join shuffles (band_idx, band_hash)
-    — tiny keys — then self-joins within buckets only.
-    """
+    """(doc, band, bucket) rows: banded MinHash signatures, one per doc/band."""
     rows_per_band = num_hashes // bands
     # signature computation is CPU-bound: spread a coarse input (e.g. one
     # parquet file locally) across all cores before hashing. At cluster scale
@@ -98,7 +102,7 @@ def minhash_lsh_candidates(
         *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
     )
     # band buckets as flat columns too: band b = xxhash64 over its row slice
-    banded = sig.select(
+    return sig.select(
         "doc",
         F.explode(
             F.array(
@@ -114,12 +118,41 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) via banded MinHash LSH.
+
+    rows_per_band = num_hashes / bands; two docs collide if ANY band of their
+    signatures matches exactly. The bucket join shuffles (band_idx, band_hash)
+    — tiny keys — then pairs generate within buckets only.
+
+    Buckets larger than `max_bucket` are SKIPPED (see DEFAULT_MAX_BUCKET):
+    the guard is a window count over the same (band, bucket) key as the
+    pair-generating groupBy, so it rides the one wide exchange (no second
+    scan of the signature lineage) and drops hot buckets BEFORE any
+    collect_list buffer materializes. Use minhash_lsh_skipped_buckets with
+    the same arguments to see exactly what was skipped and how big it was.
+    """
+    banded = _minhash_banded(df, text_col, id_col, num_hashes, bands, shingle_n)
+    guard = Window.partitionBy("band", "bucket")
+    guarded = banded.withColumn("bucket_n", F.count("*").over(guard)).filter(
+        F.col("bucket_n") <= max_bucket
+    )
     # Pairs via ONE groupBy on the bucket key instead of a self-join: a
     # self-join would re-execute the whole shingle+signature lineage for both
     # sides (2x the CPU) and shuffle the corpus twice. Here signatures are
-    # computed once, the only wide exchange moves (band, bucket, doc) triples,
-    # and pairs are generated inside each bucket list (near-dup buckets are
-    # small by construction; a degenerate hot bucket blows up either way).
+    # computed once, the only wide exchange moves (band, bucket, doc) triples
+    # (the guard window reuses its partitioning), and pairs are generated
+    # inside each bucket list — bounded by max_bucket.
     ds = F.array_sort(F.collect_list("doc"))
     pairs = F.flatten(
         F.transform(
@@ -133,12 +166,35 @@ def minhash_lsh_candidates(
         )
     )
     return (
-        banded.groupBy("band", "bucket")
+        guarded.groupBy("band", "bucket")
         .agg(ds.alias("ds"))
         .filter(F.size("ds") > 1)
         .select(F.explode(pairs).alias("p"))
         .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
+    )
+
+
+def minhash_lsh_skipped_buckets(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """(band, bucket, bucket_n) for every bucket the candidate join skipped.
+
+    The visibility half of the hot-bucket guard: run alongside
+    minhash_lsh_candidates (same args) to count/audit truncation. Plain
+    count aggregation — no lists materialize regardless of bucket size.
+    """
+    banded = _minhash_banded(df, text_col, id_col, num_hashes, bands, shingle_n)
+    return (
+        banded.groupBy("band", "bucket")
+        .agg(F.count("*").alias("bucket_n"))
+        .filter(F.col("bucket_n") > max_bucket)
     )
 
 
@@ -266,21 +322,39 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def simhash_neardup_pairs(
-    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
-) -> DataFrame:
-    """Near-dup pairs by SimHash banding: split 64 bits into 4x16-bit chunks;
-    pairs within max_hamming differ in <= max_hamming bits so at least one
-    chunk matches exactly (pigeonhole) -> bucket join on (chunk_idx, chunk)."""
+def _simhash_banded(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc, sim, chunk_idx, chunk) rows: 4x16-bit chunk banding of SimHash."""
     sh = with_simhash(df, text_col, id_col)
     # 16-bit chunk extraction via unsigned shift + mask (always non-negative)
     chunks = F.array(
         *[F.shiftrightunsigned(F.col("sim"), 16 * i).bitwiseAND(F.lit(0xFFFF)) for i in range(4)]
     )
-    banded = sh.select(
+    return sh.select(
         "doc",
         "sim",
         F.posexplode(chunks).alias("chunk_idx", "chunk"),
+    )
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Near-dup pairs by SimHash banding: split 64 bits into 4x16-bit chunks;
+    pairs within max_hamming differ in <= max_hamming bits so at least one
+    chunk matches exactly (pigeonhole) -> bucket join on (chunk_idx, chunk).
+
+    Hot-bucket guard as in minhash_lsh_candidates: buckets over `max_bucket`
+    are skipped before any list materializes (window count on the same key,
+    riding the one exchange); simhash_skipped_buckets reports them.
+    """
+    banded = _simhash_banded(df, text_col, id_col)
+    guard = Window.partitionBy("chunk_idx", "chunk")
+    guarded = banded.withColumn("bucket_n", F.count("*").over(guard)).filter(
+        F.col("bucket_n") <= max_bucket
     )
     # one groupBy on the chunk key instead of a self-join (which would run
     # the whole simhash lineage twice and shuffle it twice); pairs generate
@@ -296,7 +370,7 @@ def simhash_neardup_pairs(
         )
     )
     return (
-        banded.groupBy("chunk_idx", "chunk")
+        guarded.groupBy("chunk_idx", "chunk")
         .agg(ds.alias("ds"))
         .filter(F.size("ds") > 1)
         .select(F.explode(pairs).alias("p"))
@@ -307,4 +381,19 @@ def simhash_neardup_pairs(
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_skipped_buckets(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """(chunk_idx, chunk, bucket_n) for buckets simhash_neardup_pairs skipped."""
+    banded = _simhash_banded(df, text_col, id_col)
+    return (
+        banded.groupBy("chunk_idx", "chunk")
+        .agg(F.count("*").alias("bucket_n"))
+        .filter(F.col("bucket_n") > max_bucket)
     )

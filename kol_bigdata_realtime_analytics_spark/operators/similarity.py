@@ -274,6 +274,62 @@ def lsh_neardup_pairs(
     )
 
 
+def kmeans_centroids(
+    candidates: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    sample_size: int = 4096,
+    max_iter: int = 20,
+) -> list[list[float]]:
+    """Spherical k-means centroids fit on a deterministic bounded sample.
+
+    Sample = the `sample_size` rows with the smallest xxhash64(id) — stable
+    across partitionings and cluster sizes (a seeded rand() sample is not:
+    it depends on row order within partitions). The fit is driver-side
+    numpy Lloyd iterations over at most sample_size x dim doubles
+    (4096 x 64 = 2 MB) — a bounded model-fit artifact like a broadcast ML
+    model, NOT a data-path collect; the corpus itself is never collected.
+    Assignment maximizes cosine (rows and centroids L2-normalized every
+    round); argmax ties and empty clusters resolve to the lowest index /
+    the previous centroid, so the result is reproducible with no RNG seed.
+    Initialization is the first n_centroids rows of the hash-ordered
+    sample — i.e. a uniform pseudo-random draw, but a fixed one.
+    """
+    import numpy as np
+
+    rows = (
+        candidates.select(
+            F.col(id_col).alias("vid"),
+            as_double_vec(F.col(vec_col)).alias("v"),
+            F.xxhash64(F.col(id_col)).alias("h"),
+        )
+        .orderBy("h", "vid")
+        .limit(sample_size)
+        .collect()
+    )
+    X = np.array([r["v"] for r in rows], dtype="float64")
+    nrm = np.linalg.norm(X, axis=1, keepdims=True)
+    nrm[nrm == 0] = 1.0
+    Xn = X / nrm
+    k = min(n_centroids, len(Xn))
+    C = Xn[:k].copy()
+    for _ in range(max_iter):
+        assign = np.argmax(Xn @ C.T, axis=1)
+        new_c = np.empty_like(C)
+        for j in range(k):
+            members = Xn[assign == j]
+            new_c[j] = members.mean(axis=0) if len(members) else C[j]
+        cn = np.linalg.norm(new_c, axis=1, keepdims=True)
+        cn[cn == 0] = 1.0
+        new_c = new_c / cn
+        converged = np.allclose(new_c, C, atol=1e-12)
+        C = new_c
+        if converged:
+            break
+    return [[float(x) for x in c] for c in C]
+
+
 def ivf_topk(
     candidates: DataFrame,
     queries: DataFrame,
@@ -283,25 +339,32 @@ def ivf_topk(
     n_centroids: int = 8,
     n_probe: int = 2,
     dim: int | None = None,
+    sample_size: int = 4096,
 ) -> DataFrame:
     """Approximate cosine top-k: IVF (inverted-file) coarse quantizer.
 
-    Build phase: every candidate vector is assigned to its nearest centroid
-    (one broadcast nested-loop over n_centroids rows — no shuffle of the
-    corpus itself). Search phase: each query probes only its n_probe nearest
-    centroids' lists, so the scored fraction is ~n_probe/n_centroids of the
-    corpus. At 100 TB the assignment is a one-off write of a `cent_id`
-    partition column; searches then prune to n_probe partitions.
-
-    Centroids here are the n_centroids lowest-id vectors (deterministic
-    stand-in for a k-means sample — the engine contract only needs a fixed
-    coarse quantizer). Output contract matches brute_force_topk; recall is
-    approximate (tests bound it against the exact scorer).
+    Build phase: spherical k-means centroids are fit on a deterministic
+    bounded sample (kmeans_centroids above) and broadcast; every candidate
+    vector is assigned to its nearest centroid (one broadcast nested-loop
+    over n_centroids rows — no shuffle of the corpus itself). Search phase:
+    each query probes only its n_probe nearest centroids' lists, so the
+    scored fraction is ~n_probe/n_centroids of the corpus. At 100 TB the
+    assignment is a one-off write of a `cent_id` partition column; searches
+    then prune to n_probe partitions. Output contract matches
+    brute_force_topk; recall is approximate (tests bound it against the
+    exact scorer on clustered data, where a non-representative quantizer
+    measurably fails).
     """
-    cents = (
-        candidates.orderBy(F.col(id_col).asc())
-        .limit(n_centroids)
-        .select(F.col(id_col).alias("cent_id"), as_double_vec(F.col(vec_col)).alias("cent_vec"))
+    centroids = kmeans_centroids(
+        candidates,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_centroids=n_centroids,
+        sample_size=sample_size,
+    )
+    cents = candidates.sparkSession.createDataFrame(
+        [(i, v) for i, v in enumerate(centroids)],
+        "cent_id long, cent_vec array<double>",
     )
     base = candidates.select(
         F.col(id_col).alias("c_id"), as_double_vec(F.col(vec_col)).alias("c_vec")

@@ -390,9 +390,11 @@ def term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("ann_ivf_topk", oracle=None)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: assign corpus to nearest of 8 centroids, probe 2 lists per
-    query. Approximate (rows-only driver check); pytest bounds recall@3
-    against the brute-force scorer on identical inputs."""
+    """IVF ANN: spherical k-means centroids (fit on a deterministic bounded
+    sample), assign corpus to nearest of 8, probe 2 lists per query.
+    Approximate (rows-only driver check); pytest bounds recall@3 against
+    the brute-force scorer on clustered data where a non-representative
+    quantizer measurably fails."""
     from kol_bigdata_realtime_analytics_spark.operators.similarity import ivf_topk
 
     emb = table(spark, sf_dir, "embeddings")

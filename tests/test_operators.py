@@ -77,6 +77,51 @@ def test_simhash_identical_and_near(spark, docs_df):
     assert pairs[(1, 4)] == 0  # exact dups collide in every chunk
 
 
+def test_lsh_hot_bucket_guard(spark):
+    """A planted degenerate bucket (500 identical boilerplate docs) must not
+    blow up the pair join: its buckets are skipped, reported with counts, and
+    genuine near-dups outside the hot bucket are still found."""
+    from kol_bigdata_realtime_analytics_spark.operators.dedup import (
+        minhash_lsh_skipped_buckets,
+        simhash_neardup_pairs,
+        simhash_skipped_buckets,
+    )
+
+    boiler = "subscribe to our newsletter for daily updates and exclusive offers today"
+    rows = [(i, boiler) for i in range(500)]
+    rows += [
+        (1000, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (1001, "the quick brown fox jumps over the lazy dog near the river bend"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    cand = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(df, "text", "doc_id", max_bucket=100).collect()
+    }
+    assert (1000, 1001) in cand  # genuine near-dup survives the guard
+    assert not any(a < 500 and b < 500 for a, b in cand)  # hot bucket skipped
+
+    skipped = minhash_lsh_skipped_buckets(df, "text", "doc_id", max_bucket=100).collect()
+    assert len(skipped) == 8  # identical docs collide in every band
+    assert all(r["bucket_n"] == 500 for r in skipped)
+
+    sim_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_neardup_pairs(
+            df, "text", "doc_id", max_hamming=10, max_bucket=100
+        ).collect()
+    }
+    assert not any(a < 500 and b < 500 for a, b in sim_pairs)
+    sim_skipped = simhash_skipped_buckets(df, "text", "doc_id", max_bucket=100).collect()
+    assert len(sim_skipped) == 4 and all(r["bucket_n"] == 500 for r in sim_skipped)
+
+    # without the guard the same corpus yields the full O(n^2) hot-bucket
+    # pair set — the guard is the only thing between this plan and ~125k pairs
+    unguarded = minhash_lsh_candidates(df, "text", "doc_id").count()
+    assert unguarded > 100_000
+
+
 def test_word_shingles(spark):
     df = spark.createDataFrame([("a b c d",)], "t string")
     out = df.select(word_shingles(F.col("t"), 3).alias("s")).collect()[0]["s"]
@@ -141,6 +186,55 @@ def test_ivf_topk_recall_on_testdata(spark, sf_small):
     for q, _ in approx:
         per_q[q] = per_q.get(q, 0) + 1
     assert all(v == 3 for v in per_q.values())
+
+
+def test_ivf_kmeans_recall_on_clustered_data(spark):
+    """On CLUSTERED embeddings the k-means quantizer must recover nearly all
+    of the exact top-3 with probe 2-of-4.
+
+    The data is adversarial for the old lowest-id stand-in: the 8 lowest ids
+    all sit in cluster 0, so id-based 'centroids' would put every coarse
+    cell in one corner of the space and probing would prune the true
+    neighbours of queries from the other three clusters (recall collapses).
+    Sampled spherical k-means must place centroids in every cluster."""
+    from kol_bigdata_realtime_analytics_spark.operators.similarity import (
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    dim = 8
+    centers = []
+    for c in range(4):
+        v = [0.05] * dim
+        v[2 * c] = 1.0
+        v[2 * c + 1] = 0.6
+        centers.append(v)
+    rows = []
+    vid = 0
+    # ids 0..19 ALL in cluster 0 (the stand-in's trap), then round-robin
+    for _ in range(20):
+        base = centers[0]
+        rows.append((vid, [x + 0.01 * ((vid * 7 + i) % 5) for i, x in enumerate(base)]))
+        vid += 1
+    for j in range(60):
+        base = centers[1 + j % 3]
+        rows.append((vid, [x + 0.01 * ((vid * 7 + i) % 5) for i, x in enumerate(base)]))
+        vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # centroids must cover all four clusters, not just cluster 0
+    cents = kmeans_centroids(emb, n_centroids=4, sample_size=80)
+    cluster_of = [max(range(4), key=lambda c: sum(a * b for a, b in zip(cent, centers[c])))
+                  for cent in cents]
+    assert set(cluster_of) == {0, 1, 2, 3}
+
+    queries = emb.filter(F.col("vec_id").isin([0, 25, 45, 70]))
+    exact = {(r["q_id"], r["c_id"]) for r in brute_force_topk(emb, queries, k=3).collect()}
+    approx = {
+        (r["q_id"], r["c_id"])
+        for r in ivf_topk(emb, queries, k=3, n_centroids=4, n_probe=2).collect()
+    }
+    assert len(approx & exact) / len(exact) >= 0.9
 
 
 def test_approx_percentiles_bounded_error(spark, sf_oracle):
