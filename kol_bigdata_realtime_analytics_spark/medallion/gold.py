@@ -171,8 +171,34 @@ def build_ml_training(trust_features: DataFrame) -> DataFrame:
     )
 
 
-def latest_per_key(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
+def latest_per_key(
+    df: DataFrame, key_cols: list[str], order_col: str | tuple[str, ...]
+) -> DataFrame:
     """Append-only timeseries -> latest snapshot per key (ref
-    product_tracker.py:287-292): row_number over desc order."""
-    w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
+    product_tracker.py:287-292): row_number over desc order. Pass a tuple
+    of order columns when the primary one can tie (determinism rule)."""
+    order = (order_col,) if isinstance(order_col, str) else order_col
+    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c).desc() for c in order])
     return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def sold_deltas(
+    timeseries: DataFrame,
+    key_col: str = "product_id",
+    value_col: str = "sold_count",
+    order_cols: tuple[str, ...] = ("scraped_at",),
+) -> DataFrame:
+    """Append-only sold-count timeseries -> per-observation sold_delta.
+
+    The reference computes this diff DRIVER-side: it collects the previous
+    snapshot into a Python dict and subtracts per scraped row
+    (product_tracker.py:273-294,437-445) — O(products) driver memory and a
+    collect per run. Engine-side it is one lag window over
+    (key ORDER BY time): distributed, no collect, and the whole history's
+    deltas come out of the same pass. First observation per key gets
+    delta 0 (matching the reference's missing-cache default)."""
+    w = Window.partitionBy(key_col).orderBy(*[F.col(c).asc() for c in order_cols])
+    prev = F.lag(value_col).over(w)
+    return timeseries.withColumn(
+        "sold_delta", F.col(value_col) - F.coalesce(prev, F.col(value_col))
+    )

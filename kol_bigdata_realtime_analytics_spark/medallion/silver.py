@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from kol_bigdata_realtime_analytics_spark.functions.counts import parse_count
+
 # ---------------------------------------------------------------------------
 # unified kol_profiles schema (ref: bronze_to_silver.py:163-214,264-324)
 # ---------------------------------------------------------------------------
@@ -73,6 +75,56 @@ def profiles_from_twitter(bronze: DataFrame) -> DataFrame:
         )
         .filter(F.col("username").isNotNull() & (F.col("username") != ""))
     )
+
+
+def profiles_from_tiktok(bronze: DataFrame) -> DataFrame:
+    """tiktok_profiles payload -> unified profile rows (ref
+    tiktok_bronze_to_silver.py:131-147).
+
+    username doubles as kol_id; the raw human-readable follower/following
+    strings parse through the ONE native parse_count expression (the
+    reference calls its row-at-a-time parse_count_udf here); verified stays
+    boolean like every other source in this engine (the reference casts it
+    to int to paper over a schema drift this unified schema doesn't have).
+    """
+    p = "payload"
+    return bronze.select(
+        F.col(f"{p}.username").alias("kol_id"),
+        F.lit("tiktok").alias("platform"),
+        F.col(f"{p}.username").alias("username"),
+        F.col(f"{p}.nickname").alias("display_name"),
+        F.coalesce(F.col(f"{p}.bio"), F.lit("")).alias("bio"),
+        parse_count(F.col(f"{p}.followers_raw")).alias("followers_count"),
+        parse_count(F.col(f"{p}.following_raw")).alias("following_count"),
+        F.lit(0).cast("long").alias("post_count"),
+        F.lit(0).cast("long").alias("favorites_count"),
+        F.coalesce(F.col(f"{p}.verified"), F.lit(False)).alias("verified"),
+        F.col(f"{p}.event_time").alias("account_created_at"),
+        F.col(f"{p}.profile_url").alias("profile_url"),
+        F.lit("Unknown").alias("category"),
+        F.lit("tiktok_bronze").alias("source"),
+    ).filter(F.col("username").isNotNull() & (F.col("username") != ""))
+
+
+def products_from_tiktok(bronze: DataFrame) -> DataFrame:
+    """tiktok product payload -> silver product rows (ref
+    product_tracker.py:246-263): keep id/url/title/seller + parsed sold
+    count, drop rows missing id or url, deterministic dedup by product_id
+    (latest scraped_at wins; the reference's dropDuplicates keeps an
+    arbitrary row)."""
+    p = "payload"
+    base = bronze.select(
+        F.col(f"{p}.product_id").alias("product_id"),
+        F.col(f"{p}.product_url").alias("product_url"),
+        F.col(f"{p}.title").alias("title"),
+        F.col(f"{p}.seller_username").alias("seller_username"),
+        parse_count(F.col(f"{p}.sold_raw")).alias("sold_count"),
+        F.col(f"{p}.scraped_at").alias("scraped_at"),
+    ).filter(F.col("product_id").isNotNull() & F.col("product_url").isNotNull())
+    w = Window.partitionBy("product_id").orderBy(
+        F.col("scraped_at").desc_nulls_last(), F.col("product_url").asc()
+    )
+    return base.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
 
 def unify_profiles(*sources: DataFrame) -> DataFrame:

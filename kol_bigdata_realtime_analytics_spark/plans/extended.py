@@ -462,3 +462,290 @@ def user_event_type_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sort_array(F.collect_set("event_type")).alias("event_types"),
         F.countDistinct("event_type").alias("n_types"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TikTok medallion slice (ref tiktok_bronze_to_silver.py:131-147): per-source
+# payload projection with native parse_count + deterministic profile dedup.
+# Bronze is synthesized from customer so the whole path sits under the oracle.
+# ---------------------------------------------------------------------------
+
+from kol_bigdata_realtime_analytics_spark.functions.counts import PARSE_COUNT_ORACLE_SQL
+
+_TIKTOK_RAW_SQL = """
+  SELECT CASE WHEN c_custkey % 97 = 0 THEN '' ELSE 'user_' || CAST(c_custkey AS VARCHAR) END AS username,
+         c_name AS nickname,
+         CASE WHEN c_custkey % 4 = 0 THEN CAST((c_custkey % 900) + 1 AS VARCHAR)
+              WHEN c_custkey % 4 = 1 THEN CAST((c_custkey % 90) + 1 AS VARCHAR) || '.' || CAST(c_custkey % 10 AS VARCHAR) || 'K'
+              WHEN c_custkey % 4 = 2 THEN CAST((c_custkey % 9) + 1 AS VARCHAR) || '.' || CAST(c_custkey % 10 AS VARCHAR) || 'M'
+              ELSE '1,' || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') END AS followers_raw,
+         CAST((c_custkey % 500) + 1 AS VARCHAR) || CASE WHEN c_custkey % 3 = 0 THEN 'K' ELSE '' END AS following_raw,
+         CAST(c_acctbal > 5000 AS INTEGER) AS verified,
+         c_custkey AS k
+  FROM customer
+"""
+
+_TIKTOK_PROFILES_ORACLE = f"""
+WITH raw AS ({_TIKTOK_RAW_SQL}),
+unioned AS (
+  SELECT username, nickname, followers_raw, following_raw, verified FROM raw
+  UNION ALL
+  SELECT username, nickname, '1' AS followers_raw, following_raw, verified FROM raw WHERE k % 10 = 0
+),
+parsed AS (
+  SELECT username, nickname,
+         {PARSE_COUNT_ORACLE_SQL.format(col="followers_raw")} AS followers_count,
+         {PARSE_COUNT_ORACLE_SQL.format(col="following_raw")} AS following_count,
+         verified
+  FROM unioned WHERE username IS NOT NULL AND username != ''
+),
+dedup AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY username ORDER BY followers_count DESC
+  ) AS rn FROM parsed
+)
+SELECT username AS kol_id, username, nickname AS display_name,
+       followers_count, following_count, verified,
+       'https://tiktok.com/@' || username AS profile_url
+FROM dedup WHERE rn = 1
+"""
+
+
+def _tiktok_bronze(spark: SparkSession, sf_dir: str, followers_raw=None) -> DataFrame:
+    """Deterministic tiktok bronze envelope synthesized from customer."""
+    c = table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    username = F.when(k % 97 == 0, F.lit("")).otherwise(
+        F.concat(F.lit("user_"), k.cast("string"))
+    )
+    if followers_raw is None:
+        followers_raw = (
+            F.when(k % 4 == 0, ((k % 900) + 1).cast("string"))
+            .when(
+                k % 4 == 1,
+                F.concat(((k % 90) + 1).cast("string"), F.lit("."), (k % 10).cast("string"), F.lit("K")),
+            )
+            .when(
+                k % 4 == 2,
+                F.concat(((k % 9) + 1).cast("string"), F.lit("."), (k % 10).cast("string"), F.lit("M")),
+            )
+            .otherwise(F.concat(F.lit("1,"), F.lpad((k % 1000).cast("string"), 3, "0")))
+        )
+    following_raw = F.concat(
+        ((k % 500) + 1).cast("string"),
+        F.when(k % 3 == 0, F.lit("K")).otherwise(F.lit("")),
+    )
+    return c.select(
+        k.alias("bronze_key"),
+        F.struct(
+            username.alias("username"),
+            F.col("c_name").alias("nickname"),
+            F.lit(None).cast("string").alias("bio"),
+            followers_raw.alias("followers_raw"),
+            following_raw.alias("following_raw"),
+            (F.col("c_acctbal") > 5000).alias("verified"),
+            F.lit(None).cast("string").alias("event_time"),
+            F.concat(F.lit("https://tiktok.com/@"), username).alias("profile_url"),
+        ).alias("payload"),
+    )
+
+
+@register("tiktok_profiles_silver", oracle=_TIKTOK_PROFILES_ORACLE)
+def tiktok_profiles_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TikTok bronze->silver projection: parse_count on raw human-readable
+    counts (four string formats incl. comma-grouped), blank-username filter,
+    deterministic (platform, username) dedup where the higher-followers
+    duplicate wins — the whole per-source medallion slice under one oracle."""
+    from kol_bigdata_realtime_analytics_spark.medallion.silver import (
+        profiles_from_tiktok,
+        unify_profiles,
+    )
+
+    bronze = _tiktok_bronze(spark, sf_dir)
+    dup_bronze = _tiktok_bronze(spark, sf_dir, followers_raw=F.lit("1")).filter(
+        F.col("bronze_key") % 10 == 0
+    )
+    profiles = profiles_from_tiktok(bronze.unionByName(dup_bronze))
+    return unify_profiles(profiles).select(
+        "kol_id",
+        "username",
+        "display_name",
+        "followers_count",
+        "following_count",
+        F.col("verified").cast("int").alias("verified"),
+        "profile_url",
+    )
+
+
+# ---------------------------------------------------------------------------
+# product_sold_timeseries (ref product_tracker.py:273-294,437-445): the
+# driver-side dict diff re-expressed as a lag window; latest-per-key snapshot
+# on top. Timeseries synthesized from purchase events.
+# ---------------------------------------------------------------------------
+
+_SOLD_TS_SQL = """
+  SELECT user_id % 50 AS product_id, event_id, ts AS scraped_at,
+         CAST(ROUND(value * 10) AS BIGINT) AS sold_count
+  FROM events WHERE event_type = 'purchase'
+"""
+
+_SOLD_DELTA_SQL = f"""
+  SELECT product_id, event_id, epoch_us(scraped_at) AS scraped_at_us, sold_count,
+         sold_count - COALESCE(LAG(sold_count) OVER (
+           PARTITION BY product_id ORDER BY scraped_at, event_id), sold_count) AS sold_delta,
+         ROW_NUMBER() OVER (
+           PARTITION BY product_id ORDER BY scraped_at DESC, event_id DESC) AS rn
+  FROM ({_SOLD_TS_SQL})
+"""
+
+
+def _sold_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kol_bigdata_realtime_analytics_spark.medallion.gold import sold_deltas
+
+    ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    ts = ev.select(
+        (F.col("user_id") % 50).alias("product_id"),
+        "event_id",
+        F.col("ts").alias("scraped_at"),
+        F.round(F.col("value") * 10, 0).cast("long").alias("sold_count"),
+    )
+    return sold_deltas(ts, order_cols=("scraped_at", "event_id"))
+
+
+@register(
+    "product_sold_timeseries",
+    oracle=f"SELECT product_id, event_id, scraped_at_us, sold_count, sold_delta FROM ({_SOLD_DELTA_SQL})",
+)
+def product_sold_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full sold-count history with per-observation deltas (lag window) —
+    no driver collect, one narrow (product_id) shuffle."""
+    out = _sold_timeseries(spark, sf_dir)
+    return out.select(
+        "product_id",
+        "event_id",
+        F.unix_micros("scraped_at").alias("scraped_at_us"),
+        "sold_count",
+        "sold_delta",
+    )
+
+
+@register(
+    "product_sold_latest",
+    oracle=f"SELECT product_id, event_id, scraped_at_us, sold_count, sold_delta FROM ({_SOLD_DELTA_SQL}) WHERE rn = 1",
+)
+def product_sold_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest snapshot per product with its delta — latest_per_key over the
+    delta'd timeseries (ref product_tracker.py:287-292 reads exactly this)."""
+    from kol_bigdata_realtime_analytics_spark.medallion.gold import latest_per_key
+
+    out = latest_per_key(
+        _sold_timeseries(spark, sf_dir), ["product_id"], ("scraped_at", "event_id")
+    )
+    return out.select(
+        "product_id",
+        "event_id",
+        F.unix_micros("scraped_at").alias("scraped_at_us"),
+        "sold_count",
+        "sold_delta",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kafka wire-format replay (S7/S13 without a broker): the exact parse/DLQ/
+# serialize plans (sources/kafka.py) driven by a deterministic wire fixture
+# built from events. The oracle computes the expected output DIRECTLY from
+# events — any corruption in to_json/from_json roundtrips breaks the hash.
+# ---------------------------------------------------------------------------
+
+_WIRE_VALID_ORACLE = """
+SELECT CAST(user_id AS VARCHAR) AS kol_id,
+       event_type AS platform,
+       'v' || CAST(event_id AS VARCHAR) AS video_id,
+       CAST(ROUND(value * 100) AS BIGINT) AS views,
+       event_id % 1000 AS likes,
+       event_id % 100 AS comments,
+       event_id % 10 AS shares,
+       (event_id % 1000) + (event_id % 100) + (event_id % 10) AS engagement,
+       epoch_us(ts) AS kafka_ts_us
+FROM events WHERE event_id % 97 != 0
+"""
+
+
+def _wire_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(value binary, timestamp) rows exactly as a kafka scan yields them:
+    JSON video events from the events table, ~1% deliberately corrupt."""
+    ev = table(spark, sf_dir, "events")
+    payload = F.to_json(
+        F.struct(
+            F.col("user_id").cast("string").alias("kol_id"),
+            F.col("event_type").alias("platform"),
+            F.concat(F.lit("v"), F.col("event_id").cast("string")).alias("video_id"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("views"),
+            (F.col("event_id") % 1000).alias("likes"),
+            (F.col("event_id") % 100).alias("comments"),
+            (F.col("event_id") % 10).alias("shares"),
+            F.unix_micros("ts").cast("string").alias("event_time"),
+        )
+    )
+    value = F.when(F.col("event_id") % 97 == 0, F.lit("{corrupt")).otherwise(payload)
+    return ev.select(value.cast("binary").alias("value"), F.col("ts").alias("timestamp"))
+
+
+@register("wire_roundtrip", oracle=_WIRE_VALID_ORACLE)
+def wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full wire path: fixture -> parse_wire_dlq (valid side) -> transform
+    (engagement) -> to_wire -> re-parse -> flat output. Two to_json/from_json
+    crossings; the oracle never sees JSON, so every field must survive both
+    roundtrips bit-exactly (timestamps ride as epoch-micros longs — ISO
+    string serialization would drop sub-millisecond precision)."""
+    from kol_bigdata_realtime_analytics_spark.sources.kafka import (
+        VIDEO_EVENT_SCHEMA,
+        parse_wire_dlq,
+        to_wire,
+    )
+
+    valid, _dead = parse_wire_dlq(_wire_fixture(spark, sf_dir), VIDEO_EVENT_SCHEMA)
+    enriched = valid.select(
+        "kol_id",
+        "platform",
+        "video_id",
+        "views",
+        "likes",
+        "comments",
+        "shares",
+        (F.col("likes") + F.col("comments") + F.col("shares")).alias("engagement"),
+        F.unix_micros("kafka_ts").alias("kafka_ts_us"),
+    )
+    rewired = to_wire(enriched, key_col="kol_id")
+    out_schema = (
+        "kol_id string, platform string, video_id string, views long, likes long, "
+        "comments long, shares long, engagement long, kafka_ts_us long"
+    )
+    return rewired.select(
+        F.from_json(F.col("value").cast("string"), out_schema).alias("d")
+    ).select("d.*")
+
+
+@register(
+    "wire_dlq_stats",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_dead,
+           MIN(epoch_us(ts)) AS min_ts_us,
+           MAX(epoch_us(ts)) AS max_ts_us
+    FROM events WHERE event_id % 97 = 0
+    """,
+)
+def wire_dlq_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter side of the same replay: corrupt rows keep raw bytes +
+    kafka timestamp for landing/replay; checked via count + ts bounds."""
+    from kol_bigdata_realtime_analytics_spark.sources.kafka import (
+        VIDEO_EVENT_SCHEMA,
+        parse_wire_dlq,
+    )
+
+    _valid, dead = parse_wire_dlq(_wire_fixture(spark, sf_dir), VIDEO_EVENT_SCHEMA)
+    return dead.agg(
+        F.count("*").alias("n_dead"),
+        F.min(F.unix_micros("kafka_ts")).alias("min_ts_us"),
+        F.max(F.unix_micros("kafka_ts")).alias("max_ts_us"),
+    )

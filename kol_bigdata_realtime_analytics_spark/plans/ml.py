@@ -69,6 +69,153 @@ FROM prof
 """
 
 
+# ---------------------------------------------------------------------------
+# Full 29-feature trust pipeline under the oracle (ref feature_engineering.py:
+# 154-346): every log/cap/ratio/indicator/tier/interaction expr, not just the
+# representative subset the `engineered_features` query keeps checking.
+# ---------------------------------------------------------------------------
+
+_TRUST_INPUT_SQL = """
+  SELECT c_custkey,
+         CAST(ROUND(GREATEST(c_acctbal, 0) * 1000) AS BIGINT) AS followers_count,
+         (c_custkey * 37) % 5000 AS following_count,
+         (c_custkey * 13) % 20000 AS post_count,
+         (c_custkey * 7) % 100000 AS favorites_count,
+         c_custkey % 4000 AS account_age_days,
+         c_custkey % 300 AS bio_length,
+         CAST(c_custkey % 300 > 0 AS INTEGER) AS has_bio,
+         CAST(c_custkey % 2 AS INTEGER) AS has_url,
+         CAST(c_custkey % 3 != 0 AS INTEGER) AS has_profile_image,
+         CAST(c_custkey % 7 = 0 AS INTEGER) AS default_profile,
+         CAST(c_custkey % 11 = 0 AS INTEGER) AS default_profile_image,
+         CAST(c_acctbal > 5000 AS INTEGER) AS verified
+  FROM customer
+"""
+
+_TRUST_FEATURES_FULL_ORACLE = f"""
+WITH inp AS ({_TRUST_INPUT_SQL}),
+d AS (
+  SELECT *,
+         followers_count / (following_count + 1) AS ffr,
+         post_count / (account_age_days + 1) AS ppd,
+         favorites_count / (post_count + 1) AS er,
+         followers_count / (account_age_days + 1) AS fpd
+  FROM inp
+),
+d2 AS (
+  SELECT *,
+         CASE WHEN ffr > 10000 THEN 10000 ELSE ffr END AS ratio_capped,
+         CASE WHEN ppd > 50 THEN 50 ELSE ppd END AS ppd_capped,
+         (has_bio + has_url + has_profile_image) / 3.0 AS completeness
+  FROM d
+)
+SELECT c_custkey,
+       floor(ln(1 + followers_count) * 1000000) / 1000000 AS log_followers,
+       floor(ln(1 + following_count) * 1000000) / 1000000 AS log_following,
+       floor(ln(1 + post_count) * 1000000) / 1000000 AS log_posts,
+       floor(ln(1 + favorites_count) * 1000000) / 1000000 AS log_favorites,
+       floor(ln(1 + account_age_days) * 1000000) / 1000000 AS log_account_age,
+       floor(ratio_capped * 1000000) / 1000000 AS followers_following_ratio_capped,
+       floor(ppd_capped * 1000000) / 1000000 AS posts_per_day_capped,
+       floor(er * 1000000) / 1000000 AS engagement_rate,
+       floor(ppd_capped * sqrt(er + 1) * 1000000) / 1000000 AS activity_score,
+       floor(completeness * 1000000) / 1000000 AS profile_completeness,
+       floor(fpd * 1000000) / 1000000 AS followers_per_day,
+       floor(post_count / (followers_count + 1) * 1000000) / 1000000 AS posts_per_follower,
+       floor(following_count / (account_age_days + 1) * 1000000) / 1000000 AS following_per_day,
+       floor(LEAST(bio_length / 200.0, 1.0) * 1000000) / 1000000 AS bio_length_norm,
+       CASE WHEN ppd > 20 THEN 1 ELSE 0 END AS high_activity_flag,
+       CASE WHEN er < 0.01 AND post_count > 1000 THEN 1 ELSE 0 END AS low_engagement_high_posts,
+       default_profile + default_profile_image AS default_profile_score,
+       CASE WHEN fpd > 100 AND account_age_days < 365 THEN 1 ELSE 0 END AS suspicious_growth,
+       CASE WHEN followers_count > 10000 AND er < 0.1 THEN 1 ELSE 0 END AS fake_follower_indicator,
+       CASE WHEN followers_count < 1000 THEN 0
+            WHEN followers_count < 10000 THEN 1
+            WHEN followers_count < 100000 THEN 2
+            WHEN followers_count < 1000000 THEN 3
+            ELSE 4 END AS followers_tier,
+       CASE WHEN account_age_days < 365 THEN 0
+            WHEN account_age_days < 730 THEN 1
+            WHEN account_age_days < 1825 THEN 2
+            ELSE 3 END AS account_age_tier,
+       CASE WHEN ppd < 0.5 THEN 0
+            WHEN ppd < 2 THEN 1
+            WHEN ppd < 10 THEN 2
+            ELSE 3 END AS activity_tier,
+       floor(verified * ln(1 + followers_count) * 1000000) / 1000000 AS verified_followers_interaction,
+       floor(completeness * er * 1000000) / 1000000 AS profile_engagement_interaction,
+       floor(ln(1 + account_age_days) * (1 / (ppd_capped + 1)) * 1000000) / 1000000 AS age_activity_interaction,
+       has_bio, has_url, has_profile_image, verified
+FROM d2
+"""
+
+
+def synthetic_trust_inputs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The silver trust-features input schema (features.py module docstring),
+    synthesized deterministically from customer — every one of the 14 input
+    columns the reference's feature_engineering.py:138-151 loads from gold."""
+    c = table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    followers = F.round(F.greatest(F.col("c_acctbal"), F.lit(0)) * 1000, 0).cast("long")
+    following = ((k * 37) % 5000).cast("long")
+    posts = ((k * 13) % 20000).cast("long")
+    favorites = ((k * 7) % 100000).cast("long")
+    age = (k % 4000).cast("long")
+    bio_len = (k % 300).cast("long")
+    return c.select(
+        "c_custkey",
+        followers.alias("followers_count"),
+        following.alias("following_count"),
+        posts.alias("post_count"),
+        favorites.alias("favorites_count"),
+        age.alias("account_age_days"),
+        (followers / (following + 1)).alias("followers_following_ratio"),
+        (posts / (age + 1)).alias("posts_per_day"),
+        bio_len.alias("bio_length"),
+        (bio_len > 0).cast("int").alias("has_bio"),
+        (k % 2).cast("int").alias("has_url"),
+        (k % 3 != 0).cast("int").alias("has_profile_image"),
+        (k % 7 == 0).cast("int").alias("default_profile"),
+        (k % 11 == 0).cast("int").alias("default_profile_image"),
+        (F.col("c_acctbal") > 5000).cast("int").alias("verified"),
+    )
+
+
+@register("trust_features_full", oracle=_TRUST_FEATURES_FULL_ORACLE)
+def trust_features_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL 29 engineered features (functions/features.py, the canonical
+    single-sourced pipeline both scoring paths share) hash-checked against a
+    full SQL re-derivation — log transforms, capping, ratios, indicators,
+    binning tiers, interactions, and the 4 passthrough flags."""
+    from kol_bigdata_realtime_analytics_spark.functions.features import (
+        FEATURE_COLUMNS,
+        engineer_trust_features,
+    )
+
+    int_features = {
+        "high_activity_flag",
+        "low_engagement_high_posts",
+        "default_profile_score",
+        "suspicious_growth",
+        "fake_follower_indicator",
+        "followers_tier",
+        "account_age_tier",
+        "activity_tier",
+        "has_bio",
+        "has_url",
+        "has_profile_image",
+        "verified",
+    }
+    feats = engineer_trust_features(synthetic_trust_inputs(spark, sf_dir))
+    return feats.select(
+        "c_custkey",
+        *[
+            F.col(f) if f in int_features else trunc6(F.col(f)).alias(f)
+            for f in FEATURE_COLUMNS
+        ],
+    )
+
+
 @register("ml_trust_inference", oracle=_ML_TRUST_ORACLE)
 def ml_trust_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast-model batch scoring via Arrow pandas_udf (the F3 fix)."""

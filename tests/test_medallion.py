@@ -252,6 +252,62 @@ def test_latest_per_key(spark):
     assert out == {1: 7.0, 2: 3.0}
 
 
+def test_tiktok_silver_and_product_slice(spark):
+    """TikTok per-source projection + product dedup + engine-side sold_delta."""
+    from kol_bigdata_realtime_analytics_spark.medallion.gold import sold_deltas
+    from kol_bigdata_realtime_analytics_spark.medallion.silver import (
+        products_from_tiktok,
+        profiles_from_tiktok,
+    )
+
+    payload = (
+        "username string, nickname string, bio string, followers_raw string, "
+        "following_raw string, verified boolean, event_time string, profile_url string"
+    )
+    rows = [
+        (("alice", "Alice", "hi", "852.3K", "1,234", True, None, "u1"),),
+        (("bob", "Bob", None, "2B", "12", False, None, "u2"),),
+        (("", "Blank", None, "5", "5", False, None, "u3"),),  # filtered
+    ]
+    bronze = spark.createDataFrame(rows, f"payload struct<{payload}>")
+    prof = {r["username"]: r for r in profiles_from_tiktok(bronze).collect()}
+    assert set(prof) == {"alice", "bob"}
+    assert prof["alice"]["followers_count"] == 852300
+    assert prof["alice"]["following_count"] == 1234
+    assert prof["bob"]["followers_count"] == 2_000_000_000
+    assert prof["alice"]["platform"] == "tiktok" and prof["alice"]["bio"] == "hi"
+
+    ppay = (
+        "product_id string, product_url string, title string, "
+        "seller_username string, sold_raw string, scraped_at string"
+    )
+    prows = [
+        (("p1", "url1", "t", "s", "1.2K", "2024-01-02"),),
+        (("p1", "url1", "t", "s", "900", "2024-01-01"),),  # older dup -> dropped
+        (("p2", None, "t", "s", "5", "2024-01-01"),),  # no url -> dropped
+    ]
+    pbronze = spark.createDataFrame(prows, f"payload struct<{ppay}>")
+    prods = {r["product_id"]: r for r in products_from_tiktok(pbronze).collect()}
+    assert set(prods) == {"p1"}
+    assert prods["p1"]["sold_count"] == 1200  # latest scraped_at won
+
+    ts = spark.createDataFrame(
+        [("p1", "2024-01-01", 100), ("p1", "2024-01-02", 130), ("p1", "2024-01-03", 125),
+         ("p2", "2024-01-01", 7)],
+        "product_id string, scraped_at string, sold_count long",
+    )
+    deltas = {
+        (r["product_id"], r["scraped_at"]): r["sold_delta"]
+        for r in sold_deltas(ts).collect()
+    }
+    assert deltas == {
+        ("p1", "2024-01-01"): 0,   # first observation
+        ("p1", "2024-01-02"): 30,
+        ("p1", "2024-01-03"): -5,
+        ("p2", "2024-01-01"): 0,
+    }
+
+
 def test_envelope_ddl_generated():
     ddl = envelope_ddl("bronze.kol_raw", "s3://bucket/bronze")
     assert "payload STRING" in ddl and "PARTITIONED BY (dt DATE)" in ddl
