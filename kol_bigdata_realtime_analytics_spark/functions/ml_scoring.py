@@ -79,19 +79,58 @@ def trust_logit(
     return F.lit(100.0) / (F.lit(1.0) + F.exp(-z))
 
 
-def load_model():
-    """Real LightGBM artifact when available; else the logistic stand-in.
+#: env var naming a LightGBM text-format model file; the loader gate is the
+#: FILE, not the import — drop an artifact (or set the var) and every scorer
+#: flips to the real model with no code change
+MODEL_ARTIFACT_ENV = "TRUST_MODEL_ARTIFACT"
+
+
+def load_model(artifact_path: str | None = None):
+    """Flip-ready loader: the real LightGBM booster when an artifact file
+    exists (explicit arg, else $TRUST_MODEL_ARTIFACT); the logistic stand-in
+    otherwise. A named-but-missing artifact, or an artifact without the
+    lightgbm library, is an explicit error — never a silent stand-in.
 
     Returns a picklable object with .predict_proba(ndarray) -> ndarray[:, 2].
     """
-    try:  # pragma: no cover - lightgbm absent in this container
-        import lightgbm  # noqa: F401
+    import os
 
-        raise NotImplementedError(
-            "wire a trained lightgbm.Booster artifact here; container has no model file"
-        )
-    except ImportError:
-        return _LogisticStandIn()
+    path = artifact_path or os.environ.get(MODEL_ARTIFACT_ENV, "")
+    if path:
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"trust model artifact not found: {path}")
+        try:  # pragma: no cover - lightgbm absent in this container
+            import lightgbm
+        except ImportError as e:  # pragma: no cover
+            raise RuntimeError(
+                f"artifact {path} present but lightgbm is not importable"
+            ) from e
+        return _BoosterAdapter(lightgbm.Booster(model_file=path))  # pragma: no cover
+    return _LogisticStandIn()
+
+
+class _BoosterAdapter:  # pragma: no cover - exercised only with lightgbm
+    """predict_proba contract over a lightgbm.Booster (binary objective);
+    picklable, so it broadcasts like the stand-in."""
+
+    def __init__(self, booster):
+        self.booster = booster
+        self.feature_names = list(booster.feature_name())
+
+    def predict_proba(self, X):
+        import numpy as np
+
+        p1 = np.asarray(self.booster.predict(X))
+        return np.stack([1.0 - p1, p1], axis=1)
+
+    def __getstate__(self):
+        return {"model_str": self.booster.model_to_string()}
+
+    def __setstate__(self, state):
+        import lightgbm
+
+        self.booster = lightgbm.Booster(model_str=state["model_str"])
+        self.feature_names = list(self.booster.feature_name())
 
 
 class _LogisticStandIn:

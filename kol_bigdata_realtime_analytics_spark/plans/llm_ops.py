@@ -270,9 +270,13 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary payload -> mapInPandas decode stub -> typed feature columns."""
+    """Binary payload -> mapInPandas decode stub -> typed feature columns.
+
+    codec pinned to "stub": this oracle encodes the stub arithmetic over
+    text payloads; installing Pillow must not flip it (decode_features
+    defaults to codec="auto" for real users)."""
     docs = table(spark, sf_dir, "documents")
-    return decode_features(with_binary_payload(docs, "text", "doc_id"))
+    return decode_features(with_binary_payload(docs, "text", "doc_id"), codec="stub")
 
 
 @register(
@@ -293,7 +297,7 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kol_bigdata_realtime_analytics_spark.operators.multimodal import resize_images
 
     docs = table(spark, sf_dir, "documents")
-    return resize_images(with_binary_payload(docs, "text", "doc_id"), 64, 64)
+    return resize_images(with_binary_payload(docs, "text", "doc_id"), 64, 64, codec="stub")
 
 
 @register(
@@ -321,7 +325,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kol_bigdata_realtime_analytics_spark.operators.multimodal import sample_frames
 
     docs = table(spark, sf_dir, "documents")
-    return sample_frames(with_binary_payload(docs, "text", "doc_id"), every_n=4)
+    return sample_frames(with_binary_payload(docs, "text", "doc_id"), every_n=4, codec="stub")
 
 
 @register(

@@ -154,6 +154,79 @@ def test_idle_gap_resets_momentum_stream_equals_batch(spark, tmp_path):
     assert got[(1, w8_ms)]["momentum"] == pytest.approx(got[(1, w7_ms)]["velocity"])
 
 
+def test_state_store_soak_bounded(spark, tmp_path):
+    """Out-of-order + late replay across many triggers: state stays O(1)/key.
+
+    Asserted on the store's OWN metrics (StreamingQueryProgress
+    stateOperators.numRowsTotal), not output equality: at no point may state
+    exceed one row per live key, and after the watermark passes every
+    window + the expiry horizon the idle keys must LEAVE the store."""
+    base = datetime(2024, 1, 1, 0, 0, 0)
+    n_keys = 6
+    rows_by_batch = []
+    # batches 0..7: windows arrive out of order within each batch; each batch
+    # also re-delivers an event from 2 windows back (late but in-watermark)
+    for b in range(8):
+        batch = []
+        for k in range(n_keys):
+            for w in dict.fromkeys((b, max(0, b - 1))):  # out-of-order mix
+                ts = base + timedelta(minutes=5 * w, seconds=7 * k + w)
+                batch.append((1000 * b + 10 * k + w, ts, k, "view", float(10 + w)))
+        # a hopelessly late event (> watermark behind) — must be dropped
+        if b >= 4:
+            late_ts = base - timedelta(hours=1)
+            batch.append((9000 + b, late_ts, 0, "view", 999.0))
+        rows_by_batch.append(batch)
+    # two flush batches: advance the watermark far past every window + the
+    # expiry horizon, then once more so expiry timers actually fire
+    rows_by_batch.append([(99991, base + timedelta(hours=3), 999, "view", 1.0)])
+    rows_by_batch.append([(99992, base + timedelta(hours=4), 998, "view", 1.0)])
+
+    src = tmp_path / "soak_src"
+    src.mkdir()
+    for i, batch in enumerate(rows_by_batch):
+        spark.createDataFrame(batch, SCHEMA).coalesce(1).write.mode("overwrite").parquet(
+            str(src / f"b{i:02d}")
+        )
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "b*"))
+    )
+    q = (
+        momentum_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("mom_soak_out")
+        .start()
+    )
+    q.processAllAvailable()
+    progresses = [p for p in q.recentProgress if p["stateOperators"]]
+    q.stop()
+
+    state_rows = [p["stateOperators"][0]["numRowsTotal"] for p in progresses]
+    # never more than one state row per key that has ever been seen live
+    assert max(state_rows) <= n_keys + 2, state_rows
+    # idle keys expire: final state holds at most the flush keys
+    assert state_rows[-1] <= 2, state_rows
+    # late-beyond-watermark rows never became state or output
+    out = spark.table("mom_soak_out").collect()
+    assert not any(r["engagement"] >= 999.0 for r in out)
+    # and the emitted windows agree with batch semantics on the valid rows
+    valid = [r for b in rows_by_batch[:8] for r in b if r[1] >= base]
+    expected = {
+        (r["key"], r["window_start_ms"]): r
+        for r in momentum_batch(
+            spark.createDataFrame(valid, SCHEMA).dropDuplicates(["event_id"])
+        ).collect()
+    }
+    got = {(r["key"], r["window_start_ms"]): r for r in out}
+    for kk, e in expected.items():
+        assert kk in got, kk
+        assert got[kk]["momentum"] == pytest.approx(e["momentum"], rel=1e-9), kk
+
+
 def test_tws_momentum_equals_batch(spark, tmp_path, event_rows):
     """transformWithState (Spark 4 API, RocksDB-backed) == batch semantics.
 

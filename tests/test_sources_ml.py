@@ -208,6 +208,58 @@ def test_standin_model_predict_proba_shape():
     assert np.allclose(p.sum(axis=1), 1.0)
 
 
+def test_load_model_gates_on_artifact_file(monkeypatch, tmp_path):
+    """No artifact -> stand-in; named-but-missing artifact -> explicit error
+    (never a silent stand-in); present artifact without lightgbm -> explicit
+    error naming the real cause."""
+    import pytest as _pytest
+
+    from kol_bigdata_realtime_analytics_spark.functions import ml_scoring
+
+    monkeypatch.delenv(ml_scoring.MODEL_ARTIFACT_ENV, raising=False)
+    assert isinstance(ml_scoring.load_model(), _LogisticStandIn)
+
+    with _pytest.raises(FileNotFoundError):
+        ml_scoring.load_model(str(tmp_path / "missing.txt"))
+    monkeypatch.setenv(ml_scoring.MODEL_ARTIFACT_ENV, str(tmp_path / "missing.txt"))
+    with _pytest.raises(FileNotFoundError):
+        ml_scoring.load_model()
+
+    artifact = tmp_path / "model.txt"
+    artifact.write_text("tree\n")
+    try:
+        import lightgbm  # noqa: F401
+
+        has_lgbm = True
+    except ImportError:
+        has_lgbm = False
+    if not has_lgbm:
+        with _pytest.raises(RuntimeError, match="lightgbm is not importable"):
+            ml_scoring.load_model(str(artifact))
+
+
+def test_multimodal_codec_selection(spark):
+    """codec='stub' always works; 'real' without the lib errors explicitly;
+    'auto' falls back to the stub when Pillow/PyAV are absent."""
+    import pytest as _pytest
+
+    from kol_bigdata_realtime_analytics_spark.operators import multimodal as mm
+
+    df = spark.createDataFrame([(1, b"abc")], "doc_id long, payload binary")
+    assert mm.decode_features(df, codec="stub").count() == 1
+    with _pytest.raises(ValueError):
+        mm.decode_features(df, codec="webp")
+    if not mm._pil_available():
+        with _pytest.raises(RuntimeError, match="not importable"):
+            mm.decode_features(df, codec="real")
+        # auto == stub without the lib: same deterministic output
+        stub = mm.decode_features(df, codec="stub").collect()
+        auto = mm.decode_features(df, codec="auto").collect()
+        assert stub == auto
+    else:  # pragma: no cover - lib present
+        assert mm.decode_features(df, codec="real").count() == 1
+
+
 # ---------------------------------------------------------------------------
 # LSH ANN recall vs exact
 # ---------------------------------------------------------------------------
