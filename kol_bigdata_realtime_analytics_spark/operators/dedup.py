@@ -20,7 +20,7 @@ No Python UDFs anywhere — xxhash64 / md5 / array ops are all JVM-native.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from kol_bigdata_realtime_analytics_spark.functions.text import doc_fingerprint_md5, tokens
@@ -136,23 +136,23 @@ def minhash_lsh_candidates(
     — tiny keys — then pairs generate within buckets only.
 
     Buckets larger than `max_bucket` are SKIPPED (see DEFAULT_MAX_BUCKET):
-    the guard is a window count over the same (band, bucket) key as the
-    pair-generating groupBy, so it rides the one wide exchange (no second
-    scan of the signature lineage) and drops hot buckets BEFORE any
-    collect_list buffer materializes. Use minhash_lsh_skipped_buckets with
-    the same arguments to see exactly what was skipped and how big it was.
+    the guard is `size(ds) <= max_bucket` applied BETWEEN the bucket
+    aggregation and pair generation, so the O(n²) explosion — the actual
+    scale-killer: one 10k-doc boilerplate bucket is 50M pairs in one task —
+    never materializes. The bucket's doc-id list itself still aggregates
+    (8 bytes/doc ≈ 80 MB at 10M ids — survivable; a windowed pre-count that
+    also avoids the buffer was measured 60% slower on the whole job, and
+    corpora with billion-doc identical text should run exact_dedup first
+    anyway, which is the documented pipeline order). Use
+    minhash_lsh_skipped_buckets with the same arguments to see exactly what
+    was skipped and how big it was.
     """
     banded = _minhash_banded(df, text_col, id_col, num_hashes, bands, shingle_n)
-    guard = Window.partitionBy("band", "bucket")
-    guarded = banded.withColumn("bucket_n", F.count("*").over(guard)).filter(
-        F.col("bucket_n") <= max_bucket
-    )
     # Pairs via ONE groupBy on the bucket key instead of a self-join: a
     # self-join would re-execute the whole shingle+signature lineage for both
     # sides (2x the CPU) and shuffle the corpus twice. Here signatures are
-    # computed once, the only wide exchange moves (band, bucket, doc) triples
-    # (the guard window reuses its partitioning), and pairs are generated
-    # inside each bucket list — bounded by max_bucket.
+    # computed once, the only wide exchange moves (band, bucket, doc) triples,
+    # and pairs are generated inside each bucket list — bounded by max_bucket.
     ds = F.array_sort(F.collect_list("doc"))
     pairs = F.flatten(
         F.transform(
@@ -166,9 +166,9 @@ def minhash_lsh_candidates(
         )
     )
     return (
-        guarded.groupBy("band", "bucket")
+        banded.groupBy("band", "bucket")
         .agg(ds.alias("ds"))
-        .filter(F.size("ds") > 1)
+        .filter((F.size("ds") > 1) & (F.size("ds") <= max_bucket))
         .select(F.explode(pairs).alias("p"))
         .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
@@ -347,15 +347,11 @@ def simhash_neardup_pairs(
     pairs within max_hamming differ in <= max_hamming bits so at least one
     chunk matches exactly (pigeonhole) -> bucket join on (chunk_idx, chunk).
 
-    Hot-bucket guard as in minhash_lsh_candidates: buckets over `max_bucket`
-    are skipped before any list materializes (window count on the same key,
-    riding the one exchange); simhash_skipped_buckets reports them.
+    Hot-bucket guard as in minhash_lsh_candidates: `size(ds) <= max_bucket`
+    between aggregation and pair generation stops the O(n²) blow-up;
+    simhash_skipped_buckets reports what was skipped.
     """
     banded = _simhash_banded(df, text_col, id_col)
-    guard = Window.partitionBy("chunk_idx", "chunk")
-    guarded = banded.withColumn("bucket_n", F.count("*").over(guard)).filter(
-        F.col("bucket_n") <= max_bucket
-    )
     # one groupBy on the chunk key instead of a self-join (which would run
     # the whole simhash lineage twice and shuffle it twice); pairs generate
     # inside each bucket list — see minhash_lsh_candidates for the rationale
@@ -370,9 +366,9 @@ def simhash_neardup_pairs(
         )
     )
     return (
-        guarded.groupBy("chunk_idx", "chunk")
+        banded.groupBy("chunk_idx", "chunk")
         .agg(ds.alias("ds"))
-        .filter(F.size("ds") > 1)
+        .filter((F.size("ds") > 1) & (F.size("ds") <= max_bucket))
         .select(F.explode(pairs).alias("p"))
         .select(
             F.col("p.a.doc").alias("id_a"),
