@@ -128,3 +128,73 @@ def doc_fingerprint_md5(text: Column | str) -> Column:
 DOC_FINGERPRINT_ORACLE_SQL = (
     "md5(lower(regexp_replace(trim(COALESCE({col}, '')), '\\s+', ' ', 'g')))"
 )
+
+
+def chunk_bounds(n_tokens: Column, chunk_tokens: int, overlap: int) -> Column:
+    """array of chunk start indices (0-based) covering n_tokens tokens with
+    fixed-size overlapping windows: starts at 0, step = chunk - overlap;
+    n_chunks = ceil((n - overlap) / step), min 1 for non-empty docs."""
+    step = chunk_tokens - overlap
+    n_chunks = F.greatest(
+        F.lit(1), ((n_tokens - overlap + step - 1) / step).cast("long")
+    )
+    return F.transform(F.sequence(F.lit(0), n_chunks - 1), lambda i: i * step)
+
+
+def chunk_documents(
+    df,
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int = 256,
+    overlap: int = 32,
+):
+    """Split documents into fixed-token overlapping chunks — the unit every
+    LLM training/embedding pipeline feeds downstream (context windows are
+    bounded; overlap keeps boundary sentences attested in two chunks).
+
+    Fully native: tokenize once, posexplode the start-index array, slice
+    the token array per chunk, re-join with spaces. One generator, no UDF;
+    the chunk fan-out is columnar so a 100 TB corpus chunks in one scan.
+    Empty docs emit no chunks.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    tok = tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col), tok.alias("_tok"), F.size(tok).cast("long").alias("_n")
+    ).filter(F.col("_n") > 0)
+    starts = chunk_bounds(F.col("_n"), chunk_tokens, overlap)
+    chunk = F.slice(F.col("_tok"), F.col("_start").cast("int") + 1, chunk_tokens)
+    return (
+        base.select(
+            id_col, "_tok", F.posexplode(starts).alias("chunk_idx", "_start")
+        )
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.concat_ws(" ", chunk).alias("chunk_text"),
+            F.size(chunk).cast("long").alias("chunk_tokens"),
+        )
+    )
+
+
+#: DuckDB rendering of the same chunking (for oracle SQL): {chunk}/{overlap}
+#: are int literals, {col}/{id} column names. Kept adjacent so the two
+#: formulations can't drift silently.
+CHUNK_ORACLE_SQL = """
+WITH tokd AS (
+  SELECT {id} AS doc_id,
+         regexp_split_to_array(trim({col}), '\\s+') AS tok,
+         len(regexp_split_to_array(trim({col}), '\\s+')) AS n
+  FROM {table} WHERE trim(COALESCE({col}, '')) != ''
+),
+idx AS (
+  SELECT doc_id, tok,
+         unnest(range(0, CAST(GREATEST(1, (n - {overlap} + {step} - 1) // {step}) AS BIGINT))) AS chunk_idx
+  FROM tokd
+)
+SELECT doc_id, chunk_idx,
+       array_to_string(tok[chunk_idx * {step} + 1 : chunk_idx * {step} + {chunk}], ' ') AS chunk_text,
+       CAST(len(tok[chunk_idx * {step} + 1 : chunk_idx * {step} + {chunk}]) AS BIGINT) AS chunk_tokens
+FROM idx
+""".strip()

@@ -198,6 +198,69 @@ def minhash_lsh_skipped_buckets(
     )
 
 
+def duplicate_clusters(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Near-dup PAIRS -> duplicate CLUSTERS: connected components + canonical.
+
+    Candidate/verify stages emit pairs, but a dedup decision needs the
+    transitive closure (near-dup similarity is not transitive — A~B and B~C
+    without A~C still must dedup as ONE group, else two passes keep
+    different survivors). Components come from iterative min-label
+    propagation: every doc starts labeled with its own id; each round every
+    doc takes the min of its label and its neighbors' labels; fixpoint
+    after O(component diameter) rounds — near-dup blobs are dense, so
+    diameter is small in practice.
+
+    Scale: each round is one equi-join of (node, label) longs against the
+    edge list plus one groupBy-min — narrow shuffles, no text, no vectors.
+    `localCheckpoint` truncates lineage per round so the plan doesn't grow
+    with iterations, and the convergence probe (`limit(1).count()` over
+    changed labels) moves at most one row to the driver — the inherent
+    sync point of an iterative algorithm, not a data collect.
+
+    Output: (id_col, cluster_id = min doc id in component, cluster_size,
+    is_canonical). Rows to KEEP for training are is_canonical = 1.
+    """
+    sym = edges.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionAll(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    sym = sym.localCheckpoint(eager=True)
+    labels = nodes.select(
+        F.col(id_col).cast("long").alias("node"), F.col(id_col).cast("long").alias("label")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        neighbor_labels = sym.join(
+            labels, sym["src"] == labels["node"]
+        ).select(F.col("dst").alias("node"), F.col("label"))
+        new_labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return labels.join(sizes, "label").select(
+        F.col("node").alias(id_col),
+        F.col("label").alias("cluster_id"),
+        "cluster_size",
+        (F.col("node") == F.col("label")).cast("int").alias("is_canonical"),
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str,

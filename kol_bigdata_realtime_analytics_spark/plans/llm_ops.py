@@ -15,11 +15,13 @@ from pyspark.sql import functions as F
 
 from kol_bigdata_realtime_analytics_spark.functions.text import (
     AVG_TOKEN_LENGTH_ORACLE_SQL,
+    CHUNK_ORACLE_SQL,
     DOC_FINGERPRINT_ORACLE_SQL,
     PUNCT_RATIO_ORACLE_SQL,
     STOPWORD_RATIO_ORACLE_SQL,
     TOKEN_COUNT_ORACLE_SQL,
     avg_token_length,
+    chunk_documents,
     doc_fingerprint_md5,
     language_id,
     punct_ratio,
@@ -90,6 +92,78 @@ def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by exact token-set Jaccard >= 0.5, blocked by (lang, source)."""
     docs = table(spark, sf_dir, "documents").filter(F.trim(F.coalesce("text", F.lit(""))) != "")
     return jaccard_pairs(docs, "text", "doc_id", ["lang", "source"], threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# Document chunking — fixed-token overlapping windows (the unit an LLM
+# training/embedding pipeline feeds downstream). Native generator, no UDF.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "document_chunks",
+    oracle=CHUNK_ORACLE_SQL.format(
+        table="documents", col="text", id="doc_id", chunk=64, overlap=16, step=48
+    ),
+)
+def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-token chunks with 16-token overlap over every document: tokenize
+    once, posexplode computed start indices, slice per chunk — columnar
+    fan-out in one scan, boundary text attested in two chunks."""
+    docs = table(spark, sf_dir, "documents")
+    return chunk_documents(docs, "text", "doc_id", chunk_tokens=64, overlap=16)
+
+
+# ---------------------------------------------------------------------------
+# Duplicate clusters — transitive closure over verified near-dup pairs.
+# Spark: iterative min-label propagation; oracle: recursive CTE. Closes the
+# dedup pipeline: candidates -> verified pairs -> clusters -> canonical keep.
+# ---------------------------------------------------------------------------
+
+_CLUSTERS_ORACLE = """
+WITH RECURSIVE base AS (
+  SELECT doc_id, lang, source,
+         list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents WHERE trim(COALESCE(text, '')) != ''
+),
+pair AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM base a JOIN base b ON a.lang = b.lang AND a.source = b.source
+  WHERE a.doc_id < b.doc_id
+    AND ROUND(CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.tok, b.tok))), 6) >= 0.5
+),
+edge AS (
+  SELECT id_a AS src, id_b AS dst FROM pair
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pair
+),
+comp(node, lab) AS (
+  SELECT doc_id, doc_id FROM base
+  UNION
+  SELECT e.dst, c.lab FROM comp c JOIN edge e ON e.src = c.node
+),
+final AS (SELECT node, MIN(lab) AS cluster_id FROM comp GROUP BY node),
+sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM final GROUP BY cluster_id)
+SELECT f.node AS doc_id, f.cluster_id, s.cluster_size,
+       CAST(f.node = f.cluster_id AS INTEGER) AS is_canonical
+FROM final f JOIN sizes s ON f.cluster_id = s.cluster_id
+"""
+
+
+@register("dedup_clusters", oracle=_CLUSTERS_ORACLE)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters over Jaccard>=0.5 edges: connected components by
+    iterative min-label propagation (transitive closure — the safe dedup
+    unit, since near-dup is not transitive) + canonical-doc choice.
+    The oracle recomputes the same closure with a recursive CTE."""
+    from kol_bigdata_realtime_analytics_spark.operators.dedup import duplicate_clusters
+
+    docs = table(spark, sf_dir, "documents").filter(
+        F.trim(F.coalesce("text", F.lit(""))) != ""
+    )
+    edges = jaccard_pairs(docs, "text", "doc_id", ["lang", "source"], threshold=0.5)
+    return duplicate_clusters(docs, edges)
 
 
 # ---------------------------------------------------------------------------

@@ -77,6 +77,60 @@ def test_simhash_identical_and_near(spark, docs_df):
     assert pairs[(1, 4)] == 0  # exact dups collide in every chunk
 
 
+def test_chunk_documents_overlap_and_edges(spark):
+    """Chunk fan-out: full coverage, overlap attested twice, tiny docs one
+    chunk, empty docs none."""
+    from kol_bigdata_realtime_analytics_spark.functions.text import chunk_documents
+
+    long_text = " ".join(f"t{i}" for i in range(25))
+    df = spark.createDataFrame(
+        [(1, long_text), (2, "a b c"), (3, "   "), (4, None)],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, "text", "doc_id", chunk_tokens=10, overlap=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {1, 2}  # blank/null docs emit nothing
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    # 25 tokens, chunk 10, step 8 -> ceil(23/8) = 3 chunks: [0:10),[8:18),[16:25)
+    assert [r["chunk_idx"] for r in c1] == [0, 1, 2]
+    assert c1[0]["chunk_text"].split() == [f"t{i}" for i in range(10)]
+    assert c1[1]["chunk_text"].split() == [f"t{i}" for i in range(8, 18)]
+    assert c1[2]["chunk_text"].split() == [f"t{i}" for i in range(16, 25)]
+    assert c1[2]["chunk_tokens"] == 9  # final partial chunk
+    # overlap: last 2 tokens of chunk 0 reappear at the start of chunk 1
+    assert c1[0]["chunk_text"].split()[-2:] == c1[1]["chunk_text"].split()[:2]
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == "a b c"
+    with pytest.raises(ValueError):
+        chunk_documents(df, "text", "doc_id", chunk_tokens=10, overlap=10)
+
+
+def test_duplicate_clusters_transitive_closure(spark):
+    """A~B and B~C without an A~C edge must still land in ONE cluster
+    (transitive closure); canonical = min id; singletons stay alone."""
+    from kol_bigdata_realtime_analytics_spark.operators.dedup import duplicate_clusters
+
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 7, 9, 10)], "doc_id long")
+    # chain 1-2-3, pair 9-10, singleton 7
+    edges = spark.createDataFrame([(1, 2), (2, 3), (9, 10)], "id_a long, id_b long")
+    out = {r["doc_id"]: r for r in duplicate_clusters(nodes, edges).collect()}
+    assert {d: r["cluster_id"] for d, r in out.items()} == {
+        1: 1, 2: 1, 3: 1, 7: 7, 9: 9, 10: 9
+    }
+    assert out[1]["cluster_size"] == 3 and out[9]["cluster_size"] == 2
+    assert out[7]["cluster_size"] == 1 and out[7]["is_canonical"] == 1
+    assert [out[d]["is_canonical"] for d in (1, 2, 3)] == [1, 0, 0]
+    # long chain: diameter > 1 iteration (propagation must iterate)
+    chain_nodes = spark.createDataFrame([(i,) for i in range(20, 30)], "doc_id long")
+    chain_edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(20, 29)], "id_a long, id_b long"
+    )
+    chain = duplicate_clusters(chain_nodes, chain_edges).collect()
+    assert {r["cluster_id"] for r in chain} == {20}
+    assert all(r["cluster_size"] == 10 for r in chain)
+
+
 def test_lsh_hot_bucket_guard(spark):
     """A planted degenerate bucket (500 identical boilerplate docs) must not
     blow up the pair join: its buckets are skipped, reported with counts, and

@@ -90,6 +90,53 @@ def test_q6_all_predicates_pushed(spark, sf_oracle):
         assert fragment in pushed, f"{fragment} not pushed: {pushed}"
 
 
+def test_product_timeseries_single_exchange(spark, sf_oracle):
+    """The sold-delta lag window and the latest-per-key row_number share the
+    (product_id) partitioning: product_sold_latest must plan exactly ONE
+    hash exchange, with the purchase filter pushed to the scan."""
+    from kol_bigdata_realtime_analytics_spark.plans import REGISTRY
+
+    import re
+
+    plan = _formatted(REGISTRY["product_sold_latest"].fn(spark, sf_oracle))
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchanges == 1, plan
+    pushed = plan.split("PushedFilters:")[1].split("\n")[0]
+    assert "EqualTo(event_type,purchase)" in pushed
+
+
+def test_wire_roundtrip_stays_one_stage(spark, sf_oracle):
+    """wire_roundtrip is per-row (parse -> project -> serialize -> parse):
+    no exchange at all — a 100 TB replay is embarrassingly parallel."""
+    from kol_bigdata_realtime_analytics_spark.plans import REGISTRY
+
+    plan = _formatted(REGISTRY["wire_roundtrip"].fn(spark, sf_oracle))
+    assert "Exchange" not in plan, plan
+
+
+def test_trust_features_full_single_projection(spark, sf_oracle):
+    """All 29 engineered features must stay ONE scan + projection: no
+    exchange, no join; column pruning keeps the scan at the two source
+    columns the synthesis needs."""
+    from kol_bigdata_realtime_analytics_spark.plans import REGISTRY
+
+    plan = _formatted(REGISTRY["trust_features_full"].fn(spark, sf_oracle))
+    assert "Exchange" not in plan, plan
+    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "c_custkey" in read_schema and "c_acctbal" in read_schema
+    assert "c_name" not in read_schema
+
+
+def test_document_chunks_no_exchange(spark, sf_oracle):
+    """Chunk fan-out (tokenize -> posexplode -> slice) is a generator over
+    the scan — zero shuffles; the corpus chunks in one pass."""
+    from kol_bigdata_realtime_analytics_spark.plans import REGISTRY
+
+    plan = _formatted(REGISTRY["document_chunks"].fn(spark, sf_oracle))
+    assert "Exchange" not in plan, plan
+    assert "Generate" in plan  # the posexplode generator
+
+
 def test_bucketed_join_has_no_shuffle(spark, sf_oracle):
     """Bucketed tables co-locate join keys at WRITE time: a join of two
     tables bucketed on the same key must plan ZERO Exchange operators —
