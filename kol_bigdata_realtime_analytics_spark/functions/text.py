@@ -178,6 +178,145 @@ def chunk_documents(
     )
 
 
+# ---------------------------------------------------------------------------
+# PII redaction — regex masking of emails / NANP phones / dotted-quad IPv4.
+# Patterns are written to the COMMON subset of Java regex (Spark) and RE2
+# (DuckDB): no lookarounds, no backrefs — so one pattern string drives both
+# the engine expression and the oracle. Redaction is pure regexp_replace:
+# whole-stage codegen, no UDF, embarrassingly parallel at any corpus size.
+# ---------------------------------------------------------------------------
+
+#: applied in this order; counts are taken per-pattern on the ORIGINAL text
+#: (the three patterns are mutually non-overlapping by construction: '@' is
+#: in no phone/ip match, phones are dash-separated, IPs dot-separated).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\b\d{3}-\d{3}-\d{4}\b",
+}
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Mask every PII match with its [TYPE] token, empty-safe."""
+    out = F.coalesce(_c(text), F.lit(""))
+    for kind, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"[{kind.upper()}]")
+    return out
+
+
+def pii_count(text: Column | str, kind: str) -> Column:
+    """Number of matches of one PII pattern in the original text."""
+    return F.regexp_count(F.coalesce(_c(text), F.lit("")), F.lit(PII_PATTERNS[kind])).cast(
+        "long"
+    )
+
+
+def pii_redact_oracle_sql(col: str) -> str:
+    """DuckDB rendering of redact_pii over `col` (a function, not a .format
+    template — the regexes contain literal braces)."""
+    out = f"COALESCE({col}, '')"
+    for kind, pat in PII_PATTERNS.items():
+        out = f"regexp_replace({out}, '{pat}', '[{kind.upper()}]', 'g')"
+    return out
+PII_COUNT_ORACLE_SQL = "CAST(len(regexp_extract_all(COALESCE({col}, ''), '{pat}')) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# Repetition-based quality signals (Gopher-style; Rae et al. 2021 §A1.1):
+# excessive within-document repetition is the strongest cheap predictor of
+# boilerplate/spam in web corpora. All-native array exprs — the per-doc cost
+# is bounded by document length, which the pipeline already caps upstream
+# (chunking / n_tokens filters), so no UDF and no shuffle.
+# ---------------------------------------------------------------------------
+
+
+def dup_token_ratio(text: Column | str) -> Column:
+    """1 - distinct_tokens/total_tokens (0.0 for empty docs)."""
+    tk = tokens(text)
+    n = F.size(tk)
+    return F.when(
+        n > 0, F.lit(1.0) - F.size(F.array_distinct(tk)).cast("double") / n
+    ).otherwise(F.lit(0.0))
+
+
+DUP_TOKEN_RATIO_ORACLE_SQL = (
+    "CASE WHEN trim(COALESCE({col}, '')) = '' THEN 0.0 ELSE "
+    "1.0 - CAST(len(list_distinct(regexp_split_to_array(trim({col}), '\\s+'))) AS DOUBLE)"
+    " / len(regexp_split_to_array(trim({col}), '\\s+')) END"
+)
+
+
+def top_token_ratio(text: Column | str) -> Column:
+    """Fraction of tokens taken by the single most frequent token (0.0 for
+    empty). O(distinct x total) per doc — fine for length-capped docs; the
+    mirrored oracle keeps the same formulation."""
+    tk = tokens(text)
+    n = F.size(tk)
+    top = F.array_max(
+        F.transform(F.array_distinct(tk), lambda d: F.size(F.filter(tk, lambda t: t == d)))
+    )
+    return F.when(n > 0, top.cast("double") / n).otherwise(F.lit(0.0))
+
+
+TOP_TOKEN_RATIO_ORACLE_SQL = (
+    "CASE WHEN trim(COALESCE({col}, '')) = '' THEN 0.0 ELSE "
+    "CAST(list_max(list_transform(list_distinct(regexp_split_to_array(trim({col}), '\\s+')), "
+    "d -> len(list_filter(regexp_split_to_array(trim({col}), '\\s+'), t -> t = d)))) AS DOUBLE)"
+    " / len(regexp_split_to_array(trim({col}), '\\s+')) END"
+)
+
+
+def bigrams(text: Column | str) -> Column:
+    """array<string> of adjacent token bigrams ('a b'), empty if < 2 tokens."""
+    tk = tokens(text)
+    n = F.size(tk)
+    return F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(tk, F.lit(1), n - 1),
+            F.slice(tk, F.lit(2), n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+#: DuckDB bigrams over pre-split token array {tok}
+BIGRAMS_ORACLE_SQL = (
+    "CASE WHEN len({tok}) >= 2 THEN "
+    "list_transform(range(1, len({tok})), i -> {tok}[i] || ' ' || {tok}[i + 1]) "
+    "ELSE [] END"
+)
+
+
+def dup_bigram_ratio(text: Column | str) -> Column:
+    """1 - distinct_bigrams/total_bigrams (0.0 if < 2 tokens)."""
+    bg = bigrams(text)
+    n = F.size(bg)
+    return F.when(
+        n > 0, F.lit(1.0) - F.size(F.array_distinct(bg)).cast("double") / n
+    ).otherwise(F.lit(0.0))
+
+
+#: Gopher-style keep thresholds (tuned loose; the query exposes the raw
+#: signals so downstream can re-threshold without recomputing).
+GOPHER_MAX_DUP_TOKEN = 0.60
+GOPHER_MAX_TOP_TOKEN = 0.20
+GOPHER_MAX_DUP_BIGRAM = 0.60
+GOPHER_MIN_TOKENS, GOPHER_MAX_TOKENS = 5, 100_000
+
+
+def gopher_keep(text: Column | str) -> Column:
+    """1 if the doc passes all repetition/length filters, else 0."""
+    n = token_count(text)
+    return (
+        (n >= GOPHER_MIN_TOKENS)
+        & (n <= GOPHER_MAX_TOKENS)
+        & (dup_token_ratio(text) <= GOPHER_MAX_DUP_TOKEN)
+        & (top_token_ratio(text) <= GOPHER_MAX_TOP_TOKEN)
+        & (dup_bigram_ratio(text) <= GOPHER_MAX_DUP_BIGRAM)
+    ).cast("int")
+
+
 #: DuckDB rendering of the same chunking (for oracle SQL): {chunk}/{overlap}
 #: are int literals, {col}/{id} column names. Kept adjacent so the two
 #: formulations can't drift silently.

@@ -49,11 +49,19 @@ def exact_dedup_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataF
 
 
 def word_shingles(text_col: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles as array<string> (empty-safe)."""
+    """Distinct word n-gram shingles as array<string>.
+
+    Docs with fewer than n tokens yield an empty array — the guard matters:
+    sequence(0, size-n) DESCENDS when size < n (Spark auto-negates the
+    step), which would feed slice() a zero start and fail the whole stage.
+    CASE only evaluates the taken branch, so short docs never build grams.
+    """
     tk = tokens(text_col)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(tk) - n, F.lit(-1)))
+    idx = F.sequence(F.lit(0), F.size(tk) - n)
     grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tk, i + 1, n)))
-    return F.array_distinct(grams)
+    return F.when(F.size(tk) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
@@ -258,6 +266,40 @@ def duplicate_clusters(
         F.col("label").alias("cluster_id"),
         "cluster_size",
         (F.col("node") == F.col("label")).cast("int").alias("is_canonical"),
+    )
+
+
+def contamination_overlap(
+    train: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any n-gram shingle
+    with a held-out eval set (the standard 8-13-gram overlap check every LLM
+    training pipeline runs before a corpus ships).
+
+    Scale shape: both sides explode to (doc, md5(shingle)) — 32-byte keys,
+    text pruned before the exchange. The benchmark side is deduped to
+    distinct shingles and is orders of magnitude smaller than the corpus, so
+    Spark broadcasts it (eval suites are ~1e5-1e6 shingles); the train side
+    then never shuffles at all — contaminated-shingle counting re-groups by
+    doc id only for matched rows, a tiny fraction of the corpus.
+
+    Returns (id_col, n_shared_shingles) for contaminated docs only.
+    """
+    sh = F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle")
+    train_sh = train.select(F.col(id_col), sh).select(
+        id_col, F.md5("shingle").alias("h")
+    )
+    bench_sh = (
+        benchmark.select(sh).select(F.md5("shingle").alias("h")).distinct()
+    )
+    return (
+        train_sh.join(bench_sh, "h")
+        .groupBy(id_col)
+        .agg(F.count_distinct("h").alias("n_shared_shingles"))
     )
 
 

@@ -474,3 +474,29 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("value_sum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD Type 2 — dimension history from a changelog. The reference keeps only
+# latest snapshots (product_tracker.py:287-292 latest-per-key); this is the
+# history-preserving generalization: one row per attribute-value run with a
+# validity interval. Two window passes share one (user_id) exchange.
+# ---------------------------------------------------------------------------
+
+from kol_bigdata_realtime_analytics_spark.operators.scd import (  # noqa: E402
+    SCD2_ORACLE_SQL,
+    scd2_from_changelog,
+)
+
+
+@register(
+    "scd2_user_event_type",
+    oracle=SCD2_ORACLE_SQL.format(
+        table="events", key="user_id", attr="event_type", ts="ts", tb="event_id"
+    ),
+)
+def scd2_user_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 intervals of each user's event_type stream: consecutive same-type
+    runs collapse to one row with [valid_from, valid_to) and a current flag."""
+    ev = table(spark, sf_dir, "events")
+    return scd2_from_changelog(ev, "user_id", "event_type", "ts", "event_id")

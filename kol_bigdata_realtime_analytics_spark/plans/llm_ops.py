@@ -167,6 +167,218 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# PII redaction — pure regexp_replace/regexp_count (codegen, no UDF). The
+# documents corpus is synthetic word soup with no PII, so the query derives a
+# realistic contact-card text from `customer` IN BOTH ENGINES and redacts
+# that: matches must be found, masked, and counted identically.
+# ---------------------------------------------------------------------------
+
+_PII_ORACLE = f"""
+WITH contact AS (
+  SELECT c_custkey,
+         'reach ' || c_name || ' at '
+         || CASE WHEN c_custkey % 3 != 0
+                 THEN '555-' || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0')
+                      || '-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+                 ELSE 'n/a' END
+         || ' or ' || lower(replace(c_name, '#', '.')) || '@example.com'
+         || CASE WHEN c_custkey % 2 = 0
+                 THEN ' from ' || CAST(c_custkey % 223 + 1 AS VARCHAR)
+                      || '.' || CAST(c_custkey % 251 AS VARCHAR)
+                      || '.' || CAST(c_custkey % 241 AS VARCHAR)
+                      || '.' || CAST(c_custkey % 239 AS VARCHAR)
+                 ELSE '' END AS txt
+  FROM customer
+)
+SELECT c_custkey,
+       {{redact}} AS redacted,
+       {{n_email}} AS n_email,
+       {{n_phone}} AS n_phone,
+       {{n_ipv4}} AS n_ipv4
+FROM contact
+"""
+
+
+def _contact_card() -> F.Column:
+    key = F.col("c_custkey")
+    phone = F.when(
+        key % 3 != 0,
+        F.concat(
+            F.lit("555-"),
+            F.lpad((key % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((key % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.lit("n/a"))
+    email = F.concat(
+        F.lower(F.regexp_replace(F.col("c_name"), "#", ".")), F.lit("@example.com")
+    )
+    ip = F.when(
+        key % 2 == 0,
+        F.concat(
+            F.lit(" from "),
+            (key % 223 + 1).cast("string"),
+            F.lit("."),
+            (key % 251).cast("string"),
+            F.lit("."),
+            (key % 241).cast("string"),
+            F.lit("."),
+            (key % 239).cast("string"),
+        ),
+    ).otherwise(F.lit(""))
+    return F.concat(
+        F.lit("reach "), F.col("c_name"), F.lit(" at "), phone, F.lit(" or "), email, ip
+    )
+
+
+def _pii_oracle() -> str:
+    from kol_bigdata_realtime_analytics_spark.functions.text import (
+        PII_COUNT_ORACLE_SQL,
+        PII_PATTERNS,
+        pii_redact_oracle_sql,
+    )
+
+    return _PII_ORACLE.format(
+        redact=pii_redact_oracle_sql("txt"),
+        n_email=PII_COUNT_ORACLE_SQL.format(col="txt", pat=PII_PATTERNS["email"]),
+        n_phone=PII_COUNT_ORACLE_SQL.format(col="txt", pat=PII_PATTERNS["phone"]),
+        n_ipv4=PII_COUNT_ORACLE_SQL.format(col="txt", pat=PII_PATTERNS["ipv4"]),
+    )
+
+
+@register("pii_redaction", oracle=_pii_oracle())
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mask emails / phones / IPv4s with [TYPE] tokens and count each kind
+    per row — one projection, whole-stage codegen, no shuffle."""
+    from kol_bigdata_realtime_analytics_spark.functions.text import pii_count, redact_pii
+
+    cust = table(spark, sf_dir, "customer")
+    txt = _contact_card()
+    return cust.select(
+        "c_custkey",
+        redact_pii(txt).alias("redacted"),
+        pii_count(txt, "email").alias("n_email"),
+        pii_count(txt, "phone").alias("n_phone"),
+        pii_count(txt, "ipv4").alias("n_ipv4"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition filters (Rae et al. 2021 §A1.1) — within-document
+# repetition signals + keep decision, all native array exprs over one scan.
+# ---------------------------------------------------------------------------
+
+
+def _gopher_oracle() -> str:
+    from kol_bigdata_realtime_analytics_spark.functions.text import (
+        BIGRAMS_ORACLE_SQL,
+        DUP_TOKEN_RATIO_ORACLE_SQL,
+        GOPHER_MAX_DUP_BIGRAM,
+        GOPHER_MAX_DUP_TOKEN,
+        GOPHER_MAX_TOP_TOKEN,
+        GOPHER_MAX_TOKENS,
+        GOPHER_MIN_TOKENS,
+        TOP_TOKEN_RATIO_ORACLE_SQL,
+    )
+
+    bg = BIGRAMS_ORACLE_SQL.format(tok="tok")
+    return f"""
+    WITH base AS (
+      SELECT doc_id, text,
+             CASE WHEN trim(COALESCE(text, '')) = '' THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS tok
+      FROM documents
+    ),
+    sig AS (
+      SELECT doc_id,
+             CAST(len(tok) AS BIGINT) AS n_tokens,
+             {DUP_TOKEN_RATIO_ORACLE_SQL.format(col="text")} AS dup_tok,
+             {TOP_TOKEN_RATIO_ORACLE_SQL.format(col="text")} AS top_tok,
+             CASE WHEN len({bg}) > 0
+                  THEN 1.0 - CAST(len(list_distinct({bg})) AS DOUBLE) / len({bg})
+                  ELSE 0.0 END AS dup_bg
+      FROM base
+    )
+    SELECT doc_id, n_tokens,
+           floor(dup_tok * 1000000) / 1000000 AS dup_token_ratio,
+           floor(top_tok * 1000000) / 1000000 AS top_token_ratio,
+           floor(dup_bg * 1000000) / 1000000 AS dup_bigram_ratio,
+           CAST(n_tokens >= {GOPHER_MIN_TOKENS} AND n_tokens <= {GOPHER_MAX_TOKENS}
+                AND dup_tok <= {GOPHER_MAX_DUP_TOKEN}
+                AND top_tok <= {GOPHER_MAX_TOP_TOKEN}
+                AND dup_bg <= {GOPHER_MAX_DUP_BIGRAM} AS INTEGER) AS keep
+    FROM sig
+    """
+
+
+@register("gopher_repetition_filters", oracle=_gopher_oracle())
+def gopher_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc repetition signals (dup-token / top-token / dup-bigram
+    ratios) + the keep decision — one scan, zero shuffles, raw signals
+    exposed so thresholds can change without recompute."""
+    from kol_bigdata_realtime_analytics_spark.functions.text import (
+        dup_bigram_ratio,
+        dup_token_ratio,
+        gopher_keep,
+        token_count,
+        top_token_ratio,
+    )
+    from kol_bigdata_realtime_analytics_spark.plans.domain import trunc6
+
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        trunc6(dup_token_ratio("text")).alias("dup_token_ratio"),
+        trunc6(top_token_ratio("text")).alias("top_token_ratio"),
+        trunc6(dup_bigram_ratio("text")).alias("dup_bigram_ratio"),
+        gopher_keep("text").alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination — 8-gram shingle overlap between the training
+# corpus and a held-out eval slice (doc_id % 13 == 0 stands in for the
+# benchmark suite). The check every corpus must pass before training.
+# ---------------------------------------------------------------------------
+
+_DECONTAM_ORACLE = """
+WITH tokd AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tok
+  FROM documents WHERE trim(COALESCE(text, '')) != ''
+),
+sh AS (
+  SELECT doc_id,
+         md5(array_to_string(tok[i + 1 : i + 4], ' ')) AS h
+  FROM tokd, unnest(range(0, GREATEST(len(tok) - 3, 0))) AS t(i)
+),
+bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 13 = 0),
+train AS (SELECT DISTINCT doc_id, h FROM sh WHERE doc_id % 13 != 0)
+SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_shingles
+FROM train t JOIN bench b ON t.h = b.h
+GROUP BY t.doc_id
+""".strip()
+
+
+@register("decontaminate_overlap", oracle=_DECONTAM_ORACLE)
+def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training docs contaminated by n-gram overlap with the eval slice
+    (doc_id % 13 == 0): broadcast the deduped benchmark shingles, count
+    distinct shared shingles per training doc. Real pipelines use 8-13-gram
+    shingles; this query uses 4-grams because the synthetic corpus is
+    order-shuffled word soup with few longer shared runs — the plan shape
+    is identical at any n."""
+    from kol_bigdata_realtime_analytics_spark.operators.dedup import contamination_overlap
+
+    docs = table(spark, sf_dir, "documents").filter(
+        F.trim(F.coalesce("text", F.lit(""))) != ""
+    )
+    train = docs.filter(F.col("doc_id") % 13 != 0)
+    bench = docs.filter(F.col("doc_id") % 13 == 0)
+    return contamination_overlap(train, bench, "text", "doc_id", shingle_n=4)
+
+
+# ---------------------------------------------------------------------------
 # MinHash-LSH + SimHash — engine-hash based, rows-only driver check;
 # pytest compares their candidate sets against the exact Jaccard query.
 # ---------------------------------------------------------------------------

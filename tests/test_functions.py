@@ -139,3 +139,68 @@ def test_text_metrics(spark):
     assert out[0]["l"] == "en"
     assert out[1]["n"] == 0 and out[1]["s"] == 0.0 and out[1]["l"] == "unknown"
     assert out[2]["n"] == 0 and out[2]["l"] == "unknown"
+
+
+def test_pii_redaction_masks_and_counts(spark):
+    """Every PII kind is masked with its token and counted on the original
+    text; PII-free text passes through untouched."""
+    from kol_bigdata_realtime_analytics_spark.functions.text import pii_count, redact_pii
+
+    rows = [
+        (1, "mail a.b-c_d%x@sub.example.org and e@f.io today"),
+        (2, "call 555-123-4567 or 555-000-9999, host 10.0.255.1"),
+        (3, "no pii here, just words and 12345 numbers"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            redact_pii("t").alias("red"),
+            pii_count("t", "email").alias("ne"),
+            pii_count("t", "phone").alias("np"),
+            pii_count("t", "ipv4").alias("ni"),
+        ).collect()
+    }
+    assert out[1]["red"] == "mail [EMAIL] and [EMAIL] today"
+    assert (out[1]["ne"], out[1]["np"], out[1]["ni"]) == (2, 0, 0)
+    assert out[2]["red"] == "call [PHONE] or [PHONE], host [IPV4]"
+    assert (out[2]["ne"], out[2]["np"], out[2]["ni"]) == (0, 2, 1)
+    assert out[3]["red"] == rows[2][1]  # untouched
+    assert out[4]["red"] == "" and out[4]["ne"] == 0
+
+
+def test_repetition_signals(spark):
+    """dup/top-token and dup-bigram ratios on hand-computed docs."""
+    from kol_bigdata_realtime_analytics_spark.functions.text import (
+        dup_bigram_ratio,
+        dup_token_ratio,
+        gopher_keep,
+        top_token_ratio,
+    )
+
+    rows = [
+        (1, "a a a a b"),        # dup=1-2/5=.6  top=4/5=.8  bigrams: aa aa aa ab -> dup=1-2/4=.5
+        (2, "w x y z q v u t"),  # all distinct: dup=0 top=1/8 bigram dup=0
+        (3, "only"),             # single token: bigram ratio 0
+        (4, ""),                 # empty: all 0
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            dup_token_ratio("t").alias("dt"),
+            top_token_ratio("t").alias("tt"),
+            dup_bigram_ratio("t").alias("db"),
+            gopher_keep("t").alias("keep"),
+        ).collect()
+    }
+    assert math.isclose(out[1]["dt"], 0.6) and math.isclose(out[1]["tt"], 0.8)
+    assert math.isclose(out[1]["db"], 0.5)
+    assert out[1]["keep"] == 0  # top-token 0.8 > 0.2
+    assert out[2]["dt"] == 0.0 and math.isclose(out[2]["tt"], 0.125)
+    assert out[2]["db"] == 0.0 and out[2]["keep"] == 1
+    assert out[3]["db"] == 0.0 and out[3]["keep"] == 0  # too short
+    assert out[4]["dt"] == 0.0 and out[4]["keep"] == 0

@@ -302,3 +302,80 @@ def test_approx_percentiles_bounded_error(spark, sf_oracle):
         a = approx[et]
         for p in ("p50", "p90", "p99"):
             assert abs(a[p] - e[p]) <= max(1.0, 0.01 * abs(e[p]))
+
+
+def test_word_shingles_short_docs(spark):
+    """Docs shorter than the shingle width yield an EMPTY array — the
+    sequence() step auto-negates when size < n and would otherwise feed
+    slice() a zero start and fail the whole stage."""
+    from kol_bigdata_realtime_analytics_spark.operators.dedup import word_shingles
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b c d"), (3, ""), (4, None)], "id long, text string"
+    )
+    out = {
+        r["id"]: r["s"]
+        for r in df.select("id", word_shingles(F.col("text"), 3).alias("s")).collect()
+    }
+    assert out[1] == [] and out[3] == [] and out[4] == []
+    assert out[2] == ["a b c", "b c d"]
+
+
+def test_contamination_overlap_counts(spark):
+    """Shared-shingle counting: only training docs overlapping the benchmark
+    appear, with exact distinct-shingle counts."""
+    from kol_bigdata_realtime_analytics_spark.operators.dedup import contamination_overlap
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox runs"),   # shares 2 distinct 3-grams
+            (2, "quick brown fox jumps high"), # shares 2
+            (3, "totally different words here"),
+            (4, "fox the quick brown"),        # shares 1 ('the quick brown')
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["n_shared_shingles"]
+        for r in contamination_overlap(train, bench, "text", "doc_id", 3).collect()
+    }
+    assert out == {1: 2, 2: 2, 4: 1}
+
+
+def test_scd2_intervals(spark):
+    """Runs of equal attribute values merge; intervals chain exactly
+    (valid_to[k] == valid_from[k+1]); last run open + current; ties broken
+    by the tiebreak column."""
+    from datetime import datetime
+
+    from kol_bigdata_realtime_analytics_spark.operators.scd import scd2_from_changelog
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        (1, "free", t(1), 10),
+        (1, "free", t(2), 11),   # same value: merges into first run
+        (1, "pro", t(3), 12),
+        (1, "free", t(4), 13),   # value recurs: NEW run, not merged backwards
+        (2, "pro", t(1), 14),
+        (3, "a", t(5), 16),      # same ts as below: event_id orders them
+        (3, "b", t(5), 15),
+    ]
+    df = spark.createDataFrame(rows, "uid long, plan string, ts timestamp, eid long")
+    out = scd2_from_changelog(df, "uid", "plan", "ts", "eid").collect()
+    by_uid = {}
+    for r in sorted(out, key=lambda r: (r["uid"], r["valid_from_us"])):
+        by_uid.setdefault(r["uid"], []).append(r)
+    u1 = by_uid[1]
+    assert [r["plan"] for r in u1] == ["free", "pro", "free"]
+    assert [r["is_current"] for r in u1] == [0, 0, 1]
+    # intervals chain with no gaps
+    assert u1[0]["valid_to_us"] == u1[1]["valid_from_us"]
+    assert u1[1]["valid_to_us"] == u1[2]["valid_from_us"]
+    assert u1[2]["valid_to_us"] is None
+    assert len(by_uid[2]) == 1 and by_uid[2][0]["is_current"] == 1
+    u3 = by_uid[3]  # tie on ts: eid 15 ('b') sorts first, 16 ('a') is current
+    assert [r["plan"] for r in u3] == ["b", "a"]
+    assert [r["is_current"] for r in u3] == [0, 1]

@@ -169,3 +169,35 @@ def test_bucketed_join_has_no_shuffle(spark, sf_oracle):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_pii_and_gopher_scan_only(spark, sf_oracle):
+    """PII redaction and repetition filters are pure projections: zero
+    exchanges — at 100 TB they run scan-local at input bandwidth."""
+    from kol_bigdata_realtime_analytics_spark.plans import REGISTRY
+
+    for name in ("pii_redaction", "gopher_repetition_filters"):
+        plan = _formatted(REGISTRY[name].fn(spark, sf_oracle))
+        assert "Exchange" not in plan, (name, plan)
+
+
+def test_decontaminate_broadcasts_benchmark(spark, sf_oracle):
+    """The deduped benchmark shingle set must broadcast: the corpus side of
+    the contamination join never shuffles its exploded shingles."""
+    from kol_bigdata_realtime_analytics_spark.plans import REGISTRY
+
+    plan = _formatted(REGISTRY["decontaminate_overlap"].fn(spark, sf_oracle))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_scd2_single_exchange(spark, sf_oracle):
+    """Change detection (lag) and interval stitching (lead) share the
+    (user_id) partitioning: exactly ONE hash exchange in the plan."""
+    import re
+
+    from kol_bigdata_realtime_analytics_spark.plans import REGISTRY
+
+    plan = _formatted(REGISTRY["scd2_user_event_type"].fn(spark, sf_oracle))
+    n = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n == 1, plan
