@@ -65,6 +65,12 @@ HEADLINE = [
     "customer_order_distribution",
     "large_order_customers",
     "segment_percentile_position",
+    "document_chunks",
+    "dedup_clusters",
+    "decontaminate_overlap",
+    "gopher_repetition_filters",
+    "pii_redaction",
+    "scd2_user_event_type",
 ]
 
 

@@ -230,13 +230,17 @@ PII_COUNT_ORACLE_SQL = "CAST(len(regexp_extract_all(COALESCE({col}, ''), '{pat}'
 # ---------------------------------------------------------------------------
 
 
+def dup_ratio_of(arr: Column) -> Column:
+    """1 - distinct/total over any array (0.0 for empty)."""
+    n = F.size(arr)
+    return F.when(
+        n > 0, F.lit(1.0) - F.size(F.array_distinct(arr)).cast("double") / n
+    ).otherwise(F.lit(0.0))
+
+
 def dup_token_ratio(text: Column | str) -> Column:
     """1 - distinct_tokens/total_tokens (0.0 for empty docs)."""
-    tk = tokens(text)
-    n = F.size(tk)
-    return F.when(
-        n > 0, F.lit(1.0) - F.size(F.array_distinct(tk)).cast("double") / n
-    ).otherwise(F.lit(0.0))
+    return dup_ratio_of(tokens(text))
 
 
 DUP_TOKEN_RATIO_ORACLE_SQL = (
@@ -246,16 +250,19 @@ DUP_TOKEN_RATIO_ORACLE_SQL = (
 )
 
 
-def top_token_ratio(text: Column | str) -> Column:
-    """Fraction of tokens taken by the single most frequent token (0.0 for
+def top_ratio_of(arr: Column) -> Column:
+    """Fraction of elements taken by the most frequent element (0.0 for
     empty). O(distinct x total) per doc — fine for length-capped docs; the
     mirrored oracle keeps the same formulation."""
-    tk = tokens(text)
-    n = F.size(tk)
+    n = F.size(arr)
     top = F.array_max(
-        F.transform(F.array_distinct(tk), lambda d: F.size(F.filter(tk, lambda t: t == d)))
+        F.transform(F.array_distinct(arr), lambda d: F.size(F.filter(arr, lambda t: t == d)))
     )
     return F.when(n > 0, top.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def top_token_ratio(text: Column | str) -> Column:
+    return top_ratio_of(tokens(text))
 
 
 TOP_TOKEN_RATIO_ORACLE_SQL = (
@@ -266,18 +273,21 @@ TOP_TOKEN_RATIO_ORACLE_SQL = (
 )
 
 
-def bigrams(text: Column | str) -> Column:
-    """array<string> of adjacent token bigrams ('a b'), empty if < 2 tokens."""
-    tk = tokens(text)
-    n = F.size(tk)
+def bigrams_of(arr: Column) -> Column:
+    """array<string> of adjacent bigrams ('a b'), empty if < 2 elements."""
+    n = F.size(arr)
     return F.when(
         n >= 2,
         F.zip_with(
-            F.slice(tk, F.lit(1), n - 1),
-            F.slice(tk, F.lit(2), n - 1),
+            F.slice(arr, F.lit(1), n - 1),
+            F.slice(arr, F.lit(2), n - 1),
             lambda a, b: F.concat_ws(" ", a, b),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def bigrams(text: Column | str) -> Column:
+    return bigrams_of(tokens(text))
 
 
 #: DuckDB bigrams over pre-split token array {tok}
@@ -290,11 +300,7 @@ BIGRAMS_ORACLE_SQL = (
 
 def dup_bigram_ratio(text: Column | str) -> Column:
     """1 - distinct_bigrams/total_bigrams (0.0 if < 2 tokens)."""
-    bg = bigrams(text)
-    n = F.size(bg)
-    return F.when(
-        n > 0, F.lit(1.0) - F.size(F.array_distinct(bg)).cast("double") / n
-    ).otherwise(F.lit(0.0))
+    return dup_ratio_of(bigrams(text))
 
 
 #: Gopher-style keep thresholds (tuned loose; the query exposes the raw

@@ -315,24 +315,46 @@ def _gopher_oracle() -> str:
 def gopher_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-doc repetition signals (dup-token / top-token / dup-bigram
     ratios) + the keep decision — one scan, zero shuffles, raw signals
-    exposed so thresholds can change without recompute."""
+    exposed so thresholds can change without recompute. Tokenizes ONCE into
+    an array column; every signal reads the array (the naive per-signal
+    re-tokenize was 5x this cost)."""
     from kol_bigdata_realtime_analytics_spark.functions.text import (
-        dup_bigram_ratio,
-        dup_token_ratio,
-        gopher_keep,
-        token_count,
-        top_token_ratio,
+        GOPHER_MAX_DUP_BIGRAM,
+        GOPHER_MAX_DUP_TOKEN,
+        GOPHER_MAX_TOKENS,
+        GOPHER_MAX_TOP_TOKEN,
+        GOPHER_MIN_TOKENS,
+        bigrams_of,
+        dup_ratio_of,
+        tokens,
+        top_ratio_of,
     )
     from kol_bigdata_realtime_analytics_spark.plans.domain import trunc6
 
     docs = table(spark, sf_dir, "documents")
-    return docs.select(
+    tokd = docs.select("doc_id", tokens("text").alias("_tok"))
+    tok = F.col("_tok")
+    sig = tokd.select(
         "doc_id",
-        token_count("text").alias("n_tokens"),
-        trunc6(dup_token_ratio("text")).alias("dup_token_ratio"),
-        trunc6(top_token_ratio("text")).alias("top_token_ratio"),
-        trunc6(dup_bigram_ratio("text")).alias("dup_bigram_ratio"),
-        gopher_keep("text").alias("keep"),
+        F.size(tok).cast("long").alias("n_tokens"),
+        dup_ratio_of(tok).alias("_dt"),
+        top_ratio_of(tok).alias("_tt"),
+        dup_ratio_of(bigrams_of(tok)).alias("_db"),
+    )
+    keep = (
+        (F.col("n_tokens") >= GOPHER_MIN_TOKENS)
+        & (F.col("n_tokens") <= GOPHER_MAX_TOKENS)
+        & (F.col("_dt") <= GOPHER_MAX_DUP_TOKEN)
+        & (F.col("_tt") <= GOPHER_MAX_TOP_TOKEN)
+        & (F.col("_db") <= GOPHER_MAX_DUP_BIGRAM)
+    ).cast("int")
+    return sig.select(
+        "doc_id",
+        "n_tokens",
+        trunc6(F.col("_dt")).alias("dup_token_ratio"),
+        trunc6(F.col("_tt")).alias("top_token_ratio"),
+        trunc6(F.col("_db")).alias("dup_bigram_ratio"),
+        keep.alias("keep"),
     )
 
 
