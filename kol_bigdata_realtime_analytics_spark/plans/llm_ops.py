@@ -401,6 +401,161 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Embedding int8 scalar quantization — the memory side of a 100 TB ANN
+# index: 4x smaller vectors, quantized in the scan projection (no UDF).
+# ---------------------------------------------------------------------------
+
+_QUANTIZE_ORACLE = """
+WITH scaled AS (
+  SELECT vec_id,
+         CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) / 127.0 AS scale,
+         embedding
+  FROM embeddings
+),
+coded AS (
+  SELECT vec_id, scale,
+         CASE WHEN scale > 0
+              THEN list_transform(embedding, x -> CAST(round(x / scale) AS INTEGER))
+              ELSE list_transform(embedding, x -> 0) END AS codes,
+         embedding
+  FROM scaled
+)
+SELECT vec_id, scale, codes,
+       floor((CASE WHEN len(embedding) > 0
+             THEN list_reduce(list_transform(range(1, len(embedding) + 1),
+                  i -> (CAST(embedding[i] AS DOUBLE) - codes[i] * scale)
+                       * (CAST(embedding[i] AS DOUBLE) - codes[i] * scale)),
+                  (acc, v) -> acc + v)
+                  / len(embedding)
+             ELSE 0.0 END * 1000000.0) * 1000000) / 1000000 AS mse_micro
+FROM coded
+""".strip()
+
+
+@register("embedding_quantize_int8", oracle=_QUANTIZE_ORACLE)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding column with
+    reconstruction MSE — codes/scale/error all from one scan projection."""
+    from kol_bigdata_realtime_analytics_spark.operators.similarity import (
+        dequantize_mse,
+        quantize_int8,
+    )
+    from kol_bigdata_realtime_analytics_spark.plans.domain import trunc6
+
+    emb = table(spark, sf_dir, "embeddings")
+    scale, codes = quantize_int8(F.col("embedding"))
+    out = emb.select("vec_id", scale.alias("scale"), codes.alias("codes"), "embedding")
+    return out.select(
+        "vec_id",
+        "scale",
+        "codes",
+        trunc6(
+            dequantize_mse(F.col("embedding"), F.col("scale"), F.col("codes")) * 1000000.0
+        ).alias("mse_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental ingestion dedup — a NEW batch against the standing corpus
+# fingerprint index (no full-corpus recompute). doc_id % 10 == 9 stands in
+# for the arriving batch.
+# ---------------------------------------------------------------------------
+
+_INCREMENTAL_ORACLE = f"""
+WITH corpus AS (
+  SELECT DISTINCT {DOC_FINGERPRINT_ORACLE_SQL.format(col="text")} AS fingerprint
+  FROM documents WHERE doc_id % 10 != 9
+),
+batch AS (
+  SELECT MIN(doc_id) AS doc_id,
+         {DOC_FINGERPRINT_ORACLE_SQL.format(col="text")} AS fingerprint
+  FROM documents WHERE doc_id % 10 = 9
+  GROUP BY 2
+)
+SELECT b.doc_id, b.fingerprint
+FROM batch b LEFT JOIN corpus c ON b.fingerprint = c.fingerprint
+WHERE c.fingerprint IS NULL
+""".strip()
+
+
+@register("incremental_dedup_new_docs", oracle=_INCREMENTAL_ORACLE)
+def incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivors of an arriving batch: first-in-batch per fingerprint, then
+    anti-join against the standing corpus index. This is the steady-state
+    ingestion path — daily batches dedup against the index (a shuffle join
+    on 32-byte fingerprints; bucket the index by fingerprint at write time
+    and the batch side alone shuffles), never re-scanning the corpus."""
+    docs = table(spark, sf_dir, "documents")
+    fp = doc_fingerprint_md5(F.col("text"))
+    corpus = docs.filter(F.col("doc_id") % 10 != 9).select(fp.alias("fingerprint"))
+    batch = (
+        docs.filter(F.col("doc_id") % 10 == 9)
+        .select(fp.alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    return batch.join(corpus, "fingerprint", "left_anti").select("doc_id", "fingerprint")
+
+
+# ---------------------------------------------------------------------------
+# Corpus mix planner — per-source sampling rates to hit a token budget with
+# an equal-share target mix. The control knob a training-data pipeline turns
+# before materializing a corpus snapshot.
+# ---------------------------------------------------------------------------
+
+_MIX_ORACLE = f"""
+WITH per_src AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM({TOKEN_COUNT_ORACLE_SQL.format(col="text")}) AS BIGINT) AS n_tokens
+  FROM documents
+  GROUP BY source
+),
+tot AS (
+  SELECT *,
+         SUM(n_tokens) OVER () AS total_tokens,
+         COUNT(*) OVER () AS n_sources
+  FROM per_src
+)
+SELECT source, n_docs, n_tokens,
+       ROUND(LEAST(1.0, (CAST(total_tokens AS DOUBLE) * 0.5 / n_sources) / n_tokens), 6)
+         AS sampling_rate,
+       CAST(floor(LEAST(1.0, (CAST(total_tokens AS DOUBLE) * 0.5 / n_sources) / n_tokens) * n_tokens)
+           AS BIGINT) AS expected_tokens
+FROM tot
+""".strip()
+
+
+@register("corpus_mix_plan", oracle=_MIX_ORACLE)
+def corpus_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampling rate for a 50%-of-corpus token budget split
+    equally across sources (rate capped at 1 — undersized sources keep
+    everything). One agg to per-source totals, then unpartitioned window
+    over the handful of source rows."""
+    docs = table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count("text")).alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    tot = per_src.select(
+        "*",
+        F.sum("n_tokens").over(w).alias("_total"),
+        F.count("*").over(w).alias("_nsrc"),
+    )
+    rate = F.least(
+        F.lit(1.0), (F.lit(0.5) * F.col("_total") / F.col("_nsrc")) / F.col("n_tokens")
+    )
+    return tot.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(rate, 6).alias("sampling_rate"),
+        F.floor(rate * F.col("n_tokens")).cast("long").alias("expected_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # MinHash-LSH + SimHash — engine-hash based, rows-only driver check;
 # pytest compares their candidate sets against the exact Jaccard query.
 # ---------------------------------------------------------------------------
@@ -805,4 +960,287 @@ def training_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deduped.groupBy(split.alias("split")).agg(
         F.count("*").alias("n_docs"),
         F.sum(F.col("n_tokens").cast("long")).alias("total_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing — contiguous token-budget bins for training batches.
+# ---------------------------------------------------------------------------
+
+_PACK_ORACLE = f"""
+WITH toks AS (
+  SELECT source, doc_id,
+         CAST({TOKEN_COUNT_ORACLE_SQL.format(col="text")} AS BIGINT) AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT source, doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM toks
+)
+SELECT source, CAST(floor(cum_before / 4096.0) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+       floor(SUM(n_tokens) / 4096.0 * 1000000) / 1000000 AS fill_ratio
+FROM cum GROUP BY 1, 2
+""".strip()
+
+
+@register("sequence_pack_bins", oracle=_PACK_ORACLE)
+def sequence_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous sequence packing: within each source (ordered by doc_id),
+    a document goes to the 4096-token context bin its cumulative start
+    offset falls in; per-bin doc count, token total, and fill ratio.
+
+    This is the *scalable* packing idiom: greedy first-fit bin packing is
+    inherently sequential, but contiguous cumsum packing is one window
+    cumsum per source partition — at 100 TB you pack per shard exactly like
+    this (partition-local bins), because cross-shard packing would serialize
+    the corpus for ~0.1% better fill. Integer window arithmetic only; the
+    single fill_ratio float is trunc6'd.
+    """
+    from kol_bigdata_realtime_analytics_spark.plans.domain import trunc6
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", "doc_id", token_count("text").alias("n_tokens")
+    )
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = toks.withColumn(
+        "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    return (
+        cum.groupBy(
+            "source",
+            F.floor(F.col("cum_before") / F.lit(4096.0)).cast("long").alias("bin"),
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+        )
+        .select(
+            "source",
+            "bin",
+            "n_docs",
+            "bin_tokens",
+            trunc6(F.col("bin_tokens") / F.lit(4096.0)).alias("fill_ratio"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality-filter funnel — per-stage survivor counts in ONE scan.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_ORACLE = f"""
+WITH m AS (
+  SELECT CAST({TOKEN_COUNT_ORACLE_SQL.format(col="text")} AS BIGINT) AS n_tokens,
+         {PUNCT_RATIO_ORACLE_SQL.format(col="text")} AS punct,
+         {STOPWORD_RATIO_ORACLE_SQL.format(col="text")} AS sw,
+         regexp_matches(COALESCE(text, ''), '^[\\x00-\\x7F]*$') AS ascii_ok
+  FROM documents
+),
+f AS (
+  SELECT n_tokens > 0 AS s1,
+         n_tokens > 0 AND n_tokens BETWEEN 50 AND 100000 AS s2,
+         n_tokens > 0 AND n_tokens BETWEEN 50 AND 100000 AND punct <= 0.3 AS s3,
+         n_tokens > 0 AND n_tokens BETWEEN 50 AND 100000 AND punct <= 0.3
+           AND sw >= 0.03 AND ascii_ok AS s4
+  FROM m
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS c0,
+         CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+         CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+         CAST(SUM(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) AS c4
+  FROM f
+)
+SELECT 0 AS stage_idx, 'total' AS stage, c0 AS survivors FROM agg
+UNION ALL SELECT 1, 'non_empty', c1 FROM agg
+UNION ALL SELECT 2, 'length_50_100k', c2 FROM agg
+UNION ALL SELECT 3, 'punct_le_30pct', c3 FROM agg
+UNION ALL SELECT 4, 'english_heuristic', c4 FROM agg
+""".strip()
+
+
+@register("quality_funnel", oracle=_FUNNEL_ORACLE)
+def quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor count after each cumulative quality-filter stage (Gopher-style
+    length gate, punctuation gate, English heuristic) — the go/no-go report a
+    corpus build emits before materializing anything.
+
+    ONE scan, five conditional sums folded into a single hash-agg row, then
+    a constant-width stack to rows: no matter the corpus size this shuffles
+    five longs. The per-stage booleans are cumulative ANDs so the funnel is
+    monotone by construction.
+    """
+    docs = table(spark, sf_dir, "documents")
+    n = token_count("text")
+    s1 = n > 0
+    s2 = s1 & n.between(50, 100000)
+    s3 = s2 & (punct_ratio("text") <= 0.3)
+    s4 = s3 & (language_id("text") == "en")
+    agg = docs.agg(
+        F.count("*").alias("c0"),
+        *[
+            F.sum(F.when(cond, 1).otherwise(0)).alias(f"c{i}")
+            for i, cond in enumerate((s1, s2, s3, s4), start=1)
+        ],
+    )
+    return agg.selectExpr(
+        "stack(5, 0, 'total', c0, 1, 'non_empty', c1, 2, 'length_50_100k', c2, "
+        "3, 'punct_le_30pct', c3, 4, 'english_heuristic', c4) "
+        "AS (stage_idx, stage, survivors)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-weighted domain mixing (UniMax/DoReMi-style alpha sampling).
+# ---------------------------------------------------------------------------
+
+_TEMP_MIX_ORACLE = f"""
+WITH per AS (
+  SELECT source,
+         CAST(SUM({TOKEN_COUNT_ORACLE_SQL.format(col="text")}) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+t AS (SELECT source, n_tokens, SUM(n_tokens) OVER () AS total FROM per),
+p AS (
+  SELECT source, n_tokens,
+         CAST(n_tokens AS DOUBLE) / total AS share,
+         pow(CAST(n_tokens AS DOUBLE) / total, 0.7) AS w_raw
+  FROM t
+)
+SELECT source, n_tokens,
+       floor(share * 1000000) / 1000000 AS share,
+       floor(w_raw / SUM(w_raw) OVER () * 1000000) / 1000000 AS weight,
+       floor((w_raw / SUM(w_raw) OVER ()) / share * 1000000) / 1000000 AS upsample_factor
+FROM p
+""".strip()
+
+
+@register("domain_temperature_weights", oracle=_TEMP_MIX_ORACLE)
+def domain_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened domain mixture (alpha = 0.7, the multilingual
+    /domain-balancing trick): weight_i ∝ share_i^alpha, renormalized. The
+    upsample_factor column is weight/share — how much each source is over- or
+    under-sampled relative to natural frequency.
+
+    One agg to per-source token totals, then unpartitioned windows over the
+    handful of source rows (the post-agg cardinality is O(#sources), so a
+    single-partition window is free).
+    """
+    from kol_bigdata_realtime_analytics_spark.plans.domain import trunc6
+
+    docs = table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(F.sum(token_count("text")).alias("n_tokens"))
+    w = Window.partitionBy()
+    t = per.withColumn("total", F.sum("n_tokens").over(w))
+    share = F.col("n_tokens").cast("double") / F.col("total")
+    p = t.select(
+        "source", "n_tokens", share.alias("share"), F.pow(share, 0.7).alias("w_raw")
+    )
+    wsum = F.sum("w_raw").over(w)
+    return p.select(
+        "source",
+        "n_tokens",
+        trunc6(F.col("share")).alias("share"),
+        trunc6(F.col("w_raw") / wsum).alias("weight"),
+        trunc6((F.col("w_raw") / wsum) / F.col("share")).alias("upsample_factor"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# int8-quantized ANN rescoring — the memory-bound half of the 100 TB index.
+# ---------------------------------------------------------------------------
+
+_INT8_CODED_SQL = """
+coded AS (
+  SELECT vec_id,
+         CASE WHEN scale > 0
+              THEN list_transform(embedding, x -> CAST(round(x / scale) AS INTEGER))
+              ELSE list_transform(embedding, x -> 0) END AS codes
+  FROM (
+    SELECT vec_id,
+           CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) / 127.0 AS scale,
+           embedding
+    FROM embeddings
+  )
+),
+normed AS (
+  SELECT vec_id, codes::DOUBLE[] AS v,
+         list_dot_product(codes::DOUBLE[], codes::DOUBLE[]) AS n2
+  FROM coded
+)
+""".strip()
+
+_ANN_INT8_ORACLE = f"""
+WITH {_INT8_CODED_SQL},
+q AS (SELECT vec_id AS q_id, v AS q_vec, n2 AS q_n2 FROM normed WHERE vec_id < 5),
+scored AS (
+  SELECT q.q_id, c.vec_id AS c_id,
+         ROUND(list_dot_product(q.q_vec, c.v) / (sqrt(q.q_n2) * sqrt(c.n2)), 6) AS cosine
+  FROM normed c, q
+  WHERE c.vec_id != q.q_id AND c.n2 > 0 AND q.q_n2 > 0
+)
+SELECT q_id, c_id, cosine, rank FROM (
+  SELECT q_id, c_id, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= 3
+""".strip()
+
+
+@register("ann_int8_topk", oracle=_ANN_INT8_ORACLE)
+def ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-3 over int8-quantized codes (queries: vec_id<5).
+
+    The per-vector quantization scales cancel out of cosine entirely, so the
+    whole score is integer dot products (exact in double at any summation
+    order — products bound by 127^2 * dim << 2^53) over 4x-smaller vectors:
+    this is the memory-bandwidth half of serving a 100 TB ANN index, and the
+    candidate-rescoring pass after IVF/LSH pruning. Exactly hash-checkable
+    against DuckDB because no float rounding enters before the final ROUND.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    from kol_bigdata_realtime_analytics_spark.operators.similarity import quantize_int8
+
+    _, codes = quantize_int8(F.col("embedding"))
+    n2 = F.aggregate(
+        F.transform(codes, lambda x: (x * x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    normed = emb.select(
+        F.col("vec_id"), codes.alias("codes"), n2.alias("n2")
+    ).filter(F.col("n2") > 0)
+    q = normed.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("codes").alias("q_codes"),
+        F.col("n2").alias("q_n2"),
+    ).filter(F.col("q_id") < 5)
+    dot = F.aggregate(
+        F.zip_with("q_codes", "codes", lambda a, b: (a * b).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        normed.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("c_id"),
+            F.round(
+                dot.cast("double") / (F.sqrt(F.col("q_n2")) * F.sqrt(F.col("n2"))), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("q_id", "c_id", "cosine", "rank")
     )
