@@ -1,0 +1,220 @@
+"""Data-quality queries: constraint validation and table profiling.
+
+The reference validates its warehouse only implicitly (Airflow task
+success/failure); a 100 TB lakehouse needs explicit, cheap DQ gates that
+run as part of every load. Both queries here follow the repo's scale
+rules: constant-width outputs (O(#checks) / O(#columns) rows no matter
+the input size), conditional aggregation over single scans where
+possible, and anti-joins (not correlated subqueries) for FK checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kol_bigdata_realtime_analytics_spark.plans.registry import register, table
+
+# ---------------------------------------------------------------------------
+# Constraint validation — PK uniqueness, FK integrity, null/range/blank.
+# ---------------------------------------------------------------------------
+
+_DQ_ORACLE = """
+SELECT 0 AS check_idx, 'orders_pk_duplicate_rows' AS check_name,
+       CAST((SELECT COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) FROM orders) AS BIGINT)
+         AS violations
+UNION ALL
+SELECT 1, 'orders_fk_customer_orphans',
+       CAST((SELECT COUNT(*) FROM orders o
+             WHERE o.o_custkey IS NOT NULL
+               AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+            AS BIGINT)
+UNION ALL
+SELECT 2, 'lineitem_fk_orders_orphans',
+       CAST((SELECT COUNT(*) FROM lineitem l
+             WHERE l.l_orderkey IS NOT NULL
+               AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+            AS BIGINT)
+UNION ALL
+SELECT 3, 'events_null_user_id',
+       CAST((SELECT COUNT(*) FROM events WHERE user_id IS NULL) AS BIGINT)
+UNION ALL
+SELECT 4, 'events_negative_value',
+       CAST((SELECT COUNT(*) FROM events WHERE value < 0) AS BIGINT)
+UNION ALL
+SELECT 5, 'customer_blank_name',
+       CAST((SELECT COUNT(*) FROM customer WHERE trim(COALESCE(c_name, '')) = '') AS BIGINT)
+""".strip()
+
+
+@register("dq_constraint_checks", oracle=_DQ_ORACLE)
+def dq_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per data-quality constraint with its violation count: PK
+    uniqueness on orders, FK integrity orders->customer and
+    lineitem->orders, null / range / blank checks on events and customer.
+
+    Every check reduces to a handful of longs before any union, so the
+    result is 6 rows at any corpus size. The FK checks are left-anti joins
+    (customer broadcasts; orders-side dedup of l_orderkey keeps the
+    lineitem anti-join's build side small). PK check is one conditional
+    agg — count minus exact countDistinct; at 100 TB swap in
+    approx_count_distinct for a first-pass gate and run the exact variant
+    only when the approximate one fails the threshold.
+    """
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    li = table(spark, sf_dir, "lineitem")
+    e = table(spark, sf_dir, "events")
+
+    pk_dups = o.agg(
+        (F.count("o_orderkey") - F.countDistinct("o_orderkey"))
+        .cast("long")
+        .alias("violations")
+    )
+    o_orphans = (
+        o.filter(F.col("o_custkey").isNotNull())
+        .join(
+            F.broadcast(c.select(F.col("c_custkey").alias("o_custkey")).distinct()),
+            "o_custkey",
+            "left_anti",
+        )
+        .agg(F.count("*").alias("violations"))
+    )
+    l_orphans = (
+        li.filter(F.col("l_orderkey").isNotNull())
+        .join(
+            o.select(F.col("o_orderkey").alias("l_orderkey")).distinct(),
+            "l_orderkey",
+            "left_anti",
+        )
+        .agg(F.count("*").alias("violations"))
+    )
+    e_null = e.filter(F.col("user_id").isNull()).agg(F.count("*").alias("violations"))
+    e_neg = e.filter(F.col("value") < 0).agg(F.count("*").alias("violations"))
+    c_blank = c.filter(F.trim(F.coalesce(F.col("c_name"), F.lit(""))) == "").agg(
+        F.count("*").alias("violations")
+    )
+
+    checks = [
+        (0, "orders_pk_duplicate_rows", pk_dups),
+        (1, "orders_fk_customer_orphans", o_orphans),
+        (2, "lineitem_fk_orders_orphans", l_orphans),
+        (3, "events_null_user_id", e_null),
+        (4, "events_negative_value", e_neg),
+        (5, "customer_blank_name", c_blank),
+    ]
+    out = None
+    for idx, name, df in checks:
+        row = df.select(
+            F.lit(idx).cast("int").alias("check_idx"),
+            F.lit(name).alias("check_name"),
+            F.col("violations"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Table profiling — per-column stats for the orders table in one pass.
+# ---------------------------------------------------------------------------
+
+_PROFILE_ORACLE = """
+WITH agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_k,
+         CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS nd_k,
+         CAST(MIN(o_orderkey) AS DOUBLE) AS min_k, CAST(MAX(o_orderkey) AS DOUBLE) AS max_k,
+         CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_c,
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS nd_c,
+         CAST(MIN(o_custkey) AS DOUBLE) AS min_c, CAST(MAX(o_custkey) AS DOUBLE) AS max_c,
+         CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_p,
+         CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS nd_p,
+         MIN(o_totalprice) AS min_p, MAX(o_totalprice) AS max_p,
+         CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_d,
+         CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) AS nd_d,
+         CAST(epoch_us(MIN(o_orderdate)) AS DOUBLE) AS min_d,
+         CAST(epoch_us(MAX(o_orderdate)) AS DOUBLE) AS max_d,
+         CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_s,
+         CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS nd_s,
+         MIN(o_orderstatus) AS min_s, MAX(o_orderstatus) AS max_s,
+         CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_pr,
+         CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS nd_pr,
+         MIN(o_orderpriority) AS min_pr, MAX(o_orderpriority) AS max_pr
+  FROM orders
+)
+SELECT 'o_orderkey' AS column_name, n_rows, null_k AS n_null, nd_k AS n_distinct,
+       min_k AS min_num, max_k AS max_num,
+       CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str FROM agg
+UNION ALL
+SELECT 'o_custkey', n_rows, null_c, nd_c, min_c, max_c, NULL, NULL FROM agg
+UNION ALL
+SELECT 'o_totalprice', n_rows, null_p, nd_p, min_p, max_p, NULL, NULL FROM agg
+UNION ALL
+SELECT 'o_orderdate', n_rows, null_d, nd_d, min_d, max_d, NULL, NULL FROM agg
+UNION ALL
+SELECT 'o_orderstatus', n_rows, null_s, nd_s, NULL, NULL, min_s, max_s FROM agg
+UNION ALL
+SELECT 'o_orderpriority', n_rows, null_pr, nd_pr, NULL, NULL, min_pr, max_pr FROM agg
+""".strip()
+
+
+@register("profile_orders", oracle=_PROFILE_ORACLE)
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile of the orders table — rows, nulls, exact distinct,
+    min/max (numeric columns as doubles, timestamps as epoch micros, string
+    columns as strings) — the schema-drift / sanity report a load job emits.
+
+    ONE wide aggregation over one scan: Spark expands the multi-column
+    COUNT(DISTINCT)s via a single Expand + two-level agg (one shuffle), then
+    a constant-width stack turns the 1-row agg into one row per column.
+    At 100 TB the exact distincts are the expensive part — swap
+    approx_count_distinct into the same shape for a daily gate.
+    """
+    o = table(spark, sf_dir, "orders")
+    agg = o.agg(
+        F.count("*").alias("n_rows"),
+        # o_orderkey
+        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).alias("null_k"),
+        F.countDistinct("o_orderkey").alias("nd_k"),
+        F.min("o_orderkey").cast("double").alias("min_k"),
+        F.max("o_orderkey").cast("double").alias("max_k"),
+        # o_custkey
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias("null_c"),
+        F.countDistinct("o_custkey").alias("nd_c"),
+        F.min("o_custkey").cast("double").alias("min_c"),
+        F.max("o_custkey").cast("double").alias("max_c"),
+        # o_totalprice
+        F.sum(F.when(F.col("o_totalprice").isNull(), 1).otherwise(0)).alias("null_p"),
+        F.countDistinct("o_totalprice").alias("nd_p"),
+        F.min("o_totalprice").alias("min_p"),
+        F.max("o_totalprice").alias("max_p"),
+        # o_orderdate -> epoch micros
+        F.sum(F.when(F.col("o_orderdate").isNull(), 1).otherwise(0)).alias("null_d"),
+        F.countDistinct("o_orderdate").alias("nd_d"),
+        F.unix_micros(F.min("o_orderdate").cast("timestamp")).cast("double").alias("min_d"),
+        F.unix_micros(F.max("o_orderdate").cast("timestamp")).cast("double").alias("max_d"),
+        # o_orderstatus (string)
+        F.sum(F.when(F.col("o_orderstatus").isNull(), 1).otherwise(0)).alias("null_s"),
+        F.countDistinct("o_orderstatus").alias("nd_s"),
+        F.min("o_orderstatus").alias("min_s"),
+        F.max("o_orderstatus").alias("max_s"),
+        # o_orderpriority (string)
+        F.sum(F.when(F.col("o_orderpriority").isNull(), 1).otherwise(0)).alias("null_pr"),
+        F.countDistinct("o_orderpriority").alias("nd_pr"),
+        F.min("o_orderpriority").alias("min_pr"),
+        F.max("o_orderpriority").alias("max_pr"),
+    )
+    return agg.selectExpr(
+        "stack(6, "
+        "'o_orderkey', null_k, nd_k, min_k, max_k, CAST(NULL AS STRING), CAST(NULL AS STRING), "
+        "'o_custkey', null_c, nd_c, min_c, max_c, CAST(NULL AS STRING), CAST(NULL AS STRING), "
+        "'o_totalprice', null_p, nd_p, min_p, max_p, CAST(NULL AS STRING), CAST(NULL AS STRING), "
+        "'o_orderdate', null_d, nd_d, min_d, max_d, CAST(NULL AS STRING), CAST(NULL AS STRING), "
+        "'o_orderstatus', null_s, nd_s, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), min_s, max_s, "
+        "'o_orderpriority', null_pr, nd_pr, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), min_pr, max_pr"
+        ") AS (column_name, n_null, n_distinct, min_num, max_num, min_str, max_str)",
+        "n_rows",
+    ).select(
+        "column_name", "n_rows", "n_null", "n_distinct",
+        "min_num", "max_num", "min_str", "max_str",
+    )

@@ -237,3 +237,61 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count("*").alias("n_unique_users"))
     )
+
+
+_STREAM_STATIC_ORACLE = """
+SELECT e.event_id, e.user_id, c.c_mktsegment AS segment, n.n_name AS nation,
+       e.event_type, e.value
+FROM events e
+JOIN customer c ON c.c_custkey = e.user_id
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+""".strip()
+
+
+@register("stream_static_enrichment", oracle=_STREAM_STATIC_ORACLE)
+def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against static customer
+    and nation dimensions (the kafka->dim-enrich shape of the reference's
+    features_stream, minus the Cassandra hop).
+
+    The static side is re-read per micro-batch by Spark, so a broadcast hint
+    keeps every batch's join shuffle-free — at 1000 executors this is THE
+    difference between a per-batch 2-way shuffle and a map-side hash join.
+    Stateless inner join -> append mode, no watermark/state, each event
+    emitted exactly once; results equal the batch join, which is what the
+    oracle checks.
+    """
+    for q in spark.streams.active:
+        if q.name == "stream_static_mem":
+            q.stop()
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    dims = F.broadcast(
+        table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(table(spark, sf_dir, "nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+            F.col("n_name").alias("nation"),
+        )
+    )
+    out = stream.join(dims, "user_id").select(
+        "event_id", "user_id", "segment", "nation", "event_type", "value"
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_static_mem")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table("stream_static_mem")

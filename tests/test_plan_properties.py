@@ -201,3 +201,50 @@ def test_scd2_single_exchange(spark, sf_oracle):
     plan = _formatted(REGISTRY["scd2_user_event_type"].fn(spark, sf_oracle))
     n = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
     assert n == 1, plan
+
+
+def test_quantize_and_funnel_scan_only(spark, sf_oracle):
+    """int8 quantization is a pure scan projection (zero exchanges); the
+    quality funnel's only wide work is the 5-long agg row (<= 2 exchanges:
+    partial->final agg)."""
+    import re
+
+    from kol_bigdata_realtime_analytics_spark.plans import REGISTRY
+
+    plan = _formatted(REGISTRY["embedding_quantize_int8"].fn(spark, sf_oracle))
+    assert "Exchange" not in plan, plan
+
+    plan = _formatted(REGISTRY["quality_funnel"].fn(spark, sf_oracle))
+    n = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n <= 2, plan
+
+
+def test_ann_int8_broadcasts_queries(spark, sf_oracle):
+    """int8 rescoring broadcasts the query side — the corpus codes never
+    shuffle (same contract as brute_force_topk)."""
+    from kol_bigdata_realtime_analytics_spark.plans import REGISTRY
+
+    plan = _formatted(REGISTRY["ann_int8_topk"].fn(spark, sf_oracle))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_dq_fk_checks_broadcast_dims(spark, sf_oracle):
+    """FK orphan checks anti-join against broadcast key sets — the fact
+    tables (orders/lineitem) never shuffle for a DQ gate."""
+    from kol_bigdata_realtime_analytics_spark.plans import REGISTRY
+
+    plan = _formatted(REGISTRY["dq_constraint_checks"].fn(spark, sf_oracle))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_profile_orders_single_scan(spark, sf_oracle):
+    """The 6-column profile reads the orders table ONCE (one parquet scan
+    in the plan) — multi-column distincts ride a single Expand."""
+    import re
+
+    from kol_bigdata_realtime_analytics_spark.plans import REGISTRY
+
+    plan = _formatted(REGISTRY["profile_orders"].fn(spark, sf_oracle))
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1, plan
+    assert "Expand" in plan, plan
