@@ -71,6 +71,11 @@ HEADLINE = [
     "gopher_repetition_filters",
     "pii_redaction",
     "scd2_user_event_type",
+    "embedding_quantize_int8",
+    "ann_int8_topk",
+    "quality_funnel",
+    "sequence_pack_bins",
+    "dq_constraint_checks",
 ]
 
 

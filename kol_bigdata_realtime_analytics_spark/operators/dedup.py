@@ -226,9 +226,12 @@ def duplicate_clusters(
     Scale: each round is one equi-join of (node, label) longs against the
     edge list plus one groupBy-min — narrow shuffles, no text, no vectors.
     `localCheckpoint` truncates lineage per round so the plan doesn't grow
-    with iterations, and the convergence probe (`limit(1).count()` over
-    changed labels) moves at most one row to the driver — the inherent
-    sync point of an iterative algorithm, not a data collect.
+    with iterations. Convergence detection rides the SAME job that
+    materializes the round's checkpoint: labels are non-increasing under
+    min-propagation (own label is in the min), so the label sum is strictly
+    decreasing until fixpoint — sum unchanged ⇔ converged. One scalar to
+    the driver per round, and no separate old-vs-new join probe (halves the
+    per-round job count vs the naive changed-row check).
 
     Output: (id_col, cluster_id = min doc id in component, cluster_size,
     is_canonical). Rows to KEEP for training are is_canonical = 1.
@@ -240,6 +243,10 @@ def duplicate_clusters(
     labels = nodes.select(
         F.col(id_col).cast("long").alias("node"), F.col(id_col).cast("long").alias("label")
     ).localCheckpoint(eager=True)
+    # decimal(38,0) sum: exact at any node-count * id-magnitude, no overflow
+    label_sum = labels.agg(
+        F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+    ).collect()[0]["s"]
     for _ in range(max_iterations):
         neighbor_labels = sym.join(
             labels, sym["src"] == labels["node"]
@@ -248,18 +255,15 @@ def duplicate_clusters(
             labels.unionByName(neighbor_labels)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        new_sum = new_labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
         labels = new_labels
-        if changed == 0:
+        if new_sum == label_sum:
             break
+        label_sum = new_sum
     sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
     return labels.join(sizes, "label").select(
         F.col("node").alias(id_col),
