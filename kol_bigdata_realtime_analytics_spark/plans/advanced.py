@@ -500,3 +500,80 @@ def scd2_user_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs collapse to one row with [valid_from, valid_to) and a current flag."""
     ev = table(spark, sf_dir, "events")
     return scd2_from_changelog(ev, "user_id", "event_type", "ts", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# Z-order data layout — multi-dimensional clustering for file skipping.
+# At 100 TB, min/max zone maps only prune on the sort column; interleaving
+# the bits of two filter columns bounds BOTH dimensions' ranges per file.
+# ---------------------------------------------------------------------------
+
+
+def _z16_sql(x: str, y: str, div: str) -> str:
+    """Bit-interleave expression for two 16-bit dims via integer div/mod
+    (no shift operators -> the same arithmetic parses in Spark SQL
+    (`div`) and DuckDB (`//`), passed as `div`). Bits are disjoint so
+    addition assembles the word."""
+    terms = []
+    for i in range(16):
+        terms.append(f"(({x} {div} {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"(({y} {div} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+_ZORDER_ORACLE = f"""
+WITH dims AS (
+  SELECT o_orderkey,
+         o_custkey % 65536 AS x,
+         CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) % 65536 AS y
+  FROM orders
+),
+z AS (
+  SELECT o_orderkey, x, y,
+         CAST({_z16_sql("x", "y", "//")} AS BIGINT) AS zval
+  FROM dims
+),
+chunked AS (
+  SELECT x, y, NTILE(32) OVER (ORDER BY zval, o_orderkey) AS chunk FROM z
+)
+SELECT CAST(chunk AS INTEGER) AS chunk,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(x) AS BIGINT) AS min_cust, CAST(MAX(x) AS BIGINT) AS max_cust,
+       CAST(MIN(y) AS BIGINT) AS min_day, CAST(MAX(y) AS BIGINT) AS max_day
+FROM chunked GROUP BY 1
+""".strip()
+
+
+@register("zorder_layout_stats", oracle=_ZORDER_ORACLE)
+def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-chunk min/max of BOTH dimensions after z-ordering orders by
+    interleaved (custkey, order-day) bits — the zone-map report that shows
+    why a z-ordered layout prunes files on either filter column.
+
+    The z-value is pure native integer arithmetic (div/mod bit extraction,
+    disjoint-bit addition), so it runs inside whole-stage codegen; writing
+    the actual layout is `df.repartitionByRange(n, zval).sortWithinPartitions
+    (zval)` + parquet write, and these chunk stats are exactly the resulting
+    per-file zone maps. NTILE needs a total order — at 100 TB you'd sample
+    range bounds instead (repartitionByRange does) rather than a global sort;
+    the deterministic (zval, o_orderkey) tiebreak keeps this oracle exact.
+    """
+    o = table(spark, sf_dir, "orders")
+    dims = o.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 65536).alias("x"),
+        (
+            F.expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+            % 65536
+        ).cast("long").alias("y"),
+    )
+    z = dims.withColumn("zval", F.expr(_z16_sql("x", "y", "div")).cast("long"))
+    w = Window.orderBy("zval", "o_orderkey")
+    chunked = z.select("x", "y", F.ntile(32).over(w).alias("chunk"))
+    return chunked.groupBy(F.col("chunk").cast("int").alias("chunk")).agg(
+        F.count("*").alias("n_rows"),
+        F.min("x").alias("min_cust"),
+        F.max("x").alias("max_cust"),
+        F.min("y").alias("min_day"),
+        F.max("y").alias("max_day"),
+    )

@@ -1244,3 +1244,101 @@ def ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("q_id", "c_id", "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# C4-style segment filters — heuristic web-corpus cleaning (Raffel et al.
+# 2020 §2.2), re-shaped to sentence segments (the corpus has no newlines).
+# ---------------------------------------------------------------------------
+
+_C4_ORACLE = """
+WITH segs AS (
+  SELECT doc_id,
+         list_transform(regexp_split_to_array(COALESCE(text, ''), '\\. '),
+             s -> CASE WHEN trim(s) = '' THEN 0
+                       ELSE len(regexp_split_to_array(trim(s), '\\s+')) END) AS wc,
+         contains(lower(COALESCE(text, '')), 'lorem ipsum') AS has_lorem,
+         contains(COALESCE(text, ''), '{') AS has_brace
+  FROM documents
+),
+m AS (
+  SELECT doc_id, has_lorem, has_brace,
+         CAST(len(wc) AS BIGINT) AS n_segments,
+         CAST(len(list_filter(wc, c -> c >= 5)) AS BIGINT) AS n_kept_segments,
+         CAST(COALESCE(list_sum(wc), 0) AS BIGINT) AS total_words,
+         CAST(COALESCE(list_sum(list_filter(wc, c -> c >= 5)), 0) AS BIGINT) AS kept_words
+  FROM segs
+)
+SELECT doc_id, n_segments, n_kept_segments, total_words, kept_words,
+       floor((CASE WHEN total_words > 0
+              THEN CAST(kept_words AS DOUBLE) / total_words ELSE 0.0 END) * 1000000)
+         / 1000000 AS kept_ratio,
+       CAST(has_lorem AS INTEGER) AS has_lorem,
+       CAST(has_brace AS INTEGER) AS has_brace,
+       CAST((NOT has_lorem AND NOT has_brace AND total_words > 0
+             AND CAST(kept_words AS DOUBLE) / total_words >= 0.8) AS INTEGER) AS keep
+FROM m
+""".strip()
+
+
+@register("c4_segment_filters", oracle=_C4_ORACLE)
+def c4_segment_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style heuristic cleaning per document: sentence-ish segments
+    (split on '. '), a segment "kept" iff >= 5 words; docs flagged for
+    boilerplate markers (curly brace = code, 'lorem ipsum' = placeholder);
+    keep = no flags and >= 80% of words in kept segments.
+
+    All native higher-order array exprs over one scan — zero exchanges,
+    runs at input bandwidth like the PII/Gopher projections. The keep
+    decision compares the UN-truncated ratio (exact integer/integer double
+    division, identical in both engines); only the reported kept_ratio is
+    trunc6'd for display.
+    """
+    from kol_bigdata_realtime_analytics_spark.plans.domain import trunc6
+
+    docs = table(spark, sf_dir, "documents")
+    text = F.coalesce(F.col("text"), F.lit(""))
+    segs = F.split(text, r"\. ")
+    wc = F.transform(
+        segs,
+        lambda s: F.when(F.trim(s) == "", F.lit(0)).otherwise(
+            F.size(F.split(F.trim(s), r"\s+"))
+        ),
+    )
+    m = docs.select(
+        "doc_id",
+        F.size(wc).cast("long").alias("n_segments"),
+        F.size(F.filter(wc, lambda c: c >= 5)).cast("long").alias("n_kept_segments"),
+        F.aggregate(wc, F.lit(0).cast("long"), lambda acc, v: acc + v).alias(
+            "total_words"
+        ),
+        F.aggregate(
+            F.filter(wc, lambda c: c >= 5),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("kept_words"),
+        F.lower(text).contains("lorem ipsum").alias("_lorem"),
+        text.contains("{").alias("_brace"),
+    )
+    ratio = F.when(
+        F.col("total_words") > 0,
+        F.col("kept_words").cast("double") / F.col("total_words"),
+    ).otherwise(F.lit(0.0))
+    return m.select(
+        "doc_id",
+        "n_segments",
+        "n_kept_segments",
+        "total_words",
+        "kept_words",
+        trunc6(ratio).alias("kept_ratio"),
+        F.col("_lorem").cast("int").alias("has_lorem"),
+        F.col("_brace").cast("int").alias("has_brace"),
+        (
+            ~F.col("_lorem")
+            & ~F.col("_brace")
+            & (F.col("total_words") > 0)
+            & (ratio >= 0.8)
+        )
+        .cast("int")
+        .alias("keep"),
+    )

@@ -176,7 +176,7 @@ def test_pii_and_gopher_scan_only(spark, sf_oracle):
     exchanges — at 100 TB they run scan-local at input bandwidth."""
     from kol_bigdata_realtime_analytics_spark.plans import REGISTRY
 
-    for name in ("pii_redaction", "gopher_repetition_filters"):
+    for name in ("pii_redaction", "gopher_repetition_filters", "c4_segment_filters"):
         plan = _formatted(REGISTRY[name].fn(spark, sf_oracle))
         assert "Exchange" not in plan, (name, plan)
 
