@@ -577,3 +577,65 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("y").alias("min_day"),
         F.max("y").alias("max_day"),
     )
+
+
+# ---------------------------------------------------------------------------
+# OHLC time resampling — first/last/min/max per bucket in ONE hash agg.
+# ---------------------------------------------------------------------------
+
+_OHLC_ORACLE = """
+WITH e AS (
+  SELECT event_type,
+         (epoch_us(ts) // 900000000) * 900000000 AS bucket_start_us,
+         value,
+         lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+           || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord
+  FROM events
+)
+SELECT event_type, bucket_start_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       arg_min(value, ord) AS open,
+       arg_max(value, ord) AS close,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS volume
+FROM e GROUP BY 1, 2
+""".strip()
+
+
+@register("ohlc_events_15min", oracle=_OHLC_ORACLE)
+def ohlc_events_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC resampling of the event stream: per (event_type, 15-min bucket)
+    the first/last/max/min value plus count and summed volume.
+
+    first/last ride `min_by`/`max_by` over a zero-padded (epoch_us,
+    event_id) string key — lexicographic equals numeric for fixed-width
+    non-negatives, the tie-break is total, and the whole thing stays ONE
+    hash aggregation with map-side partial merge. The window-function
+    formulation (row_number asc/desc) would add a full per-bucket sort;
+    min_by carries just 2 candidate rows per partial. That is the
+    difference between O(n log n) per bucket and O(n) at 100 TB.
+    """
+    e = table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    ord_key = F.concat(
+        F.lpad(us.cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    bucket = (F.expr("unix_micros(ts) div 900000000") * 900000000).alias(
+        "bucket_start_us"
+    )
+    return (
+        e.select("event_type", bucket, F.col("value"), ord_key.alias("ord"))
+        .groupBy("event_type", "bucket_start_us")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.expr("min_by(value, ord)").alias("open"),
+            F.expr("max_by(value, ord)").alias("close"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2
+            ).alias("volume"),
+        )
+    )
