@@ -121,12 +121,16 @@ def doc_fingerprint_md5(text: Column | str) -> Column:
     """Deterministic content fingerprint: md5 of whitespace-normalized,
     lowercased text. Stable across engines (md5 is md5 everywhere) — the
     exact-dedup key at any scale."""
-    norm = F.lower(F.regexp_replace(F.trim(F.coalesce(_c(text), F.lit(""))), r"\s+", " "))
+    # collapse ALL whitespace runs to single spaces BEFORE trimming: trim()
+    # strips only the space character, so a leading tab/newline would
+    # otherwise survive as a leading space and split dedup groups
+    # (hypothesis-found on adversarial scraped-text shapes)
+    norm = F.lower(F.trim(F.regexp_replace(F.coalesce(_c(text), F.lit("")), r"\s+", " ")))
     return F.md5(norm)
 
 
 DOC_FINGERPRINT_ORACLE_SQL = (
-    "md5(lower(regexp_replace(trim(COALESCE({col}, '')), '\\s+', ' ', 'g')))"
+    "md5(lower(trim(regexp_replace(COALESCE({col}, ''), '\\s+', ' ', 'g'))))"
 )
 
 

@@ -639,3 +639,72 @@ def ohlc_events_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("volume"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic Pearson correlation — exact-decimal moments, then one
+# identical double expression in both engines. Naive corr()/covar() stream
+# floats through partial aggregation, so their result depends on partition
+# order; moment sums in DECIMAL are exact at any order, which is the only
+# way a correlation is reproducible run-to-run on a cluster.
+# ---------------------------------------------------------------------------
+
+_CORR_ORACLE = """
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       floor(((CAST(n AS DOUBLE) * sxy - sx * sy)
+              / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+                 * sqrt(CAST(n AS DOUBLE) * syy - sy * sy))) * 1000000) / 1000000
+         AS corr_qty_price,
+       floor(((CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+             * 1000000) / 1000000 AS cov_qty_price
+FROM m
+""".strip()
+
+
+@register("correlation_qty_price", oracle=_CORR_ORACLE)
+def correlation_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation and population covariance of quantity vs extended
+    price per return flag, from exact decimal moment sums.
+
+    `F.corr`/`F.covar_pop` accumulate doubles whose value depends on
+    partition merge order — fine for exploration, not for a regression gate.
+    Here the five moments are exact DECIMAL sums (order-independent), cast
+    once to double, and combined with the same expression tree as the
+    oracle; the result is bit-reproducible on any cluster size.
+    """
+    from kol_bigdata_realtime_analytics_spark.plans.domain import trunc6
+
+    li = table(spark, sf_dir, "lineitem")
+    # 2dp suffice exactly (integer quantities, currency prices) and keep
+    # the squared-product sums inside DECIMAL(38) in both engines
+    x = F.col("l_quantity").cast("decimal(12,2)")
+    y = F.col("l_extendedprice").cast("decimal(14,2)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(nd * F.col("sxx") - F.col("sx") * F.col("sx")) * F.sqrt(
+        nd * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    return m.select(
+        "l_returnflag",
+        "n",
+        trunc6(num / den).alias("corr_qty_price"),
+        trunc6(num / (nd * nd)).alias("cov_qty_price"),
+    )
