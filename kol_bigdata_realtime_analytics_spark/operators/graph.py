@@ -1,0 +1,92 @@
+"""Iterative graph operators: PageRank-style influence propagation.
+
+The reference ranks KOLs by per-window engagement scores; an influence
+measure over the interaction GRAPH (who engages whose content) is the
+natural extension every social-analytics stack grows into. PageRank is
+the canonical iterative-DataFrame workload: it exercises exactly the
+machinery `duplicate_clusters` built (per-round checkpoint truncation,
+driver-side loop over declarative rounds) with float rank mass instead
+of integer labels.
+
+Scale shape per iteration: one shuffle join edges⋈ranks on src (both
+sides pre-partitioned on the join key would make this co-located on a
+cluster; edges are (long, long, double) — no payload), one groupBy(dst)
+sum. Nothing iterates per-row in Python; the driver loop only submits
+`n_iter` declarative rounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    n_iter: int = 10,
+) -> DataFrame:
+    """Weighted PageRank over an edge list (src, dst, weight), fixed
+    iteration count.
+
+    Out-edge weights are normalized per src once up front; each round every
+    node distributes `damping * rank` along its normalized out-edges and
+    every node receives `(1 - damping) / N` base mass. Dangling nodes
+    (no out-edges) leak their damped mass — the standard simplification;
+    ranks still order influence, which is what the leaderboard consumes.
+
+    Fixed n_iter (no convergence probe): rank deltas shrink geometrically
+    (damping^k), so 10 rounds give ~2 decimal digits more precision than
+    any downstream trunc6 needs, and a fixed loop keeps the job graph
+    identical run to run.
+
+    Returns (node, rank). Float sums shuffle-merge per dst, so ranks are
+    reproducible only to summation order — callers compare with tolerance
+    (rows-only driver check; pytest pins values against a dense NumPy
+    reference to 1e-9).
+    """
+    e = edges.select(
+        F.col("src").cast("long"),
+        F.col("dst").cast("long"),
+        F.col("weight").cast("double"),
+    )
+    out_w = e.groupBy("src").agg(F.sum("weight").alias("_out"))
+    norm = (
+        e.join(out_w, "src")
+        .select("src", "dst", (F.col("weight") / F.col("_out")).alias("p"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    base = (1.0 - damping) / n
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    # ranks is O(nodes) — orders of magnitude smaller than edges — so it
+    # broadcasts and the edge list NEVER shuffles inside the loop; only the
+    # map-side-combined per-dst contributions exchange. On a graph whose
+    # node set exceeds executor memory, drop the hints and bucket both
+    # edges and ranks by key instead (co-partitioned SMJ, zero edge
+    # shuffle per round all the same).
+    for _ in range(n_iter):
+        contribs = norm.join(
+            F.broadcast(ranks), norm["src"] == ranks["node"]
+        ).select(F.col("dst").alias("node"), (F.col("p") * F.col("rank")).alias("c"))
+        ranks = (
+            nodes.join(
+                F.broadcast(contribs.groupBy("node").agg(F.sum("c").alias("c"))),
+                "node",
+                "left",
+            )
+            .select(
+                "node",
+                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))).alias(
+                    "rank"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -708,3 +708,33 @@ def correlation_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         trunc6(num / den).alias("corr_qty_price"),
         trunc6(num / (nd * nd)).alias("cov_qty_price"),
     )
+
+
+@register("supplier_influence_pagerank", oracle=None)
+def supplier_influence_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank influence over the customer->supplier purchase graph
+    (edge weight = number of lineitems bought, via orders⋈lineitem), 10
+    fixed iterations, damping 0.85.
+
+    Iterative float mass propagation is not SQL-expressible for the DuckDB
+    oracle (and per-dst float sums are summation-order sensitive), so the
+    driver check is rows-only; `tests/test_operators.py` pins the operator
+    against a dense NumPy PageRank to 1e-9 on a planted graph. Supplier
+    ids are offset into a disjoint node-id space.
+    """
+    from kol_bigdata_realtime_analytics_spark.operators.graph import pagerank
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(10_000_000)).alias("dst"),
+        )
+        .agg(F.count("*").cast("double").alias("weight"))
+    )
+    ranks = pagerank(edges, damping=0.85, n_iter=10)
+    return ranks.filter(F.col("node") >= 10_000_000).select(
+        (F.col("node") - 10_000_000).alias("supp_key"), "rank"
+    )

@@ -379,3 +379,34 @@ def test_scd2_intervals(spark):
     u3 = by_uid[3]  # tie on ts: eid 15 ('b') sorts first, 16 ('a') is current
     assert [r["plan"] for r in u3] == ["b", "a"]
     assert [r["is_current"] for r in u3] == [0, 1]
+
+
+def test_pagerank_matches_numpy(spark):
+    """Spark PageRank == dense NumPy PageRank to 1e-9 on a planted graph
+    (hub, chain, dangling node, weighted multi-edges)."""
+    import numpy as np
+
+    from kol_bigdata_realtime_analytics_spark.operators.graph import pagerank
+
+    edges = [
+        (0, 1, 1.0), (0, 2, 2.0), (1, 2, 1.0), (2, 0, 1.0),
+        (3, 0, 1.0), (3, 2, 3.0), (4, 3, 1.0),  # 1 also reached from 0 only
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long, weight double")
+    got = {r["node"]: r["rank"] for r in pagerank(df, 0.85, n_iter=10).collect()}
+
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    P = np.zeros((n, n))
+    for s, d, w in edges:
+        P[idx[d], idx[s]] += w
+    col = P.sum(axis=0)
+    for j in range(n):
+        if col[j] > 0:
+            P[:, j] /= col[j]
+    r = np.full(n, 1.0 / n)
+    for _ in range(10):
+        r = (1 - 0.85) / n + 0.85 * (P @ r)
+    for node in nodes:
+        assert abs(got[node] - r[idx[node]]) < 1e-9, (node, got[node], r[idx[node]])
