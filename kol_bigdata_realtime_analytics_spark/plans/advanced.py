@@ -738,3 +738,215 @@ def supplier_influence_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.filter(F.col("node") >= 10_000_000).select(
         (F.col("node") - 10_000_000).alias("supp_key"), "rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# Product analytics — cohort retention and ordered conversion funnel.
+# ---------------------------------------------------------------------------
+
+_COHORT_ORACLE = """
+WITH uw AS (
+  SELECT user_id, CAST(epoch_us(ts) // 86400000000 // 7 AS BIGINT) AS week
+  FROM events
+),
+cohort AS (SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY user_id)
+SELECT c.cohort_week,
+       CAST(u.week - c.cohort_week AS BIGINT) AS week_offset,
+       CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS active_users
+FROM uw u JOIN cohort c ON u.user_id = c.user_id
+GROUP BY 1, 2
+""".strip()
+
+
+@register("weekly_cohort_retention", oracle=_COHORT_ORACLE)
+def weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity week, counted
+    distinct in each subsequent week offset — the classic retention
+    triangle.
+
+    Two shuffles total: the per-user MIN(week) cohort agg, then the
+    (cohort_week, offset) distinct-count — both on compact integer keys.
+    The cohort side joins back on user_id; at 100 TB both sides hash-join
+    on the same key the cohort agg just produced, so AQE reuses the
+    partitioning instead of re-exchanging the bigger side.
+    """
+    e = table(spark, sf_dir, "events")
+    uw = e.select(
+        "user_id",
+        F.expr("unix_micros(ts) div 86400000000 div 7").cast("long").alias("week"),
+    )
+    cohort = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        uw.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).cast("long").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+_FUNNEL_STAGES_ORACLE = """
+WITH v AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS t FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t GROUP BY e.user_id
+)
+SELECT 0 AS stage_idx, 'view' AS stage,
+       CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS users
+UNION ALL SELECT 1, 'view_then_click', CAST((SELECT COUNT(*) FROM c) AS BIGINT)
+UNION ALL SELECT 2, 'click_then_purchase', CAST((SELECT COUNT(*) FROM p) AS BIGINT)
+""".strip()
+
+
+@register("conversion_funnel", oracle=_FUNNEL_STAGES_ORACLE)
+def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered conversion funnel: first view, then first click
+    AFTER that view, then first purchase AFTER that click; user counts per
+    stage. Event-ORDER funnels need the per-stage anchor timestamp — a
+    bare existence count per type overstates conversion whenever a
+    purchase precedes the first view.
+
+    Each stage is one filtered agg joined to the previous stage's anchors
+    (user_id keys only, no payload); epoch-micro comparisons are exact
+    integers. The final 3-row report folds via scalar aggregates, so
+    output size is constant at any scale.
+    """
+    e = table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+
+    def first_after(event_type: str, anchors: DataFrame | None) -> DataFrame:
+        stage = e.filter(F.col("event_type") == event_type).select(
+            "user_id", us.alias("_t")
+        )
+        if anchors is not None:
+            stage = stage.join(anchors, "user_id").filter(F.col("_t") > F.col("t"))
+        return stage.groupBy("user_id").agg(F.min("_t").alias("t"))
+
+    v = first_after("view", None)
+    c = first_after("click", v)
+    p = first_after("purchase", c)
+    counts = [df.agg(F.count("*").alias("users")) for df in (v, c, p)]
+    labels = ["view", "view_then_click", "click_then_purchase"]
+    out = None
+    for i, (label, df) in enumerate(zip(labels, counts)):
+        row = df.select(
+            F.lit(i).cast("int").alias("stage_idx"),
+            F.lit(label).alias("stage"),
+            F.col("users"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+_KEYNESS_ORACLE = """
+WITH terms AS (
+  SELECT source, unnest(string_split_regex(
+           trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS term
+  FROM documents
+),
+tc AS (
+  SELECT source, term, CAST(COUNT(*) AS BIGINT) AS a
+  FROM terms WHERE term <> '' GROUP BY 1, 2
+),
+tot AS (
+  SELECT source, term, a,
+         SUM(a) OVER (PARTITION BY source) AS src_tokens,
+         SUM(a) OVER (PARTITION BY term) AS term_tokens,
+         SUM(a) OVER () AS all_tokens
+  FROM tc
+),
+chi AS (
+  SELECT source, term, a,
+         CAST(src_tokens - a AS BIGINT) AS b,
+         CAST(term_tokens - a AS BIGINT) AS c,
+         CAST(all_tokens - src_tokens - term_tokens + a AS BIGINT) AS d,
+         CAST(all_tokens AS DOUBLE) AS nn
+  FROM tot WHERE a >= 5
+),
+scored AS (
+  SELECT source, term, a,
+         floor((nn * (CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * c)
+                   * (CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * c)
+                / ((CAST(a AS DOUBLE) + b) * (CAST(c AS DOUBLE) + d)
+                   * (CAST(a AS DOUBLE) + c) * (CAST(b AS DOUBLE) + d)))
+               * 1000000) / 1000000 AS chi2
+  FROM chi
+)
+SELECT source, term, a AS tf, chi2, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                               ORDER BY chi2 DESC, term ASC) AS rk
+  FROM scored
+) WHERE rk <= 5
+""".strip()
+
+
+@register("distinctive_terms_chi2", oracle=_KEYNESS_ORACLE)
+def distinctive_terms_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 distinctive terms per source by chi-square keyness over the
+    2x2 contingency (term-in-source vs term-elsewhere), min frequency 5 —
+    the corpus-comparison primitive behind domain tagging and drift
+    detection.
+
+    One tokenize+explode -> one (source, term) count, then the three
+    marginals ride window sums over that SAME aggregated frame (no second
+    corpus scan); the chi2 itself is integer counts combined in one double
+    expression, identical in both engines, trunc6'd. Per-source top-5 uses
+    the rank-window WindowGroupLimit pushdown (only ~5 rows per source
+    survive the final sort).
+    """
+    from kol_bigdata_realtime_analytics_spark.plans.domain import trunc6
+
+    docs = table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
+    terms = docs.select(
+        "source", F.explode(F.split(norm, " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tc = terms.groupBy("source", "term").agg(F.count("*").alias("a"))
+    tot = tc.select(
+        "source",
+        "term",
+        "a",
+        F.sum("a").over(Window.partitionBy("source")).alias("src_tokens"),
+        F.sum("a").over(Window.partitionBy("term")).alias("term_tokens"),
+        F.sum("a").over(Window.partitionBy()).alias("all_tokens"),
+    ).filter(F.col("a") >= 5)
+    ad, bd = F.col("a").cast("double"), F.col("b").cast("double")
+    cd, dd = F.col("c").cast("double"), F.col("d").cast("double")
+    chi = tot.select(
+        "source",
+        "term",
+        "a",
+        (F.col("src_tokens") - F.col("a")).cast("long").alias("b"),
+        (F.col("term_tokens") - F.col("a")).cast("long").alias("c"),
+        (F.col("all_tokens") - F.col("src_tokens") - F.col("term_tokens") + F.col("a"))
+        .cast("long")
+        .alias("d"),
+        F.col("all_tokens").cast("double").alias("nn"),
+    )
+    scored = chi.select(
+        "source",
+        "term",
+        "a",
+        trunc6(
+            F.col("nn")
+            * (ad * dd - bd * cd)
+            * (ad * dd - bd * cd)
+            / ((ad + F.col("b")) * (cd + F.col("d")) * (ad + F.col("c")) * (bd + F.col("d")))
+        ).alias("chi2"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("chi2"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 5)
+        .select("source", "term", F.col("a").alias("tf"), "chi2", "rk")
+    )
