@@ -76,6 +76,13 @@ HEADLINE = [
     "quality_funnel",
     "sequence_pack_bins",
     "dq_constraint_checks",
+    "c4_segment_filters",
+    "zorder_layout_stats",
+    "ohlc_events_15min",
+    "correlation_qty_price",
+    "weekly_cohort_retention",
+    "conversion_funnel",
+    "distinctive_terms_chi2",
 ]
 
 

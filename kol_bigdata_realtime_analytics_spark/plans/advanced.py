@@ -911,15 +911,29 @@ def distinctive_terms_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = docs.select(
         "source", F.explode(F.split(norm, " ")).alias("term")
     ).filter(F.col("term") != "")
-    tc = terms.groupBy("source", "term").agg(F.count("*").alias("a"))
-    tot = tc.select(
-        "source",
-        "term",
-        "a",
-        F.sum("a").over(Window.partitionBy("source")).alias("src_tokens"),
-        F.sum("a").over(Window.partitionBy("term")).alias("term_tokens"),
-        F.sum("a").over(Window.partitionBy()).alias("all_tokens"),
-    ).filter(F.col("a") >= 5)
+    # materialize the vocab-sized (source, term, count) frame ONCE: the
+    # marginals need it twice (keyed window sums + the global scalar), and
+    # without the checkpoint Catalyst re-runs the corpus tokenize for each
+    # branch (verified: 2 scans, no ReusedExchange). A global
+    # Window.partitionBy() would avoid the second branch but funnels the
+    # whole vocab through one window partition — the checkpoint keeps both
+    # the corpus single-scanned and the total a parallel 1-row agg.
+    tc = (
+        terms.groupBy("source", "term")
+        .agg(F.count("*").alias("a"))
+        .localCheckpoint(eager=True)
+    )
+    tot = (
+        tc.select(
+            "source",
+            "term",
+            "a",
+            F.sum("a").over(Window.partitionBy("source")).alias("src_tokens"),
+            F.sum("a").over(Window.partitionBy("term")).alias("term_tokens"),
+        )
+        .join(F.broadcast(tc.agg(F.sum("a").alias("all_tokens"))))
+        .filter(F.col("a") >= 5)
+    )
     ad, bd = F.col("a").cast("double"), F.col("b").cast("double")
     cd, dd = F.col("c").cast("double"), F.col("d").cast("double")
     chi = tot.select(
