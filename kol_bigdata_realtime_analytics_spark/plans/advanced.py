@@ -964,3 +964,94 @@ def distinctive_terms_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .select("source", "term", F.col("a").alias("tf"), "chi2", "rk")
     )
+
+
+_COOCCUR_ORACLE = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT part_a, part_b, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM pairs GROUP BY 1, 2
+HAVING COUNT(*) >= 2
+ORDER BY n_orders DESC, part_a ASC, part_b ASC
+LIMIT 50
+""".strip()
+
+
+@register("part_cooccurrence_topk", oracle=_COOCCUR_ORACLE)
+def part_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: top-50 part pairs bought together in
+    the most orders (>= 2 co-orders) — the item-item signal behind
+    "customers also bought".
+
+    The pair join is keyed on l_orderkey: pair count per order is
+    quadratic in BASKET size (TPC-H ~4 items -> ~6 pairs), never in corpus
+    size, which is why basket co-occurrence scales where document
+    all-pairs does not. Items dedup first so quantity re-orders of the
+    same part don't inflate counts; the final top-50 is a
+    TakeOrderedAndProject over the (part_a, part_b) aggregate.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+        .orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
+        .limit(50)
+    )
+
+
+_ROBUST_ORACLE = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS median_value
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       m.median_value,
+       quantile_cont(abs(e.value - m.median_value), 0.5) AS mad,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events e JOIN med m ON e.event_type = m.event_type
+GROUP BY e.event_type, m.median_value
+""".strip()
+
+
+@register("robust_value_stats", oracle=_ROBUST_ORACLE)
+def robust_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median and MAD (median absolute deviation) of event value per type —
+    the outlier-resistant spread stats a monitoring pipeline wants where
+    mean/stddev get dragged by a single viral spike.
+
+    Inherently two passes (MAD needs the median first); the per-type
+    medians broadcast back onto the event scan, so the second pass adds no
+    extra shuffle of the fact table beyond its aggregation. Exact
+    interpolated percentile on both sides (Spark `percentile` ==
+    DuckDB `quantile_cont`, parity already pinned by value_percentiles).
+    """
+    e = table(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("median_value")
+    )
+    return (
+        e.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "median_value")
+        .agg(
+            F.expr("percentile(abs(value - median_value), 0.5)").alias("mad"),
+            F.count("*").alias("n_events"),
+        )
+        .select("event_type", "median_value", "mad", "n_events")
+    )
