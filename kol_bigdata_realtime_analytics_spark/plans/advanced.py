@@ -1055,3 +1055,57 @@ def robust_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "median_value", "mad", "n_events")
     )
+
+
+_FUZZY_ORACLE = """
+WITH names AS (
+  SELECT p_name, CAST(COUNT(*) AS BIGINT) AS n_records,
+         split_part(p_name, ' ', 2) AS noun
+  FROM part GROUP BY p_name
+)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+       a.n_records AS n_records_a, b.n_records AS n_records_b
+FROM names a JOIN names b
+  ON a.noun = b.noun AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+""".strip()
+
+
+@register("fuzzy_name_links", oracle=_FUZZY_ORACLE)
+def fuzzy_name_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution linking: near-identical part names (edit distance
+    <= 2) with the record mass behind each spelling.
+
+    The load-bearing scale move is the FIRST aggregation: fuzzy matching
+    runs over the DISTINCT value vocabulary (64 names here; ~1e5-1e6 in
+    real catalogs), never the row space (20k records at sf0.1, billions at
+    100 TB) — a vocabulary self-join is millions of cheap native
+    `levenshtein` pairs where the row-space join would be quadrillions.
+    Blocked on the head noun (standard blocking: a typo inside the block
+    key needs a second pass with a different key); edit distance is
+    integer-exact in both engines.
+    """
+    p = table(spark, sf_dir, "part")
+    names = p.groupBy("p_name").agg(F.count("*").alias("n_records")).select(
+        "p_name", "n_records", F.split(F.col("p_name"), " ").getItem(1).alias("noun")
+    )
+    a = names.alias("a")
+    b = names.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.noun") == F.col("b.noun"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .filter(F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 2)
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+            .cast("long")
+            .alias("dist"),
+            F.col("a.n_records").alias("n_records_a"),
+            F.col("b.n_records").alias("n_records_b"),
+        )
+    )
