@@ -14,6 +14,8 @@ agrees with the native-expression scorer.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -231,3 +233,62 @@ def ml_trust_inference_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     prof = synthetic_profiles(spark, sf_dir)
     score = trust_logit("followers", "posts", "engagement_rate", "verified", "age_days", "ff_ratio")
     return prof.select("c_custkey", trunc6(score).alias("trust_ml_native"))
+
+
+# ---------------------------------------------------------------------------
+# Grouped-agg pandas UDAF — the remaining UDF-surface shape (SURVEY §2.10):
+# scalar pandas_udf (scoring), grouped-map (LSH buckets), mapInPandas
+# (multimodal) exist; this adds GROUPED_AGG with a SQL-window oracle so the
+# whole-group Arrow transfer is hash-checked, not just smoke-tested.
+# ---------------------------------------------------------------------------
+
+_WMEDIAN_ORACLE = """
+WITH t AS (
+  SELECT c_mktsegment AS segment, c_acctbal AS v,
+         CAST(c_nationkey + 1 AS BIGINT) AS w
+  FROM customer
+),
+c AS (
+  SELECT segment, v,
+         SUM(w) OVER (PARTITION BY segment ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(w) OVER (PARTITION BY segment) AS tot
+  FROM t
+)
+SELECT segment, MIN(v) AS weighted_median_acctbal
+FROM c WHERE cum >= tot / 2.0
+GROUP BY segment
+""".strip()
+
+
+@register("weighted_median_by_segment", oracle=_WMEDIAN_ORACLE)
+def weighted_median_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median account balance per market segment via a GROUPED_AGG
+    pandas UDF (weight = nationkey + 1 — any deterministic per-row weight).
+
+    Weighted median = smallest value whose running weight reaches half the
+    total. The UDAF sorts the group in Arrow-transferred pandas; the oracle
+    reproduces the definition with a window cumsum — on ties the smallest
+    qualifying value is order-independent, so the two formulations agree
+    exactly. Whole-group collection bounds group size by executor memory
+    (segments here are ~n/5); at 100 TB skew, use the oracle's own
+    window-cumsum formulation in-engine instead — this query exists to pin
+    the GROUPED_AGG Arrow path's correctness against it.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _wmedian(v: pd.Series, w: pd.Series) -> float:
+        df = pd.DataFrame({"v": v, "w": w}).sort_values("v")
+        half = df["w"].sum() / 2.0
+        return float(df.loc[df["w"].cumsum() >= half, "v"].iloc[0])
+
+    c = table(spark, sf_dir, "customer")
+    t = c.select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").alias("v"),
+        (F.col("c_nationkey") + 1).cast("long").alias("w"),
+    )
+    return t.groupBy("segment").agg(
+        _wmedian("v", "w").alias("weighted_median_acctbal")
+    )
