@@ -58,9 +58,41 @@ def _driver_verified() -> set[str]:
 
 def _prioritized(mapping: dict) -> dict:
     seen = _driver_verified()
-    fresh = {k: v for k, v in mapping.items() if k not in seen}
-    rest = {k: v for k, v in mapping.items() if k in seen}
-    return {**fresh, **rest}
+    oracles = get_oracles()
+    # tier 0: never-verified queries the round-1 verdict explicitly asked to
+    # see under the driver oracle (the de-correlated subquery surface et al.)
+    flagged = (
+        "exists_late_ship_priority",
+        "customer_order_distribution",
+        "top_revenue_suppliers",
+        "brand_supplier_counts",
+        "small_qty_part_revenue",
+        "large_order_customers",
+        "nation_above_avg_customers",
+        "brands_above_global_avg_qty",
+        "forecast_revenue_change",
+        "returned_item_revenue",
+        "promo_revenue_share",
+        "discounted_brand_revenue",
+        "asof_last_event_before_order",
+        "pivot_user_event_values",
+        "value_percentiles",
+        "ml_trust_inference",
+        "sessionize_events",
+        "session_window_native",
+    )
+
+    def tier(name: str) -> int:
+        if name in seen:
+            return 3  # already has a green driver row
+        if name in flagged:
+            return 0
+        if name in oracles:
+            return 1  # unverified with a hash oracle (strong signal first)
+        return 2  # unverified rows-only
+
+    order = sorted(mapping, key=lambda n: (tier(n), list(mapping).index(n)))
+    return {k: mapping[k] for k in order}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
