@@ -295,3 +295,85 @@ def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.processAllAvailable()
     q.stop()
     return spark.table("stream_static_mem")
+
+
+_STREAM_OHLC_ORACLE = """
+WITH e AS (
+  SELECT event_type,
+         (epoch_us(ts) // 900000000) * 900000000 AS bucket_start_us,
+         value,
+         lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+           || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord
+  FROM events
+)
+SELECT event_type, bucket_start_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       arg_min(value, ord) AS open,
+       arg_max(value, ord) AS close,
+       MAX(value) AS high,
+       MIN(value) AS low
+FROM e GROUP BY 1, 2
+""".strip()
+
+
+@register("streaming_ohlc", oracle=_STREAM_OHLC_ORACLE)
+def streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC resampling as a REAL watermarked streaming aggregation — the
+    same min_by/max_by single-agg shape as the batch `ohlc_events_15min`,
+    run through readStream + complete mode so the driver's oracle validates
+    that streaming first/last semantics equal the batch ones (bounded
+    replay emits every window; the watermark only gates state eviction).
+    min_by/max_by carry 2 candidate rows per partial in the state store —
+    O(1) state per (type, window) key at any event rate.
+    """
+    for q in spark.streams.active:
+        if q.name == "stream_ohlc_mem":
+            q.stop()
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    us = F.unix_micros(F.col("ts"))
+    ord_key = F.concat(
+        F.lpad(us.cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    out = (
+        stream.withWatermark("ts", "30 minutes")
+        .select(
+            "event_type",
+            F.window("ts", "15 minutes").alias("w"),
+            F.col("value"),
+            ord_key.alias("ord"),
+        )
+        .groupBy("event_type", "w")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.expr("min_by(value, ord)").alias("open"),
+            F.expr("max_by(value, ord)").alias("close"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+        )
+        .select(
+            "event_type",
+            F.unix_micros(F.col("w.start")).alias("bucket_start_us"),
+            "n_events",
+            "open",
+            "close",
+            "high",
+            "low",
+        )
+    )
+    q = (
+        out.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("stream_ohlc_mem")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table("stream_ohlc_mem")
