@@ -1109,3 +1109,53 @@ def fuzzy_name_links(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.n_records").alias("n_records_b"),
         )
     )
+
+
+_TRANSITION_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY epoch_us(ts) ASC, event_id ASC) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type,
+       CAST(COUNT(*) AS BIGINT) AS n_transitions,
+       floor(CAST(COUNT(*) AS DOUBLE)
+             / SUM(COUNT(*)) OVER (PARTITION BY prev_type) * 1000000) / 1000000
+         AS p_next
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY 1, 2
+""".strip()
+
+
+@register("event_transition_matrix", oracle=_TRANSITION_ORACLE)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    count and conditional probability of each (prev -> next) event-type
+    pair, ordered by (event time, event id).
+
+    One window pass partitioned by user (the same exchange the sequence
+    already needs), then a 25-cell aggregate; the row-probability
+    normalization windows over the TINY aggregated matrix, not the events.
+    Integer counts make the probabilities identical doubles in both
+    engines before trunc6.
+    """
+    from kol_bigdata_realtime_analytics_spark.plans.domain import trunc6
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros(F.col("ts")).asc(), F.col("event_id").asc()
+    )
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    counts = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count("*").alias("n_transitions")
+    )
+    row_tot = F.sum("n_transitions").over(Window.partitionBy("prev_type"))
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        trunc6(F.col("n_transitions").cast("double") / row_tot).alias("p_next"),
+    )
