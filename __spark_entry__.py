@@ -59,27 +59,35 @@ def _driver_verified() -> set[str]:
 def _prioritized(mapping: dict) -> dict:
     seen = _driver_verified()
     oracles = get_oracles()
-    # tier 0: never-verified queries the round-1 verdict explicitly asked to
-    # see under the driver oracle (the de-correlated subquery surface et al.)
+    # tier 0: queries the round-2 verdict lists as never driver-sampled —
+    # surface them first so the bounded per-round sweep grows union coverage
     flagged = (
-        "exists_late_ship_priority",
-        "customer_order_distribution",
-        "top_revenue_suppliers",
-        "brand_supplier_counts",
-        "small_qty_part_revenue",
-        "large_order_customers",
-        "nation_above_avg_customers",
-        "brands_above_global_avg_qty",
-        "forecast_revenue_change",
-        "returned_item_revenue",
-        "promo_revenue_share",
-        "discounted_brand_revenue",
-        "asof_last_event_before_order",
-        "pivot_user_event_values",
-        "value_percentiles",
-        "ml_trust_inference",
-        "sessionize_events",
-        "session_window_native",
+        "ann_ivf_topk",
+        "ohlc_events_15min",
+        "correlation_qty_price",
+        "grouping_sets_events",
+        "rolling_avg_daily_value",
+        "ntile_acctbal_quartiles",
+        "supplier_influence_pagerank",
+        "fuzzy_name_links",
+        "event_transition_matrix",
+        "weekly_cohort_retention",
+        "conversion_funnel",
+        "distinctive_terms_chi2",
+        "zorder_layout_stats",
+        "robust_value_stats",
+        "part_cooccurrence_topk",
+        "stratified_sample",
+        "dq_constraint_checks",
+        "profile_orders",
+        "streaming_trending",
+        "streaming_event_scores",
+        "streaming_momentum_stateful",
+        "stream_stream_click_attribution",
+        "streaming_dedup_events",
+        "streaming_ohlc",
+        "embedding_quantize_int8",
+        "user_event_type_sets",
     )
 
     def tier(name: str) -> int:

@@ -445,7 +445,8 @@ def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "user_event_type_sets",
     oracle="""
     SELECT user_id,
-           array_agg(DISTINCT event_type ORDER BY event_type) AS event_types,
+           CAST(to_json(array_agg(DISTINCT event_type ORDER BY event_type)) AS VARCHAR)
+             AS event_types,
            CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
     FROM events GROUP BY user_id
     """,
@@ -455,11 +456,14 @@ def user_event_type_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     collect_set is unordered by construction (partial sets merge in shuffle
     order), so determinism comes from sort_array on the OUTPUT — the rule
-    for any array-valued result this engine emits. Map-side partial sets
-    keep the shuffle narrow (<= |type domain| per user per partition)."""
+    for any array-valued result this engine emits. The sorted array is then
+    emitted as JSON text: raw array columns break the driver's pandas hash
+    canonicalization (unhashable list), so oracled outputs are scalars only.
+    Map-side partial sets keep the shuffle narrow (<= |type domain| per user
+    per partition)."""
     ev = table(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(
-        F.sort_array(F.collect_set("event_type")).alias("event_types"),
+        F.to_json(F.sort_array(F.collect_set("event_type"))).alias("event_types"),
         F.countDistinct("event_type").alias("n_types"),
     )
 

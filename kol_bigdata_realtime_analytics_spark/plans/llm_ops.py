@@ -420,7 +420,8 @@ coded AS (
          embedding
   FROM scaled
 )
-SELECT vec_id, scale, codes,
+SELECT vec_id, scale,
+       CAST(to_json(codes) AS VARCHAR) AS codes,
        floor((CASE WHEN len(embedding) > 0
              THEN list_reduce(list_transform(range(1, len(embedding) + 1),
                   i -> (CAST(embedding[i] AS DOUBLE) - codes[i] * scale)
@@ -445,10 +446,12 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     scale, codes = quantize_int8(F.col("embedding"))
     out = emb.select("vec_id", scale.alias("scale"), codes.alias("codes"), "embedding")
+    # codes emitted as JSON text: raw array<int> columns break the driver's
+    # pandas-based hash canonicalization (unhashable list) — scalar rule.
     return out.select(
         "vec_id",
         "scale",
-        "codes",
+        F.to_json(F.col("codes")).alias("codes"),
         trunc6(
             dequantize_mse(F.col("embedding"), F.col("scale"), F.col("codes")) * 1000000.0
         ).alias("mse_micro"),

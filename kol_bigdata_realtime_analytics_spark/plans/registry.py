@@ -52,24 +52,60 @@ def get_oracles() -> dict[str, str]:
     return {q.name: q.oracle for q in REGISTRY.values() if q.oracle is not None}
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize events.ts to TimestampType whatever the parquet encoding.
+
+    The testdata contract has shipped `ts` three ways across rounds:
+    int64 epoch-nanos read as BIGINT (via the nanosAsLong legacy conf),
+    TIMESTAMP(MICROS/NANOS, isAdjustedToUTC=false) read as TIMESTAMP_NTZ,
+    and plain TIMESTAMP. Branch on the OBSERVED dtype so every encoding
+    yields identical UTC instants (session tz is pinned to UTC, so the
+    NTZ wall-time -> TIMESTAMP cast is exactly DuckDB's epoch_us view;
+    note unix_micros() rejects NTZ, so the cast is required, not cosmetic).
+    Works on batch and streaming frames alike — dtypes come from the
+    analyzed schema, not the data.
+    """
+    from pyspark.sql import functions as F
+
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":  # epoch-nanos long; integer div, no double round-trip
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if dt == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan of one TESTDATA table (columnar, pushdown-eligible).
 
-    events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
-    only accepts as a long via the nanosAsLong legacy conf (runtime-settable,
-    so this works on any caller-provided session, incl. the driver's).
-    The long is converted back to a proper timestamp column with integer
-    division (no double round-trip — nanos don't fit a double's mantissa).
+    events.ts is normalized to TimestampType via normalize_event_ts —
+    encoding-adaptive, so testdata regeneration can't break every reader.
     """
     # pin UTC at runtime: parquet micros timestamps surface as TIMESTAMP_NTZ
     # and any NTZ -> TIMESTAMP cast must interpret wall time as UTC to match
     # DuckDB's UTC-naive epoch_us, whatever session the caller created.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
+        # harmless on micros files; required to read TIMESTAMP(NANOS) at all
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        from pyspark.sql import functions as F
-
-        return spark.read.parquet(f"{sf_dir}/{name}.parquet").withColumn(
-            "ts", F.expr("timestamp_micros(ts div 1000)")
-        )
+        return normalize_event_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def events_stream_source(spark: SparkSession, sf_dir: str, **options: str) -> DataFrame:
+    """readStream over events.parquet with the SAME ts normalization as
+    table() — the single streaming entry point for the events table (the
+    six per-query inline copies this replaces were exactly the duplication
+    disease SURVEY §1.2 flags in the reference's four parse_count copies).
+
+    File stream sources need a DIRECTORY path; pathGlobFilter narrows the
+    listing to the one table file. Extra reader options (e.g.
+    maxFilesPerTrigger="1") pass through.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    reader = spark.readStream.schema(raw_schema).option("pathGlobFilter", "events.parquet")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return normalize_event_ts(reader.parquet(sf_dir))

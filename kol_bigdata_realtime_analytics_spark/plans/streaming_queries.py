@@ -12,7 +12,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kol_bigdata_realtime_analytics_spark.plans.registry import register, table
+from kol_bigdata_realtime_analytics_spark.plans.registry import (
+    events_stream_source,
+    register,
+    table,
+)
 from kol_bigdata_realtime_analytics_spark.streaming.trending import run_trending_stream
 
 _STREAM_TRENDING_ORACLE = """
@@ -57,13 +61,7 @@ def streaming_event_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     for q in spark.streams.active:
         if q.name == "event_scores_mem":
             q.stop()
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    stream = events_stream_source(spark, sf_dir)
     score = F.lit(100.0) / (F.lit(1.0) + F.exp(-0.8 * (F.col("value") / 100.0 - 2.0)))
     out = stream.select(
         "event_id",
@@ -93,14 +91,7 @@ def streaming_momentum_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     for q in spark.streams.active:
         if q.name == "mom_state_mem":
             q.stop()
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    )
+    stream = events_stream_source(spark, sf_dir)
     q = (
         momentum_stream(stream)
         .writeStream.outputMode("append")
@@ -116,17 +107,7 @@ def streaming_momentum_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("streaming_trending", oracle=_STREAM_TRENDING_ORACLE)
 def streaming_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end Structured Streaming run of the trending hot path."""
-    # raw file schema (ts is a nanos long via nanosAsLong — see registry.table)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    # file stream source needs a DIRECTORY; glob-filter to just events.parquet
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("maxFilesPerTrigger", "1")
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    )
+    stream = events_stream_source(spark, sf_dir, maxFilesPerTrigger="1")
     result = run_trending_stream(spark, stream, query_name="streaming_trending_mem")
     return result.select(
         F.unix_micros("window_start").alias("window_start_us"),
@@ -154,18 +135,6 @@ FROM pairs GROUP BY user_id
 """
 
 
-def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over events.parquet with the nanos-ts conversion."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    return (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    )
-
-
 def _run_to_memory(df: DataFrame, name: str, output_mode: str = "append") -> None:
     spark = df.sparkSession
     for q in spark.streams.active:
@@ -186,7 +155,7 @@ def stream_stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFra
     kafka_profile_stream.py:153-161)."""
     from kol_bigdata_realtime_analytics_spark.streaming.joins import attribution_pairs
 
-    events = _event_stream(spark, sf_dir)
+    events = events_stream_source(spark, sf_dir)
     _run_to_memory(attribution_pairs(events, max_gap="2 hours"), "ss_attr_mem")
     return (
         spark.table("ss_attr_mem")
@@ -229,7 +198,7 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "streaming_dedup_events' exact-count oracle assumes a single-file, "
         f"single-micro-batch replay; found {len(src_files)} source files"
     )
-    events = _event_stream(spark, sf_dir)
+    events = events_stream_source(spark, sf_dir)
     deduped = dedup_within_watermark(events, ["user_id", "event_type"], watermark="10 minutes")
     _run_to_memory(deduped, "ss_dedup_mem")
     return (
@@ -264,13 +233,7 @@ def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     for q in spark.streams.active:
         if q.name == "stream_static_mem":
             q.stop()
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    stream = events_stream_source(spark, sf_dir)
     dims = F.broadcast(
         table(spark, sf_dir, "customer")
         .join(
@@ -329,14 +292,7 @@ def streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     for q in spark.streams.active:
         if q.name == "stream_ohlc_mem":
             q.stop()
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    )
+    stream = events_stream_source(spark, sf_dir)
     us = F.unix_micros(F.col("ts"))
     ord_key = F.concat(
         F.lpad(us.cast("string"), 20, "0"),

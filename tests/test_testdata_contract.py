@@ -1,0 +1,109 @@
+"""Regression fence for the testdata encoding contract.
+
+Round 2 post-mortem: the driver regenerated events.parquet with
+``ts`` as TIMESTAMP(MICROS) where round 1 shipped int64 epoch-nanos, and the
+scan helper's hardcoded nanos conversion took down every events reader at
+once (45 queries, the full suite, the bench). This test writes the same
+events rows in every encoding the contract has ever shipped — int64-nanos,
+timestamp[us], timestamp[ns] — and asserts ``table()`` and
+``events_stream_source()`` return the identical TimestampType instants for
+all of them, so encoding drift can never again be a whole-round outage.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from kol_bigdata_realtime_analytics_spark.plans.registry import (
+    events_stream_source,
+    table,
+)
+
+# epoch micros for three instants (distinct days, sub-second offsets)
+_EPOCH_US = [1_700_000_000_123_456, 1_700_086_400_000_001, 1_700_172_800_999_999]
+_ROWS = {
+    "event_id": [1, 2, 3],
+    "user_id": [10, 20, 30],
+    "event_type": ["view", "click", "purchase"],
+    "value": [1.5, 2.5, 3.5],
+    "props": ["{}", "{}", "{}"],
+}
+
+ENCODINGS = {
+    "int64_nanos": pa.int64(),
+    "timestamp_us": pa.timestamp("us"),
+    "timestamp_ns": pa.timestamp("ns"),
+}
+
+
+def _write_events(dir_path: str, encoding: str) -> None:
+    ts_type = ENCODINGS[encoding]
+    if encoding == "int64_nanos":
+        ts = pa.array([us * 1000 for us in _EPOCH_US], type=ts_type)
+    elif encoding == "timestamp_us":
+        ts = pa.array(_EPOCH_US, type=pa.int64()).cast(ts_type)
+    else:  # timestamp_ns
+        ts = pa.array([us * 1000 for us in _EPOCH_US], type=pa.int64()).cast(ts_type)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(_ROWS["event_id"], type=pa.int64()),
+            "ts": ts,
+            "user_id": pa.array(_ROWS["user_id"], type=pa.int64()),
+            "event_type": pa.array(_ROWS["event_type"], type=pa.string()),
+            "value": pa.array(_ROWS["value"], type=pa.float64()),
+            "props": pa.array(_ROWS["props"], type=pa.string()),
+        }
+    )
+    pq.write_table(tbl, f"{dir_path}/events.parquet")
+
+
+@pytest.fixture(scope="module")
+def encoded_dirs(tmp_path_factory):
+    dirs = {}
+    for enc in ENCODINGS:
+        d = tmp_path_factory.mktemp(f"events_{enc}")
+        _write_events(str(d), enc)
+        dirs[enc] = str(d)
+    yield dirs
+    for d in dirs.values():
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.mark.parametrize("encoding", list(ENCODINGS))
+def test_table_normalizes_every_encoding(spark, encoded_dirs, encoding):
+    df = table(spark, encoded_dirs[encoding], "events")
+    assert dict(df.dtypes)["ts"] == "timestamp", (
+        f"{encoding}: table() must yield TimestampType, got {dict(df.dtypes)['ts']}"
+    )
+    from pyspark.sql import functions as F
+
+    got = [r[0] for r in df.select(F.unix_micros("ts")).orderBy("event_id").collect()]
+    assert got == _EPOCH_US, f"{encoding}: epoch micros drifted: {got}"
+
+
+@pytest.mark.parametrize("encoding", list(ENCODINGS))
+def test_stream_source_matches_batch(spark, encoded_dirs, encoding):
+    from pyspark.sql import functions as F
+
+    stream = events_stream_source(spark, encoded_dirs[encoding])
+    assert stream.isStreaming
+    assert dict(stream.dtypes)["ts"] == "timestamp"
+    name = f"contract_{encoding}_mem"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    q = (
+        stream.select("event_id", F.unix_micros("ts").alias("us"))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = [r[0] for r in spark.table(name).orderBy("event_id").select("us").collect()]
+    assert got == _EPOCH_US, f"{encoding}: streaming epoch micros drifted: {got}"
