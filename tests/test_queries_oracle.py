@@ -26,6 +26,16 @@ def duck(sf_small):
 def test_query_matches_oracle(spark, sf_small, duck, name):
     q = REGISTRY[name]
     sdf = q.fn(spark, sf_small)
+    if q.oracle is not None:
+        # driver contract fence: its hash canonicalization pandas-sorts every
+        # column, and array/map/struct values raise "unhashable type: 'list'"
+        # (took out embedding_quantize_int8 in r2). Oracled outputs must be
+        # scalars — emit arrays as to_json text (see user_event_type_sets).
+        for col, dt in sdf.dtypes:
+            assert not dt.startswith(("array", "map", "struct")), (
+                f"{name}.{col} is {dt}: oracled queries must emit scalar "
+                "columns only (stringify arrays with to_json)"
+            )
     srows = [tuple(r) for r in sdf.collect()]
     if q.oracle is None:
         assert srows is not None  # rows-only check (non-SQL-expressible op)
