@@ -51,6 +51,10 @@ def exact_dedup_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataF
 def word_shingles(text_col: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles as array<string>.
 
+    The READABLE/oracle-parity form (DuckDB mirrors it textually). Corpus
+    hot paths use shingle_hash_rows instead — this array-lambda build is
+    interpreted (not codegen'd) and measured 2-7x slower; see PERF.md §2.8.
+
     Docs with fewer than n tokens yield an empty array — the guard matters:
     sequence(0, size-n) DESCENDS when size < n (Spark auto-negates the
     step), which would feed slice() a zero start and fail the whole stage.
@@ -61,6 +65,55 @@ def word_shingles(text_col: Column, n: int = 3) -> Column:
     grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tk, i + 1, n)))
     return F.when(F.size(tk) >= n, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
+    )
+
+
+def shingle_hash_rows(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    pre_partition: bool = False,
+) -> DataFrame:
+    """(doc, h) rows: one xxhash64 per word n-gram shingle, NO shingle strings.
+
+    The codegen-friendly shingle path: posexplode tokens -> xxhash64 each
+    token -> window `lead()` gathers the next n-1 token hashes -> one
+    xxhash64 over the n longs. Every step is whole-stage-codegen'd; the
+    array-lambda form (word_shingles + per-shingle concat_ws/slice/md5)
+    evaluates interpreted and measured 2-7x slower at sf0.1 (PERF.md §2.8) —
+    the same HOF pathology as §2.1, here on the corpus-sized hot path.
+
+    Shuffle tradeoff, explicitly: the lead() window clusters by doc.
+    - pre_partition=False (default): the window exchange moves TOKEN rows
+      (doc, pos, h0 — 24 bytes/token, ~4x the raw text bytes). Faster on
+      local/bench hardware (measured 2.0 s vs 4.2 s at sf0.1).
+    - pre_partition=True: hash-repartition the DOC rows first; posexplode
+      preserves that partitioning, so the window adds NO exchange and only
+      raw text bytes move once. The 100 TB setting: flip this on when the
+      token-row exchange (4x corpus) dominates, i.e. whenever the input
+      isn't already clustered by doc id (bucketed corpus tables get this
+      for free and need neither).
+
+    Emits one row per shingle OCCURRENCE; dedup (distinct / count_distinct)
+    is the caller's choice. Docs shorter than n tokens emit nothing
+    (lead(n-1) is null), matching word_shingles' empty-array semantics.
+    """
+    from pyspark.sql.window import Window
+
+    if pre_partition:
+        par = df.sparkSession.sparkContext.defaultParallelism
+        df = df.repartition(par, id_col)
+    tok = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "t"),
+    ).select("doc", "pos", F.xxhash64("t").alias("h0"))
+    w = Window.partitionBy("doc").orderBy("pos")
+    withlead = tok.select(
+        "doc", "h0", *[F.lead("h0", k).over(w).alias(f"h{k}") for k in range(1, n)]
+    )
+    return withlead.filter(F.col(f"h{n-1}").isNotNull()).select(
+        "doc", F.xxhash64(*[F.col(f"h{k}") for k in range(n)]).alias("h")
     )
 
 
@@ -87,24 +140,18 @@ def _minhash_banded(
 ) -> DataFrame:
     """(doc, band, bucket) rows: banded MinHash signatures, one per doc/band."""
     rows_per_band = num_hashes // bands
-    # signature computation is CPU-bound: spread a coarse input (e.g. one
-    # parquet file locally) across all cores before hashing. At cluster scale
-    # the scan already has many splits and this shuffle is round-robin-cheap
-    # relative to the signature work it parallelizes.
-    par = df.sparkSession.sparkContext.defaultParallelism
-    # Signatures via explode + flat hash columns + groupBy(min), NOT the
-    # array-lambda form (minhash_signature): higher-order-function lambdas
-    # evaluate interpreted, outside whole-stage codegen — measured ~5x slower
-    # than this shape, where all num_hashes xxhash64 columns and the partial
-    # min-aggregation are fully codegen'd. The doc-key shuffle moves only one
-    # num_hashes-wide row per doc per input partition (map-side combine).
-    shingled = (
-        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("txt"))
-        .repartition(par)
-        .select("doc", F.explode(word_shingles(F.col("txt"), shingle_n)).alias("s"))
-    )
+    # Signatures via shingle-hash rows + flat hash columns + groupBy(min),
+    # NOT the array-lambda form (minhash_signature): higher-order-function
+    # lambdas evaluate interpreted, outside whole-stage codegen — measured
+    # ~5x slower than this shape, where shingle hashing (shingle_hash_rows,
+    # no shingle strings), all num_hashes xxhash64 columns, and the partial
+    # min-aggregation are fully codegen'd. min over a shingle MULTISET equals
+    # min over the set, so occurrence rows need no dedup. The doc-key shuffle
+    # moves only one num_hashes-wide row per doc per partition (map-side
+    # combine).
+    shingled = shingle_hash_rows(df, text_col, id_col, shingle_n)
     hashed = shingled.select(
-        "doc", *[F.xxhash64("s", F.lit(i)).alias(f"h{i}") for i in range(num_hashes)]
+        "doc", *[F.xxhash64("h", F.lit(i)).alias(f"h{i}") for i in range(num_hashes)]
     )
     sig = hashed.groupBy("doc").agg(
         *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
@@ -284,22 +331,23 @@ def contamination_overlap(
     with a held-out eval set (the standard 8-13-gram overlap check every LLM
     training pipeline runs before a corpus ships).
 
-    Scale shape: both sides explode to (doc, md5(shingle)) — 32-byte keys,
-    text pruned before the exchange. The benchmark side is deduped to
-    distinct shingles and is orders of magnitude smaller than the corpus, so
-    Spark broadcasts it (eval suites are ~1e5-1e6 shingles); the train side
-    then never shuffles at all — contaminated-shingle counting re-groups by
-    doc id only for matched rows, a tiny fraction of the corpus.
+    Scale shape: both sides reduce to (doc, xxhash64-of-shingle) rows via
+    shingle_hash_rows — 8-byte keys, no shingle strings ever materialize
+    (the md5-of-concat_ws form this replaced was 2-7x slower; PERF.md §2.8).
+    The benchmark side is deduped to distinct hashes and is orders of
+    magnitude smaller than the corpus, so Spark broadcasts it (eval suites
+    are ~1e5-1e6 shingles); the train side then joins map-side —
+    contaminated-shingle counting re-groups by doc id only for matched
+    rows, a tiny fraction of the corpus. The shared-count is over distinct
+    shingles, so it is hash-function-independent and equals the text-level
+    oracle count (64-bit collisions: P < 1e-7 at 1e6 shingles).
 
     Returns (id_col, n_shared_shingles) for contaminated docs only.
     """
-    sh = F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle")
-    train_sh = train.select(F.col(id_col), sh).select(
-        id_col, F.md5("shingle").alias("h")
+    train_sh = shingle_hash_rows(train, text_col, id_col, shingle_n).withColumnRenamed(
+        "doc", id_col
     )
-    bench_sh = (
-        benchmark.select(sh).select(F.md5("shingle").alias("h")).distinct()
-    )
+    bench_sh = shingle_hash_rows(benchmark, text_col, id_col, shingle_n).select("h").distinct()
     return (
         train_sh.join(bench_sh, "h")
         .groupBy(id_col)
@@ -484,8 +532,14 @@ def simhash_neardup_pairs(
             F.col("p.b.doc").alias("id_b"),
             hamming64(F.col("p.a.sim"), F.col("p.b.sim")).alias("hamming"),
         )
-        .distinct()
+        # hamming filter BEFORE the distinct: the dedup shuffle then carries
+        # only true near-pairs, not every banding candidate — on corpora with
+        # heavy shared vocabulary the candidate:near ratio is large and this
+        # is the difference between shuffling the near-dup set and shuffling
+        # the whole collision space (hamming is a pure pair function, so
+        # filter/distinct commute; 3.71 -> 3.49 s at sf0.1).
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

@@ -248,3 +248,23 @@ def test_profile_orders_single_scan(spark, sf_oracle):
     plan = _formatted(REGISTRY["profile_orders"].fn(spark, sf_oracle))
     assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1, plan
     assert "Expand" in plan, plan
+
+
+def test_shingle_hash_rows_pre_partition_adds_no_window_exchange(spark, sf_small):
+    """With pre_partition=True the doc-level repartition is the ONLY
+    exchange up to shingle rows: posexplode preserves hash(doc) clustering,
+    so the lead() window sorts locally instead of shuffling token rows
+    (24 bytes/token ≈ 4x the raw text — the 100 TB reason this flag
+    exists; see shingle_hash_rows docstring)."""
+    import re
+
+    from kol_bigdata_realtime_analytics_spark.operators.dedup import shingle_hash_rows
+
+    docs = table(spark, sf_small, "documents")
+    pre = _formatted(shingle_hash_rows(docs, "text", "doc_id", 4, pre_partition=True))
+    assert len(re.findall(r"^\(\d+\) Exchange", pre, re.M)) == 1, pre
+    assert "Window" in pre, pre
+    # default path: exactly one exchange too, but it is the window's
+    # token-row clustering (no doc-level repartition above it)
+    default = _formatted(shingle_hash_rows(docs, "text", "doc_id", 4))
+    assert len(re.findall(r"^\(\d+\) Exchange", default, re.M)) == 1, default
