@@ -80,3 +80,45 @@ def test_fingerprint_whitespace_invariance(spark, tokens, seps):
         for r in df.select(doc_fingerprint_md5("text").alias("fp")).collect()
     ]
     assert fps[0] == fps[1] == fps[2]
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_shingle_hash_rows_matches_string_shingles(spark, docs):
+    """The codegen shingle path (shingle_hash_rows) is a drop-in for the
+    string path (word_shingles): per doc, the DISTINCT hash set is exactly
+    the image of the distinct string-shingle set (same size), and two docs
+    share a hash iff they share a string shingle. A tiny 5-word alphabet
+    forces heavy shingle reuse across docs, which is where a broken window
+    (off-by-one lead, wrong null trim) would diverge."""
+    from kol_bigdata_realtime_analytics_spark.operators.dedup import (
+        shingle_hash_rows,
+        word_shingles,
+    )
+
+    n = 3
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)], "id long, text string"
+    )
+    str_sets = {
+        r["id"]: set(r["s"])
+        for r in df.select("id", word_shingles(F.col("text"), n).alias("s")).collect()
+    }
+    hash_sets: dict[int, set] = {i: set() for i in range(len(docs))}
+    for r in shingle_hash_rows(df, "text", "id", n).collect():
+        hash_sets[r["doc"]].add(r["h"])
+    for i in range(len(docs)):
+        assert len(hash_sets[i]) == len(str_sets[i]), (i, docs[i])
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            assert bool(str_sets[i] & str_sets[j]) == bool(hash_sets[i] & hash_sets[j])
