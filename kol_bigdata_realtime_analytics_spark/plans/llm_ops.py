@@ -501,6 +501,67 @@ def incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Corpus snapshot diff — the incremental-update primitive: which docs were
+# added, removed, or content-changed between two corpus versions. Old/new
+# snapshots are deterministic slices of `documents` (doc_id % 5 picks
+# membership; doc_id % 7 docs get a simulated revision) so the whole diff
+# sits under the oracle.
+# ---------------------------------------------------------------------------
+
+_SNAPSHOT_FP = DOC_FINGERPRINT_ORACLE_SQL.format(col="text")
+_SNAPSHOT_FP_NEW = DOC_FINGERPRINT_ORACLE_SQL.format(
+    col="CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END"
+)
+
+_SNAPSHOT_DIFF_ORACLE = f"""
+WITH old AS (
+  SELECT doc_id, {_SNAPSHOT_FP} AS old_fp FROM documents WHERE doc_id % 5 != 4
+),
+new AS (
+  SELECT doc_id, {_SNAPSHOT_FP_NEW} AS new_fp FROM documents WHERE doc_id % 5 != 0
+)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.old_fp != n.new_fp THEN 'changed' END AS change,
+       o.old_fp, n.new_fp
+FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+WHERE (o.doc_id IS NULL OR n.doc_id IS NULL OR o.old_fp != n.new_fp)
+""".strip()
+
+
+@register("corpus_snapshot_diff", oracle=_SNAPSHOT_DIFF_ORACLE)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Added/removed/changed docs between two corpus snapshots, compared by
+    content fingerprint (not raw bytes — formatting-only edits don't count).
+
+    Scale shape: fingerprints compute in each snapshot's scan projection
+    (text never leaves the scan), then ONE full-outer shuffle join on the
+    doc_id long; unchanged rows — the overwhelming majority of a daily
+    snapshot pair — are dropped before any downstream consumer. Snapshots
+    bucketed by doc_id at write time make the join exchange-free."""
+    docs = table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 5 != 4).select(
+        "doc_id", doc_fingerprint_md5(F.col("text")).alias("old_fp")
+    )
+    revised = F.when(
+        F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" rev2"))
+    ).otherwise(F.col("text"))
+    new = docs.filter(F.col("doc_id") % 5 != 0).select(
+        "doc_id", doc_fingerprint_md5(revised).alias("new_fp")
+    )
+    j = old.join(new, "doc_id", "full_outer")
+    change = (
+        F.when(F.col("old_fp").isNull(), "added")
+        .when(F.col("new_fp").isNull(), "removed")
+        .when(F.col("old_fp") != F.col("new_fp"), "changed")
+    )
+    return j.select("doc_id", change.alias("change"), "old_fp", "new_fp").filter(
+        F.col("change").isNotNull()
+    )
+
+
+# ---------------------------------------------------------------------------
 # Corpus mix planner — per-source sampling rates to hit a token budget with
 # an equal-share target mix. The control knob a training-data pipeline turns
 # before materializing a corpus snapshot.
