@@ -702,6 +702,70 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", trunc6(quality_score("text")).alias("quality"))
 
 
+_TOKEN_BUDGET_ORACLE = f"""
+WITH m AS (
+  SELECT doc_id,
+         CAST({TOKEN_COUNT_ORACLE_SQL.format(col="text")} AS DOUBLE) AS n_tok,
+         {PUNCT_RATIO_ORACLE_SQL.format(col="text")} AS pr,
+         {STOPWORD_RATIO_ORACLE_SQL.format(col="text")} AS sr
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+         floor(LEAST(n_tok / 100.0, 1.0) * (1.0 - LEAST(pr, 0.5))
+               * (0.5 + LEAST(sr, 0.5)) * 1000000) / 1000000 AS q
+  FROM m
+),
+bucketed AS (
+  SELECT CAST(LEAST(floor(q * 10), 9) AS BIGINT) AS quality_bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+  FROM scored GROUP BY 1
+)
+SELECT quality_bucket, n_docs, n_tokens,
+       CAST(SUM(n_tokens) OVER (ORDER BY quality_bucket DESC) AS BIGINT)
+         AS cum_tokens_at_or_above
+FROM bucketed
+""".strip()
+
+
+@register("token_budget_curve", oracle=_TOKEN_BUDGET_ORACLE)
+def token_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget-vs-quality-threshold curve: tokens available at or above
+    each quality decile — the sweep behind every "filter at quality >= X"
+    data-mixing decision.
+
+    Scale shape deliberately NOT ntile: a rank-decile needs a global sort of
+    the corpus; value-bucketing (floor(q*10)) is embarrassingly parallel —
+    one narrow groupBy to <= 10 rows, then the cumulative window runs over
+    those 10 rows only. Bucket edges use the trunc6'd score (hash-verified
+    identical cross-engine in `quality_scores`), so no boundary flapping."""
+    from pyspark.sql.window import Window
+
+    from kol_bigdata_realtime_analytics_spark.plans.domain import trunc6
+
+    docs = table(spark, sf_dir, "documents")
+    scored = docs.select(
+        token_count("text").alias("n_tokens"),
+        trunc6(quality_score("text")).alias("q"),
+    )
+    bucketed = scored.groupBy(
+        F.least(F.floor(F.col("q") * 10), F.lit(9)).cast("long").alias("quality_bucket")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
+    w = Window.orderBy(F.desc("quality_bucket")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return bucketed.select(
+        "quality_bucket",
+        "n_docs",
+        "n_tokens",
+        F.sum("n_tokens").over(w).alias("cum_tokens_at_or_above"),
+    )
+
+
 @register(
     "doc_fingerprints",
     oracle=f"""
