@@ -27,6 +27,7 @@ from kol_bigdata_realtime_analytics_spark.functions.text import (
     punct_ratio,
     quality_score,
     stopword_ratio,
+    tokens,
     token_count,
 )
 from kol_bigdata_realtime_analytics_spark.operators.dedup import (
@@ -64,6 +65,77 @@ from kol_bigdata_realtime_analytics_spark.plans.registry import register, table
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicate groups by md5(normalized text)."""
     return exact_dedup_fingerprints(table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+_SURVIVOR_ORACLE = f"""
+WITH m AS (
+  SELECT doc_id,
+         md5(lower(array_to_string(
+           (regexp_split_to_array(trim(COALESCE(text, '')), '\\s+'))[1:20], ' ')))
+           AS prefix_fp,
+         CAST({TOKEN_COUNT_ORACLE_SQL.format(col="text")} AS DOUBLE) AS n_tok,
+         {PUNCT_RATIO_ORACLE_SQL.format(col="text")} AS pr,
+         {STOPWORD_RATIO_ORACLE_SQL.format(col="text")} AS sr
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, prefix_fp,
+         floor(LEAST(n_tok / 100.0, 1.0) * (1.0 - LEAST(pr, 0.5))
+               * (0.5 + LEAST(sr, 0.5)) * 1000000) / 1000000 AS q
+  FROM m
+),
+ranked AS (
+  SELECT prefix_fp, doc_id, q,
+         ROW_NUMBER() OVER (PARTITION BY prefix_fp ORDER BY q DESC, doc_id) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY prefix_fp) AS BIGINT) AS n_members
+  FROM scored
+)
+SELECT prefix_fp, CAST(doc_id AS BIGINT) AS keep_id, n_members, q AS best_quality
+FROM ranked WHERE rn = 1 AND n_members >= 2
+""".strip()
+
+
+@register("dedup_survivors_by_quality", oracle=_SURVIVOR_ORACLE)
+def dedup_survivors_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship POLICY dedup: within each shared-lead group (md5 of the
+    first 20 tokens — syndicated articles and templated boilerplate share
+    their lead and diverge in the tail), keep the HIGHEST-QUALITY member,
+    not the lowest id. The policy knob real pipelines turn: min-id keeps
+    whichever copy scraped first; quality-argmax keeps the best version.
+
+    One shuffle on the 128-bit prefix fingerprint (uniform keys), then a
+    per-group row_number — the same W1 latest-per-key shape, ordered by the
+    cross-engine-stable truncated quality with doc_id as the total-order
+    tie-break."""
+    from pyspark.sql.window import Window
+
+    from kol_bigdata_realtime_analytics_spark.plans.domain import trunc6
+
+    docs = table(spark, sf_dir, "documents")
+    prefix = F.concat_ws(" ", F.slice(tokens(F.col("text")), 1, 20))
+    base = docs.select(
+        "doc_id",
+        F.md5(F.lower(prefix)).alias("prefix_fp"),
+        trunc6(quality_score("text")).alias("q"),
+    )
+    wg = Window.partitionBy("prefix_fp")
+    wr = wg.orderBy(F.desc("q"), F.asc("doc_id"))
+    return (
+        base.select(
+            "prefix_fp",
+            "doc_id",
+            "q",
+            F.row_number().over(wr).alias("rn"),
+            F.count("*").over(wg).alias("n_members"),
+        )
+        .filter((F.col("rn") == 1) & (F.col("n_members") >= 2))
+        .select(
+            "prefix_fp",
+            F.col("doc_id").alias("keep_id"),
+            "n_members",
+            F.col("q").alias("best_quality"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
