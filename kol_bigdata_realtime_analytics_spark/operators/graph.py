@@ -90,3 +90,75 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+#: fixed-point scale for pagerank_fixedpoint: rank mass 1.0 == 10^12 units.
+PAGERANK_SCALE = 10**12
+
+
+def pagerank_fixedpoint(
+    edges: DataFrame,
+    damping_num: int = 17,
+    damping_den: int = 20,
+    n_iter: int = 10,
+) -> DataFrame:
+    """PageRank with EXACT integer arithmetic — bit-identical on any engine
+    and any summation order, so an external SQL oracle can hash-match it
+    (the float variant above is reproducible only to summation order).
+
+    Rank mass is carried as long micro-units (PAGERANK_SCALE = 1e12 == rank
+    1.0); damping is the rational damping_num/damping_den (17/20 = 0.85).
+    Each round, per edge: contrib = (rank_src * weight) div out_w (floor
+    division — weights must be INTEGER, e.g. interaction counts), then
+    rank' = (1-d)*SCALE div N + (damping_num * sum(contribs)) div damping_den.
+    Long sums of longs are exact and order-independent — the same
+    determinism idiom as the DECIMAL moment sums in correlation_qty_price.
+
+    Overflow bound: rank_src <= SCALE and weight <= out_w, so the per-edge
+    product is <= SCALE * out_w; safe in int64 while max total integer
+    out-weight per node < 9.2e6 (else lift to DECIMAL(38,0) — same
+    semantics, exactness preserved).
+
+    Floor-division drops up to 1 unit (1e-12 rank) per edge per round vs
+    real-valued PageRank — far below trunc6 output resolution; the planted-
+    graph pytest bounds the deviation explicitly.
+
+    Returns (node, rank_fp: long).
+    """
+    e = edges.select(
+        F.col("src").cast("long"), F.col("dst").cast("long"), F.col("weight").cast("long")
+    )
+    out_w = e.groupBy("src").agg(F.sum("weight").alias("out_w"))
+    norm = e.join(out_w, "src").localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    base_fp = ((damping_den - damping_num) * PAGERANK_SCALE) // (damping_den * n)
+    ranks = nodes.select("node", F.lit(PAGERANK_SCALE // n).cast("long").alias("rank_fp"))
+    for _ in range(n_iter):
+        contribs = norm.join(
+            F.broadcast(ranks), norm["src"] == ranks["node"]
+        ).select(
+            F.col("dst").alias("node"),
+            F.expr("(rank_fp * weight) div out_w").alias("c"),
+        )
+        ranks = (
+            nodes.join(
+                F.broadcast(contribs.groupBy("node").agg(F.sum("c").alias("c"))),
+                "node",
+                "left",
+            )
+            .select(
+                "node",
+                (
+                    F.lit(base_fp)
+                    + F.expr(f"({damping_num} * coalesce(c, 0L)) div {damping_den}")
+                ).cast("long").alias("rank_fp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -710,19 +710,65 @@ def correlation_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("supplier_influence_pagerank", oracle=None)
+def _pagerank_oracle_sql(n_iter: int = 10) -> str:
+    """Generate the unrolled-iteration DuckDB oracle for fixed-point
+    PageRank: w0..w{n_iter} chained CTEs, each one integer round identical
+    to pagerank_fixedpoint's (floor divisions at the same points, exact
+    long sums), so the hash comparison is EXACT, not tolerance-based."""
+    scale = 10**12
+    head = f"""
+WITH edges AS (
+  SELECT o_custkey AS src, l_suppkey + 10000000 AS dst,
+         CAST(COUNT(*) AS BIGINT) AS w
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+),
+outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS out_w FROM edges GROUP BY src),
+e AS (SELECT edges.src, dst, w, out_w FROM edges JOIN outw USING (src)),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
+),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+w0 AS (
+  SELECT node, CAST({scale} // nn.n AS BIGINT) AS rank_fp FROM nodes, nn
+)"""
+    rounds = []
+    for k in range(1, n_iter + 1):
+        rounds.append(f""",
+w{k} AS (
+  SELECT nd.node,
+         CAST((3 * {scale}) // (20 * nn.n)
+              + (17 * COALESCE(s.c, 0)) // 20 AS BIGINT) AS rank_fp
+  FROM nodes nd CROSS JOIN nn LEFT JOIN (
+    SELECT e.dst AS node, SUM((r.rank_fp * e.w) // e.out_w) AS c
+    FROM e JOIN w{k - 1} r ON e.src = r.node GROUP BY e.dst
+  ) s ON nd.node = s.node
+)""")
+    tail = f"""
+SELECT node - 10000000 AS supp_key,
+       rank_fp,
+       (rank_fp // 1000000) / 1000000.0 AS rank
+FROM w{n_iter} WHERE node >= 10000000"""
+    return (head + "".join(rounds) + tail).strip()
+
+
+@register("supplier_influence_pagerank", oracle=_pagerank_oracle_sql(10))
 def supplier_influence_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank influence over the customer->supplier purchase graph
     (edge weight = number of lineitems bought, via orders⋈lineitem), 10
-    fixed iterations, damping 0.85.
+    fixed iterations, damping 17/20.
 
-    Iterative float mass propagation is not SQL-expressible for the DuckDB
-    oracle (and per-dst float sums are summation-order sensitive), so the
-    driver check is rows-only; `tests/test_operators.py` pins the operator
-    against a dense NumPy PageRank to 1e-9 on a planted graph. Supplier
-    ids are offset into a disjoint node-id space.
+    FIXED-POINT variant (operators/graph.pagerank_fixedpoint): rank mass in
+    integer 1e-12 units with floor divisions at defined points, so per-dst
+    sums are exact longs — order-independent — and the DuckDB oracle
+    (10 unrolled integer rounds) hash-matches EXACTLY. This upgraded the
+    query from a rows-only driver check to a full value-hash check; the
+    float operator (graph.pagerank) remains for callers that want real-
+    valued ranks and is NumPy-pinned to 1e-9 in tests/test_operators.py.
+    Supplier ids are offset into a disjoint node-id space.
     """
-    from kol_bigdata_realtime_analytics_spark.operators.graph import pagerank
+    from kol_bigdata_realtime_analytics_spark.operators.graph import pagerank_fixedpoint
 
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
@@ -732,11 +778,13 @@ def supplier_influence_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_custkey").alias("src"),
             (F.col("l_suppkey") + F.lit(10_000_000)).alias("dst"),
         )
-        .agg(F.count("*").cast("double").alias("weight"))
+        .agg(F.count("*").alias("weight"))
     )
-    ranks = pagerank(edges, damping=0.85, n_iter=10)
+    ranks = pagerank_fixedpoint(edges, damping_num=17, damping_den=20, n_iter=10)
     return ranks.filter(F.col("node") >= 10_000_000).select(
-        (F.col("node") - 10_000_000).alias("supp_key"), "rank"
+        (F.col("node") - 10_000_000).alias("supp_key"),
+        "rank_fp",
+        (F.expr("rank_fp div 1000000") / F.lit(1000000.0)).alias("rank"),
     )
 
 

@@ -410,3 +410,34 @@ def test_pagerank_matches_numpy(spark):
         r = (1 - 0.85) / n + 0.85 * (P @ r)
     for node in nodes:
         assert abs(got[node] - r[idx[node]]) < 1e-9, (node, got[node], r[idx[node]])
+
+
+def test_pagerank_fixedpoint_tracks_float(spark):
+    """Fixed-point integer PageRank stays within floor-division error of the
+    float operator on the planted graph: each of the 10 rounds floors at
+    most 1e-12 per edge plus 1e-12 in the damped sum, so the final gap is
+    bounded well below 1e-9 rank units — and determinism is exact (two runs
+    produce identical longs)."""
+    from kol_bigdata_realtime_analytics_spark.operators.graph import (
+        PAGERANK_SCALE,
+        pagerank,
+        pagerank_fixedpoint,
+    )
+
+    edges = [
+        (0, 1, 1), (0, 2, 2), (1, 2, 1), (2, 0, 1),
+        (3, 0, 1), (3, 2, 3), (4, 3, 1),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long, weight long")
+    fp1 = {r["node"]: r["rank_fp"] for r in pagerank_fixedpoint(df, n_iter=10).collect()}
+    fp2 = {r["node"]: r["rank_fp"] for r in pagerank_fixedpoint(df, n_iter=10).collect()}
+    assert fp1 == fp2  # exact determinism, not tolerance
+    flt = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            df.selectExpr("src", "dst", "CAST(weight AS DOUBLE) AS weight"), 0.85, 10
+        ).collect()
+    }
+    assert fp1.keys() == flt.keys()
+    for node, fp in fp1.items():
+        assert abs(fp / PAGERANK_SCALE - flt[node]) < 1e-9, (node, fp, flt[node])
