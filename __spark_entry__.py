@@ -14,6 +14,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -30,76 +31,58 @@ def entry(spark: SparkSession) -> DataFrame:
     return trending_scores(spark, "/root/testdata/sf0.001")
 
 
-def _driver_verified() -> set[str]:
-    """Query names already hash-green in a past driver CORRECTNESS_r*.json.
+def _driver_history() -> tuple[set[str], dict[str, int]]:
+    """(verified names, last round each name was sampled in) from past
+    driver CORRECTNESS_r*.json reports.
 
-    The driver's per-round oracle sweep is bounded (r1 sampled the first 50
-    of 90 registered queries, in dict order). To maximize *union* coverage
-    across rounds, queries that have never had a green driver row are
-    emitted first; already-verified ones follow in their stable registry
-    order. Purely an ordering hint — every query is always present.
+    verified = ever hash-green, or rows-only-by-design with rows observed.
+    last_sampled = max round whose report contains the name at all.
     """
     verified: set[str] = set()
+    last_sampled: dict[str, int] = {}
     here = os.path.dirname(os.path.abspath(__file__))
     for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 report = json.load(f)
         except (OSError, ValueError):
             continue
         for name, row in report.items():
-            if isinstance(row, dict) and (
-                row.get("hash_match") is True
-                or (row.get("err") == "no_oracle" and row.get("spark_rows") is not None)
+            if not isinstance(row, dict):
+                continue
+            last_sampled[name] = max(last_sampled.get(name, 0), rnd)
+            if row.get("hash_match") is True or (
+                row.get("err") == "no_oracle" and row.get("spark_rows") is not None
             ):
                 verified.add(name)
-    return verified
+    return verified, last_sampled
 
 
 def _prioritized(mapping: dict) -> dict:
-    seen = _driver_verified()
+    """Order queries so the driver's bounded per-round sweep (first ~50, in
+    dict order) does the most useful verification work.
+
+    Tiers (r3 verdict ask #4 — re-verification rotation):
+      0. never driver-green, has a hash oracle  (strongest missing signal)
+      1. never driver-green, rows-only
+      2. already green — LEAST-recently-sampled first, so the green set is
+         re-checked cyclically across rounds instead of the same stable
+         prefix every round (environment drift is what cost round 2).
+    Ties break on stable registry order. Every query is always present.
+    """
+    seen, last_sampled = _driver_history()
     oracles = get_oracles()
-    # tier 0: queries the round-2 verdict lists as never driver-sampled —
-    # surface them first so the bounded per-round sweep grows union coverage
-    flagged = (
-        "ann_ivf_topk",
-        "ohlc_events_15min",
-        "correlation_qty_price",
-        "grouping_sets_events",
-        "rolling_avg_daily_value",
-        "ntile_acctbal_quartiles",
-        "supplier_influence_pagerank",
-        "fuzzy_name_links",
-        "event_transition_matrix",
-        "weekly_cohort_retention",
-        "conversion_funnel",
-        "distinctive_terms_chi2",
-        "zorder_layout_stats",
-        "robust_value_stats",
-        "part_cooccurrence_topk",
-        "stratified_sample",
-        "dq_constraint_checks",
-        "profile_orders",
-        "streaming_trending",
-        "streaming_event_scores",
-        "streaming_momentum_stateful",
-        "stream_stream_click_attribution",
-        "streaming_dedup_events",
-        "streaming_ohlc",
-        "embedding_quantize_int8",
-        "user_event_type_sets",
-    )
+    registry_idx = {n: i for i, n in enumerate(mapping)}
 
-    def tier(name: str) -> int:
-        if name in seen:
-            return 3  # already has a green driver row
-        if name in flagged:
-            return 0
-        if name in oracles:
-            return 1  # unverified with a hash oracle (strong signal first)
-        return 2  # unverified rows-only
+    def sort_key(name: str):
+        if name not in seen:
+            tier = 0 if name in oracles else 1
+            return (tier, 0, registry_idx[name])
+        return (2, last_sampled.get(name, 0), registry_idx[name])
 
-    order = sorted(mapping, key=lambda n: (tier(n), list(mapping).index(n)))
+    order = sorted(mapping, key=sort_key)
     return {k: mapping[k] for k in order}
 
 

@@ -4,15 +4,21 @@ Spark has no native as-of join (pyspark guide: compose or applyInPandas).
 Two implementations with the same contract:
 
 - `as_of_join`       : equi-join on key + time filter + row_number. One
-  shuffle per side on the key; correct everywhere, O(matches) intermediate.
+  shuffle per side on the key; correct everywhere, but the intermediate is
+  O(per-key matches) — every left row pairs with EVERY earlier right row
+  for its key before the dedup window keeps one. Use `left_unique` to slim
+  the dedup window partition to the left row's unique id, and `lookback`
+  to bound the fan-out when the semantics allow it.
 - `as_of_join_pandas`: cogrouped applyInPandas with pd.merge_asof per key
-  group — Arrow-batched, linear after the per-key sort, the scale path when
-  the per-key match fan-out of the join form explodes.
+  group — Arrow-batched, linear after the per-key sort, the scale path
+  (registered for `asof_last_event_before_order`; r3 flagged the composed
+  form as the one bench outlier because its fan-out grows with data per
+  key at constant key cardinality).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -23,22 +29,85 @@ def as_of_join(
     left_ts: str,
     right_ts: str,
     right_cols: list[str],
+    left_unique: list[str] | None = None,
+    lookback: Column | None = None,
 ) -> DataFrame:
-    """Left as-of join (backward): latest right row with right_ts <= left_ts."""
+    """Left as-of join (backward): latest right row with right_ts <= left_ts.
+
+    left_unique: columns that uniquely identify a left row — the keep-latest
+    window partitions on them alone (partitioning on every left column forces
+    a wider sort key for zero extra correctness). Defaults to all left columns.
+    lookback: optional interval Column (e.g. F.expr("INTERVAL 90 DAYS")); when
+    given, only right rows with right_ts > left_ts - lookback match — bounds
+    the per-key fan-out at the cost of missing older-than-lookback rows.
+    """
     r = right.select(
         F.col(key).alias("_r_key"),
         F.col(right_ts).alias("_r_ts"),
         *[F.col(c) for c in right_cols],
     )
-    joined = left.join(
-        r, (left[key] == r["_r_key"]) & (r["_r_ts"] <= left[left_ts]), "left"
-    )
-    w = Window.partitionBy(*[left[c] for c in left.columns]).orderBy(F.col("_r_ts").desc())
+    cond = (left[key] == r["_r_key"]) & (r["_r_ts"] <= left[left_ts])
+    if lookback is not None:
+        cond = cond & (r["_r_ts"] > left[left_ts] - lookback)
+    joined = left.join(r, cond, "left")
+    part = [left[c] for c in (left_unique or left.columns)]
+    w = Window.partitionBy(*part).orderBy(F.col("_r_ts").desc())
     return (
         joined.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_r_key", "_r_ts")
     )
+
+
+def as_of_join_union(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """Left as-of join (backward) as ONE sorted window pass — the scale path.
+
+    Union both sides tagged (right=0, left=1), sort per key by (ts, tag),
+    carry the latest right values forward with last(..., ignorenulls=True)
+    over ROWS UNBOUNDED PRECEDING, keep the left rows. Entirely JVM-side:
+    a single hash shuffle on `key` + one per-partition sort, linear in
+    |left| + |right| — no per-row fan-out (the composed join's failure mode)
+    and no Arrow transfer of the big side to Python (the pandas path's cost).
+
+    Ordering (ts, tag) puts a right row BEFORE a left row at equal ts, so
+    right_ts == left_ts matches (<= semantics). The carried right_cols all
+    come from the same right row because they are null/non-null together.
+    right_cols must not collide with left column names — alias first.
+    """
+    overlap = set(right_cols) & set(left.columns)
+    if overlap:
+        raise ValueError(
+            f"right_cols {sorted(overlap)} collide with left column names; "
+            "alias them on the right DataFrame first"
+        )
+    l = left.withColumn("_ts", F.col(left_ts)).withColumn("_tag", F.lit(1))
+    r = right.select(
+        F.col(key),
+        F.col(right_ts).alias("_ts"),
+        *[F.col(c) for c in right_cols],
+    ).withColumn("_tag", F.lit(0))
+    u = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("_ts").asc(), F.col("_tag").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = u.select(
+        *[F.col(c) for c in left.columns],
+        F.col("_tag"),
+        *[F.last(c, ignorenulls=True).over(w).alias(f"_asof_{c}") for c in right_cols],
+    )
+    out = carried.filter(F.col("_tag") == 1).drop("_tag")
+    for c in right_cols:
+        out = out.withColumnRenamed(f"_asof_{c}", c)
+    return out
 
 
 def as_of_join_pandas(
@@ -49,9 +118,21 @@ def as_of_join_pandas(
     right_ts: str,
     right_cols: list[str],
 ) -> DataFrame:
-    """merge_asof per cogrouped key — no quadratic intermediate."""
+    """merge_asof per cogrouped key — no quadratic intermediate.
+
+    Two hash shuffles (one per side, on `key`), then a linear-time
+    backward merge per key group inside Arrow-batched pandas. right_cols
+    may not collide with left column names or `right_ts` — alias on the
+    right side first (e.g. `F.col("ts").alias("event_ts")`).
+    """
     import pandas as pd
 
+    overlap = set(right_cols) & ({right_ts} | set(left.columns))
+    if overlap:
+        raise ValueError(
+            f"right_cols {sorted(overlap)} collide with left/right_ts names; "
+            "alias them on the right DataFrame first"
+        )
     out_schema = ", ".join(
         [f"{f.name} {f.dataType.simpleString()}" for f in left.schema.fields]
         + [f"{f.name} {f.dataType.simpleString()}" for f in right.schema.fields if f.name in right_cols]
@@ -67,7 +148,7 @@ def as_of_join_pandas(
         merged = pd.merge_asof(
             lpdf, rpdf, left_on=left_ts, right_on=right_ts, direction="backward"
         )
-        return merged.drop(columns=[right_ts] if right_ts not in lpdf.columns else [])
+        return merged.drop(columns=[right_ts])
 
     return left.groupBy(key).cogroup(right.groupBy(key)).applyInPandas(
         lambda l, r: merge(l, r), schema=out_schema

@@ -101,6 +101,8 @@ def pagerank_fixedpoint(
     damping_num: int = 17,
     damping_den: int = 20,
     n_iter: int = 10,
+    broadcast_ranks: bool | None = None,
+    broadcast_node_limit: int = 5_000_000,
 ) -> DataFrame:
     """PageRank with EXACT integer arithmetic — bit-identical on any engine
     and any summation order, so an external SQL oracle can hash-match it
@@ -123,6 +125,13 @@ def pagerank_fixedpoint(
     real-valued PageRank — far below trunc6 output resolution; the planted-
     graph pytest bounds the deviation explicitly.
 
+    Join strategy (r3 advice): the per-iteration rank vector and contribution
+    aggregate are BROADCAST only while |nodes| fits a broadcast (~16 bytes/
+    node; the default threshold 5e6 nodes ≈ 80 MB). Above that the same
+    joins run as hash-shuffle joins — edges are checkpointed once and
+    co-shuffle on src/node each round instead, trading per-round exchanges
+    for unbounded node counts. Override with broadcast_ranks=True/False.
+
     Returns (node, rank_fp: long).
     """
     e = edges.select(
@@ -137,18 +146,21 @@ def pagerank_fixedpoint(
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
+    if broadcast_ranks is None:
+        broadcast_ranks = n <= broadcast_node_limit
+    bc = F.broadcast if broadcast_ranks else (lambda df: df)
     base_fp = ((damping_den - damping_num) * PAGERANK_SCALE) // (damping_den * n)
     ranks = nodes.select("node", F.lit(PAGERANK_SCALE // n).cast("long").alias("rank_fp"))
     for _ in range(n_iter):
         contribs = norm.join(
-            F.broadcast(ranks), norm["src"] == ranks["node"]
+            bc(ranks), norm["src"] == ranks["node"]
         ).select(
             F.col("dst").alias("node"),
             F.expr("(rank_fp * weight) div out_w").alias("c"),
         )
         ranks = (
             nodes.join(
-                F.broadcast(contribs.groupBy("node").agg(F.sum("c").alias("c"))),
+                bc(contribs.groupBy("node").agg(F.sum("c").alias("c"))),
                 "node",
                 "left",
             )

@@ -428,6 +428,73 @@ def quantize_int8(vec_col: Column) -> tuple[Column, Column]:
     return scale, codes
 
 
+def int8_topk_matmul(
+    candidates: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+) -> DataFrame:
+    """int8 cosine top-k where scoring is ONE numpy matmul per Arrow batch.
+
+    The scale path for int8 rescoring (PERF.md §5): `ann_int8_topk` proves
+    the semantics with native per-pair HOF lambdas, but those evaluate
+    interpreted — O(pairs * dim) interpreter steps. Here the (bounded)
+    query batch's int8 codes ride inside the UDF closure — the serving-side
+    QUERY PAYLOAD, like the IVF centroid artifact, not corpus data — and
+    every Arrow batch of candidate codes scores against ALL queries with a
+    single (batch x dim) @ (dim x n_queries) int64 matmul.
+
+    Bit-identical to ann_int8_topk by construction: integer dot products
+    are exact in int64 and convert to double exactly (< 2^53), the norm/
+    divide expression applies the same IEEE ops in the same order, and the
+    6dp ROUND happens Spark-side on the identical double. Zero-norm
+    vectors score NaN and are filtered. `candidates` is the full corpus
+    here; at scale pass the IVF-probed / LSH-bucketed candidate list — the
+    matmul is candidate-set-agnostic.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    _, qcodes_expr = quantize_int8(F.col(vec_col))
+    qrows = queries.select(F.col(id_col).alias("q_id"), qcodes_expr.alias("codes")).collect()
+    Q = np.array([r["codes"] for r in qrows], dtype="int64")  # (nq, dim)
+    qn2 = (Q * Q).sum(axis=1)
+    keep = qn2 > 0
+    q_ids = [int(r["q_id"]) for i, r in enumerate(qrows) if keep[i]]
+    Qm = np.ascontiguousarray(Q[keep].T)  # (dim, nq)
+    qnorm = np.sqrt(qn2[keep].astype("float64"))
+
+    @pandas_udf("array<double>")
+    def _cosines(codes: pd.Series) -> pd.Series:
+        X = np.stack([np.asarray(c, dtype="int64") for c in codes])
+        dots = (X @ Qm).astype("float64")  # exact: |dot| <= 127^2 * dim << 2^53
+        cn = np.sqrt((X * X).sum(axis=1).astype("float64"))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = dots / (qnorm[None, :] * cn[:, None])
+        return pd.Series(list(cos))
+
+    _, ccodes_expr = quantize_int8(F.col(vec_col))
+    scored = (
+        candidates.select(F.col(id_col).alias("c_id"), ccodes_expr.alias("codes"))
+        .select("c_id", F.posexplode(_cosines(F.col("codes"))).alias("qpos", "cos_raw"))
+        .select(
+            F.element_at(F.array(*[F.lit(i) for i in q_ids]), F.col("qpos") + 1).alias("q_id"),
+            "c_id",
+            "cos_raw",
+        )
+        .filter((F.col("c_id") != F.col("q_id")) & ~F.isnan("cos_raw"))
+        .select("q_id", "c_id", F.round("cos_raw", 6).alias("cosine"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "cosine", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def dequantize_mse(vec_col: Column, scale: Column, codes: Column) -> Column:
     """Mean squared reconstruction error of the quantization (double)."""
     sq = F.zip_with(

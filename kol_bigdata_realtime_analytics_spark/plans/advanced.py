@@ -18,7 +18,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kol_bigdata_realtime_analytics_spark.plans.registry import register, table
+from kol_bigdata_realtime_analytics_spark.plans.registry import (
+    davg,
+    register,
+    sql_davg,
+    table,
+)
 
 # ---------------------------------------------------------------------------
 # Skew handling — two-phase salted aggregation.
@@ -130,30 +135,40 @@ def topk_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
       SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
-             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS day_value
+             SUM(CAST(value AS DECIMAL(18,6))) AS day_value_dec
       FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')
     )
-    SELECT event_type, day, day_value,
-           ROUND(AVG(day_value) OVER (PARTITION BY event_type ORDER BY day
-                                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS avg_7d
+    SELECT event_type, day, CAST(day_value_dec AS DOUBLE) AS day_value,
+           floor(CAST(SUM(day_value_dec) OVER w AS DOUBLE)
+                 / COUNT(*) OVER w * 1000000) / 1000000 AS avg_7d
     FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
     """,
 )
 def rolling_avg_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """7-day rolling average per event type — explicit ROWS frame spec
     (the momentum shape the reference specifies but never implemented).
-    Daily sums are exact-decimal so both engines window over identical
-    doubles; the frame is small and ordered, so the avg is reproducible."""
+    The frame SUM runs over the exact DECIMAL daily totals — decimal
+    addition is associative, so segment-tree (DuckDB) and sequential
+    (Spark) frame evaluation agree bit-for-bit before the single
+    double division."""
     ev = table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
-    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("day_value"))
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("day_value_dec"))
     w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
     return daily.select(
         "event_type",
         "day",
-        "day_value",
-        F.round(F.avg("day_value").over(w), 6).alias("avg_7d"),
+        F.col("day_value_dec").cast("double").alias("day_value"),
+        (
+            F.floor(
+                (F.sum("day_value_dec").over(w).cast("double") / F.count(F.lit(1)).over(w))
+                * 1000000
+            )
+            / 1000000
+        ).alias("avg_7d"),
     )
 
 
@@ -184,11 +199,11 @@ def order_gaps_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ntile_acctbal_quartiles",
-    oracle="""
+    oracle=f"""
     SELECT CAST(quartile AS BIGINT) AS quartile, COUNT(*) AS n,
            ROUND(MIN(c_acctbal), 2) AS min_bal,
            ROUND(MAX(c_acctbal), 2) AS max_bal,
-           ROUND(AVG(c_acctbal), 6) AS avg_bal
+           {sql_davg('c_acctbal')} AS avg_bal
     FROM (
       SELECT c_acctbal,
              NTILE(4) OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS quartile
@@ -210,7 +225,7 @@ def ntile_acctbal_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
             F.round(F.min("c_acctbal"), 2).alias("min_bal"),
             F.round(F.max("c_acctbal"), 2).alias("max_bal"),
-            F.round(F.avg("c_acctbal"), 6).alias("avg_bal"),
+            davg("c_acctbal").alias("avg_bal"),
         )
         .select(F.col("quartile").cast("long").alias("quartile"), "n", "min_bal", "max_bal", "avg_bal")
     )
@@ -228,7 +243,8 @@ def ntile_acctbal_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type, strftime(ts, '%Y-%m') AS month,
            CAST(GROUPING(event_type) AS INTEGER) AS g_type,
            CAST(GROUPING(strftime(ts, '%Y-%m')) AS INTEGER) AS g_month,
-           COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
     FROM events
     GROUP BY GROUPING SETS ((event_type), (strftime(ts, '%Y-%m')), ())
     """,
@@ -243,7 +259,8 @@ def grouping_sets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type, date_format(ts, 'yyyy-MM') AS month,
                CAST(grouping(event_type) AS INT) AS g_type,
                CAST(grouping(date_format(ts, 'yyyy-MM')) AS INT) AS g_month,
-               COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+               COUNT(*) AS n,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
         FROM _gs_events
         GROUP BY GROUPING SETS ((event_type), (date_format(ts, 'yyyy-MM')), ())
         """

@@ -23,7 +23,16 @@ from kol_bigdata_realtime_analytics_spark.functions.scoring import (
     trending_velocity,
     trust_rule_score,
 )
-from kol_bigdata_realtime_analytics_spark.plans.registry import register, table
+from kol_bigdata_realtime_analytics_spark.plans.registry import (
+    davg,
+    dsum,
+    dsum_raw,
+    register,
+    sql_davg,
+    sql_dsum,
+    sql_dsum_raw,
+    table,
+)
 
 # ---------------------------------------------------------------------------
 # F2 + R2 + T2 — FLAGSHIP: windowed engagement -> trending score -> ranking.
@@ -32,12 +41,12 @@ from kol_bigdata_realtime_analytics_spark.plans.registry import register, table
 # All the score math is native Column expressions — zero Python UDFs.
 # ---------------------------------------------------------------------------
 
-_TRENDING_ORACLE = """
+_TRENDING_ORACLE = f"""
 WITH win AS (
   SELECT (epoch_us(ts) // 300000000) * 300000000 AS window_start_us,
          user_id,
          COUNT(*) AS n_events,
-         SUM(value) AS engagement
+         {sql_dsum_raw('value')} AS engagement
   FROM events
   GROUP BY 1, 2
 ), scored AS (
@@ -66,7 +75,7 @@ def trending_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     agg = (
         ev.groupBy(F.window("ts", "5 minutes").alias("w"), "user_id")
-        .agg(F.count("*").alias("n_events"), F.sum("value").alias("engagement_raw"))
+        .agg(F.count("*").alias("n_events"), dsum_raw("value").alias("engagement_raw"))
     )
     vel = trending_velocity(F.col("engagement_raw"), F.col("n_events"))
     raw = trending_raw(vel, F.col("n_events"))
@@ -88,13 +97,13 @@ def trending_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the slide by cross-joining each event to its 5 covering windows.
 # ---------------------------------------------------------------------------
 
-_SLIDING_ORACLE = """
+_SLIDING_ORACLE = f"""
 SELECT (epoch_us(ts) // 60000000 - i.i) * 60000000            AS window_start_us,
        (epoch_us(ts) // 60000000 - i.i) * 60000000 + 300000000 AS window_end_us,
        event_type,
        COUNT(*) AS n_events,
-       ROUND(SUM(value), 2) AS total_value,
-       ROUND(AVG(value), 6) AS avg_value
+       {sql_dsum('value')} AS total_value,
+       {sql_davg('value')} AS avg_value
 FROM events, (SELECT unnest(range(0, 5)) AS i) i
 GROUP BY 1, 2, 3
 """
@@ -108,8 +117,8 @@ def sliding_window_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "5 minutes", "1 minute").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            dsum("value").alias("total_value"),
+            davg("value").alias("avg_value"),
         )
         .select(
             F.unix_micros(F.col("w.start")).alias("window_start_us"),
@@ -127,22 +136,22 @@ def sliding_window_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (ref: features_stream.py:91-119 — CTR = clicks/impressions, CVR = conv/clicks)
 # ---------------------------------------------------------------------------
 
-_CAMPAIGN_ORACLE = """
+_CAMPAIGN_ORACLE = f"""
 SELECT (epoch_us(ts) // 300000000) * 300000000 AS window_start_us,
        user_id % 10 AS campaign_id,
        COUNT(*) AS n_events,
        CAST(SUM(CASE WHEN event_type IN ('view', 'click') THEN 1 ELSE 0 END) AS BIGINT) AS impressions,
        CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
        CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS conversions,
-       ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2) AS revenue,
-       ROUND(CASE WHEN SUM(CASE WHEN event_type IN ('view', 'click') THEN 1 ELSE 0 END) > 0
+       {sql_dsum("CASE WHEN event_type = 'purchase' THEN value ELSE 0 END")} AS revenue,
+       floor(CASE WHEN SUM(CASE WHEN event_type IN ('view', 'click') THEN 1 ELSE 0 END) > 0
              THEN CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS DOUBLE)
                   / SUM(CASE WHEN event_type IN ('view', 'click') THEN 1 ELSE 0 END)
-             ELSE 0.0 END, 6) AS ctr,
-       ROUND(CASE WHEN SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) > 0
+             ELSE 0.0 END * 1000000) / 1000000 AS ctr,
+       floor(CASE WHEN SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) > 0
              THEN CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE)
                   / SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
-             ELSE 0.0 END, 6) AS cvr
+             ELSE 0.0 END * 1000000) / 1000000 AS cvr
 FROM events
 GROUP BY 1, 2
 """
@@ -163,7 +172,7 @@ def campaign_window_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             impressions.alias("impressions"),
             clicks.alias("clicks"),
             conversions.alias("conversions"),
-            F.round(F.sum(F.when(t == "purchase", F.col("value")).otherwise(0)), 2).alias("revenue"),
+            dsum(F.when(t == "purchase", F.col("value")).otherwise(0)).alias("revenue"),
         )
     )
     ctr = F.when(F.col("impressions") > 0, F.col("clicks").cast("double") / F.col("impressions")).otherwise(0.0)
@@ -176,8 +185,10 @@ def campaign_window_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "clicks",
         "conversions",
         "revenue",
-        F.round(ctr, 6).alias("ctr"),
-        F.round(cvr, 6).alias("cvr"),
+        # trunc, not round: integer-ratio quotients (e.g. 1/640 = 0.0015625)
+        # terminate exactly on a 7th-digit 5, where ROUND ties cross-engine
+        trunc6(ctr).alias("ctr"),
+        trunc6(cvr).alias("cvr"),
     )
 
 
@@ -230,12 +241,12 @@ def parse_count_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (trending_stream.py:479). Window-frame average, oracle-checkable.
 # ---------------------------------------------------------------------------
 
-_MOMENTUM_ORACLE = """
+_MOMENTUM_ORACLE = f"""
 WITH win AS (
   SELECT (epoch_us(ts) // 300000000) * 300000 AS window_start_ms,
          user_id AS key,
          COUNT(*) AS n_events,
-         SUM(value) AS engagement
+         {sql_dsum_raw('value')} AS engagement
   FROM events GROUP BY 1, 2
 ), vel AS (
   SELECT window_start_ms, key, n_events, engagement,
@@ -337,21 +348,22 @@ def trust_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 # J5 re-expressed as ONE engine-side join-free aggregation + window rank)
 # ---------------------------------------------------------------------------
 
-_COMPOSITE_ORACLE = """
+_COMPOSITE_ORACLE = f"""
 WITH per_user AS (
   SELECT user_id,
-         AVG(value) AS trending,
+         {sql_dsum_raw('value')} / COUNT(value) AS trending,
          LEAST(COUNT(*) / 10.0, 100.0) AS success,
-         LEAST(SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END) / 10.0, 100.0) AS trust
+         LEAST({sql_dsum_raw("CASE WHEN event_type = 'purchase' THEN value ELSE 0 END")} / 10.0, 100.0) AS trust
   FROM events GROUP BY user_id
 )
 SELECT user_id,
-       ROUND(trending, 6) AS trending,
-       ROUND(success, 6) AS success,
-       ROUND(trust, 6) AS trust,
-       ROUND(0.4 * trending + 0.35 * success + 0.25 * trust, 6) AS composite,
+       floor(trending * 1000000) / 1000000 AS trending,
+       floor(success * 1000000) / 1000000 AS success,
+       floor(trust * 1000000) / 1000000 AS trust,
+       floor((0.4 * trending + 0.35 * success + 0.25 * trust) * 1000000) / 1000000 AS composite,
        CAST(ROW_NUMBER() OVER (
-         ORDER BY ROUND(0.4 * trending + 0.35 * success + 0.25 * trust, 6) DESC, user_id ASC
+         ORDER BY floor((0.4 * trending + 0.35 * success + 0.25 * trust) * 1000000) / 1000000 DESC,
+                  user_id ASC
        ) AS BIGINT) AS rank
 FROM per_user
 """
@@ -359,23 +371,27 @@ FROM per_user
 
 @register("composite_leaderboard", oracle=_COMPOSITE_ORACLE)
 def composite_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite 0.4/0.35/0.25 blend + global leaderboard rank (window fn)."""
+    """Composite 0.4/0.35/0.25 blend + global leaderboard rank (window fn).
+
+    Outputs truncate (trunc6), not round: the decimal-exact inputs make the
+    blend a clean rational that CAN land on an exact 7th-digit half-tie,
+    where the engines' ROUND semantics disagree (caught live at sf0.1)."""
     ev = table(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
-        F.avg("value").alias("trending"),
+        (dsum_raw("value") / F.count("value")).alias("trending"),
         F.least(F.count("*") / 10.0, F.lit(100.0)).alias("success"),
         F.least(
-            F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0)) / 10.0,
+            dsum_raw(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0)) / 10.0,
             F.lit(100.0),
         ).alias("trust"),
     )
-    comp = F.round(composite_score("trending", "success", "trust"), 6)
+    comp = trunc6(composite_score("trending", "success", "trust"))
     w = Window.orderBy(comp.desc(), F.col("user_id").asc())
     return per_user.select(
         "user_id",
-        F.round("trending", 6).alias("trending"),
-        F.round("success", 6).alias("success"),
-        F.round("trust", 6).alias("trust"),
+        trunc6(F.col("trending")).alias("trending"),
+        trunc6(F.col("success")).alias("success"),
+        trunc6(F.col("trust")).alias("trust"),
         comp.alias("composite"),
         F.row_number().over(w).cast("long").alias("rank"),
     )

@@ -11,7 +11,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kol_bigdata_realtime_analytics_spark.plans.registry import register, table
+from kol_bigdata_realtime_analytics_spark.plans.registry import (
+    davg,
+    dsum,
+    dsum_raw,
+    register,
+    sql_davg,
+    sql_dsum,
+    sql_dsum_raw,
+    table,
+)
 
 # ---------------------------------------------------------------------------
 # ROLLUP — hierarchical subtotals in one pass
@@ -20,10 +29,10 @@ from kol_bigdata_realtime_analytics_spark.plans.registry import register, table
 
 @register(
     "rollup_daily_events",
-    oracle="""
+    oracle=f"""
     SELECT COALESCE(event_type, '__total__') AS event_type,
            COALESCE(CAST(strftime(ts, '%Y%m%d') AS INTEGER), -1) AS date_key,
-           COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+           COUNT(*) AS n, {sql_dsum('value')} AS total_value
     FROM events
     GROUP BY ROLLUP (event_type, CAST(strftime(ts, '%Y%m%d') AS INTEGER))
     """,
@@ -35,7 +44,7 @@ def rollup_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.select("event_type", day.alias("date_key"), "value")
         .rollup("event_type", "date_key")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(F.count("*").alias("n"), dsum("value").alias("total_value"))
         .select(
             F.coalesce(F.col("event_type"), F.lit("__total__")).alias("event_type"),
             F.coalesce(F.col("date_key"), F.lit(-1)).alias("date_key"),
@@ -88,19 +97,20 @@ _EVENT_TYPES = ["view", "click", "purchase", "signup", "error"]
     oracle=f"""
     SELECT user_id,
            {", ".join(
-               f"ROUND(COALESCE(SUM(value) FILTER (WHERE event_type = '{t}'), 0), 2) AS {t}"
+               "COALESCE(CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6)))"
+               f" FILTER (WHERE event_type = '{t}'), 2) AS DOUBLE), 0.0) AS {t}"
                for t in _EVENT_TYPES
            )}
     FROM events GROUP BY user_id
     """,
 )
 def pivot_user_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pivot event_type into per-user value columns."""
+    """Pivot event_type into per-user value columns (order-proof decimal sums)."""
     ev = table(spark, sf_dir, "events")
     out = (
         ev.groupBy("user_id")
         .pivot("event_type", _EVENT_TYPES)
-        .agg(F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 2))
+        .agg(dsum("value"))
     )
     return out.select(
         "user_id", *[F.coalesce(F.col(t), F.lit(0.0)).alias(t) for t in _EVENT_TYPES]
@@ -165,7 +175,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # end = last event + gap. One shuffle on (key), state merged by Catalyst.
 # ---------------------------------------------------------------------------
 
-_NATIVE_SESSION_ORACLE = """
+_NATIVE_SESSION_ORACLE = f"""
 WITH gaps AS (
   SELECT user_id, ts, value,
          CASE WHEN LAG(ts) OVER w IS NULL
@@ -183,7 +193,7 @@ SELECT user_id,
        epoch_us(MIN(ts)) AS session_start_us,
        epoch_us(MAX(ts)) + 300000000 AS session_end_us,
        COUNT(*) AS n_events,
-       ROUND(SUM(value), 2) AS total_value
+       {sql_dsum('value')} AS total_value
 FROM sess GROUP BY user_id, seq
 """
 
@@ -195,7 +205,7 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.session_window("ts", "5 minutes").alias("sw"), "user_id")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
         .select(
             "user_id",
             F.unix_micros("sw.start").alias("session_start_us"),
@@ -212,14 +222,14 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a pure band join would need a range-partitioned strategy.
 # ---------------------------------------------------------------------------
 
-_RANGE_JOIN_ORACLE = """
+_RANGE_JOIN_ORACLE = f"""
 WITH o AS (
   SELECT o_orderkey, o_orderkey % 150 AS user_id, o_orderdate
   FROM orders WHERE o_orderkey % 51 = 0
 )
 SELECT o.o_orderkey,
        COUNT(e.event_id) AS n_events,
-       ROUND(COALESCE(SUM(e.value), 0), 2) AS total_value
+       COALESCE({sql_dsum('e.value')}, 0.0) AS total_value
 FROM o LEFT JOIN events e
   ON o.user_id = e.user_id
  AND e.ts >= o.o_orderdate
@@ -252,7 +262,7 @@ def range_join_order_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey")
         .agg(
             F.count(ev["event_id"]).alias("n_events"),
-            F.round(F.coalesce(F.sum(ev["value"]), F.lit(0.0)), 2).alias("total_value"),
+            F.coalesce(dsum(ev["value"]), F.lit(0.0)).alias("total_value"),
         )
     )
 
@@ -275,8 +285,18 @@ FROM o ASOF LEFT JOIN events e
 
 @register("asof_last_event_before_order", oracle=_ASOF_ORACLE)
 def asof_last_event_before_order(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of (backward) join: composed equi-join + time filter + row_number."""
-    from kol_bigdata_realtime_analytics_spark.operators.asof import as_of_join
+    """As-of (backward) join on the cogrouped merge_asof path.
+
+    r3 flagged the composed join+window form as the one bench outlier: its
+    intermediate is O(preceding events per key) PER left row, which grows
+    with data volume at fixed key cardinality. The union form is a single
+    hash shuffle + per-key sort with a running last(ignorenulls) carry —
+    linear in |orders| + |events|, entirely JVM-side, the shape that
+    survives 100×. (operators/asof.py keeps the composed form — slimmed
+    dedup window + optional lookback bound — and the cogrouped merge_asof
+    pandas form as alternatives.)
+    """
+    from kol_bigdata_realtime_analytics_spark.operators.asof import as_of_join_union
 
     orders = (
         table(spark, sf_dir, "orders")
@@ -288,14 +308,18 @@ def asof_last_event_before_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
         )
     )
-    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
-    joined = as_of_join(orders, ev, "user_id", "o_orderdate", "ts", ["event_id", "ts"])
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "ts", F.col("ts").alias("event_ts"), F.col("event_id").alias("last_event_id")
+    )
+    joined = as_of_join_union(
+        orders, ev, "user_id", "o_orderdate", "ts", ["last_event_id", "event_ts"]
+    )
     return joined.select(
         "o_orderkey",
         "user_id",
         F.unix_micros("o_orderdate").alias("order_ts_us"),
-        F.col("event_id").alias("last_event_id"),
-        F.unix_micros("ts").alias("last_event_ts_us"),
+        "last_event_id",
+        F.unix_micros("event_ts").alias("last_event_ts_us"),
     )
 
 
@@ -344,12 +368,17 @@ def low_balance_except_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in-engine, parameterized — no f-string interpolation)
 # ---------------------------------------------------------------------------
 
+# Determinism (PERF.md §3): SUM/AVG over raw doubles is summation-order-
+# dependent — the r3 driver run caught ROUND flipping on a one-ulp tie.
+# Sum in DECIMAL(18,6) (exact, order-proof), then cast to DOUBLE so the
+# output schema is unchanged and both engines round the IDENTICAL double.
 _SQL_STATS = """
 SELECT event_type,
        COUNT(*) AS n,
        COUNT(DISTINCT user_id) AS n_users,
-       ROUND(SUM(value), 2) AS total_value,
-       ROUND(AVG(value), 6) AS avg_value,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value,
+       floor(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(value) * 1000000) / 1000000 AS avg_value,
        SUM(CASE WHEN value >= 100 THEN 1 ELSE 0 END) AS n_high
 FROM {events}
 GROUP BY event_type
@@ -395,22 +424,40 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_summary_stats",
-    oracle="""
-    SELECT COUNT(value) AS n,
-           ROUND(AVG(value), 6) AS mean,
-           ROUND(stddev_samp(value), 6) AS std,
-           ROUND(MIN(value), 2) AS min,
-           ROUND(MAX(value), 2) AS max
-    FROM events
+    oracle=f"""
+    WITH t AS (
+      SELECT COUNT(value) AS n,
+             {sql_dsum_raw('value')} AS s,
+             {sql_dsum_raw('(value * value)')} AS s2,
+             ROUND(MIN(value), 2) AS min,
+             ROUND(MAX(value), 2) AS max
+      FROM events
+    )
+    SELECT n, floor(s / n * 1000000) / 1000000 AS mean,
+           floor(SQRT((s2 - s * s / n) / (n - 1)) * 1000000) / 1000000 AS std,
+           min, max
+    FROM t
     """,
 )
 def events_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """describe()-style summary in ONE declarative pass (A7)."""
+    """describe()-style summary in ONE declarative pass (A7).
+
+    mean AND stddev are computed from exact decimal sums (sum, sum-of-squares)
+    so both are summation-order-invariant; the final float expression has the
+    IDENTICAL structure in both engines, so IEEE evaluation matches bit-for-bit.
+    """
     ev = table(spark, sf_dir, "events")
+    n = F.count("value")
+    s = dsum_raw("value")
+    s2 = dsum_raw(F.col("value") * F.col("value"))
+
+    def t6(c):
+        return F.floor(c * 1000000) / 1000000
+
     return ev.agg(
-        F.count("value").alias("n"),
-        F.round(F.avg("value"), 6).alias("mean"),
-        F.round(F.stddev_samp("value"), 6).alias("std"),
+        n.alias("n"),
+        t6(s / n).alias("mean"),
+        t6(F.sqrt((s2 - s * s / n) / (n - 1))).alias("std"),
         F.round(F.min("value"), 2).alias("min"),
         F.round(F.max("value"), 2).alias("max"),
     )

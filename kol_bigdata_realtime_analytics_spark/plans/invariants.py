@@ -1,0 +1,231 @@
+"""Driver-hashable invariant companions for the rows-only queries.
+
+The sketch/ANN/LSH operators are engine-specific, so their raw outputs have
+no DuckDB oracle (rows-only driver check). These companions move their
+correctness into the driver's hash signal (r3 verdict ask #5): each computes
+the operator AND its ground truth in-engine, reduces the comparison to
+boolean invariant columns, and pairs it with a trivial oracle asserting the
+invariant holds for the exact same row set. A sketch/recall regression flips
+a boolean -> hash mismatch -> red driver row.
+
+Bounds are set from measured values at sf0.001/sf0.01/sf0.1 with wide
+margins (e.g. measured LSH recall 0.667 -> bound 0.4); everything is
+deterministic (fixed hash seeds), so a bound either always holds or the
+operator actually regressed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kol_bigdata_realtime_analytics_spark.functions.text import (
+    TOKEN_COUNT_ORACLE_SQL,
+    token_count,
+)
+from kol_bigdata_realtime_analytics_spark.operators.dedup import (
+    minhash_signature,
+    shingle_hash_rows,
+    word_shingles,
+)
+from kol_bigdata_realtime_analytics_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    lsh_topk,
+)
+from kol_bigdata_realtime_analytics_spark.plans.registry import register, table
+
+# ---------------------------------------------------------------------------
+# HLL sketch error bound (certifies approx_distinct_users)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hll_error_bound_check",
+    oracle="SELECT event_type, TRUE AS within_5pct FROM events GROUP BY event_type",
+)
+def hll_error_bound_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """|approx_count_distinct - exact| / exact <= 5% per group, as a boolean.
+
+    Companion to the rows-only `approx_distinct_users`: the sketch and the
+    exact count run in ONE aggregation pass; the oracle asserts the bound
+    holds for every group, so HLL drift turns into a driver hash mismatch.
+    """
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        (
+            F.abs(
+                F.approx_count_distinct("user_id", rsd=0.02) - F.countDistinct("user_id")
+            )
+            / F.countDistinct("user_id")
+            <= 0.05
+        ).alias("within_5pct")
+    )
+
+
+# ---------------------------------------------------------------------------
+# KLL-style percentile sketch rank-error bound (certifies approx_value_percentiles)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "approx_percentile_bound_check",
+    oracle="""
+    SELECT event_type, TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+    FROM events GROUP BY event_type
+    """,
+)
+def approx_percentile_bound_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile(q) lies within the exact [q-2%, q+2%] quantile band.
+
+    Companion to the rows-only `approx_value_percentiles`: the sketch's rank
+    error (accuracy=10000 => 1e-4) is certified against exact percentiles
+    computed in the same pass, with a 200x margin. p99's upper band uses the
+    0.999 quantile (q+2% would exceed 1).
+    """
+    ev = table(spark, sf_dir, "events")
+
+    def band(q: float, lo: float, hi: float) -> F.Column:
+        ap = F.approx_percentile("value", F.lit(q), F.lit(10000))
+        return (F.percentile("value", F.lit(lo)) <= ap) & (
+            ap <= F.percentile("value", F.lit(hi))
+        )
+
+    return ev.groupBy("event_type").agg(
+        band(0.5, 0.48, 0.52).alias("p50_ok"),
+        band(0.9, 0.88, 0.92).alias("p90_ok"),
+        band(0.99, 0.97, 0.999).alias("p99_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall bounds vs the exact scorer, computed fully in-engine
+# (certify ann_lsh_topk / ann_ivf_topk)
+# ---------------------------------------------------------------------------
+
+_RECALL_ORACLE = """
+SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_queries, TRUE AS recall_ge_bound
+FROM embeddings WHERE vec_id < 5
+"""
+
+
+def _recall_check(spark: SparkSession, sf_dir: str, approx_fn, bound: float) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, queries, k=3).select("q_id", "c_id")
+    approx = approx_fn(emb, queries).select("q_id", "c_id").withColumn("m", F.lit(1))
+    j = exact.join(approx, ["q_id", "c_id"], "left")
+    return j.agg(
+        F.countDistinct("q_id").alias("n_queries"),
+        (F.coalesce(F.sum("m"), F.lit(0)) / F.count("*") >= bound).alias("recall_ge_bound"),
+    )
+
+
+@register("ann_lsh_recall_check", oracle=_RECALL_ORACLE)
+def ann_lsh_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH recall@3 vs brute-force cosine >= 0.4 (measured 0.667 at every sf).
+
+    Companion to the rows-only `ann_lsh_topk`: both the approximate and the
+    exact scorer run in-engine; the driver hash now certifies the recall
+    bound instead of only a row count.
+    """
+    return _recall_check(
+        spark,
+        sf_dir,
+        lambda emb, q: lsh_topk(emb, q, dim=64, k=3, n_planes=4, n_tables=8),
+        bound=0.4,
+    )
+
+
+@register("ann_ivf_recall_check", oracle=_RECALL_ORACLE)
+def ann_ivf_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (probe 2 of 8) recall@3 vs brute force >= 0.25 (measured 0.47-0.53).
+
+    Companion to the rows-only `ann_ivf_topk` — near-random TESTDATA vectors
+    cap achievable recall at ~n_probe/n_centroids-ish; the bound certifies
+    the quantizer isn't degenerate (a corner-collapsed quantizer measures
+    ~0.1, see tests/test_operators.py clustered-data case).
+    """
+    return _recall_check(
+        spark,
+        sf_dir,
+        lambda emb, q: ivf_topk(emb, q, k=3, n_centroids=8, n_probe=2),
+        bound=0.25,
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash signature fidelity vs exact n-gram Jaccard (certifies
+# minhash_lsh_candidates' signature machinery)
+# ---------------------------------------------------------------------------
+
+_MINHASH_EST_ORACLE = f"""
+SELECT d1.doc_id, TRUE AS ok
+FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+WHERE {TOKEN_COUNT_ORACLE_SQL.format(col='d1.text')} >= 3
+  AND {TOKEN_COUNT_ORACLE_SQL.format(col='d2.text')} >= 3
+"""
+
+
+@register("minhash_estimate_check", oracle=_MINHASH_EST_ORACLE)
+def minhash_estimate_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """|signature-estimated Jaccard - exact shingle Jaccard| <= 0.4 per pair.
+
+    Companion to the rows-only `minhash_lsh_candidates`: for every
+    consecutive-id doc pair (both docs long enough to shingle), the 32-hash
+    MinHash estimate must track the EXACT 3-gram Jaccard computed from
+    distinct shingle-hash rows. 32 hashes bound the estimator std at ~0.09,
+    so 0.4 is a >4-sigma margin — and the hashes are seeded, so the check is
+    fully deterministic.
+    """
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    # exact side: distinct shingle-hash rows -> per-doc set size + pair overlap
+    sh = shingle_hash_rows(docs, "text", "doc_id", 3).distinct()
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    inter = (
+        sh.alias("x")
+        .join(
+            sh.alias("y"),
+            (F.col("y.doc") == F.col("x.doc") + 1) & (F.col("x.h") == F.col("y.h")),
+        )
+        .groupBy(F.col("x.doc").alias("doc_id"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    # estimate side: fraction of agreeing minhash lanes
+    sig = docs.select(
+        "doc_id", minhash_signature(word_shingles(F.col("text"), 3), 32).alias("sig")
+    )
+    tc = docs.select("doc_id", token_count("text").alias("tc"))
+    pairs = (
+        tc.alias("a")
+        .join(tc.alias("b"), F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .filter((F.col("a.tc") >= 3) & (F.col("b.tc") >= 3))
+        .select(F.col("a.doc_id").alias("doc_id"))
+    )
+    est_frac = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                lambda v: v,
+            )
+        ).cast("double")
+        / 32
+    )
+    joined = (
+        pairs.join(sig.select(F.col("doc_id"), F.col("sig").alias("sig_a")), "doc_id")
+        .join(
+            sig.select((F.col("doc_id") - 1).alias("doc_id"), F.col("sig").alias("sig_b")),
+            "doc_id",
+        )
+        .join(sizes.select(F.col("doc").alias("doc_id"), F.col("sz").alias("sz_a")), "doc_id")
+        .join(
+            sizes.select((F.col("doc") - 1).alias("doc_id"), F.col("sz").alias("sz_b")),
+            "doc_id",
+        )
+        .join(inter, "doc_id", "left")
+    )
+    n_inter = F.coalesce(F.col("n_inter"), F.lit(0))
+    true_j = n_inter.cast("double") / (F.col("sz_a") + F.col("sz_b") - n_inter)
+    return joined.select(
+        "doc_id", (F.abs(est_frac - true_j) <= 0.4).alias("ok")
+    )

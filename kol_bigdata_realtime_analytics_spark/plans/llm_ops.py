@@ -1314,12 +1314,19 @@ p AS (
          CAST(n_tokens AS DOUBLE) / total AS share,
          pow(CAST(n_tokens AS DOUBLE) / total, 0.7) AS w_raw
   FROM t
+),
+-- w_raw sums in DECIMAL(18,12) (w_raw <= 1, so 12dp keeps ~1e-12 relative
+-- precision): decimal addition is associative, so the unpartitioned window
+-- sum is summation-order-proof in both engines.
+s AS (
+  SELECT *, CAST(SUM(CAST(w_raw AS DECIMAL(18,12))) OVER () AS DOUBLE) AS wsum
+  FROM p
 )
 SELECT source, n_tokens,
        floor(share * 1000000) / 1000000 AS share,
-       floor(w_raw / SUM(w_raw) OVER () * 1000000) / 1000000 AS weight,
-       floor((w_raw / SUM(w_raw) OVER ()) / share * 1000000) / 1000000 AS upsample_factor
-FROM p
+       floor(w_raw / wsum * 1000000) / 1000000 AS weight,
+       floor((w_raw / wsum) / share * 1000000) / 1000000 AS upsample_factor
+FROM s
 """.strip()
 
 
@@ -1344,7 +1351,7 @@ def domain_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = t.select(
         "source", "n_tokens", share.alias("share"), F.pow(share, 0.7).alias("w_raw")
     )
-    wsum = F.sum("w_raw").over(w)
+    wsum = F.sum(F.col("w_raw").cast("decimal(18,12)")).over(w).cast("double")
     return p.select(
         "source",
         "n_tokens",
@@ -1444,6 +1451,23 @@ def ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("q_id", "c_id", "cosine", "rank")
     )
+
+
+@register("ann_int8_matmul_topk", oracle=_ANN_INT8_ORACLE)
+def ann_int8_matmul_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 top-3 via the Arrow-batched matmul rescorer (r3 verdict ask #6).
+
+    Same oracle as ann_int8_topk — the outputs are bit-identical by
+    construction (exact integer dots either way); only the execution
+    strategy differs: one numpy (batch x dim) @ (dim x n_queries) product
+    per Arrow batch instead of interpreted per-pair HOF lambdas. This is
+    the documented scale shape for rescoring IVF/LSH candidate sets
+    (PERF.md §5); pytest asserts row-equality against ann_int8_topk.
+    """
+    from kol_bigdata_realtime_analytics_spark.operators.similarity import int8_topk_matmul
+
+    emb = table(spark, sf_dir, "embeddings")
+    return int8_topk_matmul(emb, emb.filter(F.col("vec_id") < 5), k=3)
 
 
 # ---------------------------------------------------------------------------

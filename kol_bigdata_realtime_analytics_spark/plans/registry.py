@@ -52,6 +52,75 @@ def get_oracles() -> dict[str, str]:
     return {q.name: q.oracle for q in REGISTRY.values() if q.oracle is not None}
 
 
+# ---------------------------------------------------------------------------
+# Order-proof float aggregation (PERF.md §3). SUM/AVG over raw doubles is
+# summation-order-dependent: partial-agg order differs with partitioning, and
+# ROUND can flip on a one-ulp tie (r3's sql_platform_stats). The canonical
+# deterministic form sums in DECIMAL(18,6) — exact integer arithmetic at 6dp,
+# identical under any summation order — then converts to DOUBLE so the output
+# schema matches the historical one and both engines round the SAME value.
+# Use dsum/davg on the Spark side and sql_dsum/sql_davg in the oracle text;
+# tests/test_queries_oracle.py fences any SUM/AVG over double outside these.
+# ---------------------------------------------------------------------------
+
+_DEC = "decimal(18,6)"
+
+
+def _as_col(col):
+    from pyspark.sql import functions as F
+
+    return F.col(col) if isinstance(col, str) else col
+
+
+def dsum(col, scale: int = 2):
+    """Summation-order-proof ROUND(SUM(col), scale) over a double column/expr."""
+    from pyspark.sql import functions as F
+
+    return F.round(F.sum(_as_col(col).cast(_DEC)), scale).cast("double")
+
+
+def davg(col, scale: int = 6):
+    """Order-proof truncated average: decimal sum -> double / count, floored
+    at `scale` decimals.
+
+    Truncation, NOT round: the decimal sum makes the quotient a CLEAN
+    rational, which can land exactly on a half-tie at scale+1 digits —
+    where Spark (HALF_UP on the shortest decimal repr) and DuckDB (round
+    the binary value) disagree (caught live: composite_leaderboard at
+    sf0.1). floor(x * 10^s) is a total function of the double's binary
+    value, identical in every engine."""
+    from pyspark.sql import functions as F
+
+    p = 10**scale
+    return F.floor((F.sum(_as_col(col).cast(_DEC)).cast("double") / F.count(_as_col(col))) * p) / p
+
+
+def dsum_raw(col):
+    """Order-proof unrounded sum as double (for downstream arithmetic)."""
+    from pyspark.sql import functions as F
+
+    return F.sum(_as_col(col).cast(_DEC)).cast("double")
+
+
+def sql_dsum(expr: str, scale: int = 2) -> str:
+    """DuckDB oracle fragment matching dsum() exactly."""
+    return f"CAST(ROUND(SUM(CAST({expr} AS DECIMAL(18,6))), {scale}) AS DOUBLE)"
+
+
+def sql_davg(expr: str, scale: int = 6) -> str:
+    """DuckDB oracle fragment matching davg() exactly (truncated average)."""
+    p = 10**scale
+    return (
+        f"floor(CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
+        f" / COUNT({expr}) * {p}) / {p}"
+    )
+
+
+def sql_dsum_raw(expr: str) -> str:
+    """DuckDB oracle fragment matching dsum_raw() exactly."""
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
+
+
 def normalize_event_ts(df: DataFrame) -> DataFrame:
     """Normalize events.ts to TimestampType whatever the parquet encoding.
 
@@ -68,8 +137,21 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     from pyspark.sql import functions as F
 
     dt = dict(df.dtypes).get("ts")
-    if dt == "bigint":  # epoch-nanos long; integer div, no double round-trip
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if dt == "bigint":
+        # epoch-nanos long; integer div, no double round-trip. Fence the
+        # UNIT assumption (r3 advice): if a future testdata round ships
+        # epoch-micros/millis instead, silently scaling by 1000x would shift
+        # every instant by centuries — divide by the magnitude-implied unit.
+        # Plausible data years (1990-2100) put epoch-nanos at ~6e17-4e18,
+        # micros at ~6e14-4e15, millis at ~6e11-4e12: the decade bands don't
+        # overlap, so a CASE on the absolute magnitude is exact. Branches are
+        # per-row expressions — batch and streaming frames alike, no action.
+        us = (
+            F.when(F.abs(F.col("ts")) >= F.lit(10**17), F.expr("ts div 1000"))
+            .when(F.abs(F.col("ts")) >= F.lit(10**14), F.col("ts"))
+            .otherwise(F.col("ts") * 1000)
+        )
+        return df.withColumn("ts", F.timestamp_micros(us))
     if dt == "timestamp_ntz":
         return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df

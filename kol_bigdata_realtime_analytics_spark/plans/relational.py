@@ -9,7 +9,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kol_bigdata_realtime_analytics_spark.plans.registry import register, table
+from kol_bigdata_realtime_analytics_spark.plans.registry import (
+    davg,
+    dsum,
+    register,
+    sql_davg,
+    sql_dsum,
+    table,
+)
 
 # ---------------------------------------------------------------------------
 # A1 — multi-measure hash aggregation (ref: bronze_to_silver.py:552-566 shape;
@@ -19,15 +26,15 @@ from kol_bigdata_realtime_analytics_spark.plans.registry import register, table
 
 @register(
     "pricing_summary",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(l_quantity) AS BIGINT)                                   AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2)                                    AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                 AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)   AS sum_charge,
-           ROUND(AVG(l_quantity), 6)                                         AS avg_qty,
-           ROUND(AVG(l_extendedprice), 6)                                    AS avg_price,
-           ROUND(AVG(l_discount), 6)                                         AS avg_disc,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS BIGINT)            AS sum_qty,
+           {sql_dsum('l_extendedprice')}                                     AS sum_base_price,
+           {sql_dsum('(l_extendedprice * (1 - l_discount))')}                AS sum_disc_price,
+           {sql_dsum('((l_extendedprice * (1 - l_discount)) * (1 + l_tax))')} AS sum_charge,
+           {sql_davg('l_quantity')}                                          AS avg_qty,
+           {sql_davg('l_extendedprice')}                                     AS avg_price,
+           {sql_davg('l_discount')}                                          AS avg_disc,
            COUNT(*)                                                          AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -35,20 +42,25 @@ from kol_bigdata_realtime_analytics_spark.plans.registry import register, table
     """,
 )
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-measure grouped agg: sum/avg/count over filtered lineitem."""
+    """Multi-measure grouped agg: sum/avg/count over filtered lineitem.
+
+    All double sums/avgs run through the decimal order-proof forms
+    (registry.dsum/davg) — TPC-H Q1's products are rounded to 6dp per row
+    identically in both engines before the exact decimal summation.
+    """
     li = table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum("l_quantity").cast("long").alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("long").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -61,12 +73,12 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "platform_kpi",
-    oracle="""
+    oracle=f"""
     SELECT event_type,
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS unique_users,
            COUNT(*)                                AS n_events,
-           ROUND(SUM(value), 2)                    AS total_value,
-           ROUND(AVG(value), 6)                    AS avg_value,
+           {sql_dsum('value')}                     AS total_value,
+           {sql_davg('value')}                     AS avg_value,
            ROUND(MAX(value), 2)                    AS max_value,
            ROUND(MIN(value), 2)                    AS min_value
     FROM events GROUP BY event_type
@@ -78,8 +90,8 @@ def platform_kpi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("unique_users"),
         F.count("*").alias("n_events"),
-        F.round(F.sum("value"), 2).alias("total_value"),
-        F.round(F.avg("value"), 6).alias("avg_value"),
+        dsum("value").alias("total_value"),
+        davg("value").alias("avg_value"),
         F.round(F.max("value"), 2).alias("max_value"),
         F.round(F.min("value"), 2).alias("min_value"),
     )
@@ -217,9 +229,9 @@ def customer_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "top_spenders",
-    oracle="""
+    oracle=f"""
     SELECT c.c_custkey, c.c_name, COUNT(*) AS n_orders,
-           ROUND(SUM(o.o_totalprice), 2) AS total_spend
+           {sql_dsum('o.o_totalprice')} AS total_spend
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY c.c_custkey, c.c_name
     ORDER BY total_spend DESC, c_custkey ASC
@@ -227,13 +239,14 @@ def customer_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def top_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Join + agg + deterministic top-k by spend."""
+    """Join + agg + deterministic top-k by spend (order-proof decimal sum —
+    the ranking key itself is now summation-order-invariant)."""
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
     return (
         o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_name")
-        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total_spend"))
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("total_spend"))
         .orderBy(F.col("total_spend").desc(), F.col("c_custkey").asc())
         .limit(20)
     )
@@ -455,13 +468,13 @@ def event_type_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "acctbal_tiers",
-    oracle="""
+    oracle=f"""
     SELECT CASE WHEN c_acctbal >= 7500 THEN 'platinum'
                 WHEN c_acctbal >= 5000 THEN 'gold'
                 WHEN c_acctbal >= 2500 THEN 'silver'
                 WHEN c_acctbal >= 0    THEN 'bronze'
                 ELSE 'delinquent' END AS tier,
-           COUNT(*) AS n, ROUND(AVG(c_acctbal), 6) AS avg_bal
+           COUNT(*) AS n, {sql_davg('c_acctbal')} AS avg_bal
     FROM customer GROUP BY 1
     """,
 )
@@ -478,7 +491,7 @@ def acctbal_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         c.select(tier.alias("tier"), "c_acctbal")
         .groupBy("tier")
-        .agg(F.count("*").alias("n"), F.round(F.avg("c_acctbal"), 6).alias("avg_bal"))
+        .agg(F.count("*").alias("n"), davg("c_acctbal").alias("avg_bal"))
     )
 
 
@@ -530,9 +543,9 @@ def date_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "props_json_extract",
-    oracle="""
+    oracle=f"""
     SELECT CAST(json_extract(props, '$.k') AS INTEGER) AS k, COUNT(*) AS n,
-           ROUND(SUM(value), 2) AS total_value
+           {sql_dsum('value')} AS total_value
     FROM events
     GROUP BY 1
     """,
@@ -544,5 +557,5 @@ def props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.select(k.alias("k"), "value")
         .groupBy("k")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(F.count("*").alias("n"), dsum("value").alias("total_value"))
     )

@@ -68,9 +68,15 @@ def momentum_batch(
     velocity over the windows in the previous 3 window slots (RANGE frame
     on window_start_ms — 0 after an idle gap of >= 3 windows, matching the
     streaming forms' expirable state)."""
+    # engagement sums in DECIMAL(18,6) (exact at any summation order — the
+    # registry's order-proof rule, PERF.md §3) then casts back to double so
+    # velocity/score math is IEEE over the identical value in every engine.
     agg = events.groupBy(
         F.window(ts_col, f"{WINDOW_SECONDS} seconds").alias("w"), F.col(key_col).alias("key")
-    ).agg(F.count("*").alias("n_events"), F.sum(value_col).alias("engagement"))
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col(value_col).cast("decimal(18,6)")).cast("double").alias("engagement"),
+    )
     vel = trending_velocity(F.col("engagement"), F.col("n_events"))
     with_vel = agg.select(
         F.unix_millis(F.col("w.start")).alias("window_start_ms"),

@@ -441,3 +441,59 @@ def test_pagerank_fixedpoint_tracks_float(spark):
     assert fp1.keys() == flt.keys()
     for node, fp in fp1.items():
         assert abs(fp / PAGERANK_SCALE - flt[node]) < 1e-9, (node, fp, flt[node])
+
+
+def test_int8_matmul_rescore_equals_hof_scorer(spark, sf_small):
+    """The Arrow-matmul int8 rescorer must be ROW-IDENTICAL to the exact
+    HOF-lambda scorer — same integer dots, same rounding, same ranking."""
+    from kol_bigdata_realtime_analytics_spark.plans import REGISTRY
+
+    a = {tuple(r) for r in REGISTRY["ann_int8_topk"].fn(spark, sf_small).collect()}
+    b = {tuple(r) for r in REGISTRY["ann_int8_matmul_topk"].fn(spark, sf_small).collect()}
+    assert a == b
+    assert len(a) > 0
+
+
+def test_int8_matmul_on_pruned_candidates(spark, sf_small):
+    """Candidate-set-agnostic: on an IVF/LSH-style pruned candidate list the
+    matmul rescorer returns exactly the exact ranking restricted to it."""
+    import numpy as np
+
+    from kol_bigdata_realtime_analytics_spark.operators.similarity import int8_topk_matmul
+    from kol_bigdata_realtime_analytics_spark.plans.registry import table
+
+    emb = table(spark, sf_small, "embeddings")
+    cand = emb.filter(F.col("vec_id") % 2 == 0)  # stand-in for a probed list
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = {
+        (r["q_id"], r["c_id"], r["rank"])
+        for r in int8_topk_matmul(cand, queries, k=3).collect()
+    }
+
+    # expected: quantize + exact integer cosine in numpy over the same subset
+    rows = emb.select("vec_id", "embedding").collect()
+    codes = {}
+    for r in rows:
+        v = np.asarray(r["embedding"], dtype="float64")
+        scale = np.abs(v).max() / 127.0
+        codes[r["vec_id"]] = (
+            np.round(v / scale).astype("int64") if scale > 0 else np.zeros_like(v, dtype="int64")
+        )
+    expected = set()
+    for qid in sorted(k for k in codes if k < 5):
+        qv = codes[qid]
+        qn = np.sqrt(float((qv * qv).sum()))
+        if qn == 0:
+            continue
+        scored = []
+        for cid, cv in codes.items():
+            if cid == qid or cid % 2 != 0:
+                continue
+            cn = np.sqrt(float((cv * cv).sum()))
+            if cn == 0:
+                continue
+            scored.append((round(float((qv * cv).sum()) / (qn * cn), 6), cid))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (_, cid) in enumerate(scored[:3], start=1):
+            expected.add((qid, cid, rank))
+    assert got == expected

@@ -22,6 +22,48 @@ def duck(sf_small):
     return con
 
 
+# Float-aggregation fence allowlist: oracled queries permitted to SUM/AVG a
+# raw DOUBLE, each with the proof it cannot tie-flake. Everything else must
+# use the registry's order-proof decimal forms (dsum/davg/dsum_raw) — the
+# class that produced r3's sql_platform_stats one-ulp ROUND flip.
+_FLOAT_AGG_ALLOWED = {
+    # momentum frame avg: RANGE frame spans <= 3 window slots, and for n <= 3
+    # pairwise (segment-tree) and sequential summation associate identically,
+    # so the value is engine- and order-invariant by construction.
+    ("trending_momentum", "Average"),
+}
+
+
+def _float_agg_violations(sdf):
+    """Walk the analyzed plan for Sum/Average over a DOUBLE/FLOAT child.
+
+    The decimal order-proof forms (registry.dsum/davg) cast the child to
+    DECIMAL(18,6) first, so they never trip this; a raw double sum does.
+    """
+
+    def jseq(s):
+        return [s.apply(i) for i in range(s.size())]
+
+    def walk_expr(e, hits):
+        cls = e.getClass().getName()
+        if cls.endswith(("aggregate.Sum", "aggregate.Average")):
+            ch = jseq(e.children())
+            if ch and ch[0].dataType().typeName() in ("double", "float"):
+                hits.append((cls.split(".")[-1], ch[0].toString()[:80]))
+        for c in jseq(e.children()):
+            walk_expr(c, hits)
+
+    def walk_plan(p, hits):
+        for e in jseq(p.expressions()):
+            walk_expr(e, hits)
+        for c in jseq(p.children()):
+            walk_plan(c, hits)
+
+    hits: list[tuple[str, str]] = []
+    walk_plan(sdf._jdf.queryExecution().analyzed(), hits)
+    return hits
+
+
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_query_matches_oracle(spark, sf_small, duck, name):
     q = REGISTRY[name]
@@ -35,6 +77,17 @@ def test_query_matches_oracle(spark, sf_small, duck, name):
             assert not dt.startswith(("array", "map", "struct")), (
                 f"{name}.{col} is {dt}: oracled queries must emit scalar "
                 "columns only (stringify arrays with to_json)"
+            )
+        # float-aggregation fence: SUM/AVG over a raw DOUBLE is summation-
+        # order-dependent (r3: sql_platform_stats hash flake). Every oracled
+        # plan must aggregate floats through the decimal order-proof forms
+        # or carry an explicit allowlist entry with a determinism proof.
+        for agg, child in _float_agg_violations(sdf):
+            assert (name, agg) in _FLOAT_AGG_ALLOWED, (
+                f"{name}: {agg} over raw double child `{child}` is summation-"
+                "order-dependent; use registry.dsum/davg/dsum_raw (decimal "
+                "accumulation) in BOTH the Spark plan and the oracle SQL, or "
+                "add an allowlist entry with a determinism proof"
             )
     srows = [tuple(r) for r in sdf.collect()]
     if q.oracle is None:

@@ -35,6 +35,11 @@ _ROWS = {
 
 ENCODINGS = {
     "int64_nanos": pa.int64(),
+    # never shipped, but the int64 branch now infers the unit from the
+    # epoch magnitude (r3 advice: a micros/millis regeneration would have
+    # silently scaled every instant 1000x) — fence all three unit bands
+    "int64_micros": pa.int64(),
+    "int64_millis": pa.int64(),
     "timestamp_us": pa.timestamp("us"),
     "timestamp_ns": pa.timestamp("ns"),
 }
@@ -44,6 +49,10 @@ def _write_events(dir_path: str, encoding: str) -> None:
     ts_type = ENCODINGS[encoding]
     if encoding == "int64_nanos":
         ts = pa.array([us * 1000 for us in _EPOCH_US], type=ts_type)
+    elif encoding == "int64_micros":
+        ts = pa.array(_EPOCH_US, type=ts_type)
+    elif encoding == "int64_millis":
+        ts = pa.array([us // 1000 for us in _EPOCH_US], type=ts_type)
     elif encoding == "timestamp_us":
         ts = pa.array(_EPOCH_US, type=pa.int64()).cast(ts_type)
     else:  # timestamp_ns
@@ -59,6 +68,13 @@ def _write_events(dir_path: str, encoding: str) -> None:
         }
     )
     pq.write_table(tbl, f"{dir_path}/events.parquet")
+
+
+def _expected_us(encoding: str) -> list[int]:
+    # millis cannot carry sub-ms precision: instants truncate to the ms
+    if encoding == "int64_millis":
+        return [(us // 1000) * 1000 for us in _EPOCH_US]
+    return _EPOCH_US
 
 
 @pytest.fixture(scope="module")
@@ -82,7 +98,7 @@ def test_table_normalizes_every_encoding(spark, encoded_dirs, encoding):
     from pyspark.sql import functions as F
 
     got = [r[0] for r in df.select(F.unix_micros("ts")).orderBy("event_id").collect()]
-    assert got == _EPOCH_US, f"{encoding}: epoch micros drifted: {got}"
+    assert got == _expected_us(encoding), f"{encoding}: epoch micros drifted: {got}"
 
 
 @pytest.mark.parametrize("encoding", list(ENCODINGS))
@@ -106,4 +122,4 @@ def test_stream_source_matches_batch(spark, encoded_dirs, encoding):
     q.processAllAvailable()
     q.stop()
     got = [r[0] for r in spark.table(name).orderBy("event_id").select("us").collect()]
-    assert got == _EPOCH_US, f"{encoding}: streaming epoch micros drifted: {got}"
+    assert got == _expected_us(encoding), f"{encoding}: streaming epoch micros drifted: {got}"
