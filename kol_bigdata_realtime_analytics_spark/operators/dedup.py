@@ -265,20 +265,26 @@ def duplicate_clusters(
     transitive closure (near-dup similarity is not transitive — A~B and B~C
     without A~C still must dedup as ONE group, else two passes keep
     different survivors). Components come from iterative min-label
-    propagation: every doc starts labeled with its own id; each round every
-    doc takes the min of its label and its neighbors' labels; fixpoint
-    after O(component diameter) rounds — near-dup blobs are dense, so
-    diameter is small in practice.
+    propagation WITH a pointer-doubling shortcut: every doc starts labeled
+    with its own id; each round every doc takes the min over (its label,
+    its neighbors' labels, the CURRENT LABEL OF ITS LABEL). The shortcut
+    join lets information hop two steps per round, so fixpoint lands in
+    O(log diameter) rounds instead of O(diameter) — the property that
+    matters at scale, where near-dup graphs can chain (A~B~C~…) through
+    template families even though most blobs are dense. Measured at sf0.1:
+    5 rounds → 4, 2.46 s → 2.08 s warm (PERF.md §2.9); same fixpoint (min
+    label per component) by monotonicity of min under both moves.
 
     Scale: each round is one equi-join of (node, label) longs against the
-    edge list plus one groupBy-min — narrow shuffles, no text, no vectors.
-    `localCheckpoint` truncates lineage per round so the plan doesn't grow
-    with iterations. Convergence detection rides the SAME job that
-    materializes the round's checkpoint: labels are non-increasing under
-    min-propagation (own label is in the min), so the label sum is strictly
-    decreasing until fixpoint — sum unchanged ⇔ converged. One scalar to
-    the driver per round, and no separate old-vs-new join probe (halves the
-    per-round job count vs the naive changed-row check).
+    edge list, one groupBy-min, and one self-join of the label table —
+    narrow shuffles, no text, no vectors. `localCheckpoint` truncates
+    lineage per round so the plan doesn't grow with iterations.
+    Convergence detection rides the SAME job that materializes the round's
+    checkpoint: labels are non-increasing under min-propagation (own label
+    is in the min), so the label sum is strictly decreasing until fixpoint
+    — sum unchanged ⇔ converged. One scalar to the driver per round, and
+    no separate old-vs-new join probe (halves the per-round job count vs
+    the naive changed-row check).
 
     Output: (id_col, cluster_id = min doc id in component, cluster_size,
     is_canonical). Rows to KEEP for training are is_canonical = 1.
@@ -298,10 +304,27 @@ def duplicate_clusters(
         neighbor_labels = sym.join(
             labels, sym["src"] == labels["node"]
         ).select(F.col("dst").alias("node"), F.col("label"))
-        new_labels = (
+        propagated = (
             labels.unionByName(neighbor_labels)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
+        )
+        # pointer-doubling shortcut: if my label node was itself relabeled
+        # this (or a prior) round, jump straight to ITS label — two hops of
+        # progress per round, O(log diameter) convergence.
+        label_of_label = labels.select(
+            F.col("node").alias("lab_node"), F.col("label").alias("lab_label")
+        )
+        new_labels = (
+            propagated.join(
+                label_of_label, propagated["label"] == label_of_label["lab_node"], "left"
+            )
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("lab_label", "label")
+                ).alias("label"),
+            )
             .localCheckpoint(eager=False)
         )
         new_sum = new_labels.agg(
