@@ -84,6 +84,9 @@ HEADLINE = [
     "weekly_cohort_retention",
     "conversion_funnel",
     "distinctive_terms_chi2",
+    "vocab_coverage_curve",
+    "boilerplate_ngram_stats",
+    "bloom_antijoin_check",
 ]
 
 

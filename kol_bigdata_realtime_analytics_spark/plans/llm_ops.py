@@ -1566,3 +1566,186 @@ def c4_segment_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage curve — the frequency distribution behind every
+# tokenizer/vocab-size decision: for each distinct token frequency, how many
+# types have it and what share of all token OCCURRENCES the types at or
+# above that frequency cover. Grouping by frequency VALUE (not per-token
+# rank) makes the result tie-free (no token ordering enters) and the scale
+# shape excellent: the global window runs over #distinct-frequencies rows
+# (hundreds), never the vocabulary, never the corpus.
+# ---------------------------------------------------------------------------
+
+_VOCAB_COVERAGE_ORACLE = """
+WITH tok AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+  FROM documents WHERE trim(COALESCE(text, '')) != ''
+),
+freq AS (SELECT t, COUNT(*) AS cnt FROM tok GROUP BY t),
+dist AS (
+  SELECT cnt AS token_freq, CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(cnt * COUNT(*) AS BIGINT) AS occ
+  FROM freq GROUP BY cnt
+),
+tot AS (SELECT CAST(SUM(occ) AS BIGINT) AS total_occ FROM dist)
+SELECT token_freq,
+       n_types,
+       CAST(SUM(n_types) OVER w AS BIGINT) AS cum_vocab_size,
+       CAST(SUM(occ) OVER w AS BIGINT) AS cum_occurrences,
+       floor((CAST(SUM(occ) OVER w AS DOUBLE) / total_occ) * 1000000) / 1000000
+         AS coverage_frac
+FROM dist, tot
+WINDOW w AS (ORDER BY token_freq DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""".strip()
+
+
+@register("vocab_coverage_curve", oracle=_VOCAB_COVERAGE_ORACLE)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-frequency distribution with cumulative occurrence coverage:
+    'a vocab truncated at types with frequency >= f covers X% of tokens'.
+
+    Two narrow aggregations (corpus -> vocab -> frequency histogram), then
+    a window over the <=few-hundred-row histogram; the single-partition
+    window never sees vocab- or corpus-sized data. Coverage fractions are
+    exact-integer ratios truncated at 6dp, so the hash is
+    summation-order-proof."""
+    from kol_bigdata_realtime_analytics_spark.plans.domain import trunc6
+
+    docs = table(spark, sf_dir, "documents")
+    freq = (
+        docs.filter(F.trim(F.coalesce("text", F.lit(""))) != "")
+        .select(F.explode(tokens("text")).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("cnt"))
+    )
+    dist = (
+        freq.groupBy(F.col("cnt").alias("token_freq"))
+        .agg(F.count("*").alias("n_types"))
+        .withColumn("occ", F.col("token_freq") * F.col("n_types"))
+    )
+    total = dist.agg(F.sum("occ").alias("total_occ"))
+    w = (
+        Window.orderBy(F.desc("token_freq"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        dist.crossJoin(F.broadcast(total))
+        .select(
+            "token_freq",
+            "n_types",
+            F.sum("n_types").over(w).alias("cum_vocab_size"),
+            F.sum("occ").over(w).alias("cum_occurrences"),
+            trunc6(
+                F.sum("occ").over(w).cast("double") / F.col("total_occ")
+            ).alias("coverage_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document boilerplate — n-gram spans repeated across >= K distinct
+# docs (headers, templates, navigation chrome). The span-level complement
+# of doc-level dedup: a doc can be unique while 40% of its text is corpus
+# boilerplate. Shares the codegen'd hashed-shingle path with MinHash/
+# decontamination; the doc-frequency join shuffles (long, long) rows only.
+# ---------------------------------------------------------------------------
+
+_BOILERPLATE_ORACLE = """
+WITH tokd AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tok
+  FROM documents WHERE trim(COALESCE(text, '')) != ''
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         md5(array_to_string(tok[i + 1 : i + 4], ' ')) AS h
+  FROM tokd, unnest(range(0, GREATEST(len(tok) - 3, 0))) AS t(i)
+),
+dfreq AS (SELECT h, COUNT(*) AS df FROM sh GROUP BY h)
+SELECT s.doc_id,
+       COUNT(*) AS n_shingles,
+       CAST(SUM(CASE WHEN d.df >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate,
+       floor((CAST(SUM(CASE WHEN d.df >= 3 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*))
+             * 1000000) / 1000000 AS boilerplate_frac
+FROM sh s JOIN dfreq d ON s.h = d.h
+GROUP BY s.doc_id
+""".strip()
+
+
+@register("boilerplate_ngram_stats", oracle=_BOILERPLATE_ORACLE)
+def boilerplate_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc boilerplate measurement over 4-gram shingles: how many of a
+    doc's distinct spans occur in >= 3 distinct documents corpus-wide.
+
+    Spark computes shingles on the codegen'd hashed path
+    (`shingle_hash_rows` — no shingle strings); the oracle re-derives them
+    as md5 strings. Distinct-span and doc-frequency COUNTS are
+    hash-function-independent (same sets either way), so the outputs hash-
+    match — the same contract `decontaminate_overlap` uses. Counts and an
+    exact-ratio trunc6 only; summation-order-proof."""
+    from kol_bigdata_realtime_analytics_spark.operators.dedup import shingle_hash_rows
+    from kol_bigdata_realtime_analytics_spark.plans.domain import trunc6
+
+    docs = table(spark, sf_dir, "documents").filter(
+        F.trim(F.coalesce("text", F.lit(""))) != ""
+    )
+    sh = shingle_hash_rows(docs, "text", "doc_id", n=4).distinct()
+    dfreq = sh.groupBy("h").agg(F.count("*").alias("df"))
+    n_boiler = F.sum((F.col("df") >= 3).cast("long"))
+    return (
+        sh.join(dfreq, "h")
+        .groupBy(F.col("doc").alias("doc_id"))
+        .agg(
+            F.count("*").alias("n_shingles"),
+            n_boiler.alias("n_boilerplate"),
+            trunc6(n_boiler.cast("double") / F.count("*")).alias("boilerplate_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered incremental dedup — the broadcast-Bloom anti-join scale
+# path, registered as an INVARIANT query: the bloom path must return
+# exactly the exact anti-join's survivors (no false negatives by
+# construction; false positives removed by the exact check on the maybe
+# fraction). The oracle recomputes the exact anti-join — so a hash match
+# proves the bloom path end-to-end.
+# ---------------------------------------------------------------------------
+
+_BLOOM_ANTIJOIN_ORACLE = f"""
+WITH corpus AS (
+  SELECT DISTINCT {DOC_FINGERPRINT_ORACLE_SQL.format(col="text")} AS fingerprint
+  FROM documents WHERE doc_id % 10 != 9
+),
+batch AS (
+  SELECT MIN(doc_id) AS doc_id,
+         {DOC_FINGERPRINT_ORACLE_SQL.format(col="text")} AS fingerprint
+  FROM documents WHERE doc_id % 10 = 9
+  GROUP BY 2
+)
+SELECT b.doc_id, b.fingerprint
+FROM batch b LEFT JOIN corpus c ON b.fingerprint = c.fingerprint
+WHERE c.fingerprint IS NULL
+""".strip()
+
+
+@register("bloom_antijoin_check", oracle=_BLOOM_ANTIJOIN_ORACLE)
+def bloom_antijoin_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`incremental_dedup_new_docs` re-run through the broadcast-Bloom
+    prefilter (`operators/bloom.py`): definite-new rows (any unset bit)
+    skip the anti-join exchange entirely; only the maybe-present fraction
+    is exact-checked. Oracle = the plain exact anti-join, so the driver
+    hash certifies the bloom path's exactness, not just its row count."""
+    from kol_bigdata_realtime_analytics_spark.operators.bloom import bloom_anti_join
+
+    docs = table(spark, sf_dir, "documents")
+    fp = doc_fingerprint_md5(F.col("text"))
+    corpus = docs.filter(F.col("doc_id") % 10 != 9).select(fp.alias("fingerprint"))
+    batch = (
+        docs.filter(F.col("doc_id") % 10 == 9)
+        .select(fp.alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    return bloom_anti_join(batch, corpus, "fingerprint").select("doc_id", "fingerprint")

@@ -497,3 +497,78 @@ def test_int8_matmul_on_pruned_candidates(spark, sf_small):
         for rank, (_, cid) in enumerate(scored[:3], start=1):
             expected.add((qid, cid, rank))
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# Broadcast-Bloom prefiltered anti-join
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives(spark):
+    """Every key actually in the index must test bloom_maybe=True — the
+    soundness property that lets definite-new rows skip the exact check."""
+    from kol_bigdata_realtime_analytics_spark.operators.bloom import (
+        bloom_bitmap,
+        with_bloom_maybe,
+    )
+
+    index = spark.range(0, 1000).select(F.concat(F.lit("k"), "id").alias("key"))
+    bitmap = bloom_bitmap(index, "key")
+    flagged = with_bloom_maybe(index, "key", bitmap)
+    assert flagged.filter(~F.col("bloom_maybe")).count() == 0
+
+
+def test_bloom_filters_most_absent_keys(spark):
+    """At m=2^20/k=5 with 1k index keys the FP rate is ~1e-4: of 1000
+    absent keys, essentially all must be flagged definite-new (the whole
+    point of the prefilter). Allow a generous 5% FP margin."""
+    from kol_bigdata_realtime_analytics_spark.operators.bloom import (
+        bloom_bitmap,
+        with_bloom_maybe,
+    )
+
+    index = spark.range(0, 1000).select(F.concat(F.lit("k"), "id").alias("key"))
+    absent = spark.range(5000, 6000).select(F.concat(F.lit("k"), "id").alias("key"))
+    bitmap = bloom_bitmap(index, "key")
+    n_maybe = with_bloom_maybe(absent, "key", bitmap).filter("bloom_maybe").count()
+    assert n_maybe <= 50
+
+
+def test_bloom_anti_join_equals_exact_anti_join(spark):
+    """bloom_anti_join == plain left_anti on overlapping key sets."""
+    from kol_bigdata_realtime_analytics_spark.operators.bloom import bloom_anti_join
+
+    index = spark.range(0, 600).select(F.concat(F.lit("k"), "id").alias("key"))
+    batch = spark.range(300, 900).select(
+        F.concat(F.lit("k"), "id").alias("key"), F.col("id").alias("payload")
+    )
+    got = {tuple(r) for r in bloom_anti_join(batch, index, "key").collect()}
+    expected = {tuple(r) for r in batch.join(index, "key", "left_anti").collect()}
+    assert got == expected
+    assert len(expected) == 300
+
+
+def test_bloom_bitmap_is_broadcast_sized(spark):
+    """The bitmap never exceeds m/64 rows regardless of index size."""
+    from kol_bigdata_realtime_analytics_spark.operators.bloom import bloom_bitmap
+
+    index = spark.range(0, 20000).select(F.concat(F.lit("x"), "id").alias("key"))
+    m_bits = 1 << 14
+    assert bloom_bitmap(index, "key", m_bits=m_bits).count() <= m_bits // 64
+
+
+def test_bloom_big_side_never_shuffles_for_prefilter(spark):
+    """Plan property: the bloom membership test must join via
+    BroadcastHashJoin only — no Exchange on the probed side before the
+    definite-new filter resolves."""
+    from kol_bigdata_realtime_analytics_spark.operators.bloom import (
+        bloom_bitmap,
+        with_bloom_maybe,
+    )
+
+    index = spark.range(0, 100).select(F.concat(F.lit("k"), "id").alias("key"))
+    big = spark.range(0, 10000).select(F.concat(F.lit("k"), "id").alias("key"))
+    flagged = with_bloom_maybe(big, "key", bloom_bitmap(index, "key"))
+    plan = flagged._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
