@@ -1224,3 +1224,123 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_transitions",
         trunc6(F.col("n_transitions").cast("double") / row_tot).alias("p_next"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew handling #2 — salted JOIN. The join-side complement of
+# skew_salted_agg: when the BIG side's join key is skewed (viral users), a
+# plain shuffle join funnels every hot-key row through one reducer pair.
+# Salting replicates the SMALL side n_salt ways (it's dim-sized — the
+# replication is broadcast-cheap) and splits each big-side key across
+# n_salt reducers. Result is IDENTICAL to the plain join, which is exactly
+# what the oracle checks. (AQE's skew-join split handles the sort-merge
+# case at runtime; explicit salting is the portable form that also works
+# under static planning and for aggregation-after-join pipelines.)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "skew_salted_join",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join of the skewed events fact against the customer dim,
+    then revenue-by-segment. The dim is replicated once per salt value
+    (still dim-sized x 8), the fact side salts on a hash of its unique id,
+    so no single reducer sees more than ~1/8 of any hot user. Decimal
+    partial sums keep the two-phase result bit-equal to the one-phase
+    oracle."""
+    n_salt = 8
+    ev = table(spark, sf_dir, "events").withColumn(
+        "_salt", F.pmod(F.crc32(F.col("event_id").cast("string")), F.lit(n_salt))
+    )
+    cust = (
+        table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .crossJoin(
+            F.broadcast(
+                spark.range(n_salt).select(F.col("id").cast("long").alias("_salt"))
+            )
+        )
+    )
+    joined = ev.join(
+        cust,
+        (ev["user_id"] == cust["c_custkey"]) & (ev["_salt"] == cust["_salt"]),
+    )
+    return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap filling — the hypertable resample: a per-key date spine
+# (sequence + explode; fan-out bounded by days-per-key, embarrassingly
+# parallel) left-joined to observed daily aggregates, missing days forward-
+# filled with last(ignoreNulls). ONE shuffle (the per-key window); the
+# spine never globally materializes.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "gap_fill_daily_values",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+             SUM(CAST(value AS DECIMAL(18,6))) AS dv
+      FROM events WHERE user_id < 20 GROUP BY 1, 2
+    ),
+    bounds AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1),
+    spine AS (
+      SELECT user_id, strftime(gs, '%Y-%m-%d') AS day
+      FROM bounds,
+           unnest(generate_series(CAST(d0 AS DATE), CAST(d1 AS DATE),
+                                  INTERVAL 1 DAY)) AS t(gs)
+    )
+    SELECT s.user_id, s.day,
+           CAST(d.dv AS DOUBLE) AS day_value,
+           CAST(LAST_VALUE(d.dv IGNORE NULLS) OVER (
+                  PARTITION BY s.user_id ORDER BY s.day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS filled_value,
+           CAST(d.dv IS NULL AS INTEGER) AS is_gap
+    FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+    """,
+)
+def gap_fill_daily_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily per-user value series with calendar gaps restored and forward-
+    filled — resample('1d').ffill() at engine scale. Day sums are exact
+    decimal (summation-order-proof); the fill copies those exact doubles,
+    so both engines carry identical bits."""
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    daily = ev.groupBy(
+        "user_id", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("dv"))
+    bounds = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.to_date("d0"), F.to_date("d1"))
+        ).alias("d"),
+    ).select("user_id", F.date_format("d", "yyyy-MM-dd").alias("day"))
+    j = spine.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        "day",
+        F.col("dv").cast("double").alias("day_value"),
+        F.last("dv", ignorenulls=True).over(w).cast("double").alias("filled_value"),
+        F.col("dv").isNull().cast("int").alias("is_gap"),
+    )
