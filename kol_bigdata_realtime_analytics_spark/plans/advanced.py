@@ -1344,3 +1344,114 @@ def gap_fill_daily_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("dv", ignorenulls=True).over(w).cast("double").alias("filled_value"),
         F.col("dv").isNull().cast("int").alias("is_gap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7 shape — bidirectional nation-pair trade volume by year. Five-way
+# snowflake with TWO roles for the nation dim (supplier's vs customer's);
+# both roles broadcast, the OR-of-pairs predicate evaluates after the
+# broadcasts so lineitem still only shuffles once for the final agg.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "nation_pair_trade_volume",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(ROUND(SUM(vol), 2) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS vol
+      FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def nation_pair_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7: shipping volume between two nations, both directions, by ship
+    year. The nation dim joins TWICE under different roles — both
+    broadcast; revenue accumulates in decimal."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(
+            F.round(F.sum(vol), 2).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q9 shape — product-line profit by supplier nation and order year.
+# The part filter (p_type) prunes INSIDE the broadcast build side; lineitem
+# is filtered by the broadcast join itself, so the fact scan never carries
+# non-PROMO rows past the join.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "product_type_profit",
+    oracle="""
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2)
+                AS DOUBLE) AS profit,
+           COUNT(*) AS n_items
+    FROM lineitem
+      JOIN part     ON l_partkey = p_partkey AND p_type = 'PROMO'
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN orders   ON l_orderkey = o_orderkey
+    GROUP BY n_name, CAST(year(o_orderdate) AS BIGINT)
+    """,
+)
+def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9: PROMO-line profit by supplier nation x order year; all dims
+    broadcast, decimal revenue."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    o = table(spark, sf_dir, "orders")
+    profit = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(
+            F.round(F.sum(profit), 2).cast("double").alias("profit"),
+            F.count("*").alias("n_items"),
+        )
+    )

@@ -533,3 +533,76 @@ def discounted_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
     return j.filter(band).agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21 shape — double-correlated EXISTS / NOT EXISTS: suppliers who
+# were the ONLY late supplier in a multi-supplier order. De-correlated into
+# one per-order aggregate (n distinct suppliers, n distinct LATE suppliers)
+# joined back — two scans of the li×orders join collapse to one via the
+# shared CTE; no correlated re-execution per supplier the way the textbook
+# nested form implies.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "late_sole_supplier_orders",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey, l_suppkey,
+             (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS late
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    per_order AS (
+      SELECT l_orderkey,
+             COUNT(DISTINCT l_suppkey) AS n_supp,
+             COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late_supp
+      FROM li GROUP BY 1
+    ),
+    sole AS (
+      SELECT DISTINCT li.l_orderkey, li.l_suppkey
+      FROM li JOIN per_order p ON li.l_orderkey = p.l_orderkey
+      WHERE li.late AND p.n_supp >= 2 AND p.n_late_supp = 1
+    )
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM sole JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def late_sole_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21: the EXISTS('another supplier in this order') AND NOT
+    EXISTS('another LATE supplier') pair becomes one groupBy over the
+    order's lines — count distinct suppliers and distinct late suppliers —
+    then a filter on the joined-back counts. 'Late' is shipdate more than
+    60 days after the order date (this corpus has no commit/receipt
+    dates). Top-20 with a name tiebreak plans TakeOrderedAndProject."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    lo = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias(
+            "late"
+        ),
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    sole = (
+        lo.filter("late")
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        sole.join(F.broadcast(s), sole.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )
