@@ -1749,3 +1749,114 @@ def bloom_antijoin_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"))
     )
     return bloom_anti_join(batch, corpus, "fingerprint").select("doc_id", "fingerprint")
+
+
+# ---------------------------------------------------------------------------
+# Unigram cross-entropy scoring — the in-engine stand-in for KenLM-style
+# perplexity filtering (CCNet): score every doc by the mean negative log
+# probability of its tokens under the corpus's own unigram model. Two
+# narrow shuffles: (doc, token) counts join the vocab-sized model on token,
+# then re-group by doc. Per-token -log p is a double computed identically
+# in both engines from exact integer ratios; the PER-DOC SUM is carried in
+# DECIMAL(28,12) so partial-aggregation order can't move the result (the
+# registry's float-sum rule).
+# ---------------------------------------------------------------------------
+
+_UNIGRAM_XENT_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+  FROM documents WHERE trim(COALESCE(text, '')) != ''
+),
+vocab AS (SELECT t, COUNT(*) AS cnt FROM tok GROUP BY t),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM vocab),
+dt AS (SELECT doc_id, t, COUNT(*) AS k FROM tok GROUP BY doc_id, t)
+SELECT dt.doc_id,
+       CAST(SUM(dt.k) AS BIGINT) AS n_tokens,
+       floor((CAST(SUM(CAST(dt.k * -ln(CAST(v.cnt AS DOUBLE) / tot.n)
+                            AS DECIMAL(28,12))) AS DOUBLE)
+              / SUM(dt.k)) * 1000000) / 1000000 AS xent_nats
+FROM dt JOIN vocab v ON dt.t = v.t, tot
+GROUP BY dt.doc_id
+""".strip()
+
+
+@register("unigram_xent_scores", oracle=_UNIGRAM_XENT_ORACLE)
+def unigram_xent_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean token -ln(p) per document under the corpus unigram model.
+    Low = boilerplate-like/common text, high = rare-token soup; both tails
+    are what a perplexity filter trims. The model (vocab with counts) is
+    itself engine-built in the same plan — no artifact round-trip."""
+    from kol_bigdata_realtime_analytics_spark.plans.domain import trunc6
+
+    docs = table(spark, sf_dir, "documents").filter(
+        F.trim(F.coalesce("text", F.lit(""))) != ""
+    )
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("t"))
+    vocab = tok.groupBy("t").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("n"))
+    dt = tok.groupBy("doc_id", "t").agg(F.count("*").alias("k"))
+    neg_logp = -F.log(F.col("cnt").cast("double") / F.col("n"))
+    return (
+        dt.join(vocab, "t")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("n_tokens"),
+            trunc6(
+                F.sum((F.col("k") * neg_logp).cast("decimal(28,12)")).cast("double")
+                / F.sum("k")
+            ).alias("xent_nats"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Source-mix divergence — data-mixing diagnostic: how far each source's
+# language distribution sits from the corpus-wide distribution (KL in
+# nats). Everything reduces to exact integer count ratios before any float
+# op; the per-source sum runs over <= n_langs decimal terms.
+# ---------------------------------------------------------------------------
+
+_MIX_DIVERGENCE_ORACLE = """
+WITH counts AS (
+  SELECT source, lang, COUNT(*) AS c FROM documents GROUP BY source, lang
+),
+per_source AS (SELECT source, CAST(SUM(c) AS BIGINT) AS sn FROM counts GROUP BY source),
+global_lang AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS gc FROM counts GROUP BY lang),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM counts)
+SELECT c.source,
+       ps.sn AS n_docs,
+       floor(CAST(SUM(CAST((CAST(c.c AS DOUBLE) / ps.sn)
+                           * ln((CAST(c.c AS DOUBLE) / ps.sn)
+                                / (CAST(g.gc AS DOUBLE) / tot.n))
+                           AS DECIMAL(28,12))) AS DOUBLE) * 1000000) / 1000000
+         AS kl_lang_nats
+FROM counts c
+  JOIN per_source ps ON c.source = ps.source
+  JOIN global_lang g ON c.lang = g.lang, tot
+GROUP BY c.source, ps.sn
+""".strip()
+
+
+@register("source_mix_divergence", oracle=_MIX_DIVERGENCE_ORACLE)
+def source_mix_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL(source's lang distribution || global lang distribution) per
+    source. The aggregation tree never exceeds (sources x langs) rows
+    after the first count — the corpus is scanned once."""
+    from kol_bigdata_realtime_analytics_spark.plans.domain import trunc6
+
+    docs = table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source", "lang").agg(F.count("*").alias("c"))
+    per_source = counts.groupBy("source").agg(F.sum("c").alias("sn"))
+    global_lang = counts.groupBy("lang").agg(F.sum("c").alias("gc"))
+    total = counts.agg(F.sum("c").alias("n"))
+    p_s = F.col("c").cast("double") / F.col("sn")
+    p_g = F.col("gc").cast("double") / F.col("n")
+    term = (p_s * F.log(p_s / p_g)).cast("decimal(28,12)")
+    return (
+        counts.join(F.broadcast(per_source), "source")
+        .join(F.broadcast(global_lang), "lang")
+        .crossJoin(F.broadcast(total))
+        .groupBy("source", F.col("sn").alias("n_docs"))
+        .agg(trunc6(F.sum(term).cast("double")).alias("kl_lang_nats"))
+    )
