@@ -26,16 +26,23 @@ from kol_bigdata_realtime_analytics_spark.plans.registry import (
 
 @register(
     "pricing_summary",
-    oracle=f"""
+    oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS BIGINT)            AS sum_qty,
-           {sql_dsum('l_extendedprice')}                                     AS sum_base_price,
-           {sql_dsum('(l_extendedprice * (1 - l_discount))')}                AS sum_disc_price,
-           {sql_dsum('((l_extendedprice * (1 - l_discount)) * (1 + l_tax))')} AS sum_charge,
-           {sql_davg('l_quantity')}                                          AS avg_qty,
-           {sql_davg('l_extendedprice')}                                     AS avg_price,
-           {sql_davg('l_discount')}                                          AS avg_disc,
-           COUNT(*)                                                          AS count_order
+           CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100
+             AS sum_base_price,
+           floor(CAST(SUM(CAST(round((l_extendedprice * (1 - l_discount)) * 1000000)
+                              AS BIGINT)) AS DOUBLE) / 10000) / 100 AS sum_disc_price,
+           floor(CAST(SUM(CAST(round(((l_extendedprice * (1 - l_discount)) * (1 + l_tax))
+                                     * 1000000) AS BIGINT)) AS DOUBLE) / 10000) / 100
+             AS sum_charge,
+           floor((CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) / COUNT(*))
+                 * 1000000) / 1000000 AS avg_qty,
+           floor(((CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100)
+                  / COUNT(*)) * 1000000) / 1000000 AS avg_price,
+           floor(((CAST(SUM(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / 100)
+                  / COUNT(*)) * 1000000) / 1000000 AS avg_disc,
+           COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
     GROUP BY l_returnflag, l_linestatus
@@ -44,25 +51,74 @@ from kol_bigdata_realtime_analytics_spark.plans.registry import (
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-measure grouped agg: sum/avg/count over filtered lineitem.
 
-    All double sums/avgs run through the decimal order-proof forms
-    (registry.dsum/davg) — TPC-H Q1's products are rounded to 6dp per row
-    identically in both engines before the exact decimal summation.
+    Q1 is the engine's hottest wide aggregate, so it runs the FIXED-POINT
+    order-proof form instead of decimal sums (PERF.md §2.10 — decimal
+    accumulation measured 5x slower than double at sf0.1; this form is
+    2.4x faster than decimal with the same determinism):
+      * per row, measures quantize to integers via round(x * S) in the
+        scan's codegen stage — EXACT, not approximate, because the
+        columns are true fixed-decimal data (quantities integral, money
+        2dp, rates 2dp; products of 2dp x 2dp have <= 4dp), so x*S always
+        sits within ~1e-5 of an integer and never near a rounding tie;
+      * LONG partial sums over (group, salt) — whole-stage-codegen long
+        adds, with crc32 salting bounding any single partial below long
+        overflow (n_salt=64 here; at N rows/group pick n_salt >
+        N * maxfx / 2^63);
+      * a <= n_salt-row DECIMAL(38,0) final merge per group — exact at
+        any scale, cost amortized to nothing.
+    Derived outputs (2dp sums, 6dp avgs) use floor-truncation of the
+    deterministic double quotients, the registry's tie-proof rule.
     """
     li = table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
+    fx_qty = F.round(F.col("l_quantity")).cast("long")
+    fx_price = F.round(F.col("l_extendedprice") * 100).cast("long")
+    fx_disc_price = F.round(disc_price * 1000000).cast("long")
+    fx_charge = F.round(disc_price * (1 + F.col("l_tax")) * 1000000).cast("long")
+    fx_discount = F.round(F.col("l_discount") * 100).cast("long")
+    n_salt = 64
+    partial = (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("long").alias("sum_qty"),
-            dsum("l_extendedprice").alias("sum_base_price"),
-            dsum(disc_price).alias("sum_disc_price"),
-            dsum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
-            davg("l_quantity").alias("avg_qty"),
-            davg("l_extendedprice").alias("avg_price"),
-            davg("l_discount").alias("avg_disc"),
-            F.count("*").alias("count_order"),
+        .withColumn(
+            "_salt", F.pmod(F.crc32(F.col("l_orderkey").cast("string")), F.lit(n_salt))
         )
+        .groupBy("l_returnflag", "l_linestatus", "_salt")
+        .agg(
+            F.sum(fx_qty).alias("q"),
+            F.sum(fx_price).alias("p"),
+            F.sum(fx_disc_price).alias("dp"),
+            F.sum(fx_charge).alias("ch"),
+            F.sum(fx_discount).alias("di"),
+            F.count("*").alias("n"),
+        )
+    )
+    dec = "decimal(38,0)"
+    merged = partial.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("q").cast(dec)).alias("q"),
+        F.sum(F.col("p").cast(dec)).alias("p"),
+        F.sum(F.col("dp").cast(dec)).alias("dp"),
+        F.sum(F.col("ch").cast(dec)).alias("ch"),
+        F.sum(F.col("di").cast(dec)).alias("di"),
+        F.sum("n").alias("n"),
+    )
+
+    def dbl(name):
+        return F.col(name).cast("double")
+
+    def t6(col):
+        return F.floor(col * 1000000) / 1000000
+
+    return merged.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("q").cast("bigint").alias("sum_qty"),
+        (dbl("p") / 100).alias("sum_base_price"),
+        (F.floor(dbl("dp") / 10000) / 100).alias("sum_disc_price"),
+        (F.floor(dbl("ch") / 10000) / 100).alias("sum_charge"),
+        t6(dbl("q") / F.col("n")).alias("avg_qty"),
+        t6((dbl("p") / 100) / F.col("n")).alias("avg_price"),
+        t6((dbl("di") / 100) / F.col("n")).alias("avg_disc"),
+        F.col("n").alias("count_order"),
     )
 
 
