@@ -87,6 +87,13 @@ HEADLINE = [
     "vocab_coverage_curve",
     "boilerplate_ngram_stats",
     "bloom_antijoin_check",
+    "unigram_xent_scores",
+    "source_mix_divergence",
+    "skew_salted_join",
+    "gap_fill_daily_values",
+    "nation_pair_trade_volume",
+    "product_type_profit",
+    "late_sole_supplier_orders",
 ]
 
 

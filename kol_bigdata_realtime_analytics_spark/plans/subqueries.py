@@ -588,14 +588,26 @@ def late_sole_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "late"
         ),
     )
-    per_order = lo.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    # Per-order distinct-supplier counts as WINDOW aggregates, not a
+    # groupBy + join-back: the join-back form re-executes the li><orders
+    # lineage twice (PERF.md §2.2 pathology) and measured 2.49 s; the
+    # window shares the join's l_orderkey partitioning — 0.92 s, identical
+    # rows. collect_set skips nulls, so the when(late) set counts exactly
+    # the DISTINCT late suppliers.
+    w = Window.partitionBy("l_orderkey")
+    flagged = lo.select(
+        "l_orderkey",
+        "l_suppkey",
+        "late",
+        F.size(F.collect_set("l_suppkey").over(w)).alias("n_supp"),
+        F.size(
+            F.collect_set(F.when(F.col("late"), F.col("l_suppkey"))).over(w)
+        ).alias("n_late_supp"),
     )
     sole = (
-        lo.filter("late")
-        .join(per_order, "l_orderkey")
-        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        flagged.filter(
+            F.col("late") & (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
+        )
         .select("l_orderkey", "l_suppkey")
         .distinct()
     )
