@@ -268,3 +268,55 @@ def test_shingle_hash_rows_pre_partition_adds_no_window_exchange(spark, sf_small
     # token-row clustering (no doc-level repartition above it)
     default = _formatted(shingle_hash_rows(docs, "text", "doc_id", 4))
     assert len(re.findall(r"^\(\d+\) Exchange", default, re.M)) == 1, default
+
+
+def test_salted_join_broadcasts_replicated_dim(spark, sf_oracle):
+    """skew_salted_join: the replicated dim must still broadcast (it is
+    dim x n_salt, not fact-sized), and the fact side must never sort-merge."""
+    from kol_bigdata_realtime_analytics_spark.plans import REGISTRY
+
+    plan = _formatted(REGISTRY["skew_salted_join"].fn(spark, sf_oracle))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q21_single_fact_join(spark, sf_oracle):
+    """late_sole_supplier_orders: the per-order counts are window
+    aggregates, so exactly ONE lineitem x orders join appears — the
+    groupBy+join-back form would plan two (lineage re-execution, PERF
+    §2.2) — and the top-20 is TakeOrderedAndProject."""
+    from kol_bigdata_realtime_analytics_spark.plans import REGISTRY
+
+    plan = _formatted(REGISTRY["late_sole_supplier_orders"].fn(spark, sf_oracle))
+    n_joins = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
+    assert n_joins <= 1, plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_pricing_summary_long_partials(spark, sf_oracle):
+    """Q1's fixed-point form: partial aggregation must run over LONG sums
+    (sum(...L) in the partial_ functions), with decimal appearing only in
+    the tiny final merge — the 2.4x property of PERF §2.10."""
+    from kol_bigdata_realtime_analytics_spark.plans import REGISTRY
+
+    plan = _formatted(REGISTRY["pricing_summary"].fn(spark, sf_oracle))
+    assert "PushedFilters" in plan and "l_shipdate" in plan
+    # the salt-stage partial agg groups by the salt column
+    assert "_salt" in plan
+    # per-row quantization happens in the scan-side projection (round...cast to bigint)
+    assert "round" in plan.lower()
+
+
+def test_vocab_curve_window_is_post_aggregation(spark, sf_oracle):
+    """vocab_coverage_curve: the single-partition window must consume the
+    frequency HISTOGRAM (post-agg), never vocab- or corpus-sized rows —
+    i.e. the plan has the two aggregates BEFORE the window."""
+    from kol_bigdata_realtime_analytics_spark.plans import REGISTRY
+
+    plan = _formatted(REGISTRY["vocab_coverage_curve"].fn(spark, sf_oracle))
+    window_pos = plan.find("Window")
+    assert window_pos > 0
+    # both aggregation passes appear below (later in formatted output =
+    # deeper in tree = executed earlier) the window operator
+    agg_section = plan[window_pos:]
+    assert agg_section.count("HashAggregate") >= 2
