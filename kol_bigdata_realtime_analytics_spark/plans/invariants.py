@@ -229,3 +229,58 @@ def minhash_estimate_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "doc_id", (F.abs(est_frac - true_j) <= 0.4).alias("ok")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch invariants — est >= exact (counters only add) and each
+# depth-row of counters sums to N (every item lands in exactly one bucket
+# per row). Both are STRUCTURAL: they hold for any data and hash seeds, so
+# the driver hash certifies the sketch build+estimate pipeline end-to-end.
+# The probabilistic tightness bound (est <= exact + e*N/width w.h.p.) is
+# empirically bounded in tests/test_operators.py.
+# ---------------------------------------------------------------------------
+
+_COUNT_MIN_ORACLE = """
+SELECT user_id,
+       COUNT(*) AS exact_count,
+       CAST(1 AS INTEGER) AS est_ge_exact,
+       CAST(1 AS INTEGER) AS rows_sum_to_n
+FROM events GROUP BY user_id
+""".strip()
+
+
+@register("count_min_check", oracle=_COUNT_MIN_ORACLE)
+def count_min_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a 4x1024 count-min over events.user_id, estimate every
+    distinct user's event count, and emit the structural invariants next
+    to the exact count (computed in the same plan). The sketch itself is
+    hash-seed-dependent; the INVARIANTS are not — the oracle states them
+    as constants and recomputes the exact counts."""
+    from kol_bigdata_realtime_analytics_spark.operators.sketch import (
+        count_min_build,
+        count_min_estimate,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    sketch = count_min_build(ev, "user_id")
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("exact_count"))
+    est = count_min_estimate(exact, sketch, "user_id")
+    # every depth-row's counters must sum to the total item count
+    n_total = exact.agg(F.sum("exact_count").alias("n")).select("n")
+    row_sums = sketch.groupBy("d").agg(F.sum("cnt").alias("row_sum"))
+    rows_ok = (
+        row_sums.crossJoin(F.broadcast(n_total))
+        .agg(
+            F.min((F.col("row_sum") == F.col("n")).cast("int")).alias("rows_sum_to_n")
+        )
+    )
+    return (
+        exact.join(est, "user_id")
+        .crossJoin(F.broadcast(rows_ok))
+        .select(
+            "user_id",
+            "exact_count",
+            (F.col("cm_estimate") >= F.col("exact_count")).cast("int").alias("est_ge_exact"),
+            F.col("rows_sum_to_n").cast("int").alias("rows_sum_to_n"),
+        )
+    )

@@ -572,3 +572,60 @@ def test_bloom_big_side_never_shuffles_for_prefilter(spark):
     plan = flagged._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch
+# ---------------------------------------------------------------------------
+
+
+def test_count_min_exact_on_collision_free_data(spark):
+    """With far fewer keys than width, estimates equal exact counts."""
+    from kol_bigdata_realtime_analytics_spark.operators.sketch import (
+        count_min_build,
+        count_min_estimate,
+    )
+
+    df = spark.range(0, 10000).select((F.col("id") % 20).alias("k"))
+    sketch = count_min_build(df, "k", width=4096, depth=4)
+    est = count_min_estimate(df.select("k").distinct(), sketch, "k", width=4096, depth=4)
+    rows = {r["k"]: r["cm_estimate"] for r in est.collect()}
+    assert rows == {k: 500 for k in range(20)}
+
+
+def test_count_min_error_bound_under_collisions(spark):
+    """Heavy collisions (width 64, 1000 keys): every estimate must stay
+    >= exact, and within the classic e*N/width bound for all keys here
+    (empirical for this data+seeds; the structural floor is exact)."""
+    import math
+
+    from kol_bigdata_realtime_analytics_spark.operators.sketch import (
+        count_min_build,
+        count_min_estimate,
+    )
+
+    n, width, depth = 20000, 64, 4
+    df = spark.range(0, n).select((F.col("id") % 1000).alias("k"))
+    sketch = count_min_build(df, "k", width=width, depth=depth)
+    est = count_min_estimate(df.select("k").distinct(), sketch, "k", width=width, depth=depth)
+    exact = n // 1000
+    bound = math.e * n / width
+    for r in est.collect():
+        assert r["cm_estimate"] >= exact
+        assert r["cm_estimate"] <= exact + bound
+
+
+def test_count_min_sketches_merge_by_union(spark):
+    """Mergeability: sketch(a) + sketch(b) re-grouped == sketch(a ∪ b)."""
+    from kol_bigdata_realtime_analytics_spark.operators.sketch import count_min_build
+
+    a = spark.range(0, 5000).select((F.col("id") % 30).alias("k"))
+    b = spark.range(5000, 9000).select((F.col("id") % 50).alias("k"))
+    merged = (
+        count_min_build(a, "k")
+        .unionByName(count_min_build(b, "k"))
+        .groupBy("d", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    direct = count_min_build(a.unionByName(b), "k")
+    assert {tuple(r) for r in merged.collect()} == {tuple(r) for r in direct.collect()}
