@@ -800,3 +800,108 @@ def wire_dlq_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.unix_micros("kafka_ts")).alias("min_ts_us"),
         F.max(F.unix_micros("kafka_ts")).alias("max_ts_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Anti interval join — views with NO click by the same user within the
+# following 2 hours (the unconverted complement of the stream-stream
+# attribution join). left_anti with an equi key + range residual: the hash
+# anti join matches on user_id and applies the time band as its join
+# condition, so the big side shuffles once and nothing materializes pairs.
+# ---------------------------------------------------------------------------
+
+_UNATTRIBUTED_ORACLE = """
+WITH v AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+),
+c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+SELECT v.user_id, CAST(COUNT(*) AS BIGINT) AS n_unconverted_views
+FROM v
+WHERE NOT EXISTS (
+  SELECT 1 FROM c
+  WHERE c.user_id = v.user_id
+    AND c.ts >= v.ts AND c.ts < v.ts + INTERVAL 2 HOUR
+)
+GROUP BY v.user_id
+""".strip()
+
+
+@register("unattributed_views", oracle=_UNATTRIBUTED_ORACLE)
+def unattributed_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user count of views with no click inside the 2-hour attribution
+    window — NOT EXISTS over (equi user + time band) planned as one
+    left_anti join with the band as residual condition."""
+    ev = table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", F.col("ts").alias("v_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    unconverted = v.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("v_ts"))
+        & (F.col("c_ts") < F.col("v_ts") + F.expr("INTERVAL 2 HOURS")),
+        "left_anti",
+    )
+    return unconverted.groupBy("user_id").agg(
+        F.count("*").alias("n_unconverted_views")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted priority sampling (A-Res / Efraimidis-Spirakis) with HASH
+# randomness: u = md5(key)-derived uniform in (0,1], priority = u^(1/w) —
+# equivalently rank by ln(u)/w desc. Deterministic (same sample under any
+# partitioning/cluster size, like deterministic_sample) AND weighted:
+# inclusion probability proportional to weight. md5 is shared with DuckDB,
+# so the whole sample is oracle-exact — no RNG state anywhere.
+# ---------------------------------------------------------------------------
+
+_WEIGHTED_SAMPLE_ORACLE = """
+WITH w AS (
+  SELECT doc_id, n_chars,
+         CAST(n_chars AS DOUBLE) AS wt,
+         (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) + 1)
+           / 4503599627370497.0 AS u
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, n_chars,
+       floor((ln(u) / wt) * 1000000000) / 1000000000 AS priority_key
+FROM w
+ORDER BY ln(u) / wt DESC, doc_id
+LIMIT 100
+""".strip()
+
+
+@register("weighted_sample_ares", oracle=_WEIGHTED_SAMPLE_ORACLE)
+def weighted_sample_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 weighted sample by hash priority (weight = doc length):
+    rank ln(u)/w descending where u derives from md5(doc_id) — the
+    Efraimidis-Spirakis reservoir order, computed identically in both
+    engines. Plans TakeOrderedAndProject (no global sort); at any scale
+    the sample is reproducible under repartitioning because u is a pure
+    function of the key."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    # 13 hex chars = 52 bits -> u in (0, 1], exactly as the oracle's
+    # ('0x'||substr(md5,1,13))::BIGINT + 1 over 2^52 + 1
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10).cast(
+            "double"
+        )
+        + 1
+    ) / F.lit(4503599627370497.0)
+    wt = F.col("n_chars").cast("double")
+    pri = F.log(u) / wt
+    return (
+        docs.select(
+            "doc_id",
+            "n_chars",
+            (F.floor(pri * 1000000000) / 1000000000).alias("priority_key"),
+            pri.alias("_pri"),
+        )
+        .orderBy(F.col("_pri").desc(), F.col("doc_id").asc())
+        .limit(100)
+        .drop("_pri")
+    )
