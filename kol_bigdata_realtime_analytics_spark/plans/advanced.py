@@ -1455,3 +1455,45 @@ def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_items"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting — cohesion of the part co-occurrence graph (parts
+# bought together in one order). Degree-oriented wedge enumeration bounds
+# hot-vertex fan-out by sqrt(m); the oracle counts the same triangles with
+# an a<b<c three-way join.
+# ---------------------------------------------------------------------------
+
+_TRIANGLE_ORACLE = """
+WITH pairs AS (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM pairs e1
+  JOIN pairs e2 ON e1.a = e2.a AND e1.b < e2.b
+  JOIN pairs e3 ON e3.a = e1.b AND e3.b = e2.b
+""".strip()
+
+
+@register("part_graph_triangles", oracle=_TRIANGLE_ORACLE)
+def part_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangles in the part co-occurrence graph via degree-oriented wedge
+    join (`operators/graph.triangle_count`) — each triangle generated once
+    from its lowest-(degree, id) vertex, so skewed hubs never explode."""
+    from kol_bigdata_realtime_analytics_spark.operators.graph import triangle_count
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+    return triangle_count(edges)

@@ -629,3 +629,21 @@ def test_count_min_sketches_merge_by_union(spark):
     )
     direct = count_min_build(a.unionByName(b), "k")
     assert {tuple(r) for r in merged.collect()} == {tuple(r) for r in direct.collect()}
+
+
+def test_triangle_count_known_graphs(spark):
+    """K4 has 4 triangles; a 4-cycle has 0; a star has 0; duplicate and
+    reversed edge listings must not change counts."""
+    from kol_bigdata_realtime_analytics_spark.operators.graph import triangle_count
+
+    def tc(pairs):
+        df = spark.createDataFrame(pairs, "src long, dst long")
+        return triangle_count(df).collect()[0]["n_triangles"]
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    assert tc(k4) == 4
+    assert tc(k4 + [(b, a) for a, b in k4] + k4) == 4  # dup + reversed
+    assert tc([(0, 1), (1, 2), (2, 3), (3, 0)]) == 0  # 4-cycle
+    assert tc([(0, i) for i in range(1, 8)]) == 0  # star
+    # two triangles sharing an edge
+    assert tc([(0, 1), (1, 2), (0, 2), (1, 3), (2, 3)]) == 2
