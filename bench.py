@@ -94,6 +94,9 @@ HEADLINE = [
     "nation_pair_trade_volume",
     "product_type_profit",
     "late_sole_supplier_orders",
+    "unattributed_views",
+    "part_graph_triangles",
+    "count_min_check",
 ]
 
 

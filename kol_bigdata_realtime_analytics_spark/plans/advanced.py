@@ -1497,3 +1497,124 @@ def part_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return triangle_count(edges)
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands — consecutive same-type runs per user (lag -> change
+# flag -> running sum = run id). One exchange: lag, the run-id sum, and
+# the run grouping all share the user_id partitioning.
+# ---------------------------------------------------------------------------
+
+_RUNS_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN event_type = LAG(event_type) OVER w THEN 0 ELSE 1 END AS new_run
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs AS (
+  SELECT user_id, event_type,
+         SUM(new_run) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM seq
+),
+per_run AS (
+  SELECT user_id, run_id, COUNT(*) AS run_len
+  FROM runs GROUP BY user_id, run_id
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_runs,
+       CAST(MAX(run_len) AS BIGINT) AS max_run_len,
+       CAST(SUM(CASE WHEN run_len >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_streaks_3plus
+FROM per_run GROUP BY user_id
+""".strip()
+
+
+@register("event_type_runs", oracle=_RUNS_ORACLE)
+def event_type_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length encoding of each user's event-type sequence (how many
+    consecutive-same-type runs, the longest streak, streaks >= 3). The
+    (ts, event_id) ordering key makes runs deterministic under timestamp
+    ties."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.when(
+            F.col("event_type") == F.lag("event_type").over(w), 0
+        ).otherwise(1).alias("new_run"),
+        "ts",
+        "event_id",
+    )
+    runs = seq.select(
+        "user_id",
+        "event_type",
+        F.sum("new_run")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("run_id"),
+    )
+    per_run = runs.groupBy("user_id", "run_id").agg(F.count("*").alias("run_len"))
+    return per_run.groupBy("user_id").agg(
+        F.count("*").alias("n_runs"),
+        F.max("run_len").alias("max_run_len"),
+        F.sum((F.col("run_len") >= 3).cast("long")).alias("n_streaks_3plus"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Array higher-order-function surface — the Trino/DuckDB list-lambda
+# vocabulary (transform / filter / aggregate / sort / distinct / join) as
+# one oracled query. Array outputs leave as joined strings (the driver
+# compares scalars).
+# ---------------------------------------------------------------------------
+
+_ARRAY_OPS_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+         list_sort(list_distinct(list(event_type))) AS types,
+         list_sort(list_distinct(list(CAST(floor(value / 10) AS BIGINT)))) AS buckets
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(len(types) AS INTEGER) AS n_types,
+       array_to_string(list_transform(types, t -> upper(t)), ',') AS types_upper,
+       array_to_string(list_filter(types, t -> t LIKE 'c%'), ',') AS c_types,
+       CAST(len(buckets) AS INTEGER) AS n_buckets,
+       CAST(list_aggregate(buckets, 'sum') AS BIGINT) AS bucket_sum,
+       CAST(buckets[1] AS BIGINT) AS min_bucket,
+       CAST(buckets[-1] AS BIGINT) AS max_bucket
+FROM per_user
+""".strip()
+
+
+@register("user_array_ops_surface", oracle=_ARRAY_OPS_ORACLE)
+def user_array_ops_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transform/filter/aggregate/array_sort/array_distinct/array_join over
+    per-user collected arrays, mirrored by DuckDB's list lambdas. These
+    lambdas run on SMALL per-key arrays (post-aggregation), where the
+    interpreted-HOF cost (PERF §2.1) is irrelevant — the corpus-sized path
+    stays codegen."""
+    ev = table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("types"),
+        F.array_sort(
+            F.collect_set(F.floor(F.col("value") / 10).cast("long"))
+        ).alias("buckets"),
+    )
+    return per_user.select(
+        "user_id",
+        F.size("types").alias("n_types"),
+        F.array_join(F.transform("types", lambda t: F.upper(t)), ",").alias(
+            "types_upper"
+        ),
+        F.array_join(
+            F.filter("types", lambda t: t.startswith("c")), ","
+        ).alias("c_types"),
+        F.size("buckets").alias("n_buckets"),
+        F.aggregate(
+            "buckets", F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("bucket_sum"),
+        F.element_at("buckets", 1).alias("min_bucket"),
+        F.element_at("buckets", -1).alias("max_bucket"),
+    )
