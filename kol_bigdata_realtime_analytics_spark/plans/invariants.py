@@ -284,3 +284,83 @@ def count_min_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rows_sum_to_n").cast("int").alias("rows_sum_to_n"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling distinct-users via DAILY HLL SKETCHES merged over 7-day windows —
+# the sketch-REUSE pattern: the corpus is scanned once to build one sketch
+# per day; every rolling window is a union of 7 tiny sketches (range join
+# on day keys), never a rescan. Exact rolling distincts are re-derived in
+# both engines from (day, user) pairs for the error invariant, so the
+# driver hash certifies estimate accuracy without depending on sketch
+# internals.
+# ---------------------------------------------------------------------------
+
+_ROLLING_HLL_ORACLE = """
+WITH du AS (
+  SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day, user_id FROM events
+),
+days AS (SELECT DISTINCT day FROM du),
+exact AS (
+  SELECT d.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS exact_users_7d
+  FROM days d JOIN du u
+    ON u.day <= d.day AND u.day >= strftime(CAST(d.day AS DATE) - INTERVAL 6 DAY, '%Y-%m-%d')
+  GROUP BY d.day
+)
+SELECT day, exact_users_7d, CAST(1 AS INTEGER) AS approx_within_5pct
+FROM exact
+""".strip()
+
+
+@register("rolling_hll_users_check", oracle=_ROLLING_HLL_ORACLE)
+def rolling_hll_users_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling distinct users: daily HLL sketches (one scan) merged
+    per window via hll_union_agg over a day-range join, checked against
+    the exact rolling distinct (derived from per-day distinct pairs — at
+    day grain that stays small). Emits the exact count + a 5% relative-
+    error boolean; the estimate itself is sketch-internal and stays out
+    of the hash."""
+    ev = table(spark, sf_dir, "events")
+    day = F.date_format("ts", "yyyy-MM-dd")
+    daily_sk = ev.groupBy(day.alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    days = daily_sk.select(F.col("day").alias("anchor"))
+    window_sk = (
+        days.join(
+            daily_sk,
+            (F.col("day") <= F.col("anchor"))
+            & (
+                F.col("day")
+                >= F.date_format(F.date_sub(F.to_date("anchor"), 6), "yyyy-MM-dd")
+            ),
+        )
+        .groupBy("anchor")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx"))
+    )
+    du = ev.select(day.alias("day"), "user_id").distinct()
+    exact = (
+        days.join(
+            du,
+            (F.col("day") <= F.col("anchor"))
+            & (
+                F.col("day")
+                >= F.date_format(F.date_sub(F.to_date("anchor"), 6), "yyyy-MM-dd")
+            ),
+        )
+        .groupBy("anchor")
+        .agg(F.countDistinct("user_id").alias("exact_users_7d"))
+    )
+    return (
+        exact.join(window_sk, "anchor")
+        .select(
+            F.col("anchor").alias("day"),
+            "exact_users_7d",
+            (
+                F.abs(F.col("approx") - F.col("exact_users_7d"))
+                <= F.col("exact_users_7d") * 0.05
+            )
+            .cast("int")
+            .alias("approx_within_5pct"),
+        )
+    )
