@@ -1618,3 +1618,62 @@ def user_array_ops_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("buckets", 1).alias("min_bucket"),
         F.element_at("buckets", -1).alias("max_bucket"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time (temporal) join — the query SCD2 exists FOR: enrich a fact
+# with the dimension attribute that was valid AT the fact's timestamp.
+# Equi join on the dimension key with the validity interval as residual:
+# each fact row matches exactly one interval (intervals partition the
+# timeline per key), so no fan-out and one exchange per side.
+# ---------------------------------------------------------------------------
+
+_SCD2_DIM = SCD2_ORACLE_SQL.format(
+    table="events", key="user_id", attr="event_type", ts="ts", tb="event_id"
+)
+
+_PIT_ORACLE = f"""
+WITH dim AS ({_SCD2_DIM}),
+fact AS (
+  SELECT o_orderkey, o_orderkey % 150 AS user_id, epoch_us(o_orderdate) AS order_ts_us
+  FROM orders WHERE o_orderkey % 51 = 0
+)
+SELECT f.o_orderkey, f.user_id, d.event_type AS attr_at_order_time,
+       d.valid_from_us
+FROM fact f LEFT JOIN dim d
+  ON f.user_id = d.user_id
+ AND d.valid_from_us <= f.order_ts_us
+ AND (d.valid_to_us IS NULL OR f.order_ts_us < d.valid_to_us)
+""".strip()
+
+
+@register("pit_join_order_attr", oracle=_PIT_ORACLE)
+def pit_join_order_attr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each (sampled) order joined to the SCD2 attribute interval valid at
+    its order date — "what was the user's state when the fact happened".
+    Left join keeps pre-history orders (no interval yet) visible as
+    nulls."""
+    ev = table(spark, sf_dir, "events")
+    dim = scd2_from_changelog(ev, "user_id", "event_type", "ts", "event_id")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 51 == 0)
+    fact = o.select(
+        "o_orderkey",
+        (F.col("o_orderkey") % 150).alias("user_id"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("order_ts_us"),
+    )
+    joined = fact.join(
+        dim,
+        (fact["user_id"] == dim["user_id"])
+        & (dim["valid_from_us"] <= fact["order_ts_us"])
+        & (
+            dim["valid_to_us"].isNull()
+            | (fact["order_ts_us"] < dim["valid_to_us"])
+        ),
+        "left",
+    )
+    return joined.select(
+        "o_orderkey",
+        fact["user_id"],
+        F.col("event_type").alias("attr_at_order_time"),
+        "valid_from_us",
+    )
