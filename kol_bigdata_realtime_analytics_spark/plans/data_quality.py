@@ -218,3 +218,105 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "column_name", "n_rows", "n_null", "n_distinct",
         "min_num", "max_num", "min_str", "max_str",
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit — privacy governance over quasi-identifiers: how many
+# equivalence classes (distinct QI combinations) fall below k, i.e. rows
+# re-identifiable by (segment, nation, balance band). One narrow groupBy
+# on the QI tuple, then a tiny class-size histogram.
+# ---------------------------------------------------------------------------
+
+_K_ANON_ORACLE = """
+WITH classes AS (
+  SELECT c_mktsegment, c_nationkey,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+         COUNT(*) AS class_size
+  FROM customer
+  GROUP BY 1, 2, 3
+)
+SELECT CAST(5 AS BIGINT) AS k,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(CASE WHEN class_size < 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_small_classes,
+       CAST(SUM(CASE WHEN class_size < 5 THEN class_size ELSE 0 END) AS BIGINT)
+         AS n_risky_rows,
+       CAST(MIN(class_size) AS BIGINT) AS min_class_size
+FROM classes
+""".strip()
+
+
+@register("k_anonymity_audit", oracle=_K_ANON_ORACLE)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is the customer table 5-anonymous over (segment, nation, balance
+    band)? Emits the violating-class and at-risk-row counts a release
+    gate would check before publishing a dataset."""
+    k = 5
+    c = table(spark, sf_dir, "customer")
+    classes = c.groupBy(
+        "c_mktsegment",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+    ).agg(F.count("*").alias("class_size"))
+    return classes.agg(
+        F.lit(k).cast("long").alias("k"),
+        F.count("*").alias("n_classes"),
+        F.sum((F.col("class_size") < k).cast("long")).alias("n_small_classes"),
+        F.sum(
+            F.when(F.col("class_size") < k, F.col("class_size")).otherwise(0)
+        ).alias("n_risky_rows"),
+        F.min("class_size").alias("min_class_size"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Table content digest — an order-insensitive, partitioning-insensitive
+# fingerprint of a whole table: per row, a 52-bit integer from md5 of the
+# canonical row string; per table, COUNT + SUM + BIT_XOR of those values.
+# Any row change, addition, or removal moves the digest; row order and
+# cluster layout cannot. The cheap way to certify two copies of a 100 TB
+# table are identical without sorting either.
+# ---------------------------------------------------------------------------
+
+_DIGEST_ORACLE = """
+WITH h AS (
+  SELECT CAST(('0x' || substr(md5(
+           CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR) || '|' ||
+           o_orderstatus || '|' || CAST(o_totalprice AS VARCHAR) || '|' ||
+           strftime(o_orderdate, '%Y-%m-%d') || '|' || o_orderpriority
+         ), 1, 13)) AS BIGINT) AS rh
+  FROM orders
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(rh) % 4503599627370496 AS BIGINT) AS digest_sum,
+       CAST(BIT_XOR(rh) AS BIGINT) AS digest_xor
+FROM h
+""".strip()
+
+
+@register("table_content_digest", oracle=_DIGEST_ORACLE)
+def table_content_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive digest of the orders table (md5-derived 52-bit
+    row hashes folded with SUM and BIT_XOR). The row canonicalization
+    (string join with '|') is shared with the oracle; doubles render via
+    a cast that both engines print identically for 2dp money."""
+    o = table(spark, sf_dir, "orders")
+    row_str = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        "o_orderstatus",
+        F.col("o_totalprice").cast("string"),
+        F.date_format(F.col("o_orderdate").cast("timestamp"), "yyyy-MM-dd"),
+        "o_orderpriority",
+    )
+    rh = F.conv(F.substring(F.md5(row_str), 1, 13), 16, 10).cast("long")
+    # 52-bit row hashes: sum exactly in decimal, fold back mod 2^52 (the
+    # raw sum overflows a long at ~2000 rows)
+    return o.select(rh.alias("rh")).agg(
+        F.count("*").alias("n_rows"),
+        (F.sum(F.col("rh").cast("decimal(38,0)")) % F.lit(4503599627370496))
+        .cast("long")
+        .alias("digest_sum"),
+        F.bit_xor("rh").alias("digest_xor"),
+    )
