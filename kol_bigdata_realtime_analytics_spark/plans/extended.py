@@ -905,3 +905,42 @@ def weighted_sample_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
         .drop("_pri")
     )
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT / melt — wide -> long, the inverse of the pivot above. Built on
+# DataFrame.unpivot (Spark's native melt; constant-folding projection, no
+# shuffle beyond the source agg). The oracle reconstructs the same long
+# frame with per-type UNION ALL arms.
+# ---------------------------------------------------------------------------
+
+_UNPIVOT_ORACLE = f"""
+WITH wide AS (
+  SELECT user_id,
+         {", ".join(
+             "COALESCE(CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6)))"
+             f" FILTER (WHERE event_type = '{t}'), 2) AS DOUBLE), 0.0) AS {t}"
+             for t in _EVENT_TYPES
+         )}
+  FROM events GROUP BY user_id
+)
+{" UNION ALL ".join(
+    f"SELECT user_id, '{t}' AS event_type, {t} AS total_value FROM wide"
+    for t in _EVENT_TYPES
+)}
+""".strip()
+
+
+@register("unpivot_user_event_values", oracle=_UNPIVOT_ORACLE)
+def unpivot_user_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Melt the pivoted per-user frame back to (user_id, event_type,
+    total_value) rows with DataFrame.unpivot — wide-to-long without a
+    shuffle (the unpivot is a generated projection over the already-
+    aggregated frame)."""
+    wide = pivot_user_event_values(spark, sf_dir)
+    return wide.unpivot(
+        ids=["user_id"],
+        values=_EVENT_TYPES,
+        variableColumnName="event_type",
+        valueColumnName="total_value",
+    )
