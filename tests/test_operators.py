@@ -647,3 +647,59 @@ def test_triangle_count_known_graphs(spark):
     assert tc([(0, i) for i in range(1, 8)]) == 0  # star
     # two triangles sharing an edge
     assert tc([(0, 1), (1, 2), (0, 2), (1, 3), (2, 3)]) == 2
+
+
+def test_duplicate_clusters_long_chain_converges(spark):
+    """A 60-node chain needs ~60 rounds under plain min-propagation — more
+    than max_iterations=25 — but pointer doubling closes it in O(log n)
+    rounds. Every node must end labeled with the chain's minimum."""
+    from kol_bigdata_realtime_analytics_spark.operators.dedup import duplicate_clusters
+
+    n = 60
+    nodes = spark.range(n).select(F.col("id").alias("doc_id"))
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    out = duplicate_clusters(nodes, edges)
+    rows = out.collect()
+    assert len(rows) == n
+    assert all(r["cluster_id"] == 0 for r in rows)
+    assert all(r["cluster_size"] == n for r in rows)
+    assert sum(r["is_canonical"] for r in rows) == 1
+
+
+def test_bloom_empty_index_everything_definite_new(spark):
+    """An empty index bitmap must classify every batch row definite-new
+    (no bits set -> bloom_maybe False) and the anti-join returns the
+    whole batch."""
+    from kol_bigdata_realtime_analytics_spark.operators.bloom import bloom_anti_join
+
+    index = spark.createDataFrame([], "key string")
+    batch = spark.range(0, 50).select(F.concat(F.lit("k"), "id").alias("key"))
+    assert bloom_anti_join(batch, index, "key").count() == 50
+
+
+def test_triangle_count_empty_and_selfloop_edges(spark):
+    """Empty edge lists and self-loops must yield zero triangles, not
+    errors."""
+    from kol_bigdata_realtime_analytics_spark.operators.graph import triangle_count
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert triangle_count(empty).collect()[0]["n_triangles"] == 0
+    loops = spark.createDataFrame([(1, 1), (2, 2), (1, 2)], "src long, dst long")
+    assert triangle_count(loops).collect()[0]["n_triangles"] == 0
+
+
+def test_count_min_estimate_for_unseen_keys_is_zero_or_small(spark):
+    """Keys absent from the build set probe empty buckets -> estimate 0
+    (coalesce path), unless they collide; with a huge width they are 0."""
+    from kol_bigdata_realtime_analytics_spark.operators.sketch import (
+        count_min_build,
+        count_min_estimate,
+    )
+
+    built = spark.range(0, 100).select(F.concat(F.lit("a"), "id").alias("k"))
+    probe = spark.range(0, 20).select(F.concat(F.lit("zzz"), "id").alias("k"))
+    sketch = count_min_build(built, "k", width=1 << 16, depth=4)
+    est = count_min_estimate(probe, sketch, "k", width=1 << 16, depth=4)
+    assert all(r["cm_estimate"] == 0 for r in est.collect())
