@@ -615,3 +615,51 @@ def props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k")
         .agg(F.count("*").alias("n"), dsum("value").alias("total_value"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Cascading rollup — the materialized-aggregate cascade every warehouse
+# runs: hourly partials -> daily from hourly -> weekly from daily, each
+# level a REAGGREGATION of the previous level's outputs (count-sums and
+# decimal value-sums are mergeable), never a rescan of events. The oracle
+# computes the weekly numbers DIRECTLY from raw events, so the hash match
+# proves the cascade loses nothing.
+# ---------------------------------------------------------------------------
+
+_CASCADE_ORACLE = """
+SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+""".strip()
+
+
+@register("cascading_rollup_check", oracle=_CASCADE_ORACLE)
+def cascading_rollup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly event metrics computed through the hour -> day -> week
+    cascade of mergeable partials (counts sum; values sum in decimal at
+    every level, so no re-rounding drift). The oracle aggregates raw
+    events directly to weeks — equality certifies that materialized
+    rollups can serve any coarser grain without rescanning the fact
+    table."""
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("v"),
+    )
+    daily = hourly.groupBy(
+        F.date_trunc("day", F.col("hour")).alias("day"), "event_type"
+    ).agg(F.sum("n_events").alias("n_events"), F.sum("v").alias("v"))
+    weekly = daily.groupBy(
+        F.date_trunc("week", F.col("day")).alias("week_ts"), "event_type"
+    ).agg(F.sum("n_events").alias("n_events"), F.sum("v").alias("v"))
+    return weekly.select(
+        F.date_format("week_ts", "yyyy-MM-dd").alias("week"),
+        "event_type",
+        "n_events",
+        F.round(F.col("v"), 2).cast("double").alias("total_value"),
+    )
