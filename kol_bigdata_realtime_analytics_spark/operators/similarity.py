@@ -15,7 +15,6 @@ before rounding).
 
 from __future__ import annotations
 
-import math
 
 import pandas as pd
 

@@ -12,11 +12,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kol_bigdata_realtime_analytics_spark.plans.registry import (
-    davg,
     dsum,
     dsum_raw,
     register,
-    sql_davg,
     sql_dsum,
     sql_dsum_raw,
     table,

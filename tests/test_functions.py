@@ -14,7 +14,6 @@ from kol_bigdata_realtime_analytics_spark.functions.scoring import (
     engagement_rate,
     kol_tier,
     trending_label,
-    trending_raw,
     trending_score,
     trending_velocity,
     trust_rule_score,

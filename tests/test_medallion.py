@@ -19,7 +19,6 @@ from kol_bigdata_realtime_analytics_spark.functions.features import (
 )
 from kol_bigdata_realtime_analytics_spark.medallion.gold import (
     build_dim_kol,
-    build_dim_platform,
     build_dim_time,
     build_fact_performance,
     build_ml_training,
