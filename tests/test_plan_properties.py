@@ -320,3 +320,27 @@ def test_vocab_curve_window_is_post_aggregation(spark, sf_oracle):
     # deeper in tree = executed earlier) the window operator
     agg_section = plan[window_pos:]
     assert agg_section.count("HashAggregate") >= 2
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """Joining a dt-partitioned fact to a FILTERED dim must inject a
+    dynamic-partition-pruning subquery into the fact scan — at 100 TB this
+    is the difference between scanning 3 partitions and 3000 when the
+    partition predicate only exists on the dim side."""
+    fact = spark.createDataFrame(
+        [(i, f"d{i % 20}", float(i)) for i in range(2000)],
+        "id long, dt string, v double",
+    )
+    fact_path = str(tmp_path / "dpp_fact")
+    fact.write.partitionBy("dt").parquet(fact_path)
+    dim = spark.createDataFrame(
+        [(f"d{i}", "keep" if i < 2 else "drop") for i in range(20)],
+        "dt string, flag string",
+    )
+    joined = (
+        spark.read.parquet(fact_path)
+        .join(dim.filter(F.col("flag") == "keep"), "dt")
+    )
+    plan = _formatted(joined)
+    assert "dynamicpruning" in plan.lower(), plan
+    assert joined.count() == 200
