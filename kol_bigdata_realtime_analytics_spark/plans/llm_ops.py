@@ -1867,3 +1867,121 @@ def source_mix_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", F.col("sn").alias("n_docs"))
         .agg(trunc6(F.sum(term).cast("double")).alias("kl_lang_nats"))
     )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations — which adjacent token pairs stick together more than
+# chance (ln(c_xy * N / (c_x * c_y))). The first signal a tokenizer-merge
+# or phrase-mining pass computes. Bigrams come from the same posexplode +
+# lead() window the shingle path uses; unigram marginals join back on the
+# two component tokens. Everything reduces to exact integer counts before
+# the single per-row ln.
+# ---------------------------------------------------------------------------
+
+_PMI_ORACLE = """
+WITH tokd AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tok
+  FROM documents WHERE trim(COALESCE(text, '')) != ''
+),
+uni AS (
+  SELECT t, COUNT(*) AS c FROM (SELECT unnest(tok) AS t FROM tokd) GROUP BY t
+),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni),
+bi AS (
+  SELECT tok[i + 1] AS t1, tok[i + 2] AS t2, COUNT(*) AS c_xy
+  FROM tokd, unnest(range(0, GREATEST(len(tok) - 1, 0))) AS r(i)
+  GROUP BY 1, 2
+)
+SELECT b.t1, b.t2, b.c_xy,
+       floor(ln((CAST(b.c_xy AS DOUBLE) * tot.n)
+                / (CAST(u1.c AS DOUBLE) * u2.c)) * 1000000) / 1000000 AS pmi
+FROM bi b JOIN uni u1 ON b.t1 = u1.t JOIN uni u2 ON b.t2 = u2.t, tot
+WHERE b.c_xy >= 5
+ORDER BY pmi DESC, b.t1, b.t2
+LIMIT 50
+""".strip()
+
+
+@register("collocations_pmi", oracle=_PMI_ORACLE)
+def collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 adjacent-pair collocations by PMI (support >= 5). Bigram
+    counts via the codegen posexplode + lead() path (no bigram strings
+    until the final tiny projection); unigram marginals and the total are
+    exact integers, so the per-row ln is bit-identical cross-engine."""
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents").filter(
+        F.trim(F.coalesce("text", F.lit(""))) != ""
+    )
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "t")
+    )
+    uni = tok.groupBy("t").agg(F.count("*").alias("c"))
+    total = uni.agg(F.sum("c").alias("n"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bi = (
+        tok.select("doc_id", "pos", "t", F.lead("t").over(w).alias("t2"))
+        .filter(F.col("t2").isNotNull())
+        .groupBy(F.col("t").alias("t1"), "t2")
+        .agg(F.count("*").alias("c_xy"))
+        .filter(F.col("c_xy") >= 5)
+    )
+    pmi = F.floor(
+        F.log(
+            (F.col("c_xy").cast("double") * F.col("n"))
+            / (F.col("c1").cast("double") * F.col("c2"))
+        )
+        * 1000000
+    ) / 1000000
+    return (
+        bi.join(uni.select(F.col("t").alias("t1"), F.col("c").alias("c1")), "t1")
+        .join(uni.select(F.col("t").alias("t2"), F.col("c").alias("c2")), "t2")
+        .crossJoin(F.broadcast(total))
+        .select("t1", "t2", "c_xy", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "t1", "t2")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chunk-level exact dedup — dedup at the PRETRAINING granularity: fixed-
+# token chunks fingerprinted and grouped corpus-wide, so repeated passages
+# dedup even when their parent documents differ. Reuses chunk_documents
+# (native columnar fan-out) + md5 fingerprints; one shuffle on the 32-byte
+# chunk fingerprint.
+# ---------------------------------------------------------------------------
+
+_CHUNK_DEDUP_ORACLE = f"""
+WITH chunks AS (
+  {CHUNK_ORACLE_SQL.format(table="documents", col="text", id="doc_id",
+                           chunk=64, overlap=0, step=64)}
+)
+SELECT md5(chunk_text) AS chunk_fp,
+       CAST(COUNT(*) AS BIGINT) AS n_copies,
+       CAST(MIN(doc_id * 1000000 + chunk_idx) AS BIGINT) AS keep_slot,
+       CAST(MIN(chunk_tokens) AS BIGINT) AS chunk_tokens
+FROM chunks
+GROUP BY 1
+HAVING COUNT(*) >= 2
+""".strip()
+
+
+@register("chunk_dedup_exact", oracle=_CHUNK_DEDUP_ORACLE)
+def chunk_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated 64-token chunks across the corpus (duplicate groups with a
+    deterministic keep slot) — document-level dedup misses passages
+    recycled inside otherwise-distinct documents; this is the chunk-grain
+    pass that catches them."""
+    docs = table(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, "text", "doc_id", chunk_tokens=64, overlap=0)
+    return (
+        chunks.groupBy(F.md5("chunk_text").alias("chunk_fp"))
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min(
+                F.col("doc_id") * 1000000 + F.col("chunk_idx")
+            ).alias("keep_slot"),
+            F.min("chunk_tokens").alias("chunk_tokens"),
+        )
+        .filter(F.col("n_copies") >= 2)
+    )
