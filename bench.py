@@ -97,6 +97,11 @@ HEADLINE = [
     "unattributed_views",
     "part_graph_triangles",
     "count_min_check",
+    "collocations_pmi",
+    "event_type_runs",
+    "pit_join_order_attr",
+    "rolling_hll_users_check",
+    "cascading_rollup_check",
 ]
 
 
