@@ -1684,3 +1684,54 @@ def pit_join_order_attr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("attr_at_order_time"),
         "valid_from_us",
     )
+
+
+# ---------------------------------------------------------------------------
+# RANGE-frame window — rolling 7 CALENDAR days, not 7 rows: when a series
+# has gaps, ROWS 6 PRECEDING silently widens the time span; a RANGE frame
+# on the epoch-day value is gap-correct. Distinct window semantic from
+# every ROWS frame elsewhere in the registry.
+# ---------------------------------------------------------------------------
+
+_RANGE_FRAME_ORACLE = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(date_trunc('day', ts) AS DATE) AS day,
+         SUM(CAST(value AS DECIMAL(18,6))) AS dv,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+       CAST(ROUND(SUM(dv) OVER w, 2) AS DOUBLE) AS sum_7cal_days,
+       CAST(SUM(n) OVER w AS BIGINT) AS n_7cal_days
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY day
+             RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+""".strip()
+
+
+@register("range_frame_weekly_totals", oracle=_RANGE_FRAME_ORACLE)
+def range_frame_weekly_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-calendar-day totals per event type via a RANGE window
+    frame over the epoch-day ordinal (Spark expresses interval ranges as
+    numeric rangeBetween on the day number — identical semantics to
+    DuckDB's RANGE BETWEEN INTERVAL 6 DAY). Day sums are decimal partials,
+    and the window re-sums decimals, so the cascade stays order-proof."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("dv"),
+        F.count("*").alias("n"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")))
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round(F.sum("dv").over(w), 2).cast("double").alias("sum_7cal_days"),
+        F.sum("n").over(w).alias("n_7cal_days"),
+    )
