@@ -122,7 +122,7 @@ def bloom_anti_join(
                                m_bits, k)
     definite_new = flagged.filter(~F.col("bloom_maybe")).drop("bloom_maybe")
     maybe = flagged.filter(F.col("bloom_maybe")).drop("bloom_maybe")
-    verified_new = maybe.join(
-        index.select(F.col(key_col)).distinct(), key_col, "left_anti"
-    )
+    # no distinct() on the index: anti-join semantics ignore duplicate
+    # build keys, and the dedup would cost an extra index shuffle
+    verified_new = maybe.join(index.select(F.col(key_col)), key_col, "left_anti")
     return definite_new.unionByName(verified_new)
