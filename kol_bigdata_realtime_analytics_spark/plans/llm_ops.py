@@ -1985,3 +1985,130 @@ def chunk_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_copies") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# Token -> id encoding — the encode step of training prep: build a bounded
+# vocab (top-1000 by frequency, deterministic ties), map every token to
+# its id (OOV -> 0), and emit each doc's first 32 ids. The vocab ranking
+# window runs over vocab-sized rows; the corpus-side work is one broadcast
+# join plus an ordered per-doc fold.
+# ---------------------------------------------------------------------------
+
+_ENCODE_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, t, CAST(i AS BIGINT) AS pos
+  FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t,
+           generate_subscripts(regexp_split_to_array(trim(text), '\\s+'), 1) AS i
+    FROM documents WHERE trim(COALESCE(text, '')) != ''
+  )
+),
+freq AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+vocab AS (
+  SELECT t, CAST(ROW_NUMBER() OVER (ORDER BY c DESC, t) AS BIGINT) AS id
+  FROM freq QUALIFY id <= 1000
+)
+SELECT tok.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       array_to_string(list_slice(list(COALESCE(v.id, 0) ORDER BY tok.pos), 1, 32), ',')
+         AS first_32_ids
+FROM tok LEFT JOIN vocab v ON tok.t = v.t
+GROUP BY tok.doc_id
+""".strip()
+
+
+@register("encode_tokens_to_ids", oracle=_ENCODE_ORACLE)
+def encode_tokens_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary encoding: rank the top-1000 tokens (frequency desc, token
+    asc — tie-proof), broadcast the vocab onto the token stream, fold each
+    doc's ids in position order, emit the first 32 as a string."""
+    docs = table(spark, sf_dir, "documents").filter(
+        F.trim(F.coalesce("text", F.lit(""))) != ""
+    )
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "t")
+    )
+    freq = tok.groupBy("t").agg(F.count("*").alias("c"))
+    w = Window.orderBy(F.col("c").desc(), F.col("t").asc())
+    vocab = (
+        freq.select("t", F.row_number().over(w).cast("long").alias("id"))
+        .filter(F.col("id") <= 1000)
+    )
+    enc = tok.join(F.broadcast(vocab), "t", "left").select(
+        "doc_id", "pos", F.coalesce("id", F.lit(0)).alias("id")
+    )
+    folded = enc.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.array_sort(F.collect_list(F.struct("pos", "id"))).alias("seq"),
+    )
+    return folded.select(
+        "doc_id",
+        "n_tokens",
+        F.array_join(
+            F.transform(
+                F.slice(F.col("seq"), 1, 32), lambda s: s["id"].cast("string")
+            ),
+            ",",
+        ).alias("first_32_ids"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup-style) — the embedding-space analogue of the
+# text dedup pipeline: blocked cosine pairs at >= 0.95 -> connected
+# components -> one canonical survivor per semantic group. Composes
+# cosine_neardup_pairs (per-row norms, blocked join) with the
+# pointer-doubling closure; the oracle re-derives the same clusters with
+# exact list arithmetic and a recursive CTE.
+# ---------------------------------------------------------------------------
+
+_SEMANTIC_DEDUP_ORACLE = """
+WITH RECURSIVE base AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings
+),
+pair AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM base a JOIN base b ON a.label = b.label
+  WHERE a.vec_id < b.vec_id
+    AND ROUND(list_dot_product(a.vec, b.vec)
+              / (sqrt(list_dot_product(a.vec, a.vec))
+                 * sqrt(list_dot_product(b.vec, b.vec))), 6) >= 0.95
+),
+edge AS (
+  SELECT id_a AS src, id_b AS dst FROM pair
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pair
+),
+comp(node, lab) AS (
+  SELECT vec_id, vec_id FROM base
+  UNION
+  SELECT e.dst, c.lab FROM comp c JOIN edge e ON e.src = c.node
+),
+final AS (SELECT node, MIN(lab) AS cluster_id FROM comp GROUP BY node),
+sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM final GROUP BY cluster_id)
+SELECT f.node AS vec_id, f.cluster_id, s.cluster_size,
+       CAST(f.node = f.cluster_id AS INTEGER) AS is_canonical
+FROM final f JOIN sizes s ON f.cluster_id = s.cluster_id
+""".strip()
+
+
+@register("semantic_dedup_survivors", oracle=_SEMANTIC_DEDUP_ORACLE)
+def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table: label-blocked cosine pairs at
+    >= 0.95 feed the connected-components closure; rows with
+    is_canonical = 1 are the semantic survivors (training keeps exactly
+    one exemplar per embedding-space duplicate group). At 100 TB the
+    block key becomes an IVF centroid / LSH bucket instead of the label —
+    same plan shape, corpus-size-independent pair work."""
+    from kol_bigdata_realtime_analytics_spark.operators.dedup import duplicate_clusters
+
+    emb = table(spark, sf_dir, "embeddings")
+    pairs = cosine_neardup_pairs(
+        emb, id_col="vec_id", vec_col="embedding", block_col="label",
+        threshold=0.95, dim=64,
+    ).select("id_a", "id_b")
+    nodes = emb.select(F.col("vec_id").alias("doc_id"))
+    return duplicate_clusters(nodes, pairs, id_col="doc_id").select(
+        F.col("doc_id").alias("vec_id"), "cluster_id", "cluster_size", "is_canonical"
+    )
