@@ -1735,3 +1735,60 @@ def range_frame_weekly_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("dv").over(w), 2).cast("double").alias("sum_7cal_days"),
         F.sum("n").over(w).alias("n_7cal_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Band (theta) join — |balance difference| <= 10 supplier pairs. A naive
+# non-equi join plans BroadcastNestedLoopJoin (O(n^2) compares); bucketing
+# each row to floor(bal/10) and equi-joining each row against its
+# NEIGHBORING buckets {b-1, b, b+1} makes it a hash join whose pair work
+# is bounded by band density. Differences compare in exact integer cents.
+# ---------------------------------------------------------------------------
+
+_BAND_JOIN_ORACLE = """
+WITH s AS (
+  SELECT s_suppkey, CAST(round(s_acctbal * 100) AS BIGINT) AS bal_c
+  FROM supplier
+)
+SELECT a.s_suppkey AS supp_a, b.s_suppkey AS supp_b,
+       b.bal_c - a.bal_c AS diff_cents
+FROM s a JOIN s b
+  ON a.s_suppkey < b.s_suppkey
+ AND abs(b.bal_c - a.bal_c) <= 1000
+""".strip()
+
+
+@register("acctbal_band_pairs", oracle=_BAND_JOIN_ORACLE)
+def acctbal_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier pairs within $10 of each other by the bucket-neighbor
+    decomposition: each row replicates to 3 candidate buckets (its own and
+    both neighbors), the join is EQUI on the bucket, and the exact band
+    predicate filters residually — every true pair falls in one of the
+    three bucket alignments, and each pair is found exactly once because
+    the probe uses the LEFT row's bucket offsets against the RIGHT row's
+    home bucket."""
+    s = table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.round(F.col("s_acctbal") * 100).cast("long").alias("bal_c"),
+    )
+    home = s.withColumn("bkt", F.floor(F.col("bal_c") / 1000))
+    probe = home.select(
+        F.col("s_suppkey").alias("supp_a"),
+        F.col("bal_c").alias("bal_a"),
+        F.explode(
+            F.array(F.col("bkt") - 1, F.col("bkt"), F.col("bkt") + 1)
+        ).alias("bkt"),
+    )
+    right = home.select(
+        F.col("s_suppkey").alias("supp_b"), F.col("bal_c").alias("bal_b"), "bkt"
+    )
+    return (
+        probe.join(right, "bkt")
+        .filter(
+            (F.col("supp_a") < F.col("supp_b"))
+            & (F.abs(F.col("bal_b") - F.col("bal_a")) <= 1000)
+        )
+        .select(
+            "supp_a", "supp_b", (F.col("bal_b") - F.col("bal_a")).alias("diff_cents")
+        )
+    )
