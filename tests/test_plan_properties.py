@@ -344,3 +344,14 @@ def test_dynamic_partition_pruning_fires(spark, tmp_path):
     plan = _formatted(joined)
     assert "dynamicpruning" in plan.lower(), plan
     assert joined.count() == 200
+
+
+def test_band_join_is_hash_join_not_nested_loop(spark, sf_oracle):
+    """acctbal_band_pairs: the bucket decomposition must plan a hash join
+    (equi on bucket) — a raw non-equi |x-y|<=d condition would fall back
+    to BroadcastNestedLoopJoin with O(n^2) compares."""
+    from kol_bigdata_realtime_analytics_spark.plans import REGISTRY
+
+    plan = _formatted(REGISTRY["acctbal_band_pairs"].fn(spark, sf_oracle))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
