@@ -333,3 +333,68 @@ def streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.processAllAvailable()
     q.stop()
     return spark.table("stream_ohlc_mem")
+
+
+# ---------------------------------------------------------------------------
+# Streaming SESSION windows — the state shape tumbling/sliding windows
+# can't express: window extents are DATA-DRIVEN (merge while gap < 5 min),
+# so the state store must merge adjacent sessions as late rows arrive.
+# Same semantics as the batch `session_window_native`; the shared oracle
+# certifies stream == batch session assembly end-to-end.
+# ---------------------------------------------------------------------------
+
+_STREAM_SESSION_ORACLE = """
+WITH gaps AS (
+  SELECT user_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 300000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS seq
+  FROM gaps
+)
+SELECT user_id,
+       epoch_us(MIN(ts)) AS session_start_us,
+       epoch_us(MAX(ts)) + 300000000 AS session_end_us,
+       COUNT(*) AS n_events
+FROM sess GROUP BY user_id, seq
+""".strip()
+
+
+@register("streaming_sessions", oracle=_STREAM_SESSION_ORACLE)
+def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming session windows: session_window(ts, '5 minutes') per
+    user over readStream, complete-mode memory sink (bounded replay emits
+    every session; a production deployment runs append mode + watermark so
+    closed sessions emit incrementally and state evicts). The session
+    store MERGES windows when an event bridges two provisional sessions —
+    the semantics the oracle's gaps-and-islands SQL re-derives."""
+    for q in spark.streams.active:
+        if q.name == "stream_sessions_mem":
+            q.stop()
+    stream = events_stream_source(spark, sf_dir)
+    out = (
+        stream.groupBy(
+            "user_id", F.session_window("ts", "5 minutes").alias("sw")
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("sw.start")).alias("session_start_us"),
+            F.unix_micros(F.col("sw.end")).alias("session_end_us"),
+            "n_events",
+        )
+    )
+    q = (
+        out.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("stream_sessions_mem")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table("stream_sessions_mem")
