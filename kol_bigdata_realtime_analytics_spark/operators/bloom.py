@@ -80,7 +80,12 @@ def with_bloom_maybe(
     Plan shape: k scalar bit tests per row, each a broadcast hash join of
     the <= m/64-row bitmap — the big side stays in its scan stage, no
     exchange. Implemented as k successive joins on distinct word aliases
-    (not explode+groupBy, which would shuffle the big side k-fold)."""
+    (not explode+groupBy, which would shuffle the big side k-fold). The
+    bitmap is localCheckpointed first: the k broadcast builds otherwise
+    each re-execute its build lineage (measured 23 exchanges on the
+    registered check query; the pin collapses them to one tiny job) —
+    mirroring production, where the bitmap is STAGED next to the index."""
+    bitmap = bitmap.localCheckpoint(eager=True)
     out = df
     tests = []
     for i, pos in enumerate(_positions(F.col(key_col), m_bits, k)):
@@ -115,7 +120,11 @@ def bloom_anti_join(
     """batch rows whose key_col is NOT in index[key_col] — same result as
     `batch.join(index, key_col, "left_anti")`, but only the bloom-maybe
     fraction of the batch reaches the anti-join exchange; definite-new rows
-    (any unset bit) short-circuit in the scan stage. Exactness: no false
+    (any unset bit) short-circuit in the scan stage. The definite/maybe
+    split re-executes the flagged lineage twice — two columnar SCANS of
+    the batch (cheap; the membership joins are all broadcast), never two
+    shuffles; stage `flagged` in a pipeline if the batch's own source
+    scan is expensive. Exactness: no false
     negatives (definite-new is sound), and false positives are removed by
     the exact anti-join on the survivors."""
     flagged = with_bloom_maybe(batch, key_col, bloom_bitmap(index, key_col, m_bits, k),
