@@ -42,17 +42,21 @@ def count_min_build(
     key_col: str,
     width: int = DEFAULT_WIDTH,
     depth: int = DEFAULT_DEPTH,
+    weight_col: str | None = None,
 ) -> DataFrame:
-    """(d, bucket, cnt) counter grid, <= depth*width rows."""
-    return (
-        df.select(
-            F.posexplode(F.array(*_buckets(F.col(key_col), width, depth))).alias(
-                "d", "bucket"
-            )
-        )
-        .groupBy("d", "bucket")
-        .agg(F.count("*").alias("cnt"))
+    """(d, bucket, cnt) counter grid, <= depth*width rows.
+
+    With `weight_col`, each row adds its weight instead of 1 — so a sketch
+    can be built from an ALREADY-AGGREGATED (key, count) frame in one pass
+    instead of re-scanning the raw rows (identical counters, since the
+    grid is linear in its inputs)."""
+    pos = df.select(
+        F.posexplode(F.array(*_buckets(F.col(key_col), width, depth))).alias(
+            "d", "bucket"
+        ),
+        (F.col(weight_col) if weight_col else F.lit(1)).cast("long").alias("w"),
     )
+    return pos.groupBy("d", "bucket").agg(F.sum("w").alias("cnt"))
 
 
 def count_min_estimate(

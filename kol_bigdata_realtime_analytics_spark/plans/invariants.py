@@ -262,8 +262,16 @@ def count_min_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = table(spark, sf_dir, "events")
-    sketch = count_min_build(ev, "user_id")
-    exact = ev.groupBy("user_id").agg(F.count("*").alias("exact_count"))
+    # ONE corpus aggregation: the sketch derives from the exact counts via
+    # the weighted build (the counter grid is linear in its inputs), and
+    # the tiny counts frame is pinned so its lineage doesn't re-execute
+    # for the sketch / estimate / total branches.
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("exact_count"))
+        .localCheckpoint(eager=True)
+    )
+    sketch = count_min_build(exact, "user_id", weight_col="exact_count")
     est = count_min_estimate(exact, sketch, "user_id")
     # every depth-row's counters must sum to the total item count
     n_total = exact.agg(F.sum("exact_count").alias("n")).select("n")

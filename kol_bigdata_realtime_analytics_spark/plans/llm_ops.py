@@ -1853,7 +1853,14 @@ def source_mix_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kol_bigdata_realtime_analytics_spark.plans.domain import trunc6
 
     docs = table(spark, sf_dir, "documents")
-    counts = docs.groupBy("source", "lang").agg(F.count("*").alias("c"))
+    # counts is <= sources x langs rows but its lineage is a corpus scan;
+    # pin it so the three derived frames (per-source, global, total) don't
+    # each re-scan the corpus
+    counts = (
+        docs.groupBy("source", "lang")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
+    )
     per_source = counts.groupBy("source").agg(F.sum("c").alias("sn"))
     global_lang = counts.groupBy("lang").agg(F.sum("c").alias("gc"))
     total = counts.agg(F.sum("c").alias("n"))
