@@ -881,36 +881,62 @@ def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     bare existence count per type overstates conversion whenever a
     purchase precedes the first view.
 
-    Each stage is one filtered agg joined to the previous stage's anchors
-    (user_id keys only, no payload); epoch-micro comparisons are exact
-    integers. The final 3-row report folds via scalar aggregates, so
-    output size is constant at any scale.
+    r4 shape: all three stage anchors are WINDOW minima over the SAME
+    user_id partitioning — one scan, one exchange, three window passes
+    (was: per-stage filtered aggs joined back, which re-executed the
+    events lineage six times). Epoch-micro comparisons are exact
+    integers; the final 3-row report folds via one scalar aggregate.
     """
     e = table(spark, sf_dir, "events")
     us = F.unix_micros(F.col("ts"))
-
-    def first_after(event_type: str, anchors: DataFrame | None) -> DataFrame:
-        stage = e.filter(F.col("event_type") == event_type).select(
-            "user_id", us.alias("_t")
+    w = Window.partitionBy("user_id")
+    staged = (
+        e.filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select("user_id", "event_type", us.alias("t"))
+        .withColumn(
+            "v_t", F.min(F.when(F.col("event_type") == "view", F.col("t"))).over(w)
         )
-        if anchors is not None:
-            stage = stage.join(anchors, "user_id").filter(F.col("_t") > F.col("t"))
-        return stage.groupBy("user_id").agg(F.min("_t").alias("t"))
-
-    v = first_after("view", None)
-    c = first_after("click", v)
-    p = first_after("purchase", c)
-    counts = [df.agg(F.count("*").alias("users")) for df in (v, c, p)]
-    labels = ["view", "view_then_click", "click_then_purchase"]
-    out = None
-    for i, (label, df) in enumerate(zip(labels, counts)):
-        row = df.select(
-            F.lit(i).cast("int").alias("stage_idx"),
-            F.lit(label).alias("stage"),
-            F.col("users"),
+        .withColumn(
+            "c_t",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("t") > F.col("v_t")),
+                    F.col("t"),
+                )
+            ).over(w),
         )
-        out = row if out is None else out.unionByName(row)
-    return out
+        .withColumn(
+            "p_t",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("t") > F.col("c_t")),
+                    F.col("t"),
+                )
+            ).over(w),
+        )
+    )
+    agg = staged.agg(
+        F.countDistinct(F.when(F.col("v_t").isNotNull(), F.col("user_id"))).alias("v"),
+        F.countDistinct(F.when(F.col("c_t").isNotNull(), F.col("user_id"))).alias("c"),
+        F.countDistinct(F.when(F.col("p_t").isNotNull(), F.col("user_id"))).alias("p"),
+    )
+    # ONE explode of the single agg row, not a 3-arm union (each union arm
+    # would re-plan the whole aggregate lineage)
+    stages = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("int").alias("stage_idx"),
+                F.lit(label).alias("stage"),
+                F.col(col).alias("users"),
+            )
+            for i, label, col in [
+                (0, "view", "v"),
+                (1, "view_then_click", "c"),
+                (2, "click_then_purchase", "p"),
+            ]
+        ]
+    )
+    return agg.select(F.explode(stages).alias("s")).select("s.*")
 
 
 _KEYNESS_ORACLE = """

@@ -330,8 +330,13 @@ def rolling_hll_users_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the hash."""
     ev = table(spark, sf_dir, "events")
     day = F.date_format("ts", "yyyy-MM-dd")
-    daily_sk = ev.groupBy(day.alias("day")).agg(
-        F.hll_sketch_agg("user_id").alias("sk")
+    # one sketch row per day; pinned — the day-spine and the window join
+    # must not re-scan events to re-derive it (that IS the pattern: daily
+    # sketches are staged once, windows merge the staged rows)
+    daily_sk = (
+        ev.groupBy(day.alias("day"))
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .localCheckpoint(eager=True)
     )
     days = daily_sk.select(F.col("day").alias("anchor"))
     window_sk = (

@@ -1923,7 +1923,9 @@ def collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", F.posexplode(tokens("text")).alias("pos", "t")
     )
-    uni = tok.groupBy("t").agg(F.count("*").alias("c"))
+    # vocab-sized but corpus-lineaged; pinned so the total + two marginal
+    # joins don't re-tokenize the corpus (plan audit: 4 scans -> 2)
+    uni = tok.groupBy("t").agg(F.count("*").alias("c")).localCheckpoint(eager=True)
     total = uni.agg(F.sum("c").alias("n"))
     w = Window.partitionBy("doc_id").orderBy("pos")
     bi = (
