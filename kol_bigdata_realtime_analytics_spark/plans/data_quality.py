@@ -66,6 +66,8 @@ def dq_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     e = table(spark, sf_dir, "events")
 
+    # same-table checks fold into ONE conditional aggregation per table
+    # (r4 plan audit: events/customer were each scanned once per check)
     pk_dups = o.agg(
         (F.count("o_orderkey") - F.countDistinct("o_orderkey"))
         .cast("long")
@@ -89,8 +91,12 @@ def dq_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("violations"))
     )
-    e_null = e.filter(F.col("user_id").isNull()).agg(F.count("*").alias("violations"))
-    e_neg = e.filter(F.col("value") < 0).agg(F.count("*").alias("violations"))
+    e_both = e.agg(
+        F.sum(F.col("user_id").isNull().cast("long")).alias("e_null"),
+        F.sum((F.col("value") < 0).cast("long")).alias("e_neg"),
+    ).localCheckpoint(eager=True)  # 1 row; both union arms read it without re-scanning events
+    e_null = e_both.select(F.col("e_null").alias("violations"))
+    e_neg = e_both.select(F.col("e_neg").alias("violations"))
     c_blank = c.filter(F.trim(F.coalesce(F.col("c_name"), F.lit(""))) == "").agg(
         F.count("*").alias("violations")
     )
