@@ -179,8 +179,11 @@ def minhash_estimate_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     fully deterministic.
     """
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    # exact side: distinct shingle-hash rows -> per-doc set size + pair overlap
-    sh = shingle_hash_rows(docs, "text", "doc_id", 3).distinct()
+    # exact side: distinct shingle-hash rows -> per-doc set size + pair
+    # overlap. The three shared frames (shingle rows, signatures, token
+    # counts) are pinned: each feeds 2-3 join branches, and unpinned the
+    # corpus re-tokenized once per branch (plan audit: 8 scans -> 1).
+    sh = shingle_hash_rows(docs, "text", "doc_id", 3).distinct().localCheckpoint(eager=True)
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
     inter = (
         sh.alias("x")
@@ -194,8 +197,8 @@ def minhash_estimate_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # estimate side: fraction of agreeing minhash lanes
     sig = docs.select(
         "doc_id", minhash_signature(word_shingles(F.col("text"), 3), 32).alias("sig")
-    )
-    tc = docs.select("doc_id", token_count("text").alias("tc"))
+    ).localCheckpoint(eager=True)
+    tc = docs.select("doc_id", token_count("text").alias("tc")).localCheckpoint(eager=True)
     pairs = (
         tc.alias("a")
         .join(tc.alias("b"), F.col("b.doc_id") == F.col("a.doc_id") + 1)
