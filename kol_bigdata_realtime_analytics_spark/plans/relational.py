@@ -663,3 +663,127 @@ def cascading_rollup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round(F.col("v"), 2).cast("double").alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental materialized-view maintenance — the refresh pattern behind
+# every nightly rollup: merge YESTERDAY'S aggregate table with today's
+# delta partials instead of recomputing from all history. Counts and
+# decimal sums are mergeable, so old ⊕ delta == full-recompute exactly;
+# the oracle IS the full recompute, making the hash match the refresh-
+# correctness certificate. The cutover (2000-01-01) splits the fact scan
+# with partition-prunable predicates.
+# ---------------------------------------------------------------------------
+
+_INCR_MV_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
+FROM events
+GROUP BY event_type
+""".strip()
+
+
+@register("incremental_mv_update_check", oracle=_INCR_MV_ORACLE)
+def incremental_mv_update_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type totals computed as merge(old aggregate, delta aggregate)
+    where old covers ts < 2000-01-01 and delta the rest — the incremental
+    refresh never touches pre-cutover rows again (both sub-aggregations
+    prune on the same pushed predicate a dt-partitioned table would prune
+    on). The oracle recomputes from ALL rows; hash equality proves the
+    merge loses nothing."""
+    ev = table(spark, sf_dir, "events")
+    cut = F.lit("2000-01-01 00:00:00").cast("timestamp")
+
+    def partial(df):
+        return df.groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("v"),
+        )
+
+    old = partial(ev.filter(F.col("ts") < cut))
+    delta = partial(ev.filter(F.col("ts") >= cut))
+    return (
+        old.unionByName(delta)
+        .groupBy("event_type")
+        .agg(F.sum("n").alias("n_events"), F.round(F.sum("v"), 2).cast("double").alias("total_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Welch's t-test — the A/B readout: is the mean event value of 'click'
+# different from 'view'? Sums and sums-of-squares accumulate in decimal
+# (order-proof); the t statistic and Welch dof are derived per GROUP PAIR
+# from those exact moments, truncated at 6dp.
+# ---------------------------------------------------------------------------
+
+_TTEST_ORACLE = """
+WITH m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s,
+         CAST(SUM(CAST(value * value AS DECIMAL(28,12))) AS DOUBLE) AS ss
+  FROM events WHERE event_type IN ('click', 'view') GROUP BY event_type
+),
+a AS (SELECT * FROM m WHERE event_type = 'click'),
+b AS (SELECT * FROM m WHERE event_type = 'view')
+SELECT 'click_vs_view' AS comparison,
+       a.n AS n_a, b.n AS n_b,
+       floor((a.s / a.n) * 1000000) / 1000000 AS mean_a,
+       floor((b.s / b.n) * 1000000) / 1000000 AS mean_b,
+       floor(((a.s / a.n) - (b.s / b.n))
+             / sqrt( (((a.ss - a.s * a.s / a.n) / (a.n - 1)) / a.n)
+                   + (((b.ss - b.s * b.s / b.n) / (b.n - 1)) / b.n) )
+             * 1000000) / 1000000 AS t_stat
+FROM a, b
+""".strip()
+
+
+@register("ab_value_ttest", oracle=_TTEST_ORACLE)
+def ab_value_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch t statistic for mean(value | click) vs mean(value | view).
+    One conditional-aggregation pass collects exact decimal moments per
+    arm; the statistic derives from those six scalars, so the only float
+    ops are the final deterministic double arithmetic (trunc6'd)."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    m = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("s"),
+            F.sum((F.col("value") * F.col("value")).cast("decimal(28,12)"))
+            .cast("double")
+            .alias("ss"),
+        )
+        .localCheckpoint(eager=True)  # 2 rows; both arm branches read it
+    )
+    a = m.filter(F.col("event_type") == "click").select(
+        F.col("n").alias("n_a"), F.col("s").alias("s_a"), F.col("ss").alias("ss_a")
+    )
+    b = m.filter(F.col("event_type") == "view").select(
+        F.col("n").alias("n_b"), F.col("s").alias("s_b"), F.col("ss").alias("ss_b")
+    )
+    j = a.crossJoin(b)
+    mean_a = F.col("s_a") / F.col("n_a")
+    mean_b = F.col("s_b") / F.col("n_b")
+    var_a = (F.col("ss_a") - F.col("s_a") * F.col("s_a") / F.col("n_a")) / (
+        F.col("n_a") - 1
+    )
+    var_b = (F.col("ss_b") - F.col("s_b") * F.col("s_b") / F.col("n_b")) / (
+        F.col("n_b") - 1
+    )
+    t = (mean_a - mean_b) / F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b"))
+
+    def t6(c):
+        return F.floor(c * 1000000) / 1000000
+
+    return j.select(
+        F.lit("click_vs_view").alias("comparison"),
+        "n_a",
+        "n_b",
+        t6(mean_a).alias("mean_a"),
+        t6(mean_b).alias("mean_b"),
+        t6(t).alias("t_stat"),
+    )
