@@ -122,3 +122,100 @@ def test_shingle_hash_rows_matches_string_shingles(spark, docs):
     for i in range(len(docs)):
         for j in range(i + 1, len(docs)):
             assert bool(str_sets[i] & str_sets[j]) == bool(hash_sets[i] & hash_sets[j])
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)), min_size=0, max_size=30
+    ),
+    n_nodes=st.integers(1, 13),
+)
+def test_duplicate_clusters_matches_union_find(spark, edges, n_nodes):
+    """Pointer-doubled min-label propagation == classic union-find on
+    arbitrary random graphs (chains, stars, cliques, disconnected, self
+    loops, duplicate edges)."""
+    from kol_bigdata_realtime_analytics_spark.operators.dedup import duplicate_clusters
+
+    edges = [(a, b) for a, b in edges if a < n_nodes and b < n_nodes and a != b]
+    nodes = spark.createDataFrame([(i,) for i in range(n_nodes)], "doc_id long")
+    edf = spark.createDataFrame(edges or [(0, 0)], "id_a long, id_b long")
+    if not edges:
+        edf = edf.filter("id_a != id_a")  # empty frame, keep schema
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"], r["is_canonical"])
+        for r in duplicate_clusters(nodes, edf).collect()
+    }
+
+    # reference union-find
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {}
+    for i in range(n_nodes):
+        comp.setdefault(find(i), []).append(i)
+    expected = {}
+    for members in comp.values():
+        lo = min(members)
+        for mnode in members:
+            expected[mnode] = (lo, len(members), int(mnode == lo))
+    assert got == expected
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)), min_size=0, max_size=25
+    )
+)
+def test_triangle_count_matches_bruteforce(spark, edges):
+    """Degree-oriented wedge counting == brute-force triple enumeration on
+    random graphs."""
+    from kol_bigdata_realtime_analytics_spark.operators.graph import triangle_count
+
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    df = spark.createDataFrame(list(und) or [(0, 0)], "src long, dst long")
+    if not und:
+        df = df.filter("src != src")
+    got = triangle_count(df).collect()[0]["n_triangles"]
+    nodes = sorted({x for e in und for x in e})
+    expected = sum(
+        1
+        for i, a in enumerate(nodes)
+        for b in nodes[i + 1:]
+        for c in nodes
+        if c > b
+        and (a, b) in und
+        and (a, c) in und
+        and (b, c) in und
+    )
+    assert got == expected
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    index_keys=st.sets(st.integers(0, 60), max_size=30),
+    batch_keys=st.sets(st.integers(0, 60), min_size=1, max_size=30),
+)
+def test_bloom_anti_join_matches_set_difference(spark, index_keys, batch_keys):
+    """bloom_anti_join == plain set difference for arbitrary key sets
+    (including empty index and full overlap)."""
+    from kol_bigdata_realtime_analytics_spark.operators.bloom import bloom_anti_join
+
+    index = spark.createDataFrame(
+        [(f"k{i}",) for i in sorted(index_keys)] or [("___",)], "key string"
+    )
+    if not index_keys:
+        index = index.filter("key != key")
+    batch = spark.createDataFrame([(f"k{i}",) for i in sorted(batch_keys)], "key string")
+    got = {r["key"] for r in bloom_anti_join(batch, index, "key").collect()}
+    assert got == {f"k{i}" for i in batch_keys - index_keys}
