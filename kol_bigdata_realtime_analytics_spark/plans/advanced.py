@@ -1818,3 +1818,85 @@ def acctbal_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "supp_a", "supp_b", (F.col("bal_b") - F.col("bal_a")).alias("diff_cents")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8 shape — national market share: the share of a region's revenue
+# in a part type captured by one supplier nation, by year. Six-way
+# snowflake with the nation dim again in two roles (customer's region
+# filter vs supplier's nation label); share = conditional decimal sum /
+# total decimal sum per year — exact rationals, trunc6.
+# ---------------------------------------------------------------------------
+
+_MARKET_SHARE_ORACLE = """
+WITH flat AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS vol,
+         n2.n_name AS supp_nation
+  FROM lineitem
+    JOIN part     ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region   ON n1.n_regionkey = r_regionkey AND r_name = 'REGION_1'
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+)
+SELECT o_year,
+       floor((CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol
+                            ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+              / CAST(SUM(vol) AS DOUBLE)) * 1000000) / 1000000 AS mkt_share,
+       COUNT(*) AS n_items
+FROM flat
+GROUP BY o_year
+""".strip()
+
+
+@register("national_market_share", oracle=_MARKET_SHARE_ORACLE)
+def national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8: NATION_3's share of REGION_1's ECONOMY-part revenue by order
+    year. All six dims broadcast (part filter prunes in its build side);
+    the share divides two exact decimal sums per year."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "REGION_1")
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    zero = F.lit(0).cast("decimal(18,6)")
+    flat = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(F.broadcast(r), F.col("c_rkey") == F.col("r_regionkey"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nkey"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            vol.alias("vol"),
+            "supp_nation",
+        )
+    )
+    return flat.groupBy("o_year").agg(
+        (
+            F.floor(
+                (
+                    F.sum(
+                        F.when(F.col("supp_nation") == "NATION_3", F.col("vol")).otherwise(zero)
+                    ).cast("double")
+                    / F.sum("vol").cast("double")
+                )
+                * 1000000
+            )
+            / 1000000
+        ).alias("mkt_share"),
+        F.count("*").alias("n_items"),
+    )
