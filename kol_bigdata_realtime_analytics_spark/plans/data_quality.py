@@ -326,3 +326,108 @@ def table_content_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("digest_sum"),
         F.bit_xor("rh").alias("digest_xor"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Population Stability Index — the production drift monitor: how far the
+# value distribution moved between the first and second half of the data,
+# per event type. Fixed value buckets (not rank deciles — no global sort);
+# PSI = sum (p2-p1)*ln(p2/p1) over buckets, from exact integer ratios with
+# decimal term sums (the KL-divergence discipline). Laplace +1 smoothing
+# keeps empty buckets finite IN BOTH ENGINES identically.
+# ---------------------------------------------------------------------------
+
+_PSI_ORACLE = """
+WITH mid AS (
+  SELECT to_timestamp(CAST(floor((epoch_us(MIN(ts)) + epoch_us(MAX(ts))) / 2) AS BIGINT) / 1000000.0) AS m
+  FROM events
+),
+bucketed AS (
+  SELECT event_type,
+         CASE WHEN ts < mid.m THEN 0 ELSE 1 END AS period,
+         LEAST(CAST(floor(value / 10) AS BIGINT), 9) AS bucket,
+         COUNT(*) AS c
+  FROM events, mid
+  GROUP BY 1, 2, 3
+),
+per_period AS (
+  SELECT event_type, period, CAST(SUM(c) AS BIGINT) AS n
+  FROM bucketed GROUP BY 1, 2
+),
+grid AS (
+  SELECT et.event_type, b.bucket,
+         COALESCE(c1.c, 0) + 1 AS c1s, COALESCE(c2.c, 0) + 1 AS c2s,
+         n1.n + 10 AS n1s, n2.n + 10 AS n2s
+  FROM (SELECT DISTINCT event_type FROM bucketed) et
+  CROSS JOIN (SELECT unnest(range(0, 10)) AS bucket) b
+  LEFT JOIN bucketed c1 ON c1.event_type = et.event_type AND c1.bucket = b.bucket AND c1.period = 0
+  LEFT JOIN bucketed c2 ON c2.event_type = et.event_type AND c2.bucket = b.bucket AND c2.period = 1
+  JOIN per_period n1 ON n1.event_type = et.event_type AND n1.period = 0
+  JOIN per_period n2 ON n2.event_type = et.event_type AND n2.period = 1
+)
+SELECT event_type,
+       floor(CAST(SUM(CAST(
+         (CAST(c2s AS DOUBLE) / n2s - CAST(c1s AS DOUBLE) / n1s)
+         * ln((CAST(c2s AS DOUBLE) / n2s) / (CAST(c1s AS DOUBLE) / n1s))
+         AS DECIMAL(28,12))) AS DOUBLE) * 1000000) / 1000000 AS psi
+FROM grid
+GROUP BY event_type
+""".strip()
+
+
+@register("value_drift_psi", oracle=_PSI_ORACLE)
+def value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI of the value distribution between the first and second half of
+    the event timeline, per event type (rule of thumb: < 0.1 stable,
+    > 0.25 drifted). One scan to the bucket grid; the PSI fold runs over
+    <= types x 10 decimal terms."""
+    ev = table(spark, sf_dir, "events")
+    mid = ev.agg(
+        F.to_timestamp(
+            (
+                F.floor(
+                    (F.unix_micros(F.min("ts")) + F.unix_micros(F.max("ts"))) / 2
+                ).cast("bigint")
+            )
+            / 1000000.0
+        ).alias("m")
+    )
+    bucketed = (
+        ev.crossJoin(F.broadcast(mid))
+        .groupBy(
+            "event_type",
+            F.when(F.col("ts") < F.col("m"), 0).otherwise(1).alias("period"),
+            F.least(F.floor(F.col("value") / 10), F.lit(9)).cast("long").alias("bucket"),
+        )
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)  # tiny grid; 4 derived frames below
+    )
+    per_period = bucketed.groupBy("event_type", "period").agg(F.sum("c").alias("n"))
+    types = bucketed.select("event_type").distinct()
+    buckets = F.broadcast(
+        ev.sparkSession.range(10).select(F.col("id").cast("long").alias("bucket"))
+    )
+    c1 = bucketed.filter("period = 0").select("event_type", "bucket", F.col("c").alias("c1"))
+    c2 = bucketed.filter("period = 1").select("event_type", "bucket", F.col("c").alias("c2"))
+    n1 = per_period.filter("period = 0").select("event_type", F.col("n").alias("n1"))
+    n2 = per_period.filter("period = 1").select("event_type", F.col("n").alias("n2"))
+    grid = (
+        types.crossJoin(buckets)
+        .join(c1, ["event_type", "bucket"], "left")
+        .join(c2, ["event_type", "bucket"], "left")
+        .join(F.broadcast(n1), "event_type")
+        .join(F.broadcast(n2), "event_type")
+        .select(
+            "event_type",
+            (F.coalesce("c1", F.lit(0)) + 1).alias("c1s"),
+            (F.coalesce("c2", F.lit(0)) + 1).alias("c2s"),
+            (F.col("n1") + 10).alias("n1s"),
+            (F.col("n2") + 10).alias("n2s"),
+        )
+    )
+    p1 = F.col("c1s").cast("double") / F.col("n1s")
+    p2 = F.col("c2s").cast("double") / F.col("n2s")
+    term = ((p2 - p1) * F.log(p2 / p1)).cast("decimal(28,12)")
+    return grid.groupBy("event_type").agg(
+        (F.floor(F.sum(term).cast("double") * 1000000) / 1000000).alias("psi")
+    )
