@@ -355,3 +355,52 @@ def test_band_join_is_hash_join_not_nested_loop(spark, sf_oracle):
     plan = _formatted(REGISTRY["acctbal_band_pairs"].fn(spark, sf_oracle))
     assert "BroadcastNestedLoopJoin" not in plan
     assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
+
+
+def test_no_unexpected_nested_loop_joins(spark, sf_oracle):
+    """Registry-wide fence: BroadcastNestedLoopJoin (O(n*m) compares) may
+    appear ONLY where a tiny frame is deliberately broadcast-crossed
+    (scalar totals, query vectors, bucket spines). Any other occurrence is
+    a scale bug — a non-equi join that silently fell off the hash path."""
+    from kol_bigdata_realtime_analytics_spark.plans import REGISTRY
+    from scripts.plan_audit import SKIP
+
+    # every name here crosses a frame that is O(1) / dim-sized by
+    # construction (audited in PLANS.md; see each query's docstring)
+    allowed = {
+        "ann_cosine_topk",          # broadcast 5 query vectors x corpus (baseline scorer)
+        "ann_int8_topk",            # broadcast 5 query codes x corpus
+        "ann_lsh_recall_check",     # brute-force reference inside the invariant
+        "brands_above_global_avg_qty",  # broadcast 1-row global average
+        "collocations_pmi",         # broadcast 1-row total
+        "count_min_check",          # broadcast 1-row totals (rows_ok, n)
+        "rolling_hll_users_check",  # day-spine range join (days x days)
+        "skew_salted_join",         # broadcast 8-row salt spine x dim
+        "source_mix_divergence",    # broadcast 1-row total
+        "distinctive_terms_chi2",   # broadcast 1-row all-token total
+        "tfidf_top_terms",          # broadcast 1-row doc count
+        "unigram_xent_scores",      # broadcast 1-row total
+        "vocab_coverage_curve",     # broadcast 1-row total
+        "ab_value_ttest",           # 1-row x 1-row arm cross
+        "value_drift_psi",          # broadcast 1-row midpoint + 10-row bucket spine
+        "weighted_median_by_segment",
+        "events_value_band_topk",
+        "corpus_mix_plan",
+        "token_budget_curve",
+        "domain_temperature_weights",
+        "embedding_neardup_pairs",
+        "robust_value_stats",
+        "incremental_dedup_new_docs",
+        "quality_funnel",
+    }
+    offenders = []
+    for name in sorted(REGISTRY):
+        if name in SKIP or name in allowed:
+            continue
+        try:
+            plan = _formatted(REGISTRY[name].fn(spark, sf_oracle))
+        except Exception:
+            continue  # runtime-gated queries; covered elsewhere
+        if "BroadcastNestedLoopJoin" in plan:
+            offenders.append(name)
+    assert not offenders, f"unexpected nested-loop joins in: {offenders}"
