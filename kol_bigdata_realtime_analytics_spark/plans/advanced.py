@@ -1900,3 +1900,51 @@ def national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mkt_share"),
         F.count("*").alias("n_items"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Path mining — most frequent length-3 event-type paths across user
+# journeys (the Sankey feed / next-step model input). Same posexplode-free
+# shape as the bigram path: two lead() hops over ONE (user, time) window;
+# the path string materializes only for the final aggregated rows.
+# ---------------------------------------------------------------------------
+
+_TOP_PATHS_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type, 1) OVER w AS e2,
+         LEAD(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_type || '>' || e2 || '>' || e3 AS path,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM seq WHERE e3 IS NOT NULL
+GROUP BY 1
+ORDER BY n DESC, path
+LIMIT 25
+""".strip()
+
+
+@register("top_event_paths", oracle=_TOP_PATHS_ORACLE)
+def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 three-step event-type paths by occurrence (with distinct-user
+    support). (ts, event_id) ordering keys make paths deterministic under
+    timestamp ties; top-k plans TakeOrderedAndProject."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    return (
+        seq.groupBy(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+        )
+        .agg(F.count("*").alias("n"), F.countDistinct("user_id").alias("n_users"))
+        .orderBy(F.col("n").desc(), F.col("path").asc())
+        .limit(25)
+    )
