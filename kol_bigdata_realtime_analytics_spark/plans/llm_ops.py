@@ -2121,3 +2121,77 @@ def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_clusters(nodes, pairs, id_col="doc_id").select(
         F.col("doc_id").alias("vec_id"), "cluster_id", "cluster_size", "is_canonical"
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding centroid drift — the embedding-space drift monitor: per label,
+# the cosine between the mean vector of two data splits (stand-in: even vs
+# odd vec_id; production: yesterday vs today). Per-dimension sums
+# accumulate exactly in decimal via one posexplode aggregation; only the
+# final per-label cosine arithmetic is float, trunc6'd.
+# ---------------------------------------------------------------------------
+
+_CENTROID_DRIFT_ORACLE = """
+WITH dims AS (
+  SELECT label, vec_id % 2 AS split, d - 1 AS dim, x
+  FROM (SELECT label, vec_id, unnest(embedding::DOUBLE[]) AS x,
+               generate_subscripts(embedding, 1) AS d
+        FROM embeddings)
+),
+sums AS (
+  SELECT label, split, dim,
+         CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS s,
+         COUNT(*) AS n
+  FROM dims GROUP BY 1, 2, 3
+),
+means AS (SELECT label, split, dim, s / n AS m FROM sums),
+pairs AS (
+  SELECT a.label, a.dim, a.m AS ma, b.m AS mb
+  FROM means a JOIN means b
+    ON a.label = b.label AND a.dim = b.dim AND a.split = 0 AND b.split = 1
+)
+SELECT label,
+       floor(SUM(ma * mb)
+             / (sqrt(SUM(ma * ma)) * sqrt(SUM(mb * mb))) * 1000000) / 1000000
+         AS centroid_cosine
+FROM pairs
+GROUP BY label
+""".strip()
+
+
+@register("embedding_centroid_drift", oracle=_CENTROID_DRIFT_ORACLE)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine between split centroids per label (1.0 = no drift). The
+    per-dimension decimal sums are summation-order-proof; the final
+    cosine runs over 64 mean pairs per label.
+
+    Scale shape: one posexplode aggregation to (label x split x dim) rows
+    — corpus-size-independent output; the pair join and cosine fold touch
+    only that tiny grid."""
+    emb = table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("split"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x"),
+    )
+    sums = dims.groupBy("label", "split", "dim").agg(
+        F.sum(F.col("x").cast("decimal(28,12)")).cast("double").alias("s"),
+        F.count("*").alias("n"),
+    )
+    means = sums.select("label", "split", "dim", (F.col("s") / F.col("n")).alias("m"))
+    a = means.filter("split = 0").select("label", "dim", F.col("m").alias("ma"))
+    b = means.filter("split = 1").select("label", "dim", F.col("m").alias("mb"))
+    pairs = a.join(b, ["label", "dim"])
+    return pairs.groupBy("label").agg(
+        (
+            F.floor(
+                F.sum(F.col("ma") * F.col("mb"))
+                / (
+                    F.sqrt(F.sum(F.col("ma") * F.col("ma")))
+                    * F.sqrt(F.sum(F.col("mb") * F.col("mb")))
+                )
+                * 1000000
+            )
+            / 1000000
+        ).alias("centroid_cosine")
+    )
