@@ -2195,3 +2195,95 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000
         ).alias("centroid_cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 search — the serving-side full-text ranking the reference's REST
+# search endpoint approximates with LIKE filters. Exact Okapi BM25
+# (k1=1.2, b=0.75): tf from one (doc, term) count, df + doclen + avgdl
+# from corpus aggregates, idf = ln((N - df + 0.5)/(df + 0.5) + 1). Every
+# input is an exact integer; per-doc term-score sums ride DECIMAL(28,12)
+# so multi-term scores are summation-order-proof.
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ["spark", "table", "value"]
+
+_BM25_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+  FROM documents WHERE trim(COALESCE(text, '')) != ''
+),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dlen FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dlen) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok WHERE t IN ({", ".join(f"'{t}'" for t in _BM25_TERMS)})
+  GROUP BY doc_id, t
+),
+df AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY t),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(SUM(CAST(
+           ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+           * (CAST(tf.tf AS DOUBLE) * 2.2)
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dlen / s.avgdl))
+         AS DECIMAL(28,12))) AS DOUBLE) AS score
+  FROM tf JOIN df ON tf.t = df.t JOIN dl ON tf.doc_id = dl.doc_id, stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, floor(score * 1000000) / 1000000 AS bm25
+FROM scored
+ORDER BY score DESC, doc_id
+LIMIT 20
+""".strip()
+
+
+@register("bm25_search", oracle=_BM25_ORACLE)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 docs for the query {spark, table, value} by exact Okapi BM25.
+    Plan: one tokenize feeding doc lengths and (pushed-down) query-term
+    tfs; df and corpus stats are broadcast scalars; per-doc term scores
+    sum in decimal. The term filter reaches the tf aggregation as a
+    pre-agg predicate, so the scored frame is docs-matching-terms sized,
+    never corpus x vocab."""
+    docs = table(spark, sf_dir, "documents").filter(
+        F.trim(F.coalesce("text", F.lit(""))) != ""
+    )
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("t"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dlen")).localCheckpoint(
+        eager=True  # feeds corpus stats AND the per-doc score join
+    )
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dlen").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        tok.filter(F.col("t").isin(_BM25_TERMS))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("t").agg(F.count("*").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    term_score = (
+        idf
+        * (F.col("tf").cast("double") * 2.2)
+        / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dlen") / F.col("avgdl")))
+    ).cast("decimal(28,12)")
+    scored = (
+        tf.join(F.broadcast(df), "t")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(term_score).cast("double").alias("score"))
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(20)
+        .select("doc_id", (F.floor(F.col("score") * 1000000) / 1000000).alias("bm25"))
+    )
