@@ -102,6 +102,8 @@ HEADLINE = [
     "pit_join_order_attr",
     "rolling_hll_users_check",
     "cascading_rollup_check",
+    "bm25_search",
+    "value_drift_psi",
 ]
 
 
