@@ -1948,3 +1948,83 @@ def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("path").asc())
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# Item-item affinity (collaborative-filtering scoring) — cosine and lift
+# over order-basket co-occurrence: the similarity table behind every
+# "customers also bought". Pair counts are basket-local (quadratic in
+# basket size, never corpus size); marginals broadcast back onto the
+# pair frame; all ratios derive from exact integers, trunc6.
+# ---------------------------------------------------------------------------
+
+_AFFINITY_ORACLE = """
+WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n_orders AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM baskets),
+freq AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS f FROM baskets GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, CAST(COUNT(*) AS BIGINT) AS c
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3
+)
+SELECT p.part_a, p.part_b, p.c AS n_cobought,
+       floor(CAST(p.c AS DOUBLE) / sqrt(CAST(fa.f AS DOUBLE) * fb.f) * 1000000)
+         / 1000000 AS cosine,
+       floor((CAST(p.c AS DOUBLE) * n.n) / (CAST(fa.f AS DOUBLE) * fb.f) * 1000000)
+         / 1000000 AS lift
+FROM pairs p
+  JOIN freq fa ON p.part_a = fa.l_partkey
+  JOIN freq fb ON p.part_b = fb.l_partkey, n_orders n
+""".strip()
+
+
+@register("part_affinity_scores", oracle=_AFFINITY_ORACLE)
+def part_affinity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine and lift for part pairs co-bought in >= 3 orders. The pair
+    join is keyed on the order (basket-local); part frequencies and the
+    order count broadcast onto the surviving pairs."""
+    li = table(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint(
+        eager=True  # feeds the pair self-join (both sides), freq, and n_orders
+    )
+    n_orders = baskets.agg(F.countDistinct("l_orderkey").alias("n"))
+    freq = baskets.groupBy("l_partkey").agg(F.count("*").alias("f"))
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .agg(F.count("*").alias("n_cobought"))
+        .filter(F.col("n_cobought") >= 3)
+    )
+    fa = freq.select(F.col("l_partkey").alias("part_a"), F.col("f").alias("fa"))
+    fb = freq.select(F.col("l_partkey").alias("part_b"), F.col("f").alias("fb"))
+
+    def t6(c):
+        return F.floor(c * 1000000) / 1000000
+
+    return (
+        pairs.join(F.broadcast(fa), "part_a")
+        .join(F.broadcast(fb), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_cobought",
+            t6(
+                F.col("n_cobought").cast("double")
+                / F.sqrt(F.col("fa").cast("double") * F.col("fb"))
+            ).alias("cosine"),
+            t6(
+                (F.col("n_cobought").cast("double") * F.col("n"))
+                / (F.col("fa").cast("double") * F.col("fb"))
+            ).alias("lift"),
+        )
+    )
