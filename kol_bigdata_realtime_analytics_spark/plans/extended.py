@@ -942,3 +942,49 @@ def unpivot_user_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="event_type",
         valueColumnName="total_value",
     )
+
+
+# ---------------------------------------------------------------------------
+# Python DataSource scan — the Spark 4 custom-source API exercised end to
+# end: a deterministic generator source (sources/pydatasource.py) whose
+# rows are a pure function of the global id, aggregated per key. The
+# oracle recomputes the identical dataset from range() — a hash match
+# certifies the partition/read plumbing, not just the construction.
+# ---------------------------------------------------------------------------
+
+_PYDS_ORACLE = """
+WITH src AS (
+  SELECT r.range AS id, (r.range % 997) / 100.0 AS v,
+         'k' || CAST(r.range % 13 AS VARCHAR) AS k
+  FROM range(100000) r
+)
+SELECT k,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS v_sum,
+       CAST(SUM(id) AS BIGINT) AS id_sum
+FROM src GROUP BY k
+""".strip()
+
+
+@register("python_datasource_scan", oracle=_PYDS_ORACLE)
+def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100k rows from the custom `detrange` Python DataSource (8 executor-
+    side partitions, Arrow-batched), aggregated per key. Deterministic at
+    any parallelism because row content is a pure function of the global
+    id."""
+    from kol_bigdata_realtime_analytics_spark.sources.pydatasource import (
+        register_detrange,
+    )
+
+    register_detrange(spark)
+    src = (
+        spark.read.format("detrange")
+        .option("n", "100000")
+        .option("partitions", "8")
+        .load()
+    )
+    return src.groupBy("k").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("v").cast("decimal(18,6)")).cast("double").alias("v_sum"),
+        F.sum("id").alias("id_sum"),
+    )
