@@ -383,6 +383,8 @@ def test_no_unexpected_nested_loop_joins(spark, sf_oracle):
         "vocab_coverage_curve",     # broadcast 1-row total
         "ab_value_ttest",           # 1-row x 1-row arm cross
         "value_drift_psi",          # broadcast 1-row midpoint + 10-row bucket spine
+        "bm25_search",              # broadcast 1-row corpus stats (n_docs, avgdl)
+        "part_affinity_scores",     # broadcast 1-row order count
         "weighted_median_by_segment",
         "events_value_band_topk",
         "corpus_mix_plan",
