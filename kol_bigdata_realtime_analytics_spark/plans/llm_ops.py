@@ -2151,8 +2151,10 @@ pairs AS (
     ON a.label = b.label AND a.dim = b.dim AND a.split = 0 AND b.split = 1
 )
 SELECT label,
-       floor(SUM(ma * mb)
-             / (sqrt(SUM(ma * ma)) * sqrt(SUM(mb * mb))) * 1000000) / 1000000
+       floor(CAST(SUM(CAST(ma * mb AS DECIMAL(28,12))) AS DOUBLE)
+             / (sqrt(CAST(SUM(CAST(ma * ma AS DECIMAL(28,12))) AS DOUBLE))
+                * sqrt(CAST(SUM(CAST(mb * mb AS DECIMAL(28,12))) AS DOUBLE)))
+             * 1000000) / 1000000
          AS centroid_cosine
 FROM pairs
 GROUP BY label
@@ -2182,13 +2184,19 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = means.filter("split = 0").select("label", "dim", F.col("m").alias("ma"))
     b = means.filter("split = 1").select("label", "dim", F.col("m").alias("mb"))
     pairs = a.join(b, ["label", "dim"])
+
+    def dsum12(c):
+        # decimal term sums: the 64-dim dot/norm folds must not depend on
+        # partial-aggregation order (registry float-sum rule)
+        return F.sum(c.cast("decimal(28,12)")).cast("double")
+
     return pairs.groupBy("label").agg(
         (
             F.floor(
-                F.sum(F.col("ma") * F.col("mb"))
+                dsum12(F.col("ma") * F.col("mb"))
                 / (
-                    F.sqrt(F.sum(F.col("ma") * F.col("ma")))
-                    * F.sqrt(F.sum(F.col("mb") * F.col("mb")))
+                    F.sqrt(dsum12(F.col("ma") * F.col("ma")))
+                    * F.sqrt(dsum12(F.col("mb") * F.col("mb")))
                 )
                 * 1000000
             )
