@@ -2028,3 +2028,119 @@ def part_affinity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Full cohort retention matrix — (cohort week x week offset) distinct-user
+# grid, the complete triangle behind the single-cohort retention query.
+# Two narrow aggregations: first-seen per user (one shuffle), then the
+# distinct count per (cohort, offset).
+# ---------------------------------------------------------------------------
+
+_RETENTION_MATRIX_ORACLE = """
+WITH first_seen AS (
+  SELECT user_id, MIN(date_trunc('week', ts)) AS cohort_week FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+         CAST(floor(date_diff('day', f.cohort_week, date_trunc('week', e.ts)) / 7)
+              AS BIGINT) AS week_offset
+  FROM events e JOIN first_seen f ON e.user_id = f.user_id
+)
+SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+       week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM activity
+GROUP BY 1, 2
+""".strip()
+
+
+@register("retention_matrix", oracle=_RETENTION_MATRIX_ORACLE)
+def retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users active in week `cohort + offset`, for every cohort
+    week — the full retention triangle."""
+    ev = table(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts"))
+    first_seen = ev.groupBy("user_id").agg(F.min(wk).alias("cohort_week"))
+    activity = (
+        ev.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week")) / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"), "week_offset"
+    ).agg(F.count("*").alias("n_users"))
+
+
+# ---------------------------------------------------------------------------
+# Time-to-convert — latency between first view and first subsequent
+# purchase per user, folded to exact integer-microsecond stats. The two
+# firsts are window minima over one user partitioning (the funnel shape);
+# the stat fold runs over converted users only.
+# ---------------------------------------------------------------------------
+
+_TIME_TO_CONVERT_ORACLE = """
+WITH firsts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS v_t,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p_raw
+  FROM events GROUP BY user_id
+),
+conv AS (
+  SELECT user_id, (SELECT MIN(epoch_us(e.ts)) FROM events e
+                   WHERE e.user_id = firsts.user_id AND e.event_type = 'purchase'
+                     AND epoch_us(e.ts) > firsts.v_t) - v_t AS gap_us
+  FROM firsts WHERE v_t IS NOT NULL
+)
+SELECT CAST(COUNT(gap_us) AS BIGINT) AS n_converted,
+       CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+       CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+       CAST(floor(CAST(SUM(gap_us) AS DOUBLE) / COUNT(gap_us)) AS BIGINT) AS avg_gap_us
+FROM conv
+""".strip()
+
+
+@register("time_to_convert_stats", oracle=_TIME_TO_CONVERT_ORACLE)
+def time_to_convert_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first-view -> first-subsequent-purchase latency stats in exact
+    epoch micros (integer sums — no float until the final floored mean)."""
+    ev = table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id")
+    staged = ev.select(
+        "user_id",
+        "event_type",
+        us.alias("t"),
+    ).withColumn(
+        "v_t", F.min(F.when(F.col("event_type") == "view", F.col("t"))).over(w)
+    )
+    gaps = (
+        staged.withColumn(
+            "p_t",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("t") > F.col("v_t")),
+                    F.col("t"),
+                )
+            ).over(w),
+        )
+        .filter(F.col("v_t").isNotNull())
+        .select("user_id", (F.col("p_t") - F.col("v_t")).alias("gap_us"))
+        .distinct()
+    )
+    return gaps.agg(
+        F.count("gap_us").alias("n_converted"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+        F.floor(F.sum("gap_us").cast("double") / F.count("gap_us"))
+        .cast("bigint")
+        .alias("avg_gap_us"),
+    )
