@@ -2295,3 +2295,56 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("doc_id", (F.floor(F.col("score") * 1000000) / 1000000).alias("bm25"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID evaluation — confusion counts of the heuristic classifier
+# against the labeled lang column, with per-actual-language recall. The
+# eval aggregate over text_profile's per-doc columns: one scan to a
+# (actual x predicted) grid, recall as an exact ratio over a window on
+# that tiny grid.
+# ---------------------------------------------------------------------------
+
+from kol_bigdata_realtime_analytics_spark.functions.text import (  # noqa: E402
+    LANGUAGE_ID_ORACLE_SQL,
+    STOPWORD_RATIO_ORACLE_SQL as _SW_SQL,
+)
+
+_LANGID_PRED = LANGUAGE_ID_ORACLE_SQL.format(
+    col="text", sw_ratio=_SW_SQL.format(col="text")
+)
+
+_LANGID_CONFUSION_ORACLE = f"""
+WITH pred AS (
+  SELECT lang AS lang_actual, {_LANGID_PRED} AS lang_pred FROM documents
+),
+grid AS (
+  SELECT lang_actual, lang_pred, COUNT(*) AS n FROM pred GROUP BY 1, 2
+)
+SELECT lang_actual, lang_pred, CAST(n AS BIGINT) AS n,
+       floor(CAST(n AS DOUBLE)
+             / SUM(n) OVER (PARTITION BY lang_actual) * 1000000) / 1000000
+         AS frac_of_actual
+FROM grid
+""".strip()
+
+
+@register("langid_confusion", oracle=_LANGID_CONFUSION_ORACLE)
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion grid for the n-gram/stopword language-ID heuristic vs the
+    labeled lang column, with each cell's share of its actual-language
+    row (the diagonal's share = recall)."""
+    docs = table(spark, sf_dir, "documents")
+    grid = docs.groupBy(
+        F.col("lang").alias("lang_actual"),
+        language_id("text").alias("lang_pred"),
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang_actual")
+    return grid.select(
+        "lang_actual",
+        "lang_pred",
+        "n",
+        (
+            F.floor(F.col("n").cast("double") / F.sum("n").over(w) * 1000000) / 1000000
+        ).alias("frac_of_actual"),
+    )
