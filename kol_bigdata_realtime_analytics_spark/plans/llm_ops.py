@@ -2176,9 +2176,15 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") % 2).alias("split"),
         F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x"),
     )
-    sums = dims.groupBy("label", "split", "dim").agg(
-        F.sum(F.col("x").cast("decimal(28,12)")).cast("double").alias("s"),
-        F.count("*").alias("n"),
+    sums = (
+        dims.groupBy("label", "split", "dim")
+        .agg(
+            F.sum(F.col("x").cast("decimal(28,12)")).cast("double").alias("s"),
+            F.count("*").alias("n"),
+        )
+        # tiny (label x split x dim) grid; pinned so the two split branches
+        # don't each re-scan the embeddings
+        .localCheckpoint(eager=True)
     )
     means = sums.select("label", "split", "dim", (F.col("s") / F.col("n")).alias("m"))
     a = means.filter("split = 0").select("label", "dim", F.col("m").alias("ma"))
