@@ -53,53 +53,57 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Q1 is the engine's hottest wide aggregate, so it runs the FIXED-POINT
     order-proof form instead of decimal sums (PERF.md §2.10 — decimal
-    accumulation measured 5x slower than double at sf0.1; this form is
-    2.4x faster than decimal with the same determinism):
+    accumulation measured ~2x slower at sf0.1):
       * per row, measures quantize to integers via round(x * S) in the
         scan's codegen stage — EXACT, not approximate, because the
         columns are true fixed-decimal data (quantities integral, money
         2dp, rates 2dp; products of 2dp x 2dp have <= 4dp), so x*S always
         sits within ~1e-5 of an integer and never near a rounding tie;
-      * LONG partial sums over (group, salt) — whole-stage-codegen long
-        adds, with crc32 salting bounding any single partial below long
-        overflow (n_salt=64 here; at N rows/group pick n_salt >
-        N * maxfx / 2^63);
-      * a <= n_salt-row DECIMAL(38,0) final merge per group — exact at
-        any scale, cost amortized to nothing.
-    Derived outputs (2dp sums, 6dp avgs) use floor-truncation of the
-    deterministic double quotients, the registry's tie-proof rule.
+      * each fixed-point long splits into TWO LIMBS (arithmetic-shift hi,
+        masked lo — the identity x == (x>>20)*2^20 + (x & (2^20-1)) holds
+        for every long in two's complement) and BOTH limbs sum as plain
+        longs in ONE hash aggregation — whole-stage-codegen adds, a single
+        exchange, no second merge stage. Each limb sum is overflow-safe to
+        N_rows/group < 2^63 / max(maxfx/2^20, 2^20) ≈ 8.8e12 here
+        (maxfx ≈ 1.1e11), ~15x headroom over 100 TB lineitem;
+      * limbs recombine per OUTPUT group (a handful of rows) in
+        DECIMAL(38,0) — exact at any summation order.
+    This replaced the r4 salted two-stage form: same exactness, but the
+    salt's second exchange + AQE stage cost ~0.4 s flat per run locally
+    (measured 1.01 s salted vs 0.64 s limb-split vs 1.23 s decimal,
+    best-of-4 one session). Derived outputs (2dp sums, 6dp avgs) use
+    floor-truncation of the deterministic double quotients, the
+    registry's tie-proof rule.
     """
     li = table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    fx_qty = F.round(F.col("l_quantity")).cast("long")
-    fx_price = F.round(F.col("l_extendedprice") * 100).cast("long")
-    fx_disc_price = F.round(disc_price * 1000000).cast("long")
-    fx_charge = F.round(disc_price * (1 + F.col("l_tax")) * 1000000).cast("long")
-    fx_discount = F.round(F.col("l_discount") * 100).cast("long")
-    n_salt = 64
-    partial = (
+    shift = 1 << 20
+    measures = {
+        "q": F.round(F.col("l_quantity")).cast("long"),
+        "p": F.round(F.col("l_extendedprice") * 100).cast("long"),
+        "dp": F.round(disc_price * 1000000).cast("long"),
+        "ch": F.round(disc_price * (1 + F.col("l_tax")) * 1000000).cast("long"),
+        "di": F.round(F.col("l_discount") * 100).cast("long"),
+    }
+    aggs = []
+    for k, fx in measures.items():
+        aggs.append(F.sum(F.shiftright(fx, 20)).alias(f"{k}_hi"))
+        aggs.append(F.sum(fx.bitwiseAND(F.lit(shift - 1))).alias(f"{k}_lo"))
+    aggs.append(F.count("*").alias("n"))
+    limbs = (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
-        .withColumn(
-            "_salt", F.pmod(F.crc32(F.col("l_orderkey").cast("string")), F.lit(n_salt))
-        )
-        .groupBy("l_returnflag", "l_linestatus", "_salt")
-        .agg(
-            F.sum(fx_qty).alias("q"),
-            F.sum(fx_price).alias("p"),
-            F.sum(fx_disc_price).alias("dp"),
-            F.sum(fx_charge).alias("ch"),
-            F.sum(fx_discount).alias("di"),
-            F.count("*").alias("n"),
-        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(*aggs)
     )
     dec = "decimal(38,0)"
-    merged = partial.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(F.col("q").cast(dec)).alias("q"),
-        F.sum(F.col("p").cast(dec)).alias("p"),
-        F.sum(F.col("dp").cast(dec)).alias("dp"),
-        F.sum(F.col("ch").cast(dec)).alias("ch"),
-        F.sum(F.col("di").cast(dec)).alias("di"),
-        F.sum("n").alias("n"),
+    merged = limbs.select(
+        "l_returnflag",
+        "l_linestatus",
+        *[
+            (F.col(f"{k}_hi").cast(dec) * shift + F.col(f"{k}_lo").cast(dec)).alias(k)
+            for k in measures
+        ],
+        "n",
     )
 
     def dbl(name):

@@ -7,6 +7,8 @@ regression in plan shape fails CI, not a 100 TB run.
 
 from __future__ import annotations
 
+import re
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -294,15 +296,18 @@ def test_q21_single_fact_join(spark, sf_oracle):
 
 
 def test_pricing_summary_long_partials(spark, sf_oracle):
-    """Q1's fixed-point form: partial aggregation must run over LONG sums
-    (sum(...L) in the partial_ functions), with decimal appearing only in
-    the tiny final merge — the 2.4x property of PERF §2.10."""
+    """Q1's fixed-point limb form: ONE exchange total (the limb sums and
+    the group agg share a single hash aggregation), partial sums over
+    LONG limbs, decimal only in the per-output-row recombination — the
+    properties of PERF §2.10."""
     from kol_bigdata_realtime_analytics_spark.plans import REGISTRY
 
     plan = _formatted(REGISTRY["pricing_summary"].fn(spark, sf_oracle))
     assert "PushedFilters" in plan and "l_shipdate" in plan
-    # the salt-stage partial agg groups by the salt column
-    assert "_salt" in plan
+    # limb split happens in the aggregate expressions (hi = shiftright, lo = mask)
+    assert "shiftright" in plan.lower()
+    # single aggregation pass -> exactly one exchange in the whole plan
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
     # per-row quantization happens in the scan-side projection (round...cast to bigint)
     assert "round" in plan.lower()
 
