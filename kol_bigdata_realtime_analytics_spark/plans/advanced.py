@@ -1080,24 +1080,21 @@ def part_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the most orders (>= 2 co-orders) — the item-item signal behind
     "customers also bought".
 
-    The pair join is keyed on l_orderkey: pair count per order is
-    quadratic in BASKET size (TPC-H ~4 items -> ~6 pairs), never in corpus
-    size, which is why basket co-occurrence scales where document
-    all-pairs does not. Items dedup first so quantity re-orders of the
-    same part don't inflate counts; the final top-50 is a
-    TakeOrderedAndProject over the (part_a, part_b) aggregate.
+    Pairs expand basket-locally (`operators/graph.cooccurrence_pairs`:
+    one l_orderkey grouping shuffle, in-executor array expansion — no
+    self-join): pair count per order is quadratic in BASKET size (TPC-H
+    ~4 items -> ~6 pairs), never in corpus size, which is why basket
+    co-occurrence scales where document all-pairs does not. Items dedup
+    per basket (collect_set) so quantity re-orders of the same part don't
+    inflate counts; the final top-50 is a TakeOrderedAndProject over the
+    (part_a, part_b) aggregate.
     """
+    from kol_bigdata_realtime_analytics_spark.operators.graph import cooccurrence_pairs
+
     li = table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a = items.alias("a")
-    b = items.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    ).select(
-        F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
-    )
+    pairs = cooccurrence_pairs(
+        li.select("l_orderkey", "l_partkey"), "l_orderkey", "l_partkey"
+    ).select(F.col("a").alias("part_a"), F.col("b").alias("part_b"))
     return (
         pairs.groupBy("part_a", "part_b")
         .agg(F.count("*").alias("n_orders"))
@@ -1510,21 +1507,21 @@ def part_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders — the support threshold prunes the dense random one-off pairs
     that would make every basket a clique) via degree-oriented wedge join
     (`operators/graph.triangle_count`) — each triangle generated once from
-    its lowest-(degree, id) vertex, so skewed hubs never explode."""
-    from kol_bigdata_realtime_analytics_spark.operators.graph import triangle_count
+    its lowest-(degree, id) vertex, so skewed hubs never explode.
+
+    Edge support counts ROW pairs (multiplicity kept, matching the
+    oracle's raw self-join), expanded basket-locally by
+    `cooccurrence_pairs(distinct=False)` — one grouping shuffle instead
+    of the two-sided self-join shuffle."""
+    from kol_bigdata_realtime_analytics_spark.operators.graph import (
+        cooccurrence_pairs,
+        triangle_count,
+    )
 
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.alias("a")
-    b = li.alias("b")
     edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
-        )
+        cooccurrence_pairs(li, "l_orderkey", "l_partkey", distinct=False)
+        .groupBy(F.col("a").alias("src"), F.col("b").alias("dst"))
         .agg(F.count("*").alias("support"))
         .filter(F.col("support") >= 2)
         .select("src", "dst")
@@ -1981,26 +1978,21 @@ FROM pairs p
 
 @register("part_affinity_scores", oracle=_AFFINITY_ORACLE)
 def part_affinity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cosine and lift for part pairs co-bought in >= 3 orders. The pair
-    join is keyed on the order (basket-local); part frequencies and the
+    """Cosine and lift for part pairs co-bought in >= 3 orders. Pairs
+    expand basket-locally (one grouping shuffle,
+    `operators/graph.cooccurrence_pairs`); part frequencies and the
     order count broadcast onto the surviving pairs."""
+    from kol_bigdata_realtime_analytics_spark.operators.graph import cooccurrence_pairs
+
     li = table(spark, sf_dir, "lineitem")
     baskets = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint(
-        eager=True  # feeds the pair self-join (both sides), freq, and n_orders
+        eager=True  # feeds the pair expansion, freq, and n_orders
     )
     n_orders = baskets.agg(F.countDistinct("l_orderkey").alias("n"))
     freq = baskets.groupBy("l_partkey").agg(F.count("*").alias("f"))
-    a = baskets.alias("a")
-    b = baskets.alias("b")
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
-        )
+        cooccurrence_pairs(baskets, "l_orderkey", "l_partkey")
+        .groupBy(F.col("a").alias("part_a"), F.col("b").alias("part_b"))
         .agg(F.count("*").alias("n_cobought"))
         .filter(F.col("n_cobought") >= 3)
     )
