@@ -988,3 +988,102 @@ def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("v").cast("decimal(18,6)")).cast("double").alias("v_sum"),
         F.sum("id").alias("id_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# VARIANT scan — Spark 4's semi-structured type exercised end to end:
+# parse_json into the binary VARIANT encoding, typed field extraction with
+# variant_get, aggregation over the extracted field. At scale VARIANT is
+# the answer for heterogeneous event payloads: no schema-inference pass
+# over the corpus, per-row binary encoding, and field access evaluates
+# without re-parsing the JSON text per extraction (the get_json_object
+# path re-parses per call). The oracle recomputes via DuckDB json_extract;
+# all aggregates are integers, so the hash match is exact.
+# ---------------------------------------------------------------------------
+
+_VARIANT_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+       CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_min,
+       CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max,
+       CAST(SUM(CASE WHEN json_extract(props, '$.missing') IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_no_extra
+FROM events
+GROUP BY event_type
+""".strip()
+
+
+@register("variant_props_stats", oracle=_VARIANT_ORACLE)
+def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type stats over a field extracted from a VARIANT column.
+
+    `parse_json` builds the variant ONCE per row in the scan projection;
+    both extractions (`$.k` typed long, `$.missing` presence probe —
+    try_variant_get returns NULL for absent paths instead of erroring)
+    read the binary encoding, never the JSON text. With get_json_object
+    each path would re-parse the string."""
+    ev = table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    rows = ev.select(
+        "event_type",
+        F.variant_get(v, "$.k", "long").alias("k"),
+        F.try_variant_get(v, "$.missing", "string").alias("extra"),
+    )
+    return rows.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("k").alias("k_sum"),
+        F.min("k").alias("k_min"),
+        F.max("k").alias("k_max"),
+        F.sum(F.when(F.col("extra").isNull(), 1).otherwise(0)).alias("n_no_extra"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF — Spark 4's user-defined TABLE function surface, exercised
+# through a LATERAL join and certified against a DuckDB oracle. The demo
+# logic (word positions) is deliberately something explode() could do —
+# the point is the PLUMBING: a per-row Python expansion whose output
+# schema, lateral correlation, and row multiplication are all verified.
+# Real uses are expansions Spark can't express natively (a tokenizer
+# producing (id, offset) pairs, a parser emitting AST nodes). UDTFs are
+# the Python slow path: row-at-a-time generator calls — keep them off hot
+# paths (this one runs over a 20-doc slice) and prefer explode/HOFs or
+# mapInPandas where semantics allow.
+# ---------------------------------------------------------------------------
+
+_UDTF_ORACLE = """
+WITH sliced AS (
+  SELECT doc_id, string_split(text, ' ') AS words
+  FROM documents WHERE doc_id < 20
+)
+SELECT doc_id, u.pos, u.word FROM (
+  SELECT doc_id,
+         unnest(list_transform(words,
+                (w, i) -> struct_pack(pos := CAST(i - 1 AS BIGINT), word := w))) AS u
+  FROM sliced
+)
+""".strip()
+
+
+@register("udtf_word_positions", oracle=_UDTF_ORACLE)
+def udtf_word_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pos, word) per word of each sliced document via a Python
+    UDTF in a LATERAL join. Split semantics pinned to DuckDB's
+    string_split (consecutive delimiters yield empty strings) so the
+    value hash certifies the row expansion exactly."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos bigint, word string")
+    class WordPositions:
+        def eval(self, text):
+            for i, w in enumerate((text or "").split(" ")):
+                yield i, w
+
+    spark.udtf.register("word_positions", WordPositions)
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    return spark.sql(
+        "SELECT d.doc_id, w.pos, w.word "
+        "FROM {docs} d, LATERAL word_positions(d.text) w",
+        docs=docs,
+    )
