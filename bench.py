@@ -104,6 +104,8 @@ HEADLINE = [
     "cascading_rollup_check",
     "bm25_search",
     "value_drift_psi",
+    "part_affinity_scores",
+    "variant_props_stats",
 ]
 
 
