@@ -1087,3 +1087,93 @@ def udtf_word_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM {docs} d, LATERAL word_positions(d.text) w",
         docs=docs,
     )
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTE — Spark 4.1's WITH RECURSIVE surface (iterative SQL
+# without leaving the optimizer): per-node halving-chain depth over a
+# synthetic binary hierarchy on customer keys. Each recursion step is a
+# set-based self-extension (Catalyst plans it as an iterative union, the
+# same loop-until-fixpoint shape as operators/graph closures but declared
+# in SQL); the oracle runs the identical recursion in DuckDB. Depth is
+# O(log key), so the recursion terminates in ~10 rounds at any scale.
+# ---------------------------------------------------------------------------
+
+_RECURSIVE_ORACLE = """
+WITH RECURSIVE chain AS (
+  SELECT c_custkey AS node, c_custkey AS cur, 0 AS depth
+  FROM customer WHERE c_custkey <= 1000
+  UNION ALL
+  SELECT node, cur // 2 AS cur, depth + 1 FROM chain WHERE cur > 1
+)
+SELECT depth AS root_depth, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM (SELECT node, MAX(depth) AS depth FROM chain GROUP BY node)
+GROUP BY 1
+""".strip()
+
+
+@register("recursive_hierarchy_depths", oracle=_RECURSIVE_ORACLE)
+def recursive_hierarchy_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chain-to-root depth per customer via WITH RECURSIVE, aggregated to
+    a depth histogram. `div` is Spark's integer division (DuckDB `//`);
+    keys are positive so both truncate identically."""
+    cust = table(spark, sf_dir, "customer")
+    return spark.sql(
+        """
+        WITH RECURSIVE chain AS (
+          SELECT c_custkey AS node, c_custkey AS cur, 0 AS depth
+          FROM {cust} WHERE c_custkey <= 1000
+          UNION ALL
+          SELECT node, cur div 2 AS cur, depth + 1 FROM chain WHERE cur > 1
+        )
+        SELECT depth AS root_depth, COUNT(*) AS n_customers
+        FROM (SELECT node, MAX(depth) AS depth FROM chain GROUP BY node)
+        GROUP BY 1
+        """,
+        cust=cust,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Map higher-order functions — the MapType expression surface
+# (map_from_entries / map_filter / map_values + aggregate / explode back
+# to rows) over per-user event-type counts. Maps stay per-user (bounded
+# by the event-type vocabulary), so the interpreted HOF lambdas run over
+# tiny arrays post-aggregation, never corpus-sized ones; the round-trip
+# back to rows keeps the oracle scalar-only and the hash exact.
+# ---------------------------------------------------------------------------
+
+_MAP_HOF_ORACLE = """
+WITH c AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+t AS (SELECT user_id, CAST(SUM(n) AS BIGINT) AS total FROM c GROUP BY 1)
+SELECT c.user_id, t.total, c.event_type, c.n
+FROM c JOIN t USING (user_id) WHERE c.n >= 3
+""".strip()
+
+
+@register("map_functions_surface", oracle=_MAP_HOF_ORACLE)
+def map_functions_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type map built with map_from_entries, filtered with
+    map_filter (drop types seen < 3 times), totalled by folding
+    map_values with aggregate, exploded back to (user_id, total,
+    event_type, n) rows."""
+    ev = table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    m = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "n")))
+        ).alias("m")
+    )
+    enriched = m.select(
+        "user_id",
+        F.map_filter("m", lambda k, v: v >= 3).alias("kept"),
+        F.aggregate(
+            F.map_values("m"), F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("total"),
+    )
+    return enriched.selectExpr(
+        "user_id", "total", "explode(kept) AS (event_type, n)"
+    ).select("user_id", "total", "event_type", "n")
