@@ -502,9 +502,14 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def _simhash_banded(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(doc, sim, chunk_idx, chunk) rows: 4x16-bit chunk banding of SimHash."""
-    sh = with_simhash(df, text_col, id_col)
+def _simhash_banded(
+    df: DataFrame, text_col: str, id_col: str, sig: DataFrame | None = None
+) -> DataFrame:
+    """(doc, sim, chunk_idx, chunk) rows: 4x16-bit chunk banding of SimHash.
+
+    Pass a precomputed (doc, sim) frame as `sig` to band without
+    recomputing signatures (e.g. when a checker already built them)."""
+    sh = sig if sig is not None else with_simhash(df, text_col, id_col)
     # 16-bit chunk extraction via unsigned shift + mask (always non-negative)
     chunks = F.array(
         *[F.shiftrightunsigned(F.col("sim"), 16 * i).bitwiseAND(F.lit(0xFFFF)) for i in range(4)]
@@ -522,6 +527,7 @@ def simhash_neardup_pairs(
     id_col: str,
     max_hamming: int = 3,
     max_bucket: int = DEFAULT_MAX_BUCKET,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash banding: split 64 bits into 4x16-bit chunks;
     pairs within max_hamming differ in <= max_hamming bits so at least one
@@ -531,7 +537,7 @@ def simhash_neardup_pairs(
     between aggregation and pair generation stops the O(n²) blow-up;
     simhash_skipped_buckets reports what was skipped.
     """
-    banded = _simhash_banded(df, text_col, id_col)
+    banded = _simhash_banded(df, text_col, id_col, sig=sig)
     # one groupBy on the chunk key instead of a self-join (which would run
     # the whole simhash lineage twice and shuffle it twice); pairs generate
     # inside each bucket list — see minhash_lsh_candidates for the rationale
@@ -573,7 +579,7 @@ def simhash_skipped_buckets(
     max_bucket: int = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """(chunk_idx, chunk, bucket_n) for buckets simhash_neardup_pairs skipped."""
-    banded = _simhash_banded(df, text_col, id_col)
+    banded = _simhash_banded(df, text_col, id_col, sig=sig)
     return (
         banded.groupBy("chunk_idx", "chunk")
         .agg(F.count("*").alias("bucket_n"))

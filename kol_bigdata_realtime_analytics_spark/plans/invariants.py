@@ -380,3 +380,60 @@ def rolling_hll_users_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("approx_within_5pct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SimHash banding completeness (certifies simhash_neardups)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "simhash_recall_check",
+    oracle="SELECT TRUE AS pigeonhole_complete, TRUE AS found_pairs_nonempty",
+)
+def simhash_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every pair within hamming <= 3 is found by the 4x16-bit banding.
+
+    Unlike the probabilistic LSH recall checks, SimHash banding's
+    guarantee is EXACT (pigeonhole: 3 bit flips touch <= 3 of 4 chunks, so
+    one chunk always matches) — this certifies the implementation, not a
+    bound. Ground truth = brute-force hamming over the signatures of a
+    bounded doc slice UNIONED WITH A PLANTED COPY of itself (hamming-0
+    pairs by construction, so the check can never pass vacuously at any
+    sf). An anti-join of exact pairs against the banded candidates must
+    be empty. Companion to the rows-only `simhash_neardups`.
+    """
+    from kol_bigdata_realtime_analytics_spark.operators.dedup import (
+        hamming64,
+        simhash_neardup_pairs,
+        with_simhash,
+    )
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 400)
+        .select("doc_id", "text")
+    )
+    base = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
+    )
+    # signatures once for the brute-force side (<= 800 rows; broadcast)
+    sig = with_simhash(base, "text", "doc_id").localCheckpoint(eager=True)
+    a, b = sig.alias("a"), sig.alias("b")
+    exact = (
+        a.join(F.broadcast(b), F.col("a.doc") < F.col("b.doc"))
+        .filter(hamming64(F.col("a.sim"), F.col("b.sim")) <= 3)
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+    )
+    cand = simhash_neardup_pairs(
+        base, "text", "doc_id", max_hamming=3, sig=sig
+    ).select("id_a", "id_b")
+    missed = exact.join(cand, ["id_a", "id_b"], "left_anti")
+    return (
+        exact.agg(F.count("*").alias("n_exact"))
+        .crossJoin(missed.agg(F.count("*").alias("n_missed")))
+        .select(
+            (F.col("n_missed") == 0).alias("pigeonhole_complete"),
+            (F.col("n_exact") > 0).alias("found_pairs_nonempty"),
+        )
+    )

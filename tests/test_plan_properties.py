@@ -376,6 +376,7 @@ def test_no_unexpected_nested_loop_joins(spark, sf_oracle):
         "ann_cosine_topk",          # broadcast 5 query vectors x corpus (baseline scorer)
         "ann_int8_topk",            # broadcast 5 query codes x corpus
         "ann_lsh_recall_check",     # brute-force reference inside the invariant
+        "simhash_recall_check",     # brute-force hamming over a <=800-row broadcast slice + 1-row crosses
         "brands_above_global_avg_qty",  # broadcast 1-row global average
         "collocations_pmi",         # broadcast 1-row total
         "count_min_check",          # broadcast 1-row totals (rows_ok, n)
