@@ -703,3 +703,23 @@ def test_count_min_estimate_for_unseen_keys_is_zero_or_small(spark):
     sketch = count_min_build(built, "k", width=1 << 16, depth=4)
     est = count_min_estimate(probe, sketch, "k", width=1 << 16, depth=4)
     assert all(r["cm_estimate"] == 0 for r in est.collect())
+
+
+def test_pagerank_fixedpoint_shuffle_path_identical(spark):
+    """The above-broadcast-limit fallback (rank joins run as shuffle joins,
+    r3 advice) must produce BIT-IDENTICAL longs to the broadcast path —
+    integer arithmetic makes join strategy invisible to the result."""
+    from kol_bigdata_realtime_analytics_spark.operators.graph import (
+        pagerank_fixedpoint,
+    )
+
+    edges = [
+        (0, 1, 1), (0, 2, 2), (1, 2, 1), (2, 0, 1),
+        (3, 0, 1), (3, 2, 3), (4, 3, 1),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long, weight long")
+    bc = {r["node"]: r["rank_fp"]
+          for r in pagerank_fixedpoint(df, n_iter=6, broadcast_ranks=True).collect()}
+    sh = {r["node"]: r["rank_fp"]
+          for r in pagerank_fixedpoint(df, n_iter=6, broadcast_ranks=False).collect()}
+    assert bc == sh
