@@ -579,7 +579,7 @@ def simhash_skipped_buckets(
     max_bucket: int = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """(chunk_idx, chunk, bucket_n) for buckets simhash_neardup_pairs skipped."""
-    banded = _simhash_banded(df, text_col, id_col, sig=sig)
+    banded = _simhash_banded(df, text_col, id_col)
     return (
         banded.groupBy("chunk_idx", "chunk")
         .agg(F.count("*").alias("bucket_n"))
