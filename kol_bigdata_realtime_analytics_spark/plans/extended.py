@@ -1177,3 +1177,46 @@ def map_functions_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enriched.selectExpr(
         "user_id", "total", "explode(kept) AS (event_type, n)"
     ).select("user_id", "total", "event_type", "n")
+
+
+# ---------------------------------------------------------------------------
+# Null-safe equality join (<=>) — a migration gotcha surface: plain `=`
+# drops NULL keys from both sides silently; `<=>` (IS NOT DISTINCT FROM)
+# matches NULL to NULL and still plans a HASH join in Spark (the null-safe
+# comparison is an equi-key, not a residual filter), so the semantics fix
+# costs nothing at scale.
+# ---------------------------------------------------------------------------
+
+_NULL_SAFE_ORACLE = """
+WITH v AS (
+  SELECT NULLIF(user_id % 7, 0) AS k, CAST(COUNT(*) AS BIGINT) AS n_views
+  FROM events WHERE event_type = 'view' GROUP BY 1
+),
+c AS (
+  SELECT NULLIF(user_id % 7, 0) AS k, CAST(COUNT(*) AS BIGINT) AS n_clicks
+  FROM events WHERE event_type = 'click' GROUP BY 1
+)
+SELECT v.k, v.n_views, c.n_clicks
+FROM v JOIN c ON v.k IS NOT DISTINCT FROM c.k
+""".strip()
+
+
+@register("null_safe_join_counts", oracle=_NULL_SAFE_ORACLE)
+def null_safe_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bucket view/click counts joined with eqNullSafe so the NULL
+    bucket (here: bucket 0, nulled via NULLIF) survives the join."""
+    ev = table(spark, sf_dir, "events")
+    k = F.nullif(F.col("user_id") % 7, F.lit(0))
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy(k.alias("k"))
+        .agg(F.count("*").alias("n_views"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(k.alias("k"))
+        .agg(F.count("*").alias("n_clicks"))
+    )
+    return v.alias("v").join(
+        c.alias("c"), F.col("v.k").eqNullSafe(F.col("c.k"))
+    ).select(F.col("v.k").alias("k"), "n_views", "n_clicks")
