@@ -106,6 +106,7 @@ HEADLINE = [
     "value_drift_psi",
     "part_affinity_scores",
     "variant_props_stats",
+    "merge_upsert_orders",
 ]
 
 

@@ -2136,3 +2136,116 @@ def time_to_convert_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("avg_gap_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MERGE INTO — keyed CDC upsert/delete apply (operators/merge.py). The
+# reference applies deltas by re-overwriting whole Silver tables
+# (bronze_to_silver.py:122-140); this is the Iceberg/Delta MERGE it should
+# issue instead. Deterministic changelog derived from orders so every one of
+# the four MERGE clauses (matched-update, matched-delete, unmatched-insert,
+# unmatched-delete-noop) is exercised under the oracle hash:
+#   base  = keys %4 != 0;  delta = keys %2 == 0
+#   op D on %8 in {0,2}: %8==2 hits base (matched delete), %8==0 misses (noop)
+#   op U on %8 in {4,6}: %8==4 misses base (insert), %8==6 hits (update)
+# ---------------------------------------------------------------------------
+
+_MERGE_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 4 <> 0
+),
+delta AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 8 IN (0, 2) THEN 'D' ELSE 'U' END AS op,
+         'M' AS o_orderstatus,
+         o_totalprice * 1.1 AS o_totalprice
+  FROM orders WHERE o_orderkey % 2 = 0
+),
+merged AS (
+  SELECT COALESCE(b.o_orderkey, d.o_orderkey) AS o_orderkey,
+         CASE WHEN d.op = 'U' THEN d.o_orderstatus ELSE b.o_orderstatus END AS o_orderstatus,
+         CASE WHEN d.op = 'U' THEN d.o_totalprice ELSE b.o_totalprice END AS o_totalprice,
+         CASE WHEN d.op = 'U' AND b.o_orderkey IS NULL THEN 'insert'
+              WHEN d.op = 'U' THEN 'update'
+              ELSE 'carry' END AS merge_action,
+         d.op AS op
+  FROM base b FULL OUTER JOIN delta d ON b.o_orderkey = d.o_orderkey
+)
+SELECT o_orderkey, o_orderstatus, o_totalprice, merge_action
+FROM merged
+WHERE op IS NULL OR op <> 'D'
+""".strip()
+
+
+@register("merge_upsert_orders", oracle=_MERGE_ORACLE)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE a CDC batch (upserts + deletes) into an orders snapshot.
+
+    Scale shape (operators/merge.py): the base table never shuffles — the
+    delta broadcasts into a left join (carry/update/delete) and the insert
+    set anti-joins against the matched-key subset of the SAME broadcast
+    join's output (bounded by |delta|), so a 100-TB base streams through
+    two codegen'd stages. The oracle spells the identical semantics as one
+    full-outer join, proving the decomposition exact.
+    """
+    from kol_bigdata_realtime_analytics_spark.operators.merge import merge_changelog
+
+    orders = table(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") % 4 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    delta = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        F.when((F.col("o_orderkey") % 8).isin(0, 2), "D").otherwise("U").alias("op"),
+        F.lit("M").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+    )
+    return merge_changelog(base, delta, "o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# Analytic value functions over an explicit full frame — first_value /
+# last_value / nth_value per user journey. The remaining W-surface family
+# (percent_rank/cume_dist live in segment_percentile_position, lead/lag in
+# order_gaps_lag / top_event_paths). last_value is the classic frame trap:
+# the DEFAULT frame stops at CURRENT ROW, so it must be spelled
+# ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING in both engines.
+# ---------------------------------------------------------------------------
+
+_BOOKENDS_ORACLE = """
+SELECT DISTINCT user_id,
+       first_value(event_type) OVER w AS first_et,
+       last_value(event_type) OVER w AS last_et,
+       nth_value(event_type, 2) OVER w AS second_et,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_events
+FROM events
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY ts, event_id
+  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+)
+""".strip()
+
+
+@register("user_journey_bookends", oracle=_BOOKENDS_ORACLE)
+def user_journey_bookends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First / second / last event type of each user's (ts, event_id)-ordered
+    journey, via first_value / nth_value / last_value over the full frame.
+
+    Scale shape: ONE shuffle on user_id, one sort within partitions; every
+    window column shares the same spec so Catalyst fuses them into a single
+    Window exec, and the trailing DISTINCT collapses per-user duplicates
+    map-side before its exchange (rows are identical within a user)."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "user_id",
+        F.first("event_type").over(w).alias("first_et"),
+        F.last("event_type").over(w).alias("last_et"),
+        F.nth_value("event_type", 2).over(w).alias("second_et"),
+        F.count("*").over(w).alias("n_events"),
+    ).distinct()

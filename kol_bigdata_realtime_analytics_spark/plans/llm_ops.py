@@ -634,6 +634,63 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Changelog round-trip — changelog_from_snapshots is merge_changelog's
+# inverse: merge(old, changelog(old, new)) must REBUILD the new snapshot
+# exactly. The oracle is the new snapshot itself (plus the action each row
+# took), so the driver hash certifies both operators end-to-end, not just
+# their row counts. Same deterministic snapshot slices as
+# corpus_snapshot_diff above.
+# ---------------------------------------------------------------------------
+
+_MERGE_ROUNDTRIP_ORACLE = f"""
+WITH old AS (
+  SELECT doc_id, {_SNAPSHOT_FP} AS fp FROM documents WHERE doc_id % 5 != 4
+),
+new AS (
+  SELECT doc_id, {_SNAPSHOT_FP_NEW} AS fp FROM documents WHERE doc_id % 5 != 0
+)
+SELECT n.doc_id, n.fp,
+       CASE WHEN o.doc_id IS NULL THEN 'insert'
+            WHEN o.fp <> n.fp THEN 'update'
+            ELSE 'carry' END AS merge_action
+FROM new n LEFT JOIN old o ON n.doc_id = o.doc_id
+""".strip()
+
+
+@register("merge_roundtrip_check", oracle=_MERGE_ROUNDTRIP_ORACLE)
+def merge_roundtrip_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive the old->new changelog, MERGE it onto the old snapshot, and
+    return the rebuilt table — hash-equal to the new snapshot by the oracle.
+
+    Scale shape: the changelog derives from ONE full-outer join on doc_id
+    (fingerprints computed in the scan projection, text never shuffles) and
+    is bounded by the day's churn, so the merge broadcasts it; the standing
+    snapshot streams through the merge without shuffling
+    (operators/merge.py)."""
+    from kol_bigdata_realtime_analytics_spark.operators.merge import (
+        changelog_from_snapshots,
+        merge_changelog,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    fp = doc_fingerprint_md5(F.col("text"))
+    revised_fp = doc_fingerprint_md5(
+        F.when(F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" rev2"))).otherwise(
+            F.col("text")
+        )
+    )
+    old = docs.filter(F.col("doc_id") % 5 != 4).select("doc_id", fp.alias("fp"))
+    new = docs.filter(F.col("doc_id") % 5 != 0).select("doc_id", revised_fp.alias("fp"))
+    # churn-bounded frame consumed by THREE merge branches (matched join,
+    # matched-key subset, insert anti-join) — pin it or each branch
+    # re-executes the snapshot full-outer join (8 scans -> 4 in the plan)
+    changelog = changelog_from_snapshots(old, new, "doc_id", F.col("fp")).localCheckpoint(
+        eager=True
+    )
+    return merge_changelog(old, changelog, "doc_id")
+
+
+# ---------------------------------------------------------------------------
 # Corpus mix planner — per-source sampling rates to hit a token budget with
 # an equal-share target mix. The control knob a training-data pipeline turns
 # before materializing a corpus snapshot.

@@ -723,3 +723,67 @@ def test_pagerank_fixedpoint_shuffle_path_identical(spark):
     sh = {r["node"]: r["rank_fp"]
           for r in pagerank_fixedpoint(df, n_iter=6, broadcast_ranks=False).collect()}
     assert bc == sh
+
+
+# ---------------------------------------------------------------------------
+# MERGE INTO (operators/merge.py)
+# ---------------------------------------------------------------------------
+
+
+def _merge_fixture(spark):
+    from kol_bigdata_realtime_analytics_spark.operators.merge import merge_changelog
+
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k long, s string, v long"
+    )
+    delta = spark.createDataFrame(
+        [
+            (2, "U", "b2", 22),   # matched update
+            (3, "D", None, None), # matched delete
+            (4, "U", "d", 40),    # unmatched insert
+            (5, "D", None, None), # unmatched delete -> no-op
+        ],
+        "k long, op string, s string, v long",
+    )
+    return merge_changelog, base, delta
+
+
+def test_merge_changelog_all_four_clauses(spark):
+    merge_changelog, base, delta = _merge_fixture(spark)
+    rows = {r.k: r for r in merge_changelog(base, delta, "k").collect()}
+    assert set(rows) == {1, 2, 4}
+    assert (rows[1].s, rows[1].v, rows[1].merge_action) == ("a", 10, "carry")
+    assert (rows[2].s, rows[2].v, rows[2].merge_action) == ("b2", 22, "update")
+    assert (rows[4].s, rows[4].v, rows[4].merge_action) == ("d", 40, "insert")
+
+
+def test_merge_changelog_shuffle_path_identical(spark):
+    merge_changelog, base, delta = _merge_fixture(spark)
+    a = merge_changelog(base, delta, "k", broadcast_delta=True).collect()
+    b = merge_changelog(base, delta, "k", broadcast_delta=False).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_merge_changelog_base_never_shuffles_on_broadcast_path(spark):
+    merge_changelog, base, delta = _merge_fixture(spark)
+    plan = merge_changelog(base, delta, "k")._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+
+
+def test_changelog_roundtrip_rebuilds_new_snapshot(spark):
+    from kol_bigdata_realtime_analytics_spark.operators.merge import (
+        changelog_from_snapshots,
+        merge_changelog,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "z")], "k long, payload string"
+    )
+    new = spark.createDataFrame(
+        [(2, "y"), (3, "z2"), (9, "w")], "k long, payload string"
+    )
+    log = changelog_from_snapshots(old, new, "k", F.col("payload"))
+    ops = {r.k: r.op for r in log.collect()}
+    assert ops == {1: "D", 3: "U", 9: "U"}  # unchanged key 2 absent from the log
+    rebuilt = merge_changelog(old, log, "k").drop("merge_action")
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(map(tuple, new.collect()))
