@@ -59,34 +59,41 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         columns are true fixed-decimal data (quantities integral, money
         2dp, rates 2dp; products of 2dp x 2dp have <= 4dp), so x*S always
         sits within ~1e-5 of an integer and never near a rounding tie;
-      * each fixed-point long splits into TWO LIMBS (arithmetic-shift hi,
+      * a fixed-point long splits into TWO LIMBS (arithmetic-shift hi,
         masked lo — the identity x == (x>>20)*2^20 + (x & (2^20-1)) holds
         for every long in two's complement) and BOTH limbs sum as plain
         longs in ONE hash aggregation — whole-stage-codegen adds, a single
-        exchange, no second merge stage. Each limb sum is overflow-safe to
-        N_rows/group < 2^63 / max(maxfx/2^20, 2^20) ≈ 8.8e12 here
-        (maxfx ≈ 1.1e11), ~15x headroom over 100 TB lineitem;
+        exchange, no second merge stage — but ONLY the measures that need
+        the headroom pay for it: p/dp/ch (scale up to ~1.1e11 per row)
+        limb-split to N_rows/group < 2^63 / max(maxfx/2^20, 2^20) ≈ 8.8e12,
+        ~15x headroom over 100 TB lineitem, while q (≤ ~50/row) and di
+        (≤ 10/row) sum as plain longs with ≥ 1e17-row headroom — limbing
+        them bought nothing and cost two extra agg columns each
+        (measured: full-limb 0.82 s vs partial-limb 0.62 s best-of-5
+        interleaved one session at sf0.1);
       * limbs recombine per OUTPUT group (a handful of rows) in
         DECIMAL(38,0) — exact at any summation order.
-    This replaced the r4 salted two-stage form: same exactness, but the
-    salt's second exchange + AQE stage cost ~0.4 s flat per run locally
-    (measured 1.01 s salted vs 0.64 s limb-split vs 1.23 s decimal,
-    best-of-4 one session). Derived outputs (2dp sums, 6dp avgs) use
-    floor-truncation of the deterministic double quotients, the
-    registry's tie-proof rule.
+    This replaced the r4 salted two-stage form (salt's second exchange +
+    AQE stage cost ~0.4 s flat locally) and the decimal form (measured
+    2.13 s vs 0.87 s full-limb in the same interleaved session — decimal
+    accumulation is the slowest order-proof form by far). Derived outputs
+    (2dp sums, 6dp avgs) use floor-truncation of the deterministic double
+    quotients, the registry's tie-proof rule.
     """
     li = table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     shift = 1 << 20
-    measures = {
+    small = {  # per-row magnitude bounded by data semantics, not scale
         "q": F.round(F.col("l_quantity")).cast("long"),
+        "di": F.round(F.col("l_discount") * 100).cast("long"),
+    }
+    big = {
         "p": F.round(F.col("l_extendedprice") * 100).cast("long"),
         "dp": F.round(disc_price * 1000000).cast("long"),
         "ch": F.round(disc_price * (1 + F.col("l_tax")) * 1000000).cast("long"),
-        "di": F.round(F.col("l_discount") * 100).cast("long"),
     }
-    aggs = []
-    for k, fx in measures.items():
+    aggs = [F.sum(v).alias(k) for k, v in small.items()]
+    for k, fx in big.items():
         aggs.append(F.sum(F.shiftright(fx, 20)).alias(f"{k}_hi"))
         aggs.append(F.sum(fx.bitwiseAND(F.lit(shift - 1))).alias(f"{k}_lo"))
     aggs.append(F.count("*").alias("n"))
@@ -99,9 +106,10 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = limbs.select(
         "l_returnflag",
         "l_linestatus",
+        *[F.col(k).cast(dec).alias(k) for k in small],
         *[
             (F.col(f"{k}_hi").cast(dec) * shift + F.col(f"{k}_lo").cast(dec)).alias(k)
-            for k in measures
+            for k in big
         ],
         "n",
     )
