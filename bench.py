@@ -74,6 +74,7 @@ HEADLINE = [
     "embedding_quantize_int8",
     "ann_int8_topk",
     "ann_int8_matmul_topk",
+    "ann_pq_topk",
     "quality_funnel",
     "sequence_pack_bins",
     "dq_constraint_checks",

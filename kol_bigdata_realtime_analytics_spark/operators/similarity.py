@@ -494,6 +494,178 @@ def int8_topk_matmul(
     )
 
 
+def pq_codebooks(
+    candidates: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    ksub: int = 16,
+    sample_size: int = 4096,
+    max_iter: int = 20,
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks: m per-subspace k-means codebooks.
+
+    The vector is split into m contiguous subvectors (dim/m dims each); each
+    subspace gets its own `ksub`-centroid L2 k-means codebook, fit driver-side
+    on the SAME deterministic bounded sample as kmeans_centroids (smallest
+    xxhash64(id) rows — stable under repartitioning; a model artifact, not a
+    data collect: 4096 x 64 doubles = 2 MB). PQ is the compression layer of
+    the standard 100 TB ANN layout (IVF for pruning + PQ for in-memory codes):
+    m=8, ksub=16 stores a 64-dim float vector in 8 nibbles — 64x smaller —
+    and query-time scoring needs only an m x ksub lookup table per query.
+
+    Deterministic: init = first ksub rows of the hash-ordered sample per
+    subspace, argmin ties -> lowest index, empty cluster keeps its previous
+    centroid. Returns [m][ksub][dsub] floats.
+    """
+    import numpy as np
+
+    rows = (
+        candidates.select(
+            F.col(id_col).alias("vid"),
+            as_double_vec(F.col(vec_col)).alias("v"),
+            F.xxhash64(F.col(id_col)).alias("h"),
+        )
+        .orderBy("h", "vid")
+        .limit(sample_size)
+        .collect()
+    )
+    X = np.array([r["v"] for r in rows], dtype="float64")
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    books: list[list[list[float]]] = []
+    for s in range(m):
+        Xs = X[:, s * dsub : (s + 1) * dsub]
+        k = min(ksub, len(Xs))
+        C = Xs[:k].copy()
+        for _ in range(max_iter):
+            d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)  # ties -> lowest index
+            new_c = np.empty_like(C)
+            for j in range(k):
+                members = Xs[assign == j]
+                new_c[j] = members.mean(axis=0) if len(members) else C[j]
+            converged = np.allclose(new_c, C, atol=1e-12)
+            C = new_c
+            if converged:
+                break
+        books.append([[float(x) for x in c] for c in C])
+    return books
+
+
+def pq_encode_udf(books: list[list[list[float]]]):
+    """Arrow-batched encoder: float vector -> array<int> of m subspace codes.
+
+    The codebook tensor rides in the closure (a broadcast model artifact);
+    each batch assigns every subvector to its nearest centroid with one
+    vectorized distance computation per subspace. Argmin ties -> lowest
+    index (numpy argmin), matching pq_codebooks' assignment rule.
+    """
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    B = np.array(books, dtype="float64")  # (m, ksub, dsub)
+    m, _, dsub = B.shape
+
+    @pandas_udf("array<int>")
+    def _encode(vecs: pd.Series) -> pd.Series:
+        X = np.stack([np.asarray(v, dtype="float64") for v in vecs])
+        codes = np.empty((len(X), m), dtype="int32")
+        for s in range(m):
+            Xs = X[:, s * dsub : (s + 1) * dsub]
+            d2 = ((Xs[:, None, :] - B[s][None, :, :]) ** 2).sum(axis=2)
+            codes[:, s] = np.argmin(d2, axis=1)
+        return pd.Series(list(codes))
+
+    return _encode
+
+
+def pq_adc_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    m: int = 8,
+    ksub: int = 16,
+    sample_size: int = 4096,
+) -> DataFrame:
+    """Approximate cosine top-k by PQ asymmetric distance computation (ADC).
+
+    Build: fit codebooks (bounded-sample artifact), encode every candidate
+    to m nibble codes — at rest the index is the codes column, 64x smaller
+    than the float vectors. Search: each query precomputes an m x ksub
+    table of subvector dot products against the codebooks; a candidate's
+    approximate dot is the sum of m table lookups — no float vector is
+    ever read at query time. The reconstruction norm ||x_hat|| comes from
+    the same tables (subspaces are orthogonal: ||x_hat||^2 = sum of chosen
+    centroid norms^2), so approx cosine = ADC_dot / (||q|| * ||x_hat||).
+
+    One Arrow batch scores against ALL queries via a (nq, m*ksub) LUT
+    gather + fixed-order sum over m — the int8_topk_matmul shape. The
+    query payload (codes + LUTs) is serving-side input like the IVF
+    centroids; the corpus is never collected. Output contract matches
+    brute_force_topk; recall is bounded by the invariant companion.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    books = pq_codebooks(
+        candidates, id_col=id_col, vec_col=vec_col, m=m, ksub=ksub, sample_size=sample_size
+    )
+    B = np.array(books, dtype="float64")  # (m, ksub, dsub)
+    dsub = B.shape[2]
+    cent_n2 = (B * B).sum(axis=2).reshape(-1)  # (m*ksub,) flat centroid norms^2
+
+    qrows = queries.select(
+        F.col(id_col).alias("q_id"), as_double_vec(F.col(vec_col)).alias("v")
+    ).collect()
+    Qv = np.array([r["v"] for r in qrows], dtype="float64")
+    qn = np.sqrt((Qv * Qv).sum(axis=1))
+    keep = qn > 0
+    q_ids = [int(r["q_id"]) for i, r in enumerate(qrows) if keep[i]]
+    Qv, qn = Qv[keep], qn[keep]
+    nq = len(q_ids)
+    # per-query LUT of subvector dots: (nq, m, ksub) -> flat (nq, m*ksub)
+    lut = np.empty((nq, B.shape[0], ksub), dtype="float64")
+    for s in range(B.shape[0]):
+        lut[:, s, :] = Qv[:, s * dsub : (s + 1) * dsub] @ B[s].T
+    lut2 = lut.reshape(nq, -1)
+    offsets = np.arange(B.shape[0], dtype="int64") * ksub
+
+    @pandas_udf("array<double>")
+    def _adc(codes: pd.Series) -> pd.Series:
+        C = np.stack([np.asarray(c, dtype="int64") for c in codes]) + offsets
+        dots = lut2[:, C].sum(axis=2)  # (nq, batch): fixed-order sum over m
+        rn = np.sqrt(cent_n2[C].sum(axis=1))  # (batch,) reconstruction norms
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = dots / (qn[:, None] * rn[None, :])
+        return pd.Series(list(cos.T))
+
+    encode = pq_encode_udf(books)
+    scored = (
+        candidates.select(F.col(id_col).alias("c_id"), as_double_vec(F.col(vec_col)).alias("v"))
+        .select("c_id", encode(F.col("v")).alias("codes"))
+        .select("c_id", F.posexplode(_adc(F.col("codes"))).alias("qpos", "cos_raw"))
+        .select(
+            F.element_at(F.array(*[F.lit(i) for i in q_ids]), F.col("qpos") + 1).alias("q_id"),
+            "c_id",
+            "cos_raw",
+        )
+        .filter((F.col("c_id") != F.col("q_id")) & ~F.isnan("cos_raw"))
+        .select("q_id", "c_id", F.round("cos_raw", 6).alias("cosine"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "cosine", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def dequantize_mse(vec_col: Column, scale: Column, codes: Column) -> Column:
     """Mean squared reconstruction error of the quantization (double)."""
     sq = F.zip_with(

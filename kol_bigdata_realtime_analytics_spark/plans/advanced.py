@@ -419,6 +419,22 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, k=3, n_centroids=8, n_probe=2)
 
 
+@register("ann_pq_topk", oracle=None)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (ADC): 8 subspaces x 16 centroids store each
+    64-dim vector in 8 nibbles (64x compression — the PQ layer of the
+    standard IVF-PQ layout at 100 TB); queries score candidates through an
+    m x ksub lookup table, never touching the float vectors. Approximate
+    (rows-only driver check); `ann_pq_recall_check` certifies recall vs the
+    brute-force scorer in the driver hash, and pytest additionally bounds
+    it on clustered data."""
+    from kol_bigdata_realtime_analytics_spark.operators.similarity import pq_adc_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return pq_adc_topk(emb, queries, k=3, m=8, ksub=16)
+
+
 # ---------------------------------------------------------------------------
 # Distribution analytics: percent_rank / cume_dist per segment
 # ---------------------------------------------------------------------------

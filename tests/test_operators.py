@@ -291,6 +291,76 @@ def test_ivf_kmeans_recall_on_clustered_data(spark):
     assert len(approx & exact) / len(exact) >= 0.9
 
 
+def test_pq_adc_recall_on_clustered_data(spark):
+    """On clustered embeddings PQ-ADC (2 subspaces x 4 centroids) must rank
+    the query's OWN cluster on top: every approximate top-3 hit comes from
+    the query's cluster (ids ≡ q mod 4). Within-cluster fine ordering is
+    exactly what quantization discards (same codes -> tied scores, id
+    tie-break), so the assertion is coarse membership, not pair equality —
+    a collapsed codebook scores all clusters identically and fails it."""
+    from kol_bigdata_realtime_analytics_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebooks,
+    )
+
+    dim = 8
+    centers = []
+    for c in range(4):
+        v = [0.05] * dim
+        v[2 * c] = 1.0
+        v[2 * c + 1] = 0.6
+        centers.append(v)
+    rows = []
+    vid = 0
+    for j in range(80):
+        base = centers[j % 4]
+        rows.append((vid, [x + 0.01 * ((vid * 7 + i) % 5) for i, x in enumerate(base)]))
+        vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    books = pq_codebooks(emb, m=2, ksub=4, sample_size=80)
+    assert len(books) == 2 and all(len(b) == 4 for b in books)
+
+    queries = emb.filter(F.col("vec_id").isin([0, 1, 2, 3]))
+    approx = [
+        (r["q_id"], r["c_id"])
+        for r in pq_adc_topk(emb, queries, k=3, m=2, ksub=4, sample_size=80).collect()
+    ]
+    assert len(approx) == 12  # full top-3 for each of 4 queries
+    assert all(c % 4 == q % 4 for q, c in approx)
+
+
+def test_pq_encode_deterministic_and_full_topk(spark, sf_small):
+    """Encoding is stable across runs/partitionings and every query gets a
+    full top-k on TESTDATA (codes cover the corpus — no empty result sets)."""
+    from kol_bigdata_realtime_analytics_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebooks,
+        pq_encode_udf,
+    )
+    from kol_bigdata_realtime_analytics_spark.plans.registry import table
+
+    emb = table(spark, sf_small, "embeddings")
+    books = pq_codebooks(emb, m=8, ksub=16)
+    enc = pq_encode_udf(books)
+    a = {r["vec_id"]: r["c"] for r in emb.select("vec_id", enc(F.col("embedding")).alias("c")).collect()}
+    b = {
+        r["vec_id"]: r["c"]
+        for r in emb.repartition(7)
+        .select("vec_id", enc(F.col("embedding")).alias("c"))
+        .collect()
+    }
+    assert a == b
+    assert all(len(c) == 8 and all(0 <= x < 16 for x in c) for c in a.values())
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = pq_adc_topk(emb, queries, k=3).collect()
+    per_q = {}
+    for r in out:
+        per_q[r["q_id"]] = per_q.get(r["q_id"], 0) + 1
+    assert all(v == 3 for v in per_q.values()) and len(per_q) == 5
+
+
 def test_approx_percentiles_bounded_error(spark, sf_oracle):
     """approx_percentile (sketch scale path) stays within 1% of exact."""
     from kol_bigdata_realtime_analytics_spark.plans import REGISTRY
