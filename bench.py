@@ -75,6 +75,7 @@ HEADLINE = [
     "ann_int8_topk",
     "ann_int8_matmul_topk",
     "ann_pq_topk",
+    "ann_ivfpq_topk",
     "quality_funnel",
     "sequence_pack_bins",
     "dq_constraint_checks",

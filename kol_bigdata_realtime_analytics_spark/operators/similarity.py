@@ -666,6 +666,124 @@ def pq_adc_topk(
     )
 
 
+def ivfpq_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    m: int = 8,
+    ksub: int = 16,
+    sample_size: int = 4096,
+) -> DataFrame:
+    """IVF-PQ: coarse-quantizer pruning + PQ-ADC scoring — the standard
+    100 TB ANN layout (FAISS IVFPQ / SCANN shape) assembled from the two
+    operators above.
+
+    IVF bounds WORK: each query scores only its n_probe coarse lists
+    (~n_probe/n_centroids of the corpus). PQ bounds MEMORY/IO: the scored
+    lists are read as 8-nibble codes (64x smaller), never float vectors.
+    At scale the index layout is cent_id-partitioned parquet of
+    (id, pq_codes): a query prunes to n_probe partitions and streams
+    codes through the per-query LUT. Both model artifacts (coarse
+    centroids, PQ codebooks) come from the same bounded deterministic
+    sample fit. Output contract matches brute_force_topk; ranking quality
+    is certified by the same distortion/recall machinery as the parts.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    # ---- model artifacts (bounded sample fits, driver-side) ----
+    coarse = kmeans_centroids(
+        candidates, id_col=id_col, vec_col=vec_col,
+        n_centroids=n_centroids, sample_size=sample_size,
+    )
+    books = pq_codebooks(
+        candidates, id_col=id_col, vec_col=vec_col, m=m, ksub=ksub, sample_size=sample_size
+    )
+    B = np.array(books, dtype="float64")
+    dsub = B.shape[2]
+    cent_n2 = (B * B).sum(axis=2).reshape(-1)
+
+    cents = candidates.sparkSession.createDataFrame(
+        [(i, v) for i, v in enumerate(coarse)],
+        "cent_id long, cent_vec array<double>",
+    )
+    # ---- index build: coarse assignment + PQ codes (one corpus pass) ----
+    encode = pq_encode_udf(books)
+    base = candidates.select(
+        F.col(id_col).alias("c_id"), as_double_vec(F.col(vec_col)).alias("c_vec")
+    )
+    wc = Window.partitionBy("c_id").orderBy(F.col("cent_cos").desc(), F.col("cent_id").asc())
+    indexed = (
+        base.crossJoin(F.broadcast(cents))
+        .select("c_id", "c_vec", "cent_id", cosine(F.col("c_vec"), F.col("cent_vec")).alias("cent_cos"))
+        .withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") == 1)
+        .select("c_id", "cent_id", encode(F.col("c_vec")).alias("codes"))
+    )
+    # ---- query payload: probed lists + ADC LUTs ----
+    qrows = queries.select(
+        F.col(id_col).alias("q_id"), as_double_vec(F.col(vec_col)).alias("v")
+    ).collect()
+    Qv = np.array([r["v"] for r in qrows], dtype="float64")
+    qn = np.sqrt((Qv * Qv).sum(axis=1))
+    keep = qn > 0
+    q_ids = [int(r["q_id"]) for i, r in enumerate(qrows) if keep[i]]
+    Qv, qn = Qv[keep], qn[keep]
+    nq = len(q_ids)
+    Cn = np.array(coarse, dtype="float64")
+    cn_norm = np.sqrt((Cn * Cn).sum(axis=1))
+    cn_norm[cn_norm == 0] = 1.0
+    sim = (Qv @ Cn.T) / (qn[:, None] * cn_norm[None, :])
+    # n_probe nearest coarse cells per query (ties -> lowest cent_id, like ivf_topk)
+    order = np.lexsort((np.arange(sim.shape[1])[None, :].repeat(nq, 0), -sim), axis=1)
+    probes = [
+        (int(q_ids[i]), int(order[i, j])) for i in range(nq) for j in range(n_probe)
+    ]
+    probe_df = candidates.sparkSession.createDataFrame(probes, "q_id long, cent_id long")
+
+    lut = np.empty((nq, m, ksub), dtype="float64")
+    for s in range(m):
+        lut[:, s, :] = Qv[:, s * dsub : (s + 1) * dsub] @ B[s].T
+    lut2 = lut.reshape(nq, -1)
+    offsets = np.arange(m, dtype="int64") * ksub
+    qpos_of = {qid: i for i, qid in enumerate(q_ids)}
+
+    @pandas_udf("double")
+    def _adc_one(codes: pd.Series, qpos: pd.Series) -> pd.Series:
+        C = np.stack([np.asarray(c, dtype="int64") for c in codes]) + offsets
+        qi = qpos.to_numpy(dtype="int64")
+        dots = np.take_along_axis(lut2[qi], C, axis=1).sum(axis=1)
+        rn = np.sqrt(cent_n2[C].sum(axis=1))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return pd.Series(dots / (qn[qi] * rn))
+
+    qpos_map = F.element_at(
+        F.map_from_arrays(
+            F.array(*[F.lit(q) for q in q_ids]),
+            F.array(*[F.lit(qpos_of[q]) for q in q_ids]),
+        ),
+        F.col("q_id"),
+    )
+    scored = (
+        indexed.join(F.broadcast(probe_df), "cent_id")
+        .filter(F.col("c_id") != F.col("q_id"))
+        .withColumn("qpos", qpos_map)
+        .select("q_id", "c_id", _adc_one(F.col("codes"), F.col("qpos")).alias("cos_raw"))
+        .filter(~F.isnan("cos_raw"))
+        .select("q_id", "c_id", F.round("cos_raw", 6).alias("cosine"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "cosine", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def dequantize_mse(vec_col: Column, scale: Column, codes: Column) -> Column:
     """Mean squared reconstruction error of the quantization (double)."""
     sq = F.zip_with(

@@ -435,6 +435,21 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(emb, queries, k=3, m=8, ksub=16)
 
 
+@register("ann_ivfpq_topk", oracle=None)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN: coarse quantizer prunes WORK (probe 2 of 8 lists), PQ
+    codes bound MEMORY (the probed lists are scored from 8-nibble codes
+    through a per-query LUT — float vectors are never read at query
+    time). The standard 100 TB layout assembled from the registered IVF
+    and PQ operators; rows-only driver check, quality certified by
+    `pq_distortion_check` + the IVF/PQ pytest recall bounds."""
+    from kol_bigdata_realtime_analytics_spark.operators.similarity import ivfpq_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivfpq_topk(emb, queries, k=3, n_centroids=8, n_probe=2, m=8, ksub=16)
+
+
 # ---------------------------------------------------------------------------
 # Distribution analytics: percent_rank / cume_dist per segment
 # ---------------------------------------------------------------------------

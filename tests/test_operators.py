@@ -361,6 +361,48 @@ def test_pq_encode_deterministic_and_full_topk(spark, sf_small):
     assert all(v == 3 for v in per_q.values()) and len(per_q) == 5
 
 
+def test_ivfpq_topk_clustered_and_contract(spark):
+    """IVF-PQ on clustered data: full top-3 per query, every hit from the
+    query's own cluster (coarse probe finds the right list, ADC ranks
+    inside it); on TESTDATA every query still gets a full top-k."""
+    from kol_bigdata_realtime_analytics_spark.operators.similarity import ivfpq_topk
+
+    dim = 8
+    centers = []
+    for c in range(4):
+        v = [0.05] * dim
+        v[2 * c] = 1.0
+        v[2 * c + 1] = 0.6
+        centers.append(v)
+    rows = []
+    for vid in range(80):
+        base = centers[vid % 4]
+        rows.append((vid, [x + 0.01 * ((vid * 7 + i) % 5) for i, x in enumerate(base)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter(F.col("vec_id").isin([0, 1, 2, 3]))
+    got = [
+        (r["q_id"], r["c_id"])
+        for r in ivfpq_topk(
+            emb, queries, k=3, n_centroids=4, n_probe=1, m=2, ksub=4, sample_size=80
+        ).collect()
+    ]
+    assert len(got) == 12
+    assert all(c % 4 == q % 4 for q, c in got)
+
+
+def test_ivfpq_topk_full_topk_on_testdata(spark, sf_small):
+    from kol_bigdata_realtime_analytics_spark.operators.similarity import ivfpq_topk
+    from kol_bigdata_realtime_analytics_spark.plans.registry import table
+
+    emb = table(spark, sf_small, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = ivfpq_topk(emb, queries, k=3, n_centroids=8, n_probe=2).collect()
+    per_q = {}
+    for r in out:
+        per_q[r["q_id"]] = per_q.get(r["q_id"], 0) + 1
+    assert all(v == 3 for v in per_q.values()) and len(per_q) == 5
+
+
 def test_approx_percentiles_bounded_error(spark, sf_oracle):
     """approx_percentile (sketch scale path) stays within 1% of exact."""
     from kol_bigdata_realtime_analytics_spark.plans import REGISTRY

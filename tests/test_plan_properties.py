@@ -374,6 +374,7 @@ def test_no_unexpected_nested_loop_joins(spark, sf_oracle):
     # construction (audited in PLANS.md; see each query's docstring)
     allowed = {
         "ann_cosine_topk",          # broadcast 5 query vectors x corpus (baseline scorer)
+        "ann_ivfpq_topk",           # broadcast 8-row centroid frame x corpus (coarse assign)
         "ann_int8_topk",            # broadcast 5 query codes x corpus
         "ann_lsh_recall_check",     # brute-force reference inside the invariant
         "simhash_recall_check",     # brute-force hamming over a <=800-row broadcast slice + 1-row crosses
