@@ -99,6 +99,7 @@ HEADLINE = [
     "unattributed_views",
     "part_graph_triangles",
     "count_min_check",
+    "join_size_ams_check",
     "collocations_pmi",
     "event_type_runs",
     "pit_join_order_attr",

@@ -83,3 +83,63 @@ def count_min_estimate(
         .groupBy(key_col)
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias(out_col))
     )
+
+
+# ---------------------------------------------------------------------------
+# Fast-AGMS (count-sketch) join-size estimation
+# ---------------------------------------------------------------------------
+
+
+def agms_build(
+    df: DataFrame,
+    key_col: str,
+    width: int = 256,
+    depth: int = 5,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """(d, bucket, s) signed counter grid — the fast-AGMS / count-sketch.
+
+    Each key gets a bucket h_d(k) AND a sign s_d(k) in {-1, +1} per depth
+    row; counters accumulate sign * weight. The grid is linear in its
+    inputs (buildable from an aggregated (key, count) frame via
+    `weight_col`, like count_min_build) and MERGEABLE by bucket-wise
+    addition — at 100 TB each partition/machine sketches locally and
+    ships depth*width longs.
+
+    Its defining algebra: for two relations' frequency vectors f, g the
+    JOIN SIZE |A join B on k| = <f, g>, and E[sum_b A_d[b]*B_d[b]] = <f,g>
+    with stdev <= sqrt(F2(f)*F2(g)/width) per row — the median over depth
+    rows is the classic CBO-grade estimate (Alon-Matias-Szegedy '96;
+    Cormode-Garofalakis sketch joins). Signs/buckets are seeded xxhash64:
+    deterministic across runs and partitionings.
+    """
+    sign = [
+        (F.pmod(F.xxhash64(F.col(key_col), F.lit(1_000_003 + d)), F.lit(2)) * 2 - 1)
+        for d in range(depth)
+    ]
+    bucket = _buckets(F.col(key_col), width, depth)
+    w = (F.col(weight_col) if weight_col else F.lit(1)).cast("long")
+    pos = df.select(
+        F.posexplode(
+            F.arrays_zip(F.array(*bucket), F.array(*sign).cast("array<long>"))
+        ).alias("d", "bs"),
+        w.alias("w"),
+    ).select("d", F.col("bs.0").alias("bucket"), (F.col("bs.1") * F.col("w")).alias("sw"))
+    return pos.groupBy("d", "bucket").agg(F.sum("sw").alias("s"))
+
+
+def agms_join_size(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:
+    """1-row frame `est`: median over depth rows of the bucket-wise inner
+    product of two AGMS grids built with the SAME (width, depth, seeds).
+
+    All-integer arithmetic until the final median (exact for odd depth):
+    deterministic at any partitioning/summation order. The join is
+    (d, bucket) equi on two <= depth*width-row frames — sketch exchange,
+    never data exchange."""
+    dots = (
+        sketch_a.alias("a")
+        .join(sketch_b.alias("b"), ["d", "bucket"])
+        .groupBy("d")
+        .agg(F.sum(F.col("a.s") * F.col("b.s")).alias("dot"))
+    )
+    return dots.agg(F.expr("percentile(dot, 0.5)").alias("est"))

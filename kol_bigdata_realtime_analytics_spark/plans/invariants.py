@@ -544,3 +544,64 @@ def hll_segment_overlap_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.greatest(F.col("exact_overlap") * 0.15, F.lit(5.0))
         ).alias("within_15pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# AGMS join-size estimation — the sketch a cost-based optimizer exchanges
+# instead of scanning either side: |A ⋈ B on k| = <f_A, f_B> estimated from
+# two depth x width signed-counter grids.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_size_ams_check",
+    oracle="""
+    WITH c AS (
+      SELECT user_id,
+             SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS cb
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(SUM(ca * cb) AS BIGINT) AS exact_join_size,
+           TRUE AS ams_within_10pct
+    FROM c
+    """,
+)
+def join_size_ams_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AGMS estimate of |views ⋈ clicks on user_id| within 10% of exact.
+
+    One events scan builds per-user counts for both sides (the grids are
+    linear, so they derive from the aggregated frame — the count_min_check
+    pattern); the join size is estimated by `agms_join_size` (median of
+    depth all-integer inner products — deterministic seeded hashes) and
+    certified against the exact sum-of-count-products computed from the
+    SAME pinned counts frame. At 100 TB this is the pre-join cardinality
+    check that costs two depth*width sketch exchanges, not a data shuffle.
+    Bound: with ~2.4k distinct users at sf0.1 vs width 256, measured
+    relative error <= 2-4%; 10% is the stable margin.
+    """
+    from kol_bigdata_realtime_analytics_spark.operators.sketch import (
+        agms_build,
+        agms_join_size,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    counts = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum((F.col("event_type") == "view").cast("long")).alias("ca"),
+            F.sum((F.col("event_type") == "click").cast("long")).alias("cb"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sa = agms_build(counts.filter(F.col("ca") > 0), "user_id", weight_col="ca")
+    sb = agms_build(counts.filter(F.col("cb") > 0), "user_id", weight_col="cb")
+    est = agms_join_size(sa, sb)
+    exact = counts.agg(F.sum(F.col("ca") * F.col("cb")).alias("exact_join_size"))
+    return exact.crossJoin(F.broadcast(est)).select(
+        F.col("exact_join_size").cast("long").alias("exact_join_size"),
+        (
+            F.abs(F.col("est") - F.col("exact_join_size"))
+            <= F.col("exact_join_size") * 0.10
+        ).alias("ams_within_10pct"),
+    )

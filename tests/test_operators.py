@@ -743,6 +743,48 @@ def test_count_min_sketches_merge_by_union(spark):
     assert {tuple(r) for r in merged.collect()} == {tuple(r) for r in direct.collect()}
 
 
+def test_agms_join_size_accuracy_and_merge(spark):
+    """AGMS join-size estimate: exact on collision-free domains, within the
+    sqrt(F2*F2)/sqrt(width) error regime on skewed data, and mergeable
+    (sketch of union == bucket-wise sum of part sketches)."""
+    import math
+
+    from kol_bigdata_realtime_analytics_spark.operators.sketch import (
+        agms_build,
+        agms_join_size,
+    )
+
+    # collision-free: 17 and 13 keys vs width 256 -> exact inner product
+    a = spark.range(0, 1000).select((F.col("id") % 17).alias("k"))
+    b = spark.range(0, 500).select((F.col("id") % 13).alias("k"))
+    est = agms_join_size(agms_build(a, "k"), agms_build(b, "k")).collect()[0]["est"]
+    exact = a.join(b, "k").count()
+    assert est == exact
+
+    # skewed: zipf-ish key frequencies, 2000 keys vs width 256
+    sk = spark.range(0, 30000).select((F.col("id") % 2000 * (F.col("id") % 7 + 1) % 2000).alias("k"))
+    t = spark.range(0, 10000).select((F.col("id") % 500).alias("k"))
+    est2 = agms_join_size(agms_build(sk, "k"), agms_build(t, "k")).collect()[0]["est"]
+    exact2 = sk.join(t, "k").count()
+    f2a = sk.groupBy("k").count().agg(F.sum(F.col("count") * F.col("count"))).collect()[0][0]
+    f2b = t.groupBy("k").count().agg(F.sum(F.col("count") * F.col("count"))).collect()[0][0]
+    bound = 3 * math.sqrt(f2a * f2b / 256)
+    assert abs(est2 - exact2) <= bound
+
+    # mergeability
+    a1 = spark.range(0, 600).select((F.col("id") % 17).alias("k"))
+    a2 = spark.range(600, 1000).select((F.col("id") % 17).alias("k"))
+    merged = (
+        agms_build(a1, "k")
+        .unionByName(agms_build(a2, "k"))
+        .groupBy("d", "bucket")
+        .agg(F.sum("s").alias("s"))
+        .filter(F.col("s") != 0)
+    )
+    direct = agms_build(a1.unionByName(a2), "k").filter(F.col("s") != 0)
+    assert {tuple(r) for r in merged.collect()} == {tuple(r) for r in direct.collect()}
+
+
 def test_triangle_count_known_graphs(spark):
     """K4 has 4 triangles; a 4-cycle has 0; a star has 0; duplicate and
     reversed edge listings must not change counts."""
