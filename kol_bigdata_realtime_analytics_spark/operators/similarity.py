@@ -273,6 +273,31 @@ def lsh_neardup_pairs(
     )
 
 
+def hash_sample(
+    candidates: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 4096,
+):
+    """Deterministic bounded sample as a numpy array: the `sample_size` rows
+    with the smallest xxhash64(id) — stable across partitionings and data
+    layout (a seeded rand() sample is not). Shared by every quantizer fit
+    so a combined build (e.g. IVF-PQ) collects the corpus sample ONCE."""
+    import numpy as np
+
+    rows = (
+        candidates.select(
+            F.col(id_col).alias("vid"),
+            as_double_vec(F.col(vec_col)).alias("v"),
+            F.xxhash64(F.col(id_col)).alias("h"),
+        )
+        .orderBy("h", "vid")
+        .limit(sample_size)
+        .collect()
+    )
+    return np.array([r["v"] for r in rows], dtype="float64")
+
+
 def kmeans_centroids(
     candidates: DataFrame,
     id_col: str = "vec_id",
@@ -280,6 +305,7 @@ def kmeans_centroids(
     n_centroids: int = 8,
     sample_size: int = 4096,
     max_iter: int = 20,
+    sample=None,
 ) -> list[list[float]]:
     """Spherical k-means centroids fit on a deterministic bounded sample.
 
@@ -294,20 +320,14 @@ def kmeans_centroids(
     the previous centroid, so the result is reproducible with no RNG seed.
     Initialization is the first n_centroids rows of the hash-ordered
     sample — i.e. a uniform pseudo-random draw, but a fixed one.
+    `sample`: pre-fetched hash_sample() array, to share one collect
+    across several fits.
     """
     import numpy as np
 
-    rows = (
-        candidates.select(
-            F.col(id_col).alias("vid"),
-            as_double_vec(F.col(vec_col)).alias("v"),
-            F.xxhash64(F.col(id_col)).alias("h"),
-        )
-        .orderBy("h", "vid")
-        .limit(sample_size)
-        .collect()
+    X = sample if sample is not None else hash_sample(
+        candidates, id_col=id_col, vec_col=vec_col, sample_size=sample_size
     )
-    X = np.array([r["v"] for r in rows], dtype="float64")
     nrm = np.linalg.norm(X, axis=1, keepdims=True)
     nrm[nrm == 0] = 1.0
     Xn = X / nrm
@@ -502,6 +522,7 @@ def pq_codebooks(
     ksub: int = 16,
     sample_size: int = 4096,
     max_iter: int = 20,
+    sample=None,
 ) -> list[list[list[float]]]:
     """Product-quantization codebooks: m per-subspace k-means codebooks.
 
@@ -516,21 +537,14 @@ def pq_codebooks(
 
     Deterministic: init = first ksub rows of the hash-ordered sample per
     subspace, argmin ties -> lowest index, empty cluster keeps its previous
-    centroid. Returns [m][ksub][dsub] floats.
+    centroid. Returns [m][ksub][dsub] floats. `sample`: pre-fetched
+    hash_sample() array, to share one collect across several fits.
     """
     import numpy as np
 
-    rows = (
-        candidates.select(
-            F.col(id_col).alias("vid"),
-            as_double_vec(F.col(vec_col)).alias("v"),
-            F.xxhash64(F.col(id_col)).alias("h"),
-        )
-        .orderBy("h", "vid")
-        .limit(sample_size)
-        .collect()
+    X = sample if sample is not None else hash_sample(
+        candidates, id_col=id_col, vec_col=vec_col, sample_size=sample_size
     )
-    X = np.array([r["v"] for r in rows], dtype="float64")
     dim = X.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
@@ -695,13 +709,15 @@ def ivfpq_topk(
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
-    # ---- model artifacts (bounded sample fits, driver-side) ----
+    # ---- model artifacts: ONE bounded sample collect feeds both fits ----
+    X = hash_sample(candidates, id_col=id_col, vec_col=vec_col, sample_size=sample_size)
     coarse = kmeans_centroids(
         candidates, id_col=id_col, vec_col=vec_col,
-        n_centroids=n_centroids, sample_size=sample_size,
+        n_centroids=n_centroids, sample_size=sample_size, sample=X,
     )
     books = pq_codebooks(
-        candidates, id_col=id_col, vec_col=vec_col, m=m, ksub=ksub, sample_size=sample_size
+        candidates, id_col=id_col, vec_col=vec_col, m=m, ksub=ksub,
+        sample_size=sample_size, sample=X,
     )
     B = np.array(books, dtype="float64")
     dsub = B.shape[2]
