@@ -397,6 +397,21 @@ def jaccard_pairs(
     warm) with identical pair output; union size comes from |a|+|b|-|i| (one
     array pass fewer). Set semantics are exact modulo xxhash64 collisions
     (~n²/2^64 — negligible at any realistic block size).
+
+    CANDIDATES BY PREFIX FILTERING (r4): the naive within-block self-join
+    is quadratic in block size, and user blocking keys like (lang, source)
+    have corpus-PROPORTIONAL blocks — the 8x scale_check measured pairs
+    growing ~64x (dedup_clusters 13.6x wall at 8x volume). This is the
+    classic exact set-similarity join instead (AllPairs / PPJoin, Bayardo
+    et al. WWW'07; Xiao et al. WWW'08): order every doc's tokens by global
+    rarity (ascending document frequency); if J(A,B) >= t, A and B MUST
+    share a token within their first |s| - ceil(t*|s|) + 1 tokens under
+    any shared total order — so candidates are an equi-join on PREFIX
+    TOKENS (+ block cols), whose fan-out is posting-list-local (rare
+    tokens -> short postings) and grows linearly with the corpus, not
+    quadratically with block size. Candidates are then verified with the
+    exact Jaccard, so the output pair set is provably identical — the
+    all-pairs DuckDB oracle stays hash-exact.
     """
     base = df.select(
         F.col(id_col).alias("doc"),
@@ -405,20 +420,44 @@ def jaccard_pairs(
             F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t))
         ).alias("tok"),
     )
-    a = base.alias("a")
-    b = base.alias("b")
-    cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols]
-    inter = F.size(F.array_intersect(F.col("a.tok"), F.col("b.tok")))
-    union = F.size(F.col("a.tok")) + F.size(F.col("b.tok")) - inter
-    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
-    return (
+    tokrows = base.select("doc", *block_cols, F.explode("tok").alias("tk"))
+    tokdf = tokrows.groupBy("tk").agg(F.count("*").alias("tdf"))
+    # per doc: tokens sorted rarest-first under the global (df, token) order;
+    # pinned — it feeds the candidate explode AND both verify sides, and its
+    # lineage holds two corpus shuffles (df join + per-doc regroup)
+    ranked = (
+        tokrows.join(tokdf, "tk")
+        .groupBy("doc", *block_cols)
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("tdf", "tk"))), lambda s: s["tk"]
+            ).alias("tok")
+        )
+        .localCheckpoint(eager=True)
+    )
+    prefix_len = F.size("tok") - F.ceil(F.size("tok") * threshold) + 1
+    cand = ranked.select(
+        "doc", *block_cols, F.explode(F.slice("tok", 1, prefix_len)).alias("tk")
+    )
+    a, b = cand.alias("a"), cand.alias("b")
+    cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols] + [
+        F.col("a.tk") == F.col("b.tk")
+    ]
+    pairs = (
         a.join(b, cond)
         .filter(F.col("a.doc") < F.col("b.doc"))
-        .select(
-            F.col("a.doc").alias("id_a"),
-            F.col("b.doc").alias("id_b"),
-            F.round(jac, 6).alias("jaccard"),
-        )
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .distinct()
+    )
+    va = ranked.select(F.col("doc").alias("id_a"), F.col("tok").alias("tok_a"))
+    vb = ranked.select(F.col("doc").alias("id_b"), F.col("tok").alias("tok_b"))
+    inter = F.size(F.array_intersect(F.col("tok_a"), F.col("tok_b")))
+    union = F.size(F.col("tok_a")) + F.size(F.col("tok_b")) - inter
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    return (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 

@@ -161,7 +161,10 @@ def dedup_survivors_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by exact token-set Jaccard >= 0.5, blocked by (lang, source)."""
+    """Near-dup pairs by exact token-set Jaccard >= 0.5 within (lang, source):
+    a complete AllPairs/PPJoin prefix-filter join (corpus-linear candidate
+    generation, PERF.md §2.1e), verified exact — identical to the oracle's
+    all-pairs form."""
     docs = table(spark, sf_dir, "documents").filter(F.trim(F.coalesce("text", F.lit(""))) != "")
     return jaccard_pairs(docs, "text", "doc_id", ["lang", "source"], threshold=0.5)
 

@@ -62,6 +62,10 @@ def build_scaled(spark, k: int) -> None:
     (
         li.crossJoin(F.broadcast(rep))
         .withColumn("l_orderkey", F.col("l_orderkey") + F.col("_r") * 100_000_000)
+        # disjoint part domain per replica: the co-occurrence graph becomes
+        # K copies of itself (pure volume), not a K-fold DENSER graph (the
+        # support threshold would otherwise admit every one-off pair)
+        .withColumn("l_partkey", F.col("l_partkey") + F.col("_r") * 10_000_000)
         .drop("_r")
         .write.mode("overwrite")
         .parquet(os.path.join(SCALED, "lineitem.parquet"))
@@ -71,9 +75,20 @@ def build_scaled(spark, k: int) -> None:
     (
         docs.crossJoin(F.broadcast(rep))
         .withColumn("doc_id", F.col("doc_id") + F.col("_r") * (n_docs + 1))
-        # tag each replica's text so replication does not plant exact dups
-        # (that would measure dup-group blowup, not volume scaling)
-        .withColumn("text", F.concat(F.lit("r"), F.col("_r").cast("string"), F.lit(" "), F.col("text")))
+        # suffix EVERY TOKEN with the replica id: replicas are lexically
+        # disjoint, so neither exact nor near-dup machinery (minhash/simhash
+        # signatures are token-content-based) links copies — replication
+        # measures volume scaling, not planted duplicate-group blowup
+        .withColumn(
+            "text",
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda t: F.concat(t, F.lit("_"), F.col("_r").cast("string")),
+                ),
+            ),
+        )
         .drop("_r")
         .write.mode("overwrite")
         .parquet(os.path.join(SCALED, "documents.parquet"))
