@@ -428,17 +428,22 @@ def jaccard_pairs(
     ranked = (
         tokrows.join(tokdf, "tk")
         .groupBy("doc", *block_cols)
-        .agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("tdf", "tk"))), lambda s: s["tk"]
-            ).alias("tok")
+        .agg(F.sort_array(F.collect_list(F.struct("tdf", "tk"))).alias("rtok"))
+        .select(
+            "doc",
+            *block_cols,
+            "rtok",
+            F.transform(F.col("rtok"), lambda s: s["tk"]).alias("tok"),
         )
         .localCheckpoint(eager=True)
     )
     prefix_len = F.size("tok") - F.ceil(F.size("tok") * threshold) + 1
+    # df=1 prefix tokens can never match (a SHARED token has df >= 2), so
+    # they are dropped from the candidate join — lossless, and on rare-heavy
+    # vocabularies it removes most of the exploded posting rows
     cand = ranked.select(
-        "doc", *block_cols, F.explode(F.slice("tok", 1, prefix_len)).alias("tk")
-    )
+        "doc", *block_cols, F.explode(F.slice("rtok", 1, prefix_len)).alias("p")
+    ).filter(F.col("p.tdf") >= 2).select("doc", *block_cols, F.col("p.tk").alias("tk"))
     a, b = cand.alias("a"), cand.alias("b")
     cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols] + [
         F.col("a.tk") == F.col("b.tk")
