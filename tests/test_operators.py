@@ -53,6 +53,48 @@ def test_jaccard_finds_near_dup(spark, docs_df):
     assert (1, 3) not in pairs
 
 
+def test_jaccard_prefix_filter_complete_vs_bruteforce(spark):
+    """The prefix-filter join returns EXACTLY the brute-force pair set on
+    adversarial pseudo-random docs: Zipf-skewed vocabulary (hot tokens ->
+    long postings), doc lengths 1..40 (prefix-length edge cases incl.
+    single-token docs), and thresholds 0.3/0.5/0.8 (prefix share shrinks
+    as t grows — completeness must hold at every t)."""
+
+    def lcg(state):
+        while True:
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            yield state >> 33
+
+    rng = lcg(7)
+    vocab = [f"w{i}" for i in range(60)]
+    docs = []
+    for i in range(120):
+        n = 1 + next(rng) % 40
+        # Zipf-ish: token index skewed toward the low ids
+        toks = [vocab[(next(rng) % 60) * (next(rng) % 60) // 60] for _ in range(n)]
+        docs.append((i, " ".join(toks)))
+    df = spark.createDataFrame(docs, "doc_id long, text string").withColumn(
+        "blk", F.lit(1)
+    )
+
+    def brute(threshold):
+        sets = {i: set(t.split()) for i, t in docs}
+        out = set()
+        for a in range(120):
+            for b in range(a + 1, 120):
+                u = sets[a] | sets[b]
+                if u and len(sets[a] & sets[b]) / len(u) >= threshold:
+                    out.add((a, b))
+        return out
+
+    for t in (0.3, 0.5, 0.8):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in jaccard_pairs(df, "text", "doc_id", ["blk"], threshold=t).collect()
+        }
+        assert got == brute(t), f"pair set mismatch at threshold {t}"
+
+
 def test_minhash_lsh_finds_planted_dups(spark, docs_df):
     cand = {(r["id_a"], r["id_b"]) for r in minhash_lsh_candidates(docs_df, "text", "doc_id").collect()}
     assert (1, 2) in cand  # near-dup must collide in some band
