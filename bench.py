@@ -48,6 +48,7 @@ HEADLINE = [
     "ann_cosine_topk",
     "ann_lsh_topk",
     "embedding_neardup_pairs",
+    "embedding_neardup_lsh",
     "multimodal_decode",
     "trending_momentum",
     "sessionize_events",

@@ -252,6 +252,27 @@ def lsh_topk(
     )
 
 
+def lsh_bucket_sql(vec_expr: str, dim: int, n_planes: int = 8, seed: int = 42) -> str:
+    """DuckDB SQL expression computing the SAME bucket id as lsh_bucket_id.
+
+    The planes are literal constants in both engines (same LCG), and both
+    compute the plane dot product as a left-to-right sequential fold
+    (zip_with/aggregate vs list_dot_product), so the >= 0 sign test sees
+    the identical IEEE double — the bucket ids match bit-for-bit. This is
+    what lets an LSH-BLOCKED query keep a hash-exact DuckDB oracle: the
+    oracle re-derives the buckets instead of trusting the engine's.
+    """
+    planes = _seeded_planes(dim, n_planes, seed)
+    terms = []
+    for i, p in enumerate(planes):
+        lit = "[" + ", ".join(repr(x) for x in p) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({vec_expr}, {lit}) >= 0 "
+            f"THEN {2**i} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
 def lsh_neardup_pairs(
     df: DataFrame,
     dim: int,

@@ -93,7 +93,30 @@ def build_scaled(spark, k: int) -> None:
         .write.mode("overwrite")
         .parquet(os.path.join(SCALED, "documents.parquet"))
     )
-    for t in ("region", "nation", "customer", "supplier", "part", "orders", "embeddings"):
+    emb = spark.read.parquet(os.path.join(BASE, "embeddings.parquet"))
+    n_emb = emb.count()
+    dim = len(emb.select("embedding").first()[0])
+    (
+        emb.crossJoin(F.broadcast(rep))
+        .withColumn("vec_id", F.col("vec_id") + F.col("_r") * (n_emb + 1))
+        # circular dim rotation per replica: preserves every within-replica
+        # cosine (it's a coordinate permutation) while decorrelating
+        # replicas — copies are NOT planted near-dups of each other
+        .withColumn(
+            "embedding",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: F.element_at(
+                    F.col("embedding"),
+                    ((i + F.col("_r") * 7) % dim + 1).cast("int"),
+                ),
+            ),
+        )
+        .drop("_r")
+        .write.mode("overwrite")
+        .parquet(os.path.join(SCALED, "embeddings.parquet"))
+    )
+    for t in ("region", "nation", "customer", "supplier", "part", "orders"):
         src = os.path.join(BASE, f"{t}.parquet")
         if os.path.exists(src):
             dst = os.path.join(SCALED, f"{t}.parquet")
