@@ -290,7 +290,11 @@ def lsh_neardup_pairs(
     )
     return cosine_neardup_pairs(
         with_bucket, id_col=id_col, vec_col=vec_col, block_col="lsh_bucket",
-        threshold=threshold, dim=dim,
+        # dim deliberately NOT forwarded to the verify: dim=64 selects the
+        # unrolled dot, which blows the codegen budget and runs interpreted
+        # per PAIR (§2.1b: 1.7 s lambda vs 6.5 s unrolled on this exact
+        # shape). Float results are identical (both fold left-to-right).
+        threshold=threshold,
     )
 
 
