@@ -2179,17 +2179,27 @@ def encode_tokens_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact list arithmetic and a recursive CTE.
 # ---------------------------------------------------------------------------
 
-_SEMANTIC_DEDUP_ORACLE = """
-WITH RECURSIVE base AS (
-  SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings
+def _semantic_dedup_oracle() -> str:
+    from kol_bigdata_realtime_analytics_spark.operators.similarity import lsh_bucket_sql
+
+    bucket = lsh_bucket_sql("vec", dim=64, n_planes=4, seed=42)
+    return _SEMANTIC_DEDUP_ORACLE_TEMPLATE.replace("__BUCKET__", bucket)
+
+
+_SEMANTIC_DEDUP_ORACLE_TEMPLATE = """
+WITH RECURSIVE base0 AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+),
+base AS (
+  SELECT vec_id, vec, __BUCKET__ AS bkt FROM base0
 ),
 pair AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
-  FROM base a JOIN base b ON a.label = b.label
+  FROM base a JOIN base b ON a.bkt = b.bkt
   WHERE a.vec_id < b.vec_id
     AND ROUND(list_dot_product(a.vec, b.vec)
               / (sqrt(list_dot_product(a.vec, a.vec))
-                 * sqrt(list_dot_product(b.vec, b.vec))), 6) >= 0.95
+                 * sqrt(list_dot_product(b.vec, b.vec))), 6) >= 0.35
 ),
 edge AS (
   SELECT id_a AS src, id_b AS dst FROM pair
@@ -2209,20 +2219,32 @@ FROM final f JOIN sizes s ON f.cluster_id = s.cluster_id
 """.strip()
 
 
-@register("semantic_dedup_survivors", oracle=_SEMANTIC_DEDUP_ORACLE)
+@register("semantic_dedup_survivors", oracle=_semantic_dedup_oracle())
 def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup over the embeddings table: label-blocked cosine pairs at
-    >= 0.95 feed the connected-components closure; rows with
-    is_canonical = 1 are the semantic survivors (training keeps exactly
-    one exemplar per embedding-space duplicate group). At 100 TB the
-    block key becomes an IVF centroid / LSH bucket instead of the label —
-    same plan shape, corpus-size-independent pair work."""
+    """SemDeDup over the embeddings table: LSH-bucket-blocked cosine pairs
+    feed the connected-components closure; rows with is_canonical = 1 are
+    the semantic survivors (training keeps exactly one exemplar per
+    embedding-space duplicate group).
+
+    r4 rewired from the label-blocked baseline: the 8x scale_check
+    measured the fixed-cardinality label blocks quadratic (44.7x wall at
+    8x volume) AND the dim=64 unrolled dot ran interpreted per pair
+    (PERF §2.1b). Pairs now come from `lsh_neardup_pairs` — bucket count
+    scales with n_planes (~log2 corpus), the documented knob that
+    measured 0.79-of-linear at 4x — and the DuckDB oracle re-derives the
+    same literal-plane buckets (`lsh_bucket_sql`), so the query stays
+    hash-exact. Threshold 0.35, not a production 0.9+: synthetic vectors
+    are near-random and 0.95 matches zero pairs at every sf, which would
+    make the closure check vacuous (every row a singleton)."""
     from kol_bigdata_realtime_analytics_spark.operators.dedup import duplicate_clusters
+    from kol_bigdata_realtime_analytics_spark.operators.similarity import (
+        lsh_neardup_pairs,
+    )
 
     emb = table(spark, sf_dir, "embeddings")
-    pairs = cosine_neardup_pairs(
-        emb, id_col="vec_id", vec_col="embedding", block_col="label",
-        threshold=0.95, dim=64,
+    pairs = lsh_neardup_pairs(
+        emb, dim=64, id_col="vec_id", vec_col="embedding",
+        n_planes=4, threshold=0.35,
     ).select("id_a", "id_b")
     nodes = emb.select(F.col("vec_id").alias("doc_id"))
     return duplicate_clusters(nodes, pairs, id_col="doc_id").select(

@@ -45,8 +45,12 @@ DEFAULT_QUERIES = [
 
 
 def build_scaled(spark, k: int) -> None:
+    marker = os.path.join(SCALED, f".k{k}")
+    if os.path.exists(marker):
+        return  # same-K scaled copy already on disk — reuse it
     shutil.rmtree(SCALED, ignore_errors=True)
     os.makedirs(SCALED, exist_ok=True)
+    open(marker, "w").close()
     rep = spark.range(k).select(F.col("id").alias("_r"))
 
     ev = table(spark, BASE, "events")
