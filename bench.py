@@ -49,6 +49,7 @@ HEADLINE = [
     "ann_lsh_topk",
     "embedding_neardup_pairs",
     "embedding_neardup_lsh",
+    "semantic_dedup_survivors",
     "multimodal_decode",
     "trending_momentum",
     "sessionize_events",

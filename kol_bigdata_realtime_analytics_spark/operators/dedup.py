@@ -130,6 +130,43 @@ def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
     return F.array(*sigs)
 
 
+def minhash_signature_frame(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id_col, sig: array<long>) via the codegen'd shingle-hash path.
+
+    Same estimator family as minhash_signature (min over independent
+    per-shingle hashes -> lane-agreement fraction estimates Jaccard) but
+    ~5x faster: shingle_hash_rows never materializes shingle strings and
+    the num_hashes min-aggregations run inside whole-stage codegen with
+    map-side combine, where the array-lambda form evaluates interpreted
+    per shingle (PERF.md §2.1 — the 8x scale audit caught the invariant
+    check still on the lambda form: 40k docs never finished; this shape
+    signs 40k docs in seconds). Hash VALUES differ from minhash_signature
+    (xxhash64 of the shingle's hash, not of the string) — both are valid
+    seeded families; don't mix frames from the two forms.
+
+    Docs with fewer than shingle_n tokens emit no shingles and are absent
+    from the output (minhash of an empty set is undefined) — filter or
+    left-join accordingly.
+    """
+    shingled = shingle_hash_rows(df, text_col, id_col, shingle_n)
+    hashed = shingled.select(
+        "doc", *[F.xxhash64("h", F.lit(i)).alias(f"h{i}") for i in range(num_hashes)]
+    )
+    sig = hashed.groupBy("doc").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
+    )
+    return sig.select(
+        F.col("doc").alias(id_col),
+        F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"),
+    )
+
+
 def _minhash_banded(
     df: DataFrame,
     text_col: str,

@@ -25,9 +25,8 @@ from kol_bigdata_realtime_analytics_spark.functions.text import (
     token_count,
 )
 from kol_bigdata_realtime_analytics_spark.operators.dedup import (
-    minhash_signature,
+    minhash_signature_frame,
     shingle_hash_rows,
-    word_shingles,
 )
 from kol_bigdata_realtime_analytics_spark.operators.similarity import (
     brute_force_topk,
@@ -241,19 +240,24 @@ def minhash_estimate_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus re-tokenized once per branch (plan audit: 8 scans -> 1).
     sh = shingle_hash_rows(docs, "text", "doc_id", 3).distinct().localCheckpoint(eager=True)
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    # shuffle_hash hint: BOTH sides are the corpus-sized shingle frame, and
+    # the checkpointed RDD's stats mislead the planner into BROADCASTING it
+    # — at 8x volume that is a multi-GB driver-built hash relation (the
+    # scale_check run never finished). A composite-key shuffle join is the
+    # correct shape at any size; same rows, same hash.
     inter = (
         sh.alias("x")
         .join(
-            sh.alias("y"),
+            sh.alias("y").hint("shuffle_hash"),
             (F.col("y.doc") == F.col("x.doc") + 1) & (F.col("x.h") == F.col("y.h")),
         )
         .groupBy(F.col("x.doc").alias("doc_id"))
         .agg(F.count("*").alias("n_inter"))
     )
-    # estimate side: fraction of agreeing minhash lanes
-    sig = docs.select(
-        "doc_id", minhash_signature(word_shingles(F.col("text"), 3), 32).alias("sig")
-    ).localCheckpoint(eager=True)
+    # estimate side: fraction of agreeing minhash lanes — the codegen'd
+    # signature frame (the array-lambda form ran interpreted per shingle
+    # and never finished the 8x scale audit; see minhash_signature_frame)
+    sig = minhash_signature_frame(docs, "text", "doc_id", 32).localCheckpoint(eager=True)
     tc = docs.select("doc_id", token_count("text").alias("tc")).localCheckpoint(eager=True)
     pairs = (
         tc.alias("a")
