@@ -139,6 +139,14 @@ def time_query(spark, name: str, sf_dir: str, runs: int = 2) -> float:
 def main() -> None:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     names = sys.argv[2:] or DEFAULT_QUERIES
+    streaming = [n for n in names if n.startswith("streaming_") or n.startswith("stream_")]
+    if streaming:
+        # real readStream runs resolve sources differently against the
+        # replicated layout (measured: x8 "finishing" 10x faster than base
+        # = it read nothing) — their transformation lineage is the same
+        # batch shapes audited above, so exclude rather than mislead
+        print(f"skipping streaming queries (not scale_check-able): {streaming}")
+        names = [n for n in names if n not in streaming]
     spark = get_spark(app_name="scale_check")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     build_scaled(spark, k)
