@@ -474,7 +474,12 @@ def jaccard_pairs(
         )
         .localCheckpoint(eager=True)
     )
-    prefix_len = F.size("tok") - F.ceil(F.size("tok") * threshold) + 1
+    # epsilon guards the IEEE boundary: t*s can round just ABOVE an exact
+    # integer (0.55*20 = 11.000000000000002), and ceil of that would cut
+    # the prefix one short of the theorem's requirement — silently dropping
+    # qualifying pairs. Erring downward only ever LENGTHENS the prefix
+    # (extra candidates, removed by the exact verify).
+    prefix_len = F.size("tok") - F.ceil(F.size("tok") * threshold - 1e-9) + 1
     # df=1 prefix tokens can never match (a SHARED token has df >= 2), so
     # they are dropped from the candidate join — lossless, and on rare-heavy
     # vocabularies it removes most of the exploded posting rows

@@ -87,7 +87,10 @@ def test_jaccard_prefix_filter_complete_vs_bruteforce(spark):
                     out.add((a, b))
         return out
 
-    for t in (0.3, 0.5, 0.8):
+    # 0.55 exercises the IEEE prefix-length boundary: 0.55 * 20 rounds to
+    # 11.000000000000002, whose unguarded ceil shortens the prefix below
+    # the completeness requirement (the epsilon in jaccard_pairs fixes it)
+    for t in (0.3, 0.5, 0.55, 0.8):
         got = {
             (r["id_a"], r["id_b"])
             for r in jaccard_pairs(df, "text", "doc_id", ["blk"], threshold=t).collect()
