@@ -135,11 +135,19 @@ def agms_join_size(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:
     All-integer arithmetic until the final median (exact for odd depth):
     deterministic at any partitioning/summation order. The join is
     (d, bucket) equi on two <= depth*width-row frames — sketch exchange,
-    never data exchange."""
+    never data exchange. A depth row whose grids share NO buckets has
+    inner product 0 — the depth spine (distinct d over both grids) keeps
+    those zeros in the median instead of silently shrinking it, so
+    disjoint or near-empty relations estimate 0 rather than a biased
+    median over the surviving rows."""
     dots = (
         sketch_a.alias("a")
         .join(sketch_b.alias("b"), ["d", "bucket"])
         .groupBy("d")
         .agg(F.sum(F.col("a.s") * F.col("b.s")).alias("dot"))
     )
-    return dots.agg(F.expr("percentile(dot, 0.5)").alias("est"))
+    spine = sketch_a.select("d").union(sketch_b.select("d")).distinct()
+    full = spine.join(dots, "d", "left").select(
+        F.coalesce("dot", F.lit(0)).alias("dot")
+    )
+    return full.agg(F.coalesce(F.expr("percentile(dot, 0.5)"), F.lit(0.0)).alias("est"))

@@ -816,6 +816,12 @@ def test_agms_join_size_accuracy_and_merge(spark):
     bound = 3 * math.sqrt(f2a * f2b / 256)
     assert abs(est2 - exact2) <= bound
 
+    # disjoint key domains: every depth row's inner product is 0 and the
+    # estimate must be exactly 0 (not a median over missing rows)
+    d1 = spark.range(0, 300).select((F.col("id") % 7).alias("k"))
+    d2 = spark.range(0, 300).select((F.col("id") % 5 + 1000).alias("k"))
+    assert agms_join_size(agms_build(d1, "k"), agms_build(d2, "k")).collect()[0]["est"] == 0
+
     # mergeability
     a1 = spark.range(0, 600).select((F.col("id") % 17).alias("k"))
     a2 = spark.range(600, 1000).select((F.col("id") % 17).alias("k"))
