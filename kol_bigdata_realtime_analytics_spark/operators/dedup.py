@@ -117,19 +117,6 @@ def shingle_hash_rows(
     )
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
-    """array<long> of `num_hashes` min-hash values over the shingle set.
-
-    Each hash_i = min over shingles of xxhash64(shingle, seed=i). xxhash64 is
-    a JVM-native expression — the whole signature stays in codegen.
-    """
-    sigs = [
-        F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(i))))
-        for i in range(num_hashes)
-    ]
-    return F.array(*sigs)
-
-
 def minhash_signature_frame(
     df: DataFrame,
     text_col: str,
@@ -139,16 +126,16 @@ def minhash_signature_frame(
 ) -> DataFrame:
     """(id_col, sig: array<long>) via the codegen'd shingle-hash path.
 
-    Same estimator family as minhash_signature (min over independent
-    per-shingle hashes -> lane-agreement fraction estimates Jaccard) but
-    ~5x faster: shingle_hash_rows never materializes shingle strings and
-    the num_hashes min-aggregations run inside whole-stage codegen with
-    map-side combine, where the array-lambda form evaluates interpreted
-    per shingle (PERF.md §2.1 — the 8x scale audit caught the invariant
-    check still on the lambda form: 40k docs never finished; this shape
-    signs 40k docs in seconds). Hash VALUES differ from minhash_signature
-    (xxhash64 of the shingle's hash, not of the string) — both are valid
-    seeded families; don't mix frames from the two forms.
+    Classic MinHash family: per doc, min over its shingles of num_hashes
+    independent seeded hashes — the lane-agreement fraction of two
+    signatures estimates their shingle-set Jaccard. This is the ONLY
+    signature builder: shingle_hash_rows never materializes shingle
+    strings and the num_hashes min-aggregations run inside whole-stage
+    codegen with map-side combine. (An array-lambda Column form existed
+    and was removed: HOF lambdas evaluate interpreted per shingle —
+    PERF.md §2.1 — and the 8x scale audit caught the invariant check
+    still on it, never finishing 40k docs; this shape signs them in
+    seconds.)
 
     Docs with fewer than shingle_n tokens emit no shingles and are absent
     from the output (minhash of an empty set is undefined) — filter or
@@ -178,7 +165,7 @@ def _minhash_banded(
     """(doc, band, bucket) rows: banded MinHash signatures, one per doc/band."""
     rows_per_band = num_hashes // bands
     # Signatures via shingle-hash rows + flat hash columns + groupBy(min),
-    # NOT the array-lambda form (minhash_signature): higher-order-function
+    # NOT an array-lambda Column form: higher-order-function
     # lambdas evaluate interpreted, outside whole-stage codegen — measured
     # ~5x slower than this shape, where shingle hashing (shingle_hash_rows,
     # no shingle strings), all num_hashes xxhash64 columns, and the partial
@@ -435,6 +422,11 @@ def jaccard_pairs(
     array pass fewer). Set semantics are exact modulo xxhash64 collisions
     (~n²/2^64 — negligible at any realistic block size).
 
+    Requires 0 < threshold <= 1: the prefix theorem does not hold at
+    t <= 0 (a complete t=0 join is every within-block pair — use a plain
+    block self-join for that degenerate ask), and docs with EMPTY token
+    sets never pair here (their Jaccard to anything is 0 in both forms).
+
     CANDIDATES BY PREFIX FILTERING (r4): the naive within-block self-join
     is quadratic in block size, and user blocking keys like (lang, source)
     have corpus-PROPORTIONAL blocks — the 8x scale_check measured pairs
@@ -450,6 +442,8 @@ def jaccard_pairs(
     exact Jaccard, so the output pair set is provably identical — the
     all-pairs DuckDB oracle stays hash-exact.
     """
+    if not 0 < threshold <= 1:
+        raise ValueError(f"jaccard_pairs requires 0 < threshold <= 1, got {threshold}")
     base = df.select(
         F.col(id_col).alias("doc"),
         *[F.col(c) for c in block_cols],

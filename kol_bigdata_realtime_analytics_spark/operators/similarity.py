@@ -622,6 +622,38 @@ def pq_encode_udf(books: list[list[list[float]]]):
     return _encode
 
 
+def _adc_query_payload(
+    queries: DataFrame,
+    books: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """(q_ids, qnorms, flat LUTs, code offsets, flat centroid norms^2) for
+    ADC scoring — the per-query serving payload shared by pq_adc_topk and
+    ivfpq_topk. Every array is sized from the FITTED codebook tensor
+    (books may hold fewer than the requested ksub centroids when the
+    sample is small — pq_codebooks clamps k = min(ksub, sample rows), and
+    sizing from the ksub parameter instead would misalign the flat
+    offsets and crash the LUT build). Zero-norm queries are dropped."""
+    import numpy as np
+
+    B = np.array(books, dtype="float64")  # (m, k_eff, dsub)
+    m, k_eff, dsub = B.shape
+    cent_n2 = (B * B).sum(axis=2).reshape(-1)  # (m*k_eff,)
+    qrows = queries.select(
+        F.col(id_col).alias("q_id"), as_double_vec(F.col(vec_col)).alias("v")
+    ).collect()
+    Qv = np.array([r["v"] for r in qrows], dtype="float64")
+    qn = np.sqrt((Qv * Qv).sum(axis=1))
+    keep = qn > 0
+    q_ids = [int(r["q_id"]) for i, r in enumerate(qrows) if keep[i]]
+    Qv, qn = Qv[keep], qn[keep]
+    lut = np.empty((len(q_ids), m, k_eff), dtype="float64")
+    for s in range(m):
+        lut[:, s, :] = Qv[:, s * dsub : (s + 1) * dsub] @ B[s].T
+    return q_ids, Qv, qn, lut.reshape(len(q_ids), -1), np.arange(m, dtype="int64") * k_eff, cent_n2
+
+
 def pq_adc_topk(
     candidates: DataFrame,
     queries: DataFrame,
@@ -649,34 +681,19 @@ def pq_adc_topk(
     centroids; the corpus is never collected. Output contract matches
     brute_force_topk; recall is bounded by the invariant companion.
     """
-    import numpy as np
     from pyspark.sql.functions import pandas_udf
 
     books = pq_codebooks(
         candidates, id_col=id_col, vec_col=vec_col, m=m, ksub=ksub, sample_size=sample_size
     )
-    B = np.array(books, dtype="float64")  # (m, ksub, dsub)
-    dsub = B.shape[2]
-    cent_n2 = (B * B).sum(axis=2).reshape(-1)  # (m*ksub,) flat centroid norms^2
-
-    qrows = queries.select(
-        F.col(id_col).alias("q_id"), as_double_vec(F.col(vec_col)).alias("v")
-    ).collect()
-    Qv = np.array([r["v"] for r in qrows], dtype="float64")
-    qn = np.sqrt((Qv * Qv).sum(axis=1))
-    keep = qn > 0
-    q_ids = [int(r["q_id"]) for i, r in enumerate(qrows) if keep[i]]
-    Qv, qn = Qv[keep], qn[keep]
-    nq = len(q_ids)
-    # per-query LUT of subvector dots: (nq, m, ksub) -> flat (nq, m*ksub)
-    lut = np.empty((nq, B.shape[0], ksub), dtype="float64")
-    for s in range(B.shape[0]):
-        lut[:, s, :] = Qv[:, s * dsub : (s + 1) * dsub] @ B[s].T
-    lut2 = lut.reshape(nq, -1)
-    offsets = np.arange(B.shape[0], dtype="int64") * ksub
+    q_ids, _, qn, lut2, offsets, cent_n2 = _adc_query_payload(
+        queries, books, id_col=id_col, vec_col=vec_col
+    )
 
     @pandas_udf("array<double>")
     def _adc(codes: pd.Series) -> pd.Series:
+        import numpy as np
+
         C = np.stack([np.asarray(c, dtype="int64") for c in codes]) + offsets
         dots = lut2[:, C].sum(axis=2)  # (nq, batch): fixed-order sum over m
         rn = np.sqrt(cent_n2[C].sum(axis=1))  # (batch,) reconstruction norms
@@ -744,9 +761,6 @@ def ivfpq_topk(
         candidates, id_col=id_col, vec_col=vec_col, m=m, ksub=ksub,
         sample_size=sample_size, sample=X,
     )
-    B = np.array(books, dtype="float64")
-    dsub = B.shape[2]
-    cent_n2 = (B * B).sum(axis=2).reshape(-1)
 
     cents = candidates.sparkSession.createDataFrame(
         [(i, v) for i, v in enumerate(coarse)],
@@ -765,15 +779,10 @@ def ivfpq_topk(
         .filter(F.col("rn") == 1)
         .select("c_id", "cent_id", encode(F.col("c_vec")).alias("codes"))
     )
-    # ---- query payload: probed lists + ADC LUTs ----
-    qrows = queries.select(
-        F.col(id_col).alias("q_id"), as_double_vec(F.col(vec_col)).alias("v")
-    ).collect()
-    Qv = np.array([r["v"] for r in qrows], dtype="float64")
-    qn = np.sqrt((Qv * Qv).sum(axis=1))
-    keep = qn > 0
-    q_ids = [int(r["q_id"]) for i, r in enumerate(qrows) if keep[i]]
-    Qv, qn = Qv[keep], qn[keep]
+    # ---- query payload: shared ADC arrays + probed coarse lists ----
+    q_ids, Qv, qn, lut2, offsets, cent_n2 = _adc_query_payload(
+        queries, books, id_col=id_col, vec_col=vec_col
+    )
     nq = len(q_ids)
     Cn = np.array(coarse, dtype="float64")
     cn_norm = np.sqrt((Cn * Cn).sum(axis=1))
@@ -785,12 +794,6 @@ def ivfpq_topk(
         (int(q_ids[i]), int(order[i, j])) for i in range(nq) for j in range(n_probe)
     ]
     probe_df = candidates.sparkSession.createDataFrame(probes, "q_id long, cent_id long")
-
-    lut = np.empty((nq, m, ksub), dtype="float64")
-    for s in range(m):
-        lut[:, s, :] = Qv[:, s * dsub : (s + 1) * dsub] @ B[s].T
-    lut2 = lut.reshape(nq, -1)
-    offsets = np.arange(m, dtype="int64") * ksub
     qpos_of = {qid: i for i, qid in enumerate(q_ids)}
 
     @pandas_udf("double")

@@ -2172,11 +2172,12 @@ def encode_tokens_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Semantic dedup (SemDeDup-style) — the embedding-space analogue of the
-# text dedup pipeline: blocked cosine pairs at >= 0.95 -> connected
+# text dedup pipeline: LSH-bucket-blocked exact-cosine pairs (threshold
+# 0.35 on the synthetic vectors; see the query docstring) -> connected
 # components -> one canonical survivor per semantic group. Composes
-# cosine_neardup_pairs (per-row norms, blocked join) with the
-# pointer-doubling closure; the oracle re-derives the same clusters with
-# exact list arithmetic and a recursive CTE.
+# lsh_neardup_pairs with the pointer-doubling closure; the oracle
+# re-derives the same literal-plane buckets and clusters with exact list
+# arithmetic and a recursive CTE.
 # ---------------------------------------------------------------------------
 
 def _semantic_dedup_oracle() -> str:

@@ -50,7 +50,6 @@ def build_scaled(spark, k: int) -> None:
         return  # same-K scaled copy already on disk — reuse it
     shutil.rmtree(SCALED, ignore_errors=True)
     os.makedirs(SCALED, exist_ok=True)
-    open(marker, "w").close()
     rep = spark.range(k).select(F.col("id").alias("_r"))
 
     ev = table(spark, BASE, "events")
@@ -125,6 +124,9 @@ def build_scaled(spark, k: int) -> None:
         if os.path.exists(src):
             dst = os.path.join(SCALED, f"{t}.parquet")
             shutil.copytree(src, dst) if os.path.isdir(src) else shutil.copy(src, dst)
+    # marker LAST: an interrupted build must rebuild, not get silently
+    # reused and time queries against a partial dataset
+    open(marker, "w").close()
 
 
 def time_query(spark, name: str, sf_dir: str, runs: int = 2) -> float:

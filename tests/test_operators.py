@@ -435,6 +435,26 @@ def test_ivfpq_topk_clustered_and_contract(spark):
     assert all(c % 4 == q % 4 for q, c in got)
 
 
+def test_pq_adc_clamped_codebook_tiny_corpus(spark):
+    """Fewer vectors than ksub: pq_codebooks clamps k = min(ksub, sample);
+    the ADC payload must size its LUTs/offsets from the FITTED tensor, not
+    the ksub parameter (regression: mismatched flat offsets crashed)."""
+    from kol_bigdata_realtime_analytics_spark.operators.similarity import (
+        ivfpq_topk,
+        pq_adc_topk,
+    )
+
+    rows = [(i, [0.1 * ((i * 7 + j) % 5) + 0.01 for j in range(8)]) for i in range(6)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") < 2)
+    out = pq_adc_topk(emb, queries, k=2, m=2, ksub=16, sample_size=6).collect()
+    assert len(out) == 4  # full top-2 per query despite k_eff = 6 < ksub
+    out2 = ivfpq_topk(
+        emb, queries, k=2, n_centroids=2, n_probe=2, m=2, ksub=16, sample_size=6
+    ).collect()
+    assert len(out2) == 4
+
+
 def test_ivfpq_topk_full_topk_on_testdata(spark, sf_small):
     from kol_bigdata_realtime_analytics_spark.operators.similarity import ivfpq_topk
     from kol_bigdata_realtime_analytics_spark.plans.registry import table
