@@ -77,8 +77,15 @@ def as_of_join_union(
     and no Arrow transfer of the big side to Python (the pandas path's cost).
 
     Ordering (ts, tag) puts a right row BEFORE a left row at equal ts, so
-    right_ts == left_ts matches (<= semantics). The carried right_cols all
-    come from the same right row because they are null/non-null together.
+    right_ts == left_ts matches (<= semantics). The carried right_cols are
+    packed into ONE struct per right row and carried atomically — the
+    struct is non-null whenever the row IS a right row, even when payload
+    FIELDS are null, so the output never stitches columns from different
+    right rows (carrying each column independently with last(ignorenulls)
+    did exactly that when a newer row held a genuine NULL payload).
+    NULL-key right rows are dropped up front: a window partition groups
+    NULLs together, but the equi-join and merge_asof forms never match
+    NULL keys — NULL-key left rows keep NULL right cols in all three.
     right_cols must not collide with left column names — alias first.
     """
     overlap = set(right_cols) & set(left.columns)
@@ -88,11 +95,15 @@ def as_of_join_union(
             "alias them on the right DataFrame first"
         )
     l = left.withColumn("_ts", F.col(left_ts)).withColumn("_tag", F.lit(1))
-    r = right.select(
-        F.col(key),
-        F.col(right_ts).alias("_ts"),
-        *[F.col(c) for c in right_cols],
-    ).withColumn("_tag", F.lit(0))
+    r = (
+        right.filter(F.col(key).isNotNull())
+        .select(
+            F.col(key),
+            F.col(right_ts).alias("_ts"),
+            F.struct(*[F.col(c) for c in right_cols]).alias("_rrow"),
+        )
+        .withColumn("_tag", F.lit(0))
+    )
     u = l.unionByName(r, allowMissingColumns=True)
     w = (
         Window.partitionBy(key)
@@ -102,12 +113,12 @@ def as_of_join_union(
     carried = u.select(
         *[F.col(c) for c in left.columns],
         F.col("_tag"),
-        *[F.last(c, ignorenulls=True).over(w).alias(f"_asof_{c}") for c in right_cols],
+        F.last("_rrow", ignorenulls=True).over(w).alias("_asof"),
     )
-    out = carried.filter(F.col("_tag") == 1).drop("_tag")
-    for c in right_cols:
-        out = out.withColumnRenamed(f"_asof_{c}", c)
-    return out
+    return carried.filter(F.col("_tag") == 1).select(
+        *[F.col(c) for c in left.columns],
+        *[F.col(f"_asof.{c}").alias(c) for c in right_cols],
+    )
 
 
 def as_of_join_pandas(
@@ -122,15 +133,18 @@ def as_of_join_pandas(
 
     Two hash shuffles (one per side, on `key`), then a linear-time
     backward merge per key group inside Arrow-batched pandas. right_cols
-    may not collide with left column names or `right_ts` — alias on the
-    right side first (e.g. `F.col("ts").alias("event_ts")`).
+    may not collide with left column names — alias on the right side
+    first (e.g. `F.col("ts").alias("event_ts")`). `right_ts` MAY share
+    its name with a left column (both sides calling their time column
+    `ts` is the natural case): it is renamed to a private name inside the
+    merge, so pandas never suffixes or drops the left column.
     """
     import pandas as pd
 
-    overlap = set(right_cols) & ({right_ts} | set(left.columns))
+    overlap = set(right_cols) & ({"_r_ts"} | set(left.columns))
     if overlap:
         raise ValueError(
-            f"right_cols {sorted(overlap)} collide with left/right_ts names; "
+            f"right_cols {sorted(overlap)} collide with left/_r_ts names; "
             "alias them on the right DataFrame first"
         )
     out_schema = ", ".join(
@@ -144,12 +158,18 @@ def as_of_join_pandas(
             for c in right_cols:
                 lpdf[c] = None
             return lpdf
-        rpdf = rpdf.sort_values(right_ts)[[right_ts, *right_cols]]
-        merged = pd.merge_asof(
-            lpdf, rpdf, left_on=left_ts, right_on=right_ts, direction="backward"
+        rpdf = rpdf.sort_values(right_ts)[[right_ts, *right_cols]].rename(
+            columns={right_ts: "_r_ts"}
         )
-        return merged.drop(columns=[right_ts])
+        merged = pd.merge_asof(
+            lpdf, rpdf, left_on=left_ts, right_on="_r_ts", direction="backward"
+        )
+        return merged.drop(columns=["_r_ts"])
 
-    return left.groupBy(key).cogroup(right.groupBy(key)).applyInPandas(
-        lambda l, r: merge(l, r), schema=out_schema
+    # NULL-key right rows never match in the equi-join form; drop them so
+    # the cogrouped NULL-key groups (which pandas WOULD pair up) agree
+    return (
+        left.groupBy(key)
+        .cogroup(right.filter(F.col(key).isNotNull()).groupBy(key))
+        .applyInPandas(lambda l, r: merge(l, r), schema=out_schema)
     )

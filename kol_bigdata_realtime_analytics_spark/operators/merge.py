@@ -7,20 +7,25 @@ really a small daily delta); Iceberg/Delta spell it ``MERGE INTO``. Here it
 is one composable operator with the scale-correct physical shape.
 
 Scale shape — the base table NEVER shuffles. The naive plan is a full-outer
-join on the key (one shuffle of base + delta); but a CDC batch is orders of
-magnitude smaller than the table it amends, so the merge decomposes into
+join on the key (one shuffle of base + delta — and Spark cannot broadcast a
+full outer, it falls back to SortMergeJoin; verified on 4.1); a CDC batch is
+orders of magnitude smaller than the table it amends, so the merge
+decomposes into
 
-  1. base LEFT JOIN broadcast(delta)  — carry / update / delete per row,
-  2. delta upserts ANTI JOIN broadcast(base-keys … no: anti join runs
-     broadcast the *delta* side again (left_anti preserves the delta side),
-  3. UNION the surviving base rows with the fresh inserts.
+  1. one column-pruned scan of base's KEY column, semi-joined against the
+     broadcast upsert keys -> the tiny "already present" key set (<= |delta|
+     rows, pinned with localCheckpoint so it never re-executes),
+  2. base LEFT JOIN broadcast(delta) — carry / update / delete per row
+     (the one full-width base scan, streamed through codegen),
+  3. delta upserts ANTI JOIN broadcast(present-keys) -> fresh inserts,
+  4. UNION of 2 and 3.
 
-Both joins broadcast the delta; the 100-TB base is read once, streamed
-through two codegen'd stages, and written back partition-aligned. When the
-delta is genuinely large (backfill), pass ``broadcast_delta=False`` and the
-same logical plan runs as two hash-shuffle joins keyed on the merge key —
-bucket both tables by that key at write time and even those exchanges
-disappear.
+So the full-width base data is read ONCE; the key-only pre-scan reads a
+single column (parquet column pruning) and nothing base-sized is ever
+cached, shuffled, or broadcast. When the delta is genuinely large
+(backfill), pass ``broadcast_delta=False`` and the same logical plan runs
+as hash-shuffle joins keyed on the merge key — bucket both tables by that
+key at write time and even those exchanges disappear.
 """
 
 from __future__ import annotations
@@ -37,6 +42,7 @@ def merge_changelog(
     upsert_op: str = "U",
     delete_op: str = "D",
     broadcast_delta: bool = True,
+    validate_unique_keys: bool = True,
 ) -> DataFrame:
     """Apply ``delta`` (key + op + full payload columns) onto ``base``.
 
@@ -48,9 +54,25 @@ def merge_changelog(
       - key only in base      -> row carried unchanged
 
     ``delta`` must carry the same payload columns as ``base`` (values for
-    delete rows are ignored). Output schema = base schema + ``merge_action``
-    (carry|update|insert) so callers can audit what the merge did.
+    delete rows are ignored) and AT MOST ONE ROW PER KEY — like Delta/
+    Iceberg MERGE INTO, which raise on multiple source matches, a
+    duplicate-key delta is rejected (``validate_unique_keys``, one tiny
+    aggregation job over the delta side only): silently joining it would
+    multiply matched base rows and make the outcome order-dependent.
+    Squash a multi-op CDC stream to its latest op per key upstream.
+    Output schema = base schema + ``merge_action`` (carry|update|insert)
+    so callers can audit what the merge did.
     """
+    if validate_unique_keys:
+        dup = (
+            delta.groupBy(key).count().filter(F.col("count") > 1).limit(5).collect()
+        )
+        if dup:
+            raise ValueError(
+                f"delta has multiple rows for key(s) {[r[key] for r in dup]}; "
+                "MERGE requires at most one source row per key — squash the "
+                "changelog to its latest op per key first"
+            )
     payload = [c for c in base.columns if c != key]
     d = delta.select(
         F.col(key),
@@ -77,13 +99,18 @@ def merge_changelog(
 
     upserts = delta.filter(F.col(op_col) == upsert_op)
     if broadcast_delta:
-        # Inserts = upserts whose key is NOT in base. Anti-joining the delta
-        # against base keys directly would shuffle the 100-TB base's key
-        # column; instead reuse the broadcast join above to find which
-        # upsert keys ARE in base (a result bounded by |delta|), broadcast
-        # THAT, and anti-join the delta against it. Base never shuffles.
-        matched_upsert_keys = matched.filter(F.col("__op") == upsert_op).select(key)
-        inserts_src = upserts.join(F.broadcast(matched_upsert_keys), key, "left_anti")
+        # Inserts = upserts whose key is NOT in base. Deriving the present
+        # set from `matched` would re-execute the full-width base scan for
+        # this branch (Spark does not share unpinned subplans across union
+        # branches); instead run a KEY-ONLY semi-join — parquet prunes the
+        # scan to the single key column — and pin the <=|delta|-row result
+        # so base data is read full-width exactly once (the left join).
+        present_keys = (
+            base.select(key)
+            .join(F.broadcast(upserts.select(key)), key, "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        inserts_src = upserts.join(F.broadcast(present_keys), key, "left_anti")
     else:
         inserts_src = upserts.join(base.select(key), key, "left_anti")
     inserts = inserts_src.select(

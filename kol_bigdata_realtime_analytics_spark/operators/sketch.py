@@ -67,8 +67,11 @@ def count_min_estimate(
     depth: int = DEFAULT_DEPTH,
     out_col: str = "cm_estimate",
 ) -> DataFrame:
-    """keys + `out_col`: the count-min point estimate for each key.
+    """(key_col, out_col): the count-min point estimate per DISTINCT key.
 
+    Output carries ONLY those two columns — non-key columns of `keys` are
+    dropped and duplicate key rows collapse (the groupBy is part of the
+    probe); join the result back on key_col to re-attach payload.
     Probes = keys x depth rows; the sketch broadcasts; a bucket missing
     from the sketch means zero items hashed there, so the estimate is 0
     (coalesce) — correct, since est >= exact >= 0 forces exact = 0."""

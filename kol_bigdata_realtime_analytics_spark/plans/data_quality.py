@@ -13,7 +13,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kol_bigdata_realtime_analytics_spark.plans.registry import register, table
+from kol_bigdata_realtime_analytics_spark.plans.registry import (
+    hash52,
+    register,
+    sql_hash52,
+    table,
+)
 
 # ---------------------------------------------------------------------------
 # Constraint validation — PK uniqueness, FK integrity, null/range/blank.
@@ -284,13 +289,13 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # table are identical without sorting either.
 # ---------------------------------------------------------------------------
 
-_DIGEST_ORACLE = """
-WITH h AS (
-  SELECT CAST(('0x' || substr(md5(
-           CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR) || '|' ||
+_DIGEST_ROW_SQL = """CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR) || '|' ||
            o_orderstatus || '|' || CAST(o_totalprice AS VARCHAR) || '|' ||
-           strftime(o_orderdate, '%Y-%m-%d') || '|' || o_orderpriority
-         ), 1, 13)) AS BIGINT) AS rh
+           strftime(o_orderdate, '%Y-%m-%d') || '|' || o_orderpriority"""
+
+_DIGEST_ORACLE = f"""
+WITH h AS (
+  SELECT {sql_hash52(_DIGEST_ROW_SQL)} AS rh
   FROM orders
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -316,7 +321,7 @@ def table_content_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.col("o_orderdate").cast("timestamp"), "yyyy-MM-dd"),
         "o_orderpriority",
     )
-    rh = F.conv(F.substring(F.md5(row_str), 1, 13), 16, 10).cast("long")
+    rh = hash52(row_str)
     # 52-bit row hashes: sum exactly in decimal, fold back mod 2^52 (the
     # raw sum overflows a long at ~2000 rows)
     return o.select(rh.alias("rh")).agg(
@@ -339,12 +344,12 @@ def table_content_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PSI_ORACLE = """
 WITH mid AS (
-  SELECT to_timestamp(CAST(floor((epoch_us(MIN(ts)) + epoch_us(MAX(ts))) / 2) AS BIGINT) / 1000000.0) AS m
+  SELECT CAST(floor((epoch_us(MIN(ts)) + epoch_us(MAX(ts))) / 2) AS BIGINT) AS m_us
   FROM events
 ),
 bucketed AS (
   SELECT event_type,
-         CASE WHEN ts < mid.m THEN 0 ELSE 1 END AS period,
+         CASE WHEN epoch_us(ts) < mid.m_us THEN 0 ELSE 1 END AS period,
          LEAST(CAST(floor(value / 10) AS BIGINT), 9) AS bucket,
          COUNT(*) AS c
   FROM events, mid
@@ -382,21 +387,21 @@ def value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     > 0.25 drifted). One scan to the bucket grid; the PSI fold runs over
     <= types x 10 decimal terms."""
     ev = table(spark, sf_dir, "events")
+    # midpoint compared in INTEGER micros in both engines: converting the
+    # midpoint back to a timestamp loses a microsecond between engines
+    # (Spark's double->timestamp cast truncates, DuckDB's to_timestamp
+    # rounds, and mid/1e6 is not exactly representable) — a boundary event
+    # would land in different periods and flip the driver hash
     mid = ev.agg(
-        F.to_timestamp(
-            (
-                F.floor(
-                    (F.unix_micros(F.min("ts")) + F.unix_micros(F.max("ts"))) / 2
-                ).cast("bigint")
-            )
-            / 1000000.0
-        ).alias("m")
+        F.floor((F.unix_micros(F.min("ts")) + F.unix_micros(F.max("ts"))) / 2)
+        .cast("bigint")
+        .alias("m_us")
     )
     bucketed = (
         ev.crossJoin(F.broadcast(mid))
         .groupBy(
             "event_type",
-            F.when(F.col("ts") < F.col("m"), 0).otherwise(1).alias("period"),
+            F.when(F.unix_micros(F.col("ts")) < F.col("m_us"), 0).otherwise(1).alias("period"),
             F.least(F.floor(F.col("value") / 10), F.lit(9)).cast("long").alias("bucket"),
         )
         .agg(F.count("*").alias("c"))

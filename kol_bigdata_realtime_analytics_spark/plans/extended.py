@@ -14,9 +14,11 @@ from pyspark.sql import functions as F
 from kol_bigdata_realtime_analytics_spark.plans.registry import (
     dsum,
     dsum_raw,
+    hash52,
     register,
     sql_dsum,
     sql_dsum_raw,
+    sql_hash52,
     table,
 )
 
@@ -857,11 +859,11 @@ def unattributed_views(spark: SparkSession, sf_dir: str) -> DataFrame:
 # so the whole sample is oracle-exact — no RNG state anywhere.
 # ---------------------------------------------------------------------------
 
-_WEIGHTED_SAMPLE_ORACLE = """
+_WEIGHTED_SAMPLE_ORACLE = f"""
 WITH w AS (
   SELECT doc_id, n_chars,
          CAST(n_chars AS DOUBLE) AS wt,
-         (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) + 1)
+         ({sql_hash52("CAST(doc_id AS VARCHAR)")} + 1)
            / 4503599627370497.0 AS u
   FROM documents WHERE n_chars > 0
 )
@@ -884,12 +886,9 @@ def weighted_sample_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
     # 13 hex chars = 52 bits -> u in (0, 1], exactly as the oracle's
     # ('0x'||substr(md5,1,13))::BIGINT + 1 over 2^52 + 1
-    u = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10).cast(
-            "double"
-        )
-        + 1
-    ) / F.lit(4503599627370497.0)
+    u = (hash52(F.col("doc_id").cast("string")).cast("double") + 1) / F.lit(
+        4503599627370497.0
+    )
     wt = F.col("n_chars").cast("double")
     pri = F.log(u) / wt
     return (

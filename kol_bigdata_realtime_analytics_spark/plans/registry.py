@@ -121,6 +121,20 @@ def sql_dsum_raw(expr: str) -> str:
     return f"CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
 
 
+def hash52(col):
+    """52-bit integer from the md5 hex prefix of a string column/expr —
+    the engine-pair row hash (exact in a DOUBLE and in DECIMAL sums;
+    13 hex chars = 52 bits). MUST stay in lockstep with sql_hash52."""
+    from pyspark.sql import functions as F
+
+    return F.conv(F.substring(F.md5(_as_col(col)), 1, 13), 16, 10).cast("long")
+
+
+def sql_hash52(expr: str) -> str:
+    """DuckDB oracle fragment matching hash52() exactly."""
+    return f"CAST(('0x' || substr(md5({expr}), 1, 13)) AS BIGINT)"
+
+
 def normalize_event_ts(df: DataFrame) -> DataFrame:
     """Normalize events.ts to TimestampType whatever the parquet encoding.
 
@@ -143,13 +157,18 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
         # epoch-micros/millis instead, silently scaling by 1000x would shift
         # every instant by centuries — divide by the magnitude-implied unit.
         # Plausible data years (1990-2100) put epoch-nanos at ~6e17-4e18,
-        # micros at ~6e14-4e15, millis at ~6e11-4e12: the decade bands don't
-        # overlap, so a CASE on the absolute magnitude is exact. Branches are
-        # per-row expressions — batch and streaming frames alike, no action.
+        # micros at ~6e14-4e15, millis at ~6e11-4e12, SECONDS at ~6e8-4e9:
+        # the decade bands don't overlap, so a CASE on the absolute
+        # magnitude is exact — including the most common epoch unit,
+        # seconds, which an earlier fence missed (anything < 1e14 was
+        # treated as millis, so epoch-seconds data would have decoded to
+        # January 1970). Branches are per-row expressions — batch and
+        # streaming frames alike, no action.
         us = (
             F.when(F.abs(F.col("ts")) >= F.lit(10**17), F.expr("ts div 1000"))
             .when(F.abs(F.col("ts")) >= F.lit(10**14), F.col("ts"))
-            .otherwise(F.col("ts") * 1000)
+            .when(F.abs(F.col("ts")) >= F.lit(10**11), F.col("ts") * 1000)
+            .otherwise(F.col("ts") * 1_000_000)
         )
         return df.withColumn("ts", F.timestamp_micros(us))
     if dt == "timestamp_ntz":

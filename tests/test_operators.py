@@ -808,6 +808,49 @@ def test_count_min_sketches_merge_by_union(spark):
     assert {tuple(r) for r in merged.collect()} == {tuple(r) for r in direct.collect()}
 
 
+def test_asof_three_forms_agree_on_adversarial_inputs(spark):
+    """The equi-join, union-window, and cogrouped-pandas as-of forms must
+    return IDENTICAL results on the inputs that historically split them:
+    a newer right row with a genuinely NULL payload field (the union form
+    used to stitch the older row's value in), NULL join keys (a window
+    partition groups NULLs; an equi-join never matches them), equal
+    timestamps (<= semantics), and right_ts sharing the left's column
+    name `ts` (the pandas form used to drop the left column)."""
+    from kol_bigdata_realtime_analytics_spark.operators.asof import (
+        as_of_join,
+        as_of_join_pandas,
+        as_of_join_union,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 10, "L1"), (1, 3, "L2"), (2, 5, "L3"), (None, 5, "L4")],
+        "k int, ts int, lv string",
+    )
+    right = spark.createDataFrame(
+        [(1, 1, "a1", "b1"), (1, 3, None, "b2"), (2, 9, "a3", "b3"), (None, 1, "ax", "bx")],
+        "k int, ts int, ra string, rb string",
+    )
+    r_aliased = right.select("k", "ts", F.col("ra").alias("xa"), F.col("rb").alias("xb"))
+
+    def rows(df):
+        return sorted(
+            (r["lv"], r["xa"], r["xb"]) for r in df.select("lv", "xa", "xb").collect()
+        )
+
+    expected = [
+        ("L1", None, "b2"),  # latest right row (ts=3) carried ATOMICALLY: ra IS NULL
+        ("L2", None, "b2"),  # ts tie matches (<=)
+        ("L3", None, None),  # only right row for k=2 is later
+        ("L4", None, None),  # NULL keys never match
+    ]
+    a = as_of_join(left, r_aliased, "k", "ts", "ts", ["xa", "xb"], left_unique=["lv"])
+    b = as_of_join_union(left, r_aliased, "k", "ts", "ts", ["xa", "xb"])
+    c = as_of_join_pandas(left, r_aliased, "k", "ts", "ts", ["xa", "xb"])
+    assert rows(a) == expected
+    assert rows(b) == expected
+    assert rows(c) == expected
+
+
 def test_agms_join_size_accuracy_and_merge(spark):
     """AGMS join-size estimate: exact on collision-free domains, within the
     sqrt(F2*F2)/sqrt(width) error regime on skewed data, and mergeable
@@ -993,6 +1036,21 @@ def test_merge_changelog_base_never_shuffles_on_broadcast_path(spark):
     merge_changelog, base, delta = _merge_fixture(spark)
     plan = merge_changelog(base, delta, "k")._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
+
+
+def test_merge_changelog_rejects_duplicate_delta_keys(spark):
+    """Two delta rows for one key would make the outcome order-dependent
+    (and duplicate matched base rows) — rejected up front, like Delta/
+    Iceberg MERGE INTO's multiple-source-match error."""
+    import pytest
+
+    merge_changelog, base, _ = _merge_fixture(spark)
+    dup_delta = spark.createDataFrame(
+        [(2, "U", "b2", 22), (2, "D", None, None)],
+        "k long, op string, s string, v long",
+    )
+    with pytest.raises(ValueError, match="multiple rows"):
+        merge_changelog(base, dup_delta, "k")
 
 
 def test_changelog_roundtrip_rebuilds_new_snapshot(spark):

@@ -40,6 +40,7 @@ ENCODINGS = {
     # silently scaled every instant 1000x) — fence all three unit bands
     "int64_micros": pa.int64(),
     "int64_millis": pa.int64(),
+    "int64_seconds": pa.int64(),
     "timestamp_us": pa.timestamp("us"),
     "timestamp_ns": pa.timestamp("ns"),
 }
@@ -53,6 +54,8 @@ def _write_events(dir_path: str, encoding: str) -> None:
         ts = pa.array(_EPOCH_US, type=ts_type)
     elif encoding == "int64_millis":
         ts = pa.array([us // 1000 for us in _EPOCH_US], type=ts_type)
+    elif encoding == "int64_seconds":
+        ts = pa.array([us // 1_000_000 for us in _EPOCH_US], type=ts_type)
     elif encoding == "timestamp_us":
         ts = pa.array(_EPOCH_US, type=pa.int64()).cast(ts_type)
     else:  # timestamp_ns
@@ -71,9 +74,11 @@ def _write_events(dir_path: str, encoding: str) -> None:
 
 
 def _expected_us(encoding: str) -> list[int]:
-    # millis cannot carry sub-ms precision: instants truncate to the ms
+    # millis/seconds cannot carry finer precision: instants truncate
     if encoding == "int64_millis":
         return [(us // 1000) * 1000 for us in _EPOCH_US]
+    if encoding == "int64_seconds":
+        return [(us // 1_000_000) * 1_000_000 for us in _EPOCH_US]
     return _EPOCH_US
 
 
