@@ -141,11 +141,14 @@ def as_of_join_pandas(
     """
     import pandas as pd
 
-    overlap = set(right_cols) & ({"_r_ts"} | set(left.columns))
+    # right_ts itself may not be carried: rpdf[[right_ts, *right_cols]]
+    # followed by the rename would produce a duplicate '_r_ts' column and
+    # merge_asof would fail confusingly (r4 advice)
+    overlap = set(right_cols) & ({right_ts, "_r_ts"} | set(left.columns))
     if overlap:
         raise ValueError(
-            f"right_cols {sorted(overlap)} collide with left/_r_ts names; "
-            "alias them on the right DataFrame first"
+            f"right_cols {sorted(overlap)} collide with left/{right_ts}/_r_ts "
+            "names; alias them on the right DataFrame first"
         )
     out_schema = ", ".join(
         [f"{f.name} {f.dataType.simpleString()}" for f in left.schema.fields]

@@ -468,12 +468,18 @@ def jaccard_pairs(
         )
         .localCheckpoint(eager=True)
     )
-    # epsilon guards the IEEE boundary: t*s can round just ABOVE an exact
-    # integer (0.55*20 = 11.000000000000002), and ceil of that would cut
-    # the prefix one short of the theorem's requirement — silently dropping
-    # qualifying pairs. Erring downward only ever LENGTHENS the prefix
-    # (extra candidates, removed by the exact verify).
-    prefix_len = F.size("tok") - F.ceil(F.size("tok") * threshold - 1e-9) + 1
+    # Two downward slacks on the threshold before the prefix-length ceil
+    # (erring downward only ever LENGTHENS the prefix — extra candidates,
+    # removed by the exact verify):
+    #  - 5e-7: the FINAL filter accepts round(jac, 6) >= t, so a pair with
+    #    exact J within half-a-6dp-ulp BELOW t still passes — the prefix
+    #    must be computed for t - 5e-7 so such pairs are complete too
+    #    (r4 advice; unreachable at realistic token-set sizes, but now the
+    #    "provably identical" claim holds without a caveat);
+    #  - 1e-9: the IEEE boundary — t*s can round just ABOVE an exact
+    #    integer (0.55*20 = 11.000000000000002), and ceil of that would cut
+    #    the prefix one short of the theorem's requirement.
+    prefix_len = F.size("tok") - F.ceil(F.size("tok") * (threshold - 5e-7) - 1e-9) + 1
     # df=1 prefix tokens can never match (a SHARED token has df >= 2), so
     # they are dropped from the candidate join — lossless, and on rare-heavy
     # vocabularies it removes most of the exploded posting rows

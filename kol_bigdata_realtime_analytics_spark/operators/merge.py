@@ -56,9 +56,13 @@ def merge_changelog(
     ``delta`` must carry the same payload columns as ``base`` (values for
     delete rows are ignored) and AT MOST ONE ROW PER KEY — like Delta/
     Iceberg MERGE INTO, which raise on multiple source matches, a
-    duplicate-key delta is rejected (``validate_unique_keys``, one tiny
-    aggregation job over the delta side only): silently joining it would
-    multiply matched base rows and make the outcome order-dependent.
+    duplicate-key delta is rejected (``validate_unique_keys``): silently
+    joining it would multiply matched base rows and make the outcome
+    order-dependent. NOTE: this validation is an EAGER Spark action at call
+    time (a groupBy+limit(5).collect over the DELTA side only — never the
+    base) — plan construction is no longer fully lazy when it is on. Pass
+    ``validate_unique_keys=False`` for a purely lazy plan if the delta's
+    key-uniqueness is already guaranteed upstream.
     Squash a multi-op CDC stream to its latest op per key upstream.
     Output schema = base schema + ``merge_action`` (carry|update|insert)
     so callers can audit what the merge did.

@@ -372,14 +372,24 @@ def low_balance_except_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dependent — the r3 driver run caught ROUND flipping on a one-ulp tie.
 # Sum in DECIMAL(18,6) (exact, order-proof), then cast to DOUBLE so the
 # output schema is unchanged and both engines round the IDENTICAL double.
+#
+# r5 root-cause fix for the perennial hash-red: n_high was the ONLY integer
+# SUM in any registered oracle NOT cast to BIGINT. DuckDB types SUM(INTEGER)
+# as HUGEINT, which pandas-materializes as float64 (verified live: 236.0 vs
+# Spark's bigint 236) — rows/schema match, value hash flips, every round,
+# independent of data. The CAST is a no-op when the same text runs in Spark.
+# The inner CAST(value AS DOUBLE) is the encoding fence: on float32-encoded
+# parquet, Spark's float->decimal is binary-exact while DuckDB's goes via
+# shortest-repr (151.369995 vs 151.370000); via DOUBLE both agree exactly,
+# and on double-encoded data it is a no-op.
 _SQL_STATS = """
 SELECT event_type,
        COUNT(*) AS n,
        COUNT(DISTINCT user_id) AS n_users,
-       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value,
-       floor(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+       CAST(ROUND(SUM(CAST(CAST(value AS DOUBLE) AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value,
+       floor(CAST(SUM(CAST(CAST(value AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE)
              / COUNT(value) * 1000000) / 1000000 AS avg_value,
-       SUM(CASE WHEN value >= 100 THEN 1 ELSE 0 END) AS n_high
+       CAST(SUM(CASE WHEN value >= 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
 FROM {events}
 GROUP BY event_type
 """
@@ -391,6 +401,65 @@ def sql_platform_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     string, table name bound via a temp view instead of f-string splicing."""
     table(spark, sf_dir, "events").createOrReplaceTempView("events_v")
     return spark.sql(_SQL_STATS.format(events="events_v"))
+
+
+# Diagnostic companion (r4 verdict ask 1d). The driver report exposes only
+# {rows_match, schema_match, hash_match, spark_rows, oracle_rows} — so the
+# probe smuggles its observation through the ROW COUNT, the one numeric
+# channel the report prints. Each engine inspects the parquet encoding of
+# events.{value, ts} INDEPENDENTLY and emits 100 + 10*v + t rows
+# (v: 0=double 1=float32 2=other; t: 0=timestamp 1=int64/nanos 2=other;
+# DuckDB's TIMESTAMP_NS maps to t=1 because Spark-with-nanosAsLong reads the
+# same file as bigint). Same file => same code => rows_match stays green and
+# spark_rows/oracle_rows NAME the encoding; if the engines ever disagree on
+# the file, rows_match flips and each side's code is still readable from its
+# own count. The hash additionally certifies the exact decimal(18,6) sum of
+# value (as a string) through the double-first fence — if THAT diverges,
+# hash_match flips while rows_match holds, isolating sum-vs-dtype causes.
+_SQL_PROBE = """
+WITH enc AS (
+  SELECT 100
+     + 10 * (CASE lower(typeof(value)) WHEN 'double' THEN 0
+                                       WHEN 'float' THEN 1 ELSE 2 END)
+     + (CASE WHEN lower(typeof(ts)) IN ('bigint', 'timestamp_ns') THEN 1
+             WHEN lower(typeof(ts)) LIKE 'timestamp%' THEN 0 ELSE 2 END)
+     AS enc_code
+  FROM events LIMIT 1
+), s AS (
+  SELECT CAST(SUM(CAST(CAST(value AS DOUBLE) AS DECIMAL(18,6))) AS VARCHAR)
+         AS sum_value_exact
+  FROM events
+)
+SELECT CAST(g.i AS BIGINT) AS probe_point,
+       CAST(enc.enc_code AS BIGINT) AS enc_code,
+       s.sum_value_exact
+FROM enc, s, generate_series(1, 122) AS g(i)
+WHERE g.i <= enc.enc_code
+"""
+
+
+@register("sql_platform_stats_probe", oracle=_SQL_PROBE)
+def sql_platform_stats_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding probe for the sql_platform_stats family (see _SQL_PROBE)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_dt = dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes)
+    v = {"double": 0, "float": 1}.get(raw_dt.get("value"), 2)
+    ts_dt = raw_dt.get("ts", "")
+    t = 1 if ts_dt == "bigint" else (0 if ts_dt.startswith("timestamp") else 2)
+    code = 100 + 10 * v + t
+    ev = table(spark, sf_dir, "events")  # the normalized path real queries use
+    s = ev.agg(
+        F.sum(F.col("value").cast("double").cast("decimal(18,6)"))
+        .cast("string")
+        .alias("sum_value_exact")
+    )
+    return s.select(
+        F.explode(F.sequence(F.lit(1), F.lit(code))).alias("i"),
+        F.lit(code).cast("bigint").alias("enc_code"),
+        "sum_value_exact",
+    ).select(
+        F.col("i").cast("bigint").alias("probe_point"), "enc_code", "sum_value_exact"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -103,22 +103,34 @@ def dsum_raw(col):
 
 
 def sql_dsum(expr: str, scale: int = 2) -> str:
-    """DuckDB oracle fragment matching dsum() exactly."""
-    return f"CAST(ROUND(SUM(CAST({expr} AS DECIMAL(18,6))), {scale}) AS DOUBLE)"
+    """DuckDB oracle fragment matching dsum() exactly.
+
+    The inner CAST(... AS DOUBLE) is the parquet-encoding fence (r4 verdict
+    ask 1): on a float32-encoded column Spark casts float->decimal binary-
+    exact (151.37f -> 151.369995) while DuckDB goes through the shortest
+    decimal repr (-> 151.370000); routing both engines through DOUBLE first
+    makes them agree exactly, and on double-encoded data it is a no-op.
+    table() applies the matching FloatType->double normalization Spark-side.
+    """
+    return f"CAST(ROUND(SUM(CAST(CAST({expr} AS DOUBLE) AS DECIMAL(18,6))), {scale}) AS DOUBLE)"
 
 
 def sql_davg(expr: str, scale: int = 6) -> str:
-    """DuckDB oracle fragment matching davg() exactly (truncated average)."""
+    """DuckDB oracle fragment matching davg() exactly (truncated average).
+
+    CAST-to-DOUBLE-first for the same encoding fence as sql_dsum."""
     p = 10**scale
     return (
-        f"floor(CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
+        f"floor(CAST(SUM(CAST(CAST({expr} AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE)"
         f" / COUNT({expr}) * {p}) / {p}"
     )
 
 
 def sql_dsum_raw(expr: str) -> str:
-    """DuckDB oracle fragment matching dsum_raw() exactly."""
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
+    """DuckDB oracle fragment matching dsum_raw() exactly.
+
+    CAST-to-DOUBLE-first for the same encoding fence as sql_dsum."""
+    return f"CAST(SUM(CAST(CAST({expr} AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE)"
 
 
 def hash52(col):
@@ -176,11 +188,32 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+def normalize_floats(df: DataFrame) -> DataFrame:
+    """Cast every top-level FloatType column to double (no-op otherwise).
+
+    Parquet-encoding fence (r4 verdict): a column shipped as float32 reads
+    as FloatType, and Spark's float->decimal cast is binary-exact while
+    DuckDB's goes through the shortest decimal repr — per-row 5e-6
+    divergences that flip value hashes while rows/schema still match.
+    Normalizing the scan to double (paired with CAST(... AS DOUBLE) inside
+    the sql_dsum/sql_davg oracle fragments) makes both engines agree exactly
+    whatever the file encoding. Schema-only branch: zero cost on
+    double-encoded data, and float->double widening is value-exact.
+    """
+    from pyspark.sql import functions as F
+
+    floats = [c for c, dt in df.dtypes if dt == "float"]
+    for c in floats:
+        df = df.withColumn(c, F.col(c).cast("double"))
+    return df
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan of one TESTDATA table (columnar, pushdown-eligible).
 
-    events.ts is normalized to TimestampType via normalize_event_ts —
-    encoding-adaptive, so testdata regeneration can't break every reader.
+    events.ts is normalized to TimestampType via normalize_event_ts, and any
+    FloatType column to double via normalize_floats — encoding-adaptive, so
+    testdata regeneration can't break every reader.
     """
     # pin UTC at runtime: parquet micros timestamps surface as TIMESTAMP_NTZ
     # and any NTZ -> TIMESTAMP cast must interpret wall time as UTC to match
@@ -189,8 +222,8 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # harmless on micros files; required to read TIMESTAMP(NANOS) at all
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return normalize_event_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return normalize_floats(normalize_event_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet")))
+    return normalize_floats(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 
 
 def events_stream_source(spark: SparkSession, sf_dir: str, **options: str) -> DataFrame:
@@ -209,4 +242,4 @@ def events_stream_source(spark: SparkSession, sf_dir: str, **options: str) -> Da
     reader = spark.readStream.schema(raw_schema).option("pathGlobFilter", "events.parquet")
     for k, v in options.items():
         reader = reader.option(k, v)
-    return normalize_event_ts(reader.parquet(sf_dir))
+    return normalize_floats(normalize_event_ts(reader.parquet(sf_dir)))

@@ -64,6 +64,32 @@ def _float_agg_violations(sdf):
     return hits
 
 
+def _duck_family(ty: str) -> str:
+    t = str(ty).upper()
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if t in ("DOUBLE", "FLOAT", "REAL"):
+        return "float"
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    if "TIMESTAMP" in t:
+        return "ts"
+    return {"BOOLEAN": "bool", "DATE": "date", "VARCHAR": "str"}.get(t, t)
+
+
+def _spark_family(dt: str) -> str:
+    if dt in ("tinyint", "smallint", "int", "bigint"):
+        return "int"
+    if dt in ("float", "double"):
+        return "float"
+    if dt.startswith("decimal"):
+        return "decimal"
+    if dt.startswith("timestamp"):
+        return "ts"
+    return {"boolean": "bool", "date": "date", "string": "str"}.get(dt, dt)
+
+
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_query_matches_oracle(spark, sf_small, duck, name):
     q = REGISTRY[name]
@@ -93,6 +119,25 @@ def test_query_matches_oracle(spark, sf_small, duck, name):
     if q.oracle is None:
         assert srows is not None  # rows-only check (non-SQL-expressible op)
         return
+    # dtype-family fence (r5 root cause of the perennial sql_platform_stats
+    # red): DuckDB types SUM(INTEGER) as HUGEINT, which pandas-materializes
+    # as float64 ("236.0" vs Spark's "236") — a hash flip the fetchall-based
+    # comparison below cannot see (Python ints compare clean). Require every
+    # oracle output column to sit in the same type family as the Spark
+    # column, and ban HUGEINT outright (integer SUMs must CAST ... AS BIGINT).
+    sdt = dict(sdf.dtypes)
+    rel = duck.sql(q.oracle)
+    for col, ty in zip(rel.columns, rel.types):
+        tname = str(ty).upper()
+        assert "HUGEINT" not in tname, (
+            f"{name}.{col}: oracle emits {tname}; DuckDB->pandas turns it "
+            "into float64 and the driver hash flips — CAST(... AS BIGINT)"
+        )
+        if col in sdt:
+            assert _duck_family(ty) == _spark_family(sdt[col]), (
+                f"{name}.{col}: oracle type {ty} vs Spark dtype {sdt[col]} "
+                "— pandas materialization drifts, align the casts"
+            )
     res = duck.execute(q.oracle)
     ocols = [d[0] for d in res.description]
     orows = res.fetchall()

@@ -106,6 +106,56 @@ def test_table_normalizes_every_encoding(spark, encoded_dirs, encoding):
     assert got == _expected_us(encoding), f"{encoding}: epoch micros drifted: {got}"
 
 
+def test_float32_value_encoding_matches_oracle(spark, tmp_path):
+    """r4-verdict encoding fence: if the driver ships events.value as
+    float32, Spark's float->decimal cast is binary-exact (151.37f ->
+    151.369995) while DuckDB's goes through the shortest decimal repr
+    (-> 151.370000). table() must normalize FloatType to double and the
+    sql_dsum fragment must cast to DOUBLE first, after which both engines
+    produce the identical exact decimal sum on the same float32 file."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from kol_bigdata_realtime_analytics_spark.plans.registry import (
+        dsum,
+        sql_dsum,
+    )
+
+    # 151.37 and friends are not exactly representable in float32 — the
+    # divergent class the fence exists for
+    values = [151.37, 0.1, 99.99, 1234.56, 7.77]
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(values)), type=pa.int64()),
+            "ts": pa.array(_EPOCH_US[:1] * len(values), type=pa.timestamp("us")),
+            "user_id": pa.array([1] * len(values), type=pa.int64()),
+            "event_type": pa.array(["view"] * len(values), type=pa.string()),
+            "value": pa.array(values, type=pa.float32()),
+            "props": pa.array(["{}"] * len(values), type=pa.string()),
+        }
+    )
+    pq.write_table(tbl, f"{tmp_path}/events.parquet")
+
+    df = table(spark, str(tmp_path), "events")
+    assert dict(df.dtypes)["value"] == "double", "table() must widen float32"
+    spark_sum = df.agg(dsum("value").alias("s")).collect()[0]["s"]
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'"
+    )
+    duck_sum = con.execute(f"SELECT {sql_dsum('value')} FROM events").fetchone()[0]
+    assert spark_sum == duck_sum, (
+        f"float32 encoding drift: spark {spark_sum!r} vs duckdb {duck_sum!r}"
+    )
+    # and the banded comparison survives: value >= threshold agrees per-row
+    n_spark = df.filter(F.col("value") >= 99.99).count()
+    n_duck = con.execute(
+        "SELECT COUNT(*) FROM events WHERE CAST(value AS DOUBLE) >= 99.99"
+    ).fetchone()[0]
+    assert n_spark == n_duck
+
+
 @pytest.mark.parametrize("encoding", list(ENCODINGS))
 def test_stream_source_matches_batch(spark, encoded_dirs, encoding):
     from pyspark.sql import functions as F
