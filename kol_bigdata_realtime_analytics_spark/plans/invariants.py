@@ -31,6 +31,7 @@ from kol_bigdata_realtime_analytics_spark.operators.dedup import (
 from kol_bigdata_realtime_analytics_spark.operators.similarity import (
     brute_force_topk,
     ivf_topk,
+    ivfpq_topk,
     lsh_topk,
 )
 from kol_bigdata_realtime_analytics_spark.plans.registry import register, table
@@ -151,6 +152,72 @@ def ann_ivf_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         lambda emb, q: ivf_topk(emb, q, k=3, n_centroids=8, n_probe=2),
         bound=0.25,
+    )
+
+
+@register(
+    "ann_ivfpq_recall_check",
+    oracle="""
+    SELECT CAST(8 AS BIGINT) AS n_queries, TRUE AS recall_ge_bound,
+           TRUE AS all_hits_in_cluster
+    """,
+)
+def ann_ivfpq_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ recall on CLUSTERED embeddings (r4 verdict ask 5).
+
+    `pq_distortion_check` certifies the quantizer and clustered-recall
+    pytest covers recall, but the registered TESTDATA vectors are
+    near-random, so recall there is noise-level. This companion generates
+    a deterministic 512-vector / 8-cluster mixture IN-PLAN (same family as
+    tests/test_operators.py's clustered fixtures: spike centers + small
+    per-id jitter, built with spark.range + transform — no driver-side
+    data), runs the full ivfpq_topk path (coarse k-means + PQ codebooks +
+    ADC scoring, probe 2 of 8), and certifies against in-engine brute
+    force: recall@3 >= 0.6 over 8 queries (one per cluster) AND every
+    approximate hit lies in its query's cluster (precision of the coarse
+    quantizer — a collapsed/corner codebook fails both). Fully
+    deterministic (fixed fixture, hash-ordered sample, tie-stable Lloyd),
+    sf-independent by design: the invariant certifies the OPERATOR, not
+    the corpus. Reference semantics: operators/similarity.py:725-828.
+    """
+    dim, ncl = 16, 8
+    emb = spark.range(512).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            f"transform(sequence(0, {dim - 1}), i -> "
+            f"(CASE WHEN i = (id % {ncl}) * 2 THEN 1.0d "
+            f"      WHEN i = (id % {ncl}) * 2 + 1 THEN 0.6d "
+            f"      ELSE 0.05d END) + 0.01d * CAST((id * 7 + i) % 5 AS DOUBLE))"
+        ).alias("embedding"),
+    )
+    queries = emb.filter(F.col("vec_id") < ncl)  # vec_id 0..7 -> one per cluster
+    exact = (
+        brute_force_topk(emb, queries, k=3)
+        .select("q_id", "c_id")
+        .withColumn("is_exact", F.lit(1))
+    )
+    approx = (
+        ivfpq_topk(
+            emb, queries, k=3, n_centroids=ncl, n_probe=2, m=8, ksub=16, sample_size=512
+        )
+        .select("q_id", "c_id")
+        .withColumn("is_approx", F.lit(1))
+    )
+    u = exact.join(approx, ["q_id", "c_id"], "full")
+    hit = (F.col("is_exact") == 1) & (F.col("is_approx") == 1)
+    return u.agg(
+        F.countDistinct(F.when(F.col("is_exact") == 1, F.col("q_id"))).alias("n_queries"),
+        (
+            F.sum(F.when(hit, 1).otherwise(0))
+            / F.sum(F.when(F.col("is_exact") == 1, 1).otherwise(0))
+            >= 0.6
+        ).alias("recall_ge_bound"),
+        F.min(
+            F.when(
+                F.col("is_approx") == 1,
+                (F.col("c_id") % ncl) == (F.col("q_id") % ncl),
+            )
+        ).alias("all_hits_in_cluster"),
     )
 
 

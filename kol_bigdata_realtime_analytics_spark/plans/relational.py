@@ -385,6 +385,132 @@ def orders_page(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Composed serving read path (r4 verdict ask 6): the reference dashboard
+# stitches list + platform stats + leaderboard into ONE page load
+# (serving/api/services/trino_client.py:258-364 issues the three queries,
+# serving/dashboard/app.py:174-248 renders them together). Here the stitch
+# is ONE plan: orders scanned once (pre-aggregated per customer), customer
+# scanned once, the enriched dim pinned (localCheckpoint — dim-sized, the
+# streaming sinks' pre-materialization stance), and the three page sections
+# are cheap branches over the pin, unioned long-form with a `section` tag.
+# ---------------------------------------------------------------------------
+
+_DASH_SQL = f"""
+WITH spend AS (
+  SELECT o_custkey, COUNT(*) AS n_orders,
+         SUM(CAST(CAST(o_totalprice AS DOUBLE) AS DECIMAL(18,6))) AS spend_dec
+  FROM orders GROUP BY o_custkey
+), enriched AS (
+  SELECT c.c_custkey, c.c_name, c.c_mktsegment, c.c_acctbal,
+         COALESCE(s.n_orders, 0) AS n_orders, s.spend_dec
+  FROM customer c LEFT JOIN spend s ON s.o_custkey = c.c_custkey
+), lst AS (
+  SELECT 'list' AS section,
+         ROW_NUMBER() OVER (ORDER BY c_acctbal DESC, c_custkey ASC) AS rk,
+         c_custkey AS id, c_name AS label,
+         ROUND(c_acctbal, 2) AS m1, CAST(n_orders AS DOUBLE) AS m2
+  FROM enriched QUALIFY rk <= 50
+), seg AS (
+  SELECT 'segment_stats' AS section,
+         ROW_NUMBER() OVER (ORDER BY c_mktsegment ASC) AS rk,
+         CAST(-1 AS BIGINT) AS id, c_mktsegment AS label,
+         {sql_davg('c_acctbal')} AS m1, CAST(COUNT(*) AS DOUBLE) AS m2
+  FROM enriched GROUP BY c_mktsegment
+), lead AS (
+  SELECT 'leaderboard' AS section,
+         ROW_NUMBER() OVER (ORDER BY spend_dec DESC, c_custkey ASC) AS rk,
+         c_custkey AS id, c_name AS label,
+         CAST(ROUND(spend_dec, 2) AS DOUBLE) AS m1, CAST(n_orders AS DOUBLE) AS m2
+  FROM enriched WHERE spend_dec IS NOT NULL QUALIFY rk <= 20
+)
+SELECT section, CAST(rk AS BIGINT) AS rk, id, label, m1, m2
+FROM (SELECT * FROM lst UNION ALL SELECT * FROM seg UNION ALL SELECT * FROM lead)
+ORDER BY section, rk
+"""
+
+
+@register("serving_dashboard_page", oracle=_DASH_SQL)
+def serving_dashboard_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One stitched dashboard page: list page, per-segment stats, spend
+    leaderboard — single scan per base table, long-form union output.
+
+    100 TB stance: orders (the fact table) is reduced to a per-customer
+    aggregate in its ONLY pass; the customer join shuffles dim-sized data
+    only; the pinned enriched frame is dim-cardinality, so the three section
+    branches never touch the fact table again.
+    """
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    spend = o.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("double").cast("decimal(18,6)")).alias("spend_dec"),
+    )
+    enriched = (
+        c.join(spend, c.c_custkey == spend.o_custkey, "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_mktsegment",
+            "c_acctbal",
+            F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+            "spend_dec",
+        )
+        .localCheckpoint(eager=True)
+    )
+    lst = (
+        enriched.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+        .limit(50)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+            ),
+        )
+        .select(
+            F.lit("list").alias("section"),
+            F.col("rk").cast("bigint").alias("rk"),
+            F.col("c_custkey").alias("id"),
+            F.col("c_name").alias("label"),
+            F.round("c_acctbal", 2).alias("m1"),
+            F.col("n_orders").cast("double").alias("m2"),
+        )
+    )
+    seg = (
+        enriched.groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_cust"), davg("c_acctbal").alias("avg_bal"))
+        .withColumn("rk", F.row_number().over(Window.orderBy(F.col("c_mktsegment").asc())))
+        .select(
+            F.lit("segment_stats").alias("section"),
+            F.col("rk").cast("bigint").alias("rk"),
+            F.lit(-1).cast("bigint").alias("id"),
+            F.col("c_mktsegment").alias("label"),
+            F.col("avg_bal").alias("m1"),
+            F.col("n_cust").cast("double").alias("m2"),
+        )
+    )
+    lead = (
+        enriched.filter(F.col("spend_dec").isNotNull())
+        .orderBy(F.col("spend_dec").desc(), F.col("c_custkey").asc())
+        .limit(20)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.col("spend_dec").desc(), F.col("c_custkey").asc())
+            ),
+        )
+        .select(
+            F.lit("leaderboard").alias("section"),
+            F.col("rk").cast("bigint").alias("rk"),
+            F.col("c_custkey").alias("id"),
+            F.col("c_name").alias("label"),
+            F.round(F.col("spend_dec"), 2).cast("double").alias("m1"),
+            F.col("n_orders").cast("double").alias("m2"),
+        )
+    )
+    return lst.unionByName(seg).unionByName(lead).orderBy("section", "rk")
+
+
+# ---------------------------------------------------------------------------
 # T3 — weighted top-k by expression (ref: cache_warmer.py:248-262)
 # ---------------------------------------------------------------------------
 

@@ -377,6 +377,7 @@ def test_no_unexpected_nested_loop_joins(spark, sf_oracle):
         "ann_ivfpq_topk",           # broadcast 8-row centroid frame x corpus (coarse assign)
         "ann_int8_topk",            # broadcast 5 query codes x corpus
         "ann_lsh_recall_check",     # brute-force reference inside the invariant
+        "ann_ivfpq_recall_check",   # brute-force reference over the 512-row clustered fixture + 8-row centroid broadcast
         "simhash_recall_check",     # brute-force hamming over a <=800-row broadcast slice + 1-row crosses
         "brands_above_global_avg_qty",  # broadcast 1-row global average
         "collocations_pmi",         # broadcast 1-row total
