@@ -227,12 +227,28 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     hub's followers vs d^2 unoriented; this is what survives a
     social-graph skew at scale.
 
-    Shapes: degree = one groupBy; orientation = projection; wedges = one
-    self-equi-join on the low vertex; closure = one semi-join of wedges
-    against oriented edges. All keys are (long, long); no vertex state.
+    Shapes: degree = one groupBy over exploded endpoints; orientation =
+    per-row swap (no symmetric doubling); wedges = one self-equi-join on
+    the low vertex; closure = one semi-join of wedges against oriented
+    edges. All keys are (long, long); no vertex state.
 
     Input edges may list (a,b) in any order or both orders; dedup happens
     internally on the canonical (min, max) form.
+
+    r5 measured rework (sf0.1 part co-occurrence graph, same session,
+    3 runs each): orienting the CANONICAL edge list per-row (pick the
+    lower-(degree,id) endpoint with a `when` swap) instead of building the
+    2x symmetric frame and filtering half away, and NOT checkpointing
+    `oriented`, cut [6.06, 2.35, 2.27] s to [2.03, 1.81, 1.65] s — the
+    dropped barrier is most of the cold win. `oriented` is consumed twice
+    (both wedge sides) but its lineage above the pinned `und` is one
+    explode+groupBy+two joins over |E| rows — recomputing it once more is
+    the same order of work the wedge join shuffles anyway, while pinning
+    it costs an |E| materialization PLUS a pipeline-killing barrier
+    (measured +3.6 s cold, +0.3 s warm). `und` stays pinned: it guards
+    the possibly-expensive edge-CONSTRUCTION lineage feeding four uses
+    (degree, two orientation joins, closure semi-join) — measured
+    17 s -> 2.9 s when first introduced.
     """
     und = (
         edges.select(
@@ -241,32 +257,23 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        # the canonical edge list feeds FIVE downstream uses (sym both
-        # directions, two degree joins via sym, the wedge self-join twice
-        # through oriented, the closure semi-join); without materialization
-        # Spark re-executes the possibly-expensive edge-construction
-        # lineage for each — measured 17 s -> 2.9 s on the sf0.1 part
-        # co-occurrence graph. (long, long) rows only; cheap to pin.
         .localCheckpoint(eager=True)
     )
-    sym = und.unionByName(
-        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    deg = (
+        und.select(F.explode(F.array("a", "b")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
     )
-    deg = sym.groupBy("a").agg(F.count("*").alias("d")).select(
-        F.col("a").alias("node"), "d"
+    # orient each canonical edge from lower (degree, id) to higher per-row
+    j = und.join(
+        deg.select(F.col("node").alias("a"), F.col("d").alias("da")), "a"
+    ).join(deg.select(F.col("node").alias("b"), F.col("d").alias("db")), "b")
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
     )
-    # orient from lower (degree, id) to higher
-    oriented = (
-        sym.join(deg.select(F.col("node").alias("a"), F.col("d").alias("da")), "a")
-        .join(deg.select(F.col("node").alias("b"), F.col("d").alias("db")), "b")
-        .filter(
-            (F.col("da") < F.col("db"))
-            | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
-        )
-        .select(F.col("a").alias("u"), F.col("b").alias("v"))
-        # used on BOTH sides of the wedge self-join — pin it too, or the
-        # degree joins run twice
-        .localCheckpoint(eager=True)
+    oriented = j.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
     )
     wedges = (
         oriented.alias("e1")

@@ -378,6 +378,15 @@ def low_balance_except_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # as HUGEINT, which pandas-materializes as float64 (verified live: 236.0 vs
 # Spark's bigint 236) — rows/schema match, value hash flips, every round,
 # independent of data. The CAST is a no-op when the same text runs in Spark.
+# Why only the driver sees it: the registry's five NULL-bearing-BIGINT
+# queries (order_gaps_lag, scd2_user_event_type, ...) are driver hash-GREEN,
+# which is only consistent with the driver comparing PANDAS frames on both
+# sides (Spark toPandas vs DuckDB fetchdf) — there a nullable int goes
+# float64 on BOTH sides ("123.0" == "123.0"), while n_high was int64 on the
+# Spark side ("236") and HUGEINT->float64 on the oracle side ("236.0").
+# fetchall-based local harnesses (Python ints both sides) can never see the
+# class; tests/test_queries_oracle.py now carries a dtype-family fence that
+# does.
 # The inner CAST(value AS DOUBLE) is the encoding fence: on float32-encoded
 # parquet, Spark's float->decimal is binary-exact while DuckDB's goes via
 # shortest-repr (151.369995 vs 151.370000); via DOUBLE both agree exactly,

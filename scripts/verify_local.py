@@ -46,6 +46,52 @@ def table_hash(cols: list[str], rows: list[tuple]) -> str:
     return h.hexdigest()[:16]
 
 
+def _duck_family(ty: str) -> str:
+    t = str(ty).upper()
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if t in ("DOUBLE", "FLOAT", "REAL"):
+        return "float"
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    if "TIMESTAMP" in t:
+        return "ts"
+    return {"BOOLEAN": "bool", "DATE": "date", "VARCHAR": "str"}.get(t, t)
+
+
+def _spark_family(dt: str) -> str:
+    if dt in ("tinyint", "smallint", "int", "bigint"):
+        return "int"
+    if dt in ("float", "double"):
+        return "float"
+    if dt.startswith("decimal"):
+        return "decimal"
+    if dt.startswith("timestamp"):
+        return "ts"
+    return {"boolean": "bool", "date": "date", "string": "str"}.get(dt, dt)
+
+
+def dtype_family_problems(sdt: dict, rel) -> list[str]:
+    """Pandas-materialization drift the fetchall hash below cannot see.
+
+    The driver compares pandas frames (Spark toPandas vs DuckDB fetchdf),
+    where a DuckDB HUGEINT (any un-CAST integer SUM) or a family mismatch
+    turns into float64 against Spark's int64 — "236.0" vs "236" — flipping
+    its hash while this script's Python-value hash stays green (the r1-r4
+    sql_platform_stats outage). Mirror that sensitivity here via the
+    oracle's logical types.
+    """
+    problems = []
+    for col, ty in zip(rel.columns, rel.types):
+        tname = str(ty).upper()
+        if "HUGEINT" in tname:
+            problems.append(f"{col}: oracle {tname} (CAST the SUM to BIGINT)")
+        elif col in sdt and _duck_family(ty) != _spark_family(sdt[col]):
+            problems.append(f"{col}: oracle {ty} vs spark {sdt[col]}")
+    return problems
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -84,6 +130,10 @@ def main() -> int:
             failures.append(name)
             continue
         problems = []
+        try:
+            problems += dtype_family_problems(dict(sdf.dtypes), con.sql(oracles[name]))
+        except Exception as e:  # noqa: BLE001 — a type-probe failure is data
+            problems.append(f"dtype probe error: {e}")
         if sorted(scols) != sorted(ocols):
             problems.append(f"cols spark={sorted(scols)} duck={sorted(ocols)}")
         if len(srows) != len(orows):
