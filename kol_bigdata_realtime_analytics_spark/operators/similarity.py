@@ -524,7 +524,11 @@ def int8_topk_matmul(
         candidates.select(F.col(id_col).alias("c_id"), ccodes_expr.alias("codes"))
         .select("c_id", F.posexplode(_cosines(F.col("codes"))).alias("qpos", "cos_raw"))
         .select(
-            F.element_at(F.array(*[F.lit(i) for i in q_ids]), F.col("qpos") + 1).alias("q_id"),
+            # lit() of a small Python int types as INT; the id contract is
+            # LONG (pandas int32-vs-int64 drift flagged by the r5 audit)
+            F.element_at(
+                F.array(*[F.lit(i).cast("long") for i in q_ids]), F.col("qpos") + 1
+            ).alias("q_id"),
             "c_id",
             "cos_raw",
         )
@@ -707,7 +711,11 @@ def pq_adc_topk(
         .select("c_id", encode(F.col("v")).alias("codes"))
         .select("c_id", F.posexplode(_adc(F.col("codes"))).alias("qpos", "cos_raw"))
         .select(
-            F.element_at(F.array(*[F.lit(i) for i in q_ids]), F.col("qpos") + 1).alias("q_id"),
+            # lit() of a small Python int types as INT; the id contract is
+            # LONG (pandas int32-vs-int64 drift flagged by the r5 audit)
+            F.element_at(
+                F.array(*[F.lit(i).cast("long") for i in q_ids]), F.col("qpos") + 1
+            ).alias("q_id"),
             "c_id",
             "cos_raw",
         )
