@@ -850,6 +850,12 @@ def test_asof_three_forms_agree_on_adversarial_inputs(spark):
     assert rows(b) == expected
     assert rows(c) == expected
 
+    # carrying the right timestamp column itself must be rejected up front
+    # (r4 advice: rpdf[[right_ts, *right_cols]] + the rename would produce a
+    # duplicate '_r_ts' column and fail deep inside merge_asof instead)
+    with pytest.raises(ValueError, match="collide"):
+        as_of_join_pandas(left, r_aliased, "k", "ts", "ts", ["ts", "xa"])
+
 
 def test_agms_join_size_accuracy_and_merge(spark):
     """AGMS join-size estimate: exact on collision-free domains, within the
