@@ -155,6 +155,60 @@ def test_float32_value_encoding_matches_oracle(spark, tmp_path):
     ).fetchone()[0]
     assert n_spark == n_duck
 
+    # the streaming entry point must widen identically (same normalize_floats)
+    stream = events_stream_source(spark, str(tmp_path))
+    assert dict(stream.dtypes)["value"] == "double"
+
+
+@pytest.mark.parametrize(
+    ("value_type", "ts_enc", "want_code"),
+    [
+        (pa.float64(), "timestamp_us", 100),  # double -> v=0
+        (pa.float32(), "timestamp_us", 101),  # float32 -> v=1
+        (pa.float64(), "int64_nanos", 100),  # ts axis deliberately not encoded
+        (pa.float32(), "timestamp_ns", 101),  # (duckdb reads NANOS as TIMESTAMP)
+    ],
+)
+def test_probe_row_count_names_the_encoding(spark, tmp_path, value_type, ts_enc, want_code):
+    """sql_platform_stats_probe smuggles the OBSERVED parquet encoding of
+    events.value through its row count (the one numeric channel the driver
+    report prints). Both engines must decode the same fixture to the same
+    code — Spark via the raw schema, DuckDB via typeof() — for every value
+    encoding, under every ts encoding the contract has shipped."""
+    import duckdb
+
+    from kol_bigdata_realtime_analytics_spark.plans import REGISTRY
+
+    if ts_enc == "int64_nanos":
+        ts = pa.array([us * 1000 for us in _EPOCH_US], type=pa.int64())
+    elif ts_enc == "timestamp_ns":
+        ts = pa.array([us * 1000 for us in _EPOCH_US], type=pa.int64()).cast(
+            pa.timestamp("ns")
+        )
+    else:
+        ts = pa.array(_EPOCH_US, type=pa.int64()).cast(pa.timestamp("us"))
+    tbl = pa.table(
+        {
+            "event_id": pa.array(_ROWS["event_id"], type=pa.int64()),
+            "ts": ts,
+            "user_id": pa.array(_ROWS["user_id"], type=pa.int64()),
+            "event_type": pa.array(_ROWS["event_type"], type=pa.string()),
+            "value": pa.array(_ROWS["value"], type=value_type),
+            "props": pa.array(_ROWS["props"], type=pa.string()),
+        }
+    )
+    pq.write_table(tbl, f"{tmp_path}/events.parquet")
+
+    q = REGISTRY["sql_platform_stats_probe"]
+    rows = q.fn(spark, str(tmp_path)).collect()
+    assert len(rows) == want_code, f"spark decoded {len(rows)}, want {want_code}"
+    assert rows[0]["enc_code"] == want_code
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'")
+    orows = con.execute(q.oracle).fetchall()
+    assert len(orows) == want_code, f"duckdb decoded {len(orows)}, want {want_code}"
+
 
 @pytest.mark.parametrize("encoding", list(ENCODINGS))
 def test_stream_source_matches_batch(spark, encoded_dirs, encoding):
