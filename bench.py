@@ -112,6 +112,7 @@ HEADLINE = [
     "part_affinity_scores",
     "variant_props_stats",
     "merge_upsert_orders",
+    "serving_dashboard_page",
 ]
 
 
@@ -173,9 +174,18 @@ def main() -> None:
     if errors:
         out["errors"] = {k: v[:80] for k, v in errors.items()}
     line = json.dumps(out)
-    if len(line) > 6000:  # last-resort guard: drop per-query map, keep totals
+    if len(line) > 6000:  # last-resort guard: shed detail, keep totals
+        # an error-heavy run (e.g. every query red on a broken sf_dir) can
+        # overflow on `errors` alone — cap it to a count + first few before
+        # dropping the per-query map, or the guard reproduces the exact
+        # tail-window overflow it exists to prevent
+        if errors:
+            first = dict(list(out["errors"].items())[:3])
+            out["errors"] = {"n_errors": len(errors), **first}
+        line = json.dumps(out)
+    if len(line) > 6000:
         out["queries"] = {}
-        out["note"] = "per-query map dropped to fit tail window; see detail line"
+        out["note"] = "per-query map dropped to fit tail window; see BENCH_DETAIL.json"
         line = json.dumps(out)
     print(line)
 

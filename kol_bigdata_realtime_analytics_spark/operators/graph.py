@@ -229,8 +229,11 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
 
     Shapes: degree = one groupBy over exploded endpoints; orientation =
     per-row swap (no symmetric doubling); wedges = one self-equi-join on
-    the low vertex; closure = one semi-join of wedges against oriented
-    edges. All keys are (long, long); no vertex state.
+    the low vertex; closure = one semi-join of wedges against the
+    CANONICAL (min,max) edge list `und` — NOT the oriented list: a wedge
+    (x, y) is emitted with x < y (id order), matching und's form, while
+    oriented's (u, v) is degree-ordered. All keys are (long, long); no
+    vertex state.
 
     Input edges may list (a,b) in any order or both orders; dedup happens
     internally on the canonical (min, max) form.

@@ -201,8 +201,8 @@ def order_gaps_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ntile_acctbal_quartiles",
     oracle=f"""
     SELECT CAST(quartile AS BIGINT) AS quartile, COUNT(*) AS n,
-           ROUND(MIN(c_acctbal), 2) AS min_bal,
-           ROUND(MAX(c_acctbal), 2) AS max_bal,
+           ROUND(MIN(CAST(c_acctbal AS DOUBLE)), 2) AS min_bal,
+           ROUND(MAX(CAST(c_acctbal AS DOUBLE)), 2) AS max_bal,
            {sql_davg('c_acctbal')} AS avg_bal
     FROM (
       SELECT c_acctbal,

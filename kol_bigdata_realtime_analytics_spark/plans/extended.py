@@ -504,8 +504,8 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT COUNT(value) AS n,
              {sql_dsum_raw('value')} AS s,
              {sql_dsum_raw('(value * value)')} AS s2,
-             ROUND(MIN(value), 2) AS min,
-             ROUND(MAX(value), 2) AS max
+             ROUND(MIN(CAST(value AS DOUBLE)), 2) AS min,
+             ROUND(MAX(CAST(value AS DOUBLE)), 2) AS max
       FROM events
     )
     SELECT n, floor(s / n * 1000000) / 1000000 AS mean,

@@ -147,8 +147,8 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*)                                AS n_events,
            {sql_dsum('value')}                     AS total_value,
            {sql_davg('value')}                     AS avg_value,
-           ROUND(MAX(value), 2)                    AS max_value,
-           ROUND(MIN(value), 2)                    AS min_value
+           ROUND(MAX(CAST(value AS DOUBLE)), 2)    AS max_value,
+           ROUND(MIN(CAST(value AS DOUBLE)), 2)    AS min_value
     FROM events GROUP BY event_type
     """,
 )
@@ -230,7 +230,7 @@ def distinct_order_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "latest_event_per_user",
     oracle="""
-    SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, ROUND(value, 2) AS value
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, ROUND(CAST(value AS DOUBLE), 2) AS value
     FROM (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
       FROM events
@@ -264,7 +264,7 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     "customer_enriched",
     oracle="""
     SELECT c.c_custkey, c.c_name, n.n_name AS nation, r.r_name AS region,
-           ROUND(c.c_acctbal, 2) AS acctbal, c.c_mktsegment
+           ROUND(CAST(c.c_acctbal AS DOUBLE), 2) AS acctbal, c.c_mktsegment
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -362,7 +362,7 @@ def active_customer_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "orders_page",
     oracle="""
-    SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice, o_orderpriority
+    SELECT o_orderkey, o_custkey, ROUND(CAST(o_totalprice AS DOUBLE), 2) AS o_totalprice, o_orderpriority
     FROM orders
     ORDER BY o_totalprice DESC, o_orderkey ASC
     LIMIT 50 OFFSET 100
@@ -408,7 +408,7 @@ WITH spend AS (
   SELECT 'list' AS section,
          ROW_NUMBER() OVER (ORDER BY c_acctbal DESC, c_custkey ASC) AS rk,
          c_custkey AS id, c_name AS label,
-         ROUND(c_acctbal, 2) AS m1, CAST(n_orders AS DOUBLE) AS m2
+         ROUND(CAST(c_acctbal AS DOUBLE), 2) AS m1, CAST(n_orders AS DOUBLE) AS m2
   FROM enriched QUALIFY rk <= 50
 ), seg AS (
   SELECT 'segment_stats' AS section,
@@ -518,7 +518,7 @@ def serving_dashboard_page(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "weighted_top_parts",
     oracle="""
-    SELECT p_partkey, p_name, ROUND(COALESCE(p_retailprice, 0) + COALESCE(p_size, 0) * 10, 2) AS weight
+    SELECT p_partkey, p_name, ROUND(COALESCE(CAST(p_retailprice AS DOUBLE), 0) + COALESCE(p_size, 0) * 10, 2) AS weight
     FROM part
     ORDER BY weight DESC, p_partkey ASC
     LIMIT 15
@@ -543,7 +543,7 @@ def weighted_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_value_band_topk",
     oracle="""
-    SELECT event_id, user_id, event_type, ROUND(value, 2) AS value
+    SELECT event_id, user_id, event_type, ROUND(CAST(value AS DOUBLE), 2) AS value
     FROM events
     WHERE value BETWEEN 40 AND 80
     ORDER BY value DESC, event_id ASC
@@ -594,11 +594,11 @@ def customer_prefix_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "union_accounts",
     oracle="""
-    SELECT c_custkey AS account_id, c_name AS name, ROUND(c_acctbal, 2) AS acctbal,
+    SELECT c_custkey AS account_id, c_name AS name, ROUND(CAST(c_acctbal AS DOUBLE), 2) AS acctbal,
            c_mktsegment AS mktsegment, 'customer' AS kind
     FROM customer
     UNION ALL
-    SELECT s_suppkey + 1000000 AS account_id, s_name AS name, ROUND(s_acctbal, 2) AS acctbal,
+    SELECT s_suppkey + 1000000 AS account_id, s_name AS name, ROUND(CAST(s_acctbal AS DOUBLE), 2) AS acctbal,
            CAST(NULL AS VARCHAR) AS mktsegment, 'supplier' AS kind
     FROM supplier
     """,

@@ -64,30 +64,9 @@ def _float_agg_violations(sdf):
     return hits
 
 
-def _duck_family(ty: str) -> str:
-    t = str(ty).upper()
-    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
-             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
-        return "int"
-    if t in ("DOUBLE", "FLOAT", "REAL"):
-        return "float"
-    if t.startswith("DECIMAL"):
-        return "decimal"
-    if "TIMESTAMP" in t:
-        return "ts"
-    return {"BOOLEAN": "bool", "DATE": "date", "VARCHAR": "str"}.get(t, t)
-
-
-def _spark_family(dt: str) -> str:
-    if dt in ("tinyint", "smallint", "int", "bigint"):
-        return "int"
-    if dt in ("float", "double"):
-        return "float"
-    if dt.startswith("decimal"):
-        return "decimal"
-    if dt.startswith("timestamp"):
-        return "ts"
-    return {"boolean": "bool", "date": "date", "string": "str"}.get(dt, dt)
+# single source of truth for the dtype-family mapping — drifting copies
+# would let the pytest fence and the verify_local gate disagree
+from scripts.verify_local import _duck_family, _spark_family  # noqa: E402,E501
 
 
 @pytest.mark.parametrize("name", sorted(REGISTRY))

@@ -155,6 +155,16 @@ def test_float32_value_encoding_matches_oracle(spark, tmp_path):
     ).fetchone()[0]
     assert n_spark == n_duck
 
+    # per-row/extremum ROUND must agree too: DuckDB's ROUND(FLOAT, 2)
+    # returns FLOAT (151.3699951171875) while Spark rounds the widened
+    # double to 151.37 — the oracle-side CAST(... AS DOUBLE) fence from the
+    # r5 review closes it for every ROUND over a raw float column
+    s_max = df.agg(F.round(F.max("value"), 2).alias("m")).collect()[0]["m"]
+    d_max = con.execute(
+        "SELECT ROUND(MAX(CAST(value AS DOUBLE)), 2) FROM events"
+    ).fetchone()[0]
+    assert s_max == d_max == 1234.56
+
     # the streaming entry point must widen identically (same normalize_floats)
     stream = events_stream_source(spark, str(tmp_path))
     assert dict(stream.dtypes)["value"] == "double"
