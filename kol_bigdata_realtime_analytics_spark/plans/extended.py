@@ -427,12 +427,20 @@ def sql_platform_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # no ts code can agree across engines for that encoding — and ts drift is
 # already triple-fenced (normalize_event_ts, the 6-encoding contract tests,
 # every events reader going through table()).
+# The enc CTE reads main.events EXPLICITLY: the registry-wide sql_norm
+# fence prepends a shadowing CTE that widens events.value to DOUBLE for
+# every oracle referencing events — correct for value arithmetic, but it
+# would blind typeof() to the raw parquet encoding, which is the one thing
+# this probe exists to observe. main.<t> bypasses the shadow (the fence's
+# own CTEs resolve their inner reference the same way). The s CTE stays on
+# the shadowed view on purpose — it must measure the sum through the same
+# double-first path every real oracle uses.
 _SQL_PROBE = """
 WITH enc AS (
   SELECT 100 + (CASE lower(typeof(value)) WHEN 'double' THEN 0
                                           WHEN 'float' THEN 1 ELSE 2 END)
      AS enc_code
-  FROM events LIMIT 1
+  FROM main.events LIMIT 1
 ), s AS (
   SELECT CAST(SUM(CAST(CAST(value AS DOUBLE) AS DECIMAL(18,6))) AS VARCHAR)
          AS sum_value_exact

@@ -33,12 +33,76 @@ class Query:
 
 REGISTRY: dict[str, Query] = {}
 
+#: float-bearing TESTDATA columns. Spark-side scans normalize FloatType to
+#: double in table(); the oracle side gets the SAME normalization via
+#: sql_norm's shadowing CTEs so both engines compute over doubles whatever
+#: the parquet encoding. embeddings.embedding is excluded — every embedding
+#: oracle already casts `::DOUBLE[]` inline.
+_FLOAT_COLS: dict[str, list[str]] = {
+    "events": ["value"],
+    "lineitem": ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    "orders": ["o_totalprice"],
+    "customer": ["c_acctbal"],
+    "supplier": ["s_acctbal"],
+    "part": ["p_retailprice"],
+}
+
+
+def sql_norm(sql: str) -> str:
+    """Prefix a DuckDB oracle with shadowing CTEs that widen every float
+    column of the referenced TESTDATA tables to DOUBLE.
+
+    The encoding fence, closed registry-wide (r5): on float32-encoded
+    parquet, DuckDB runs FLOAT arithmetic/rounding (ROUND(FLOAT) returns
+    FLOAT; x*1e6 rounds to 24-bit mantissa) while the Spark side always
+    computes over table()-normalized doubles — a full-registry sweep on a
+    float32-re-encoded sf0.001 measured 27 of 186 oracles hash-diverging.
+    `WITH <t> AS (SELECT * REPLACE (CAST(c AS DOUBLE) AS c, ...) FROM
+    main.<t>)` shadows the driver-registered view (DuckDB resolves the
+    inner reference via the explicit main. schema), is a no-op on
+    double-encoded data, and composes with oracles that already start
+    with WITH / WITH RECURSIVE. Only tables actually referenced are
+    shadowed, so texts stay readable.
+    """
+    import re
+
+    used = [
+        (t, cols)
+        for t, cols in _FLOAT_COLS.items()
+        if re.search(rf"\b{t}\b", sql)
+    ]
+    if not used:
+        return sql
+    ctes = ", ".join(
+        f"{t} AS (SELECT * REPLACE ("
+        + ", ".join(f"CAST({c} AS DOUBLE) AS {c}" for c in cols)
+        + f") FROM main.{t})"
+        for t, cols in used
+    )
+    stripped = sql.lstrip()
+    lead = sql[: len(sql) - len(stripped)]
+    low = stripped.lower()
+    if low.startswith("with recursive"):
+        return f"{lead}WITH RECURSIVE {ctes}, {stripped[len('with recursive'):].lstrip()}"
+    if low.startswith("with"):
+        return f"{lead}WITH {ctes}, {stripped[len('with'):].lstrip()}"
+    return f"{lead}WITH {ctes} {stripped}"
+
 
 def register(name: str, oracle: str | None = None):
-    """Decorator: register a (spark, sf_dir) -> DataFrame query builder."""
+    """Decorator: register a (spark, sf_dir) -> DataFrame query builder.
+
+    Oracle texts are passed through sql_norm so the whole registry is
+    parquet-encoding-proof by construction.
+    """
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "")
+        REGISTRY[name] = Query(
+            name=name,
+            fn=fn,
+            oracle=None if oracle is None else sql_norm(oracle),
+            doc=fn.__doc__ or "",
+        )
         return fn
 
     return deco

@@ -123,3 +123,59 @@ def test_query_matches_oracle(spark, sf_small, duck, name):
     assert sorted(sdf.columns) == sorted(ocols)
     assert len(srows) == len(orows)
     assert table_hash(sdf.columns, srows) == table_hash(ocols, orows)
+
+
+def test_sql_norm_shadows_only_referenced_tables():
+    """sql_norm prepends one shadowing CTE per float-bearing table the
+    oracle references — and composes with existing WITH / WITH RECURSIVE
+    prefixes instead of producing two WITH keywords."""
+    from kol_bigdata_realtime_analytics_spark.plans.registry import sql_norm
+
+    plain = sql_norm("SELECT SUM(value) FROM events")
+    assert plain.startswith("WITH events AS (SELECT * REPLACE (")
+    assert "main.events" in plain and "lineitem" not in plain
+
+    nofloat = "SELECT r_name FROM region"
+    assert sql_norm(nofloat) == nofloat  # no float tables -> untouched
+
+    withp = sql_norm("WITH x AS (SELECT 1) SELECT * FROM x, orders")
+    assert withp.lower().count("with ") == 1
+    assert "orders AS (SELECT * REPLACE" in withp
+
+    rec = sql_norm("WITH RECURSIVE x AS (SELECT 1) SELECT * FROM x, customer")
+    assert rec.startswith("WITH RECURSIVE customer AS (")
+
+
+def test_sql_norm_widens_float32_and_probe_bypasses(tmp_path):
+    """End-to-end on a float32-encoded view: a sql_norm'd oracle computes
+    over DOUBLE (ROUND returns a clean 2-dp value, not a FLOAT), while the
+    probe's enc CTE still sees the RAW encoding via main.events."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kol_bigdata_realtime_analytics_spark.plans.extended import _SQL_PROBE
+    from kol_bigdata_realtime_analytics_spark.plans.registry import sql_norm
+
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2], type=pa.int64()),
+            "ts": pa.array([0, 1], type=pa.int64()).cast(pa.timestamp("us")),
+            "user_id": pa.array([1, 1], type=pa.int64()),
+            "event_type": pa.array(["view", "view"], type=pa.string()),
+            "value": pa.array([151.37, 0.1], type=pa.float32()),
+            "props": pa.array(["{}", "{}"], type=pa.string()),
+        }
+    )
+    pq.write_table(tbl, f"{tmp_path}/events.parquet")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'")
+
+    # shadowed read: value arithmetic runs over DOUBLE
+    ty, rounded = con.execute(
+        sql_norm("SELECT typeof(value), ROUND(MAX(value), 2) FROM events GROUP BY 1")
+    ).fetchone()
+    assert ty == "DOUBLE" and rounded == 151.37
+
+    # probe bypass: enc CTE reads main.events -> names the float32 encoding
+    rows = con.execute(sql_norm(_SQL_PROBE)).fetchall()
+    assert len(rows) == 101 and rows[0][1] == 101
