@@ -440,3 +440,130 @@ def engineered_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(bal < 0, 1).otherwise(0).alias("is_delinquent"),
         trunc6(F.log1p(pos) * F.sqrt(unit)).alias("interaction"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Trending score V2 — the reference's batch rescoring job
+# (models/trending/trending_score_v2.py:52-253): per-event exponential time
+# decay (half-life 7 days from the corpus's latest event) x engagement
+# log-weight (log(1+views/global_avg)/log(101), clamped to [0.1, 1.0]),
+# summed per KOL into a weighted velocity, then the v1 blend
+# (0.5 personal growth + 0.3 market position + 0.2 momentum-stub) and
+# sigmoid squash. The reference iterates pandas rows on the driver; here
+# both passes are native Column expressions: one scan computes the corpus
+# globals (latest ts, truncated nonzero-mean of value, user/event counts,
+# localCheckpoint'd — 1 row), a second scan applies the per-row weights and
+# reduces per user. Two scans total at any scale; the 1-row globals ride
+# along as broadcast (crossJoin) + constant groupBy keys — no second join.
+# Determinism: per-row weights are floor'd at 6dp before the DECIMAL(18,6)
+# sum (order-proof); pg/mp/raw are floor'd at 4dp (they are rationals —
+# ROUND could tie); ln(1+x) is used verbatim on BOTH engines (log1p differs
+# from ln(1+x) in the last ulp for non-integer x); the sigmoid reuses the
+# hash-green v1 helpers. Deviations from the reference, pinned in the
+# oracle: NULL value counts as zero views (pandas would propagate NaN), and
+# int() truncation of the nonneg view sums is floor.
+# ---------------------------------------------------------------------------
+
+_V2_ORACLE = f"""
+WITH g AS (
+  SELECT MAX(epoch_us(ts)) AS ref_us,
+         COALESCE({sql_davg('CASE WHEN value > 0 THEN value END')}, 10000.0) AS ga,
+         COUNT(DISTINCT user_id) AS n_users,
+         COUNT(*) AS n_ev
+  FROM events
+), t AS (
+  SELECT user_id, value, n_users, n_ev,
+         floor(exp(-(ln(2.0) / 7.0)
+                   * greatest(0.0, (g.ref_us - epoch_us(ts)) / 86400000000.0))
+               * (CASE WHEN COALESCE(value, 0.0) <= 0 THEN 0.1
+                       ELSE 0.1 + 0.9 * least(ln(1.0 + value / g.ga) / ln(101.0), 1.0)
+                  END) * 1000000) / 1000000 AS w
+  FROM events, g
+), u AS (
+  SELECT user_id, n_users, n_ev,
+         CAST(SUM(CAST(w AS DECIMAL(18,6))) AS DOUBLE) AS cv,
+         COUNT(*) AS n_events,
+         {sql_dsum_raw('value')} AS vsum
+  FROM t GROUP BY user_id, n_users, n_ev
+), s AS (
+  SELECT user_id, cv, n_events, vsum,
+         cv / greatest(n_events / n_users, 0.1) AS pg,
+         cv / greatest(n_ev / n_users, 0.1) AS mp,
+         0.5 * (cv / greatest(n_events / n_users, 0.1))
+           + 0.3 * (cv / greatest(n_ev / n_users, 0.1))
+           + 0.2 * 1.0 AS raw
+  FROM u
+)
+SELECT user_id,
+       ROUND(100.0 / (1 + exp(-0.8 * (raw - 2.0))), 2) AS trending_score_v2,
+       CASE WHEN 100.0 / (1 + exp(-0.8 * (raw - 2.0))) >= 80 THEN 'Viral'
+            WHEN 100.0 / (1 + exp(-0.8 * (raw - 2.0))) >= 60 THEN 'Hot'
+            WHEN 100.0 / (1 + exp(-0.8 * (raw - 2.0))) >= 40 THEN 'Warm'
+            WHEN 100.0 / (1 + exp(-0.8 * (raw - 2.0))) >= 25 THEN 'Normal'
+            ELSE 'Cold' END AS label,
+       floor(pg * 10000) / 10000 AS personal_growth,
+       floor(mp * 10000) / 10000 AS market_position,
+       floor(raw * 10000) / 10000 AS raw_score,
+       n_events,
+       CAST(floor(vsum) AS BIGINT) AS total_views,
+       CAST(floor(vsum / n_events) AS BIGINT) AS avg_views
+FROM s
+"""
+
+
+@register("trending_scores_v2", oracle=_V2_ORACLE)
+def trending_scores_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference trending_score_v2 batch job, Spark-native (two scans, no UDF)."""
+    ev = table(spark, sf_dir, "events")
+    v = F.col("value")
+    g = F.broadcast(
+        ev.agg(
+            F.max(F.unix_micros("ts")).alias("ref_us"),
+            davg(F.when(v > 0, v)).alias("ga_raw"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_ev"),
+        )
+        .select(
+            "ref_us",
+            F.coalesce("ga_raw", F.lit(10000.0)).alias("ga"),
+            "n_users",
+            "n_ev",
+        )
+        .localCheckpoint(eager=True)
+    )
+    delta_days = F.greatest(
+        F.lit(0.0), (F.col("ref_us") - F.unix_micros("ts")) / F.lit(86400000000.0)
+    )
+    time_w = F.exp(-(F.log(F.lit(2.0)) / F.lit(7.0)) * delta_days)
+    eng_w = F.when(F.coalesce(v, F.lit(0.0)) <= 0, F.lit(0.1)).otherwise(
+        F.lit(0.1)
+        + F.lit(0.9)
+        * F.least(F.log(F.lit(1.0) + v / F.col("ga")) / F.log(F.lit(101.0)), F.lit(1.0))
+    )
+    w = F.floor(time_w * eng_w * F.lit(1000000)) / F.lit(1000000)
+    u = (
+        ev.crossJoin(g)
+        .select("user_id", "value", "n_users", "n_ev", w.alias("w"))
+        .groupBy("user_id", "n_users", "n_ev")
+        .agg(
+            F.sum(F.col("w").cast("decimal(18,6)")).cast("double").alias("cv"),
+            F.count(F.lit(1)).alias("n_events"),
+            dsum_raw("value").alias("vsum"),
+        )
+    )
+    pg = F.col("cv") / F.greatest(F.col("n_events") / F.col("n_users"), F.lit(0.1))
+    mp = F.col("cv") / F.greatest(F.col("n_ev") / F.col("n_users"), F.lit(0.1))
+    raw = F.lit(0.5) * pg + F.lit(0.3) * mp + F.lit(0.2) * F.lit(1.0)
+    score = trending_score(raw)
+    p4 = F.lit(10000)
+    return u.select(
+        "user_id",
+        F.round(score, 2).alias("trending_score_v2"),
+        trending_label(score).alias("label"),
+        (F.floor(pg * p4) / p4).alias("personal_growth"),
+        (F.floor(mp * p4) / p4).alias("market_position"),
+        (F.floor(raw * p4) / p4).alias("raw_score"),
+        "n_events",
+        F.floor("vsum").alias("total_views"),
+        F.floor(F.col("vsum") / F.col("n_events")).alias("avg_views"),
+    )

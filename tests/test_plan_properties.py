@@ -385,6 +385,7 @@ def test_no_unexpected_nested_loop_joins(spark, sf_oracle):
         "join_size_ams_check",      # broadcast 1-row AGMS estimate x 1-row exact
         "rolling_hll_users_check",  # day-spine range join (days x days)
         "skew_salted_join",         # broadcast 8-row salt spine x dim
+        "trending_scores_v2",       # broadcast 1-row corpus globals (ref time, avg views, counts)
         "source_mix_divergence",    # broadcast 1-row total
         "distinctive_terms_chi2",   # broadcast 1-row all-token total
         "tfidf_top_terms",          # broadcast 1-row doc count
