@@ -567,3 +567,85 @@ def trending_scores_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor("vsum").alias("total_views"),
         F.floor(F.col("vsum") / F.col("n_events")).alias("avg_views"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rule-based success score — the reference's /predict/success fallback
+# (serving/api/routers/predict.py:792-810): four capped contributions
+# (views/50000*30, engagement_rate*300, est_ctr*200, engagement/5000*20)
+# summed to 0-100, 'High' at >= 50. The reference scores one KOL per HTTP
+# request from caller-supplied features; here the features derive per user
+# from the events table using the repo's established event-type mapping
+# (campaign_window_metrics): views = 'view' events, engagement = the
+# interaction events (click/purchase/signup, the likes+comments+shares
+# analog), est_ctr = clicks/max(views,1). One groupBy shuffle, no joins.
+# Every input is an integer count, so eng_rate/est_ctr/score are exact
+# rationals — floor at 2dp/6dp (ROUND could land on a cross-engine tie;
+# the reference rounds, deviation pinned in the oracle).
+# ---------------------------------------------------------------------------
+
+_SUCCESS_RULE_ORACLE = """
+WITH f AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+         CAST(SUM(CASE WHEN event_type IN ('click', 'purchase', 'signup') THEN 1 ELSE 0 END) AS BIGINT)
+           AS engagement_total
+  FROM events GROUP BY user_id
+), s AS (
+  SELECT user_id, views, engagement_total,
+         engagement_total / greatest(views, 1) AS eng_rate,
+         clicks / greatest(views, 1) AS est_ctr,
+         least(30.0, views / 50000.0 * 30)
+           + least(30.0, engagement_total / greatest(views, 1) * 300)
+           + least(20.0, clicks / greatest(views, 1) * 200)
+           + least(20.0, engagement_total / 5000.0 * 20) AS score
+  FROM f
+)
+SELECT user_id,
+       floor(score * 100) / 100 AS success_score,
+       CASE WHEN score >= 50 THEN 'High' ELSE 'Not-High' END AS success_label,
+       views,
+       engagement_total,
+       floor(eng_rate * 1000000) / 1000000 AS eng_rate,
+       floor(est_ctr * 1000000) / 1000000 AS est_ctr
+FROM s
+"""
+
+
+@register("success_scores_rule", oracle=_SUCCESS_RULE_ORACLE)
+def success_scores_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference rule-based success score per KOL, fully native (one shuffle).
+
+    On TESTDATA's count-parity event mix the two rate caps saturate
+    (eng_rate/est_ctr > 1 for every driver-sf user), so success_label is
+    uniformly 'High' at sf0.001-0.1 — the hash signal is the per-user
+    success_score spread; both label branches are pinned in
+    tests/test_functions.py::test_success_rule_label_both_branches."""
+    ev = table(spark, sf_dir, "events")
+    t = F.col("event_type")
+    f = ev.groupBy("user_id").agg(
+        F.sum(F.when(t == "view", 1).otherwise(0)).cast("long").alias("views"),
+        F.sum(F.when(t == "click", 1).otherwise(0)).cast("long").alias("clicks"),
+        F.sum(F.when(t.isin("click", "purchase", "signup"), 1).otherwise(0))
+        .cast("long")
+        .alias("engagement_total"),
+    )
+    vden = F.greatest(F.col("views"), F.lit(1))
+    eng_rate = F.col("engagement_total") / vden
+    est_ctr = F.col("clicks") / vden
+    score = (
+        F.least(F.lit(30.0), F.col("views") / F.lit(50000.0) * F.lit(30))
+        + F.least(F.lit(30.0), eng_rate * F.lit(300))
+        + F.least(F.lit(20.0), est_ctr * F.lit(200))
+        + F.least(F.lit(20.0), F.col("engagement_total") / F.lit(5000.0) * F.lit(20))
+    )
+    return f.select(
+        "user_id",
+        (F.floor(score * 100) / 100).alias("success_score"),
+        F.when(score >= 50, "High").otherwise("Not-High").alias("success_label"),
+        "views",
+        "engagement_total",
+        trunc6(eng_rate).alias("eng_rate"),
+        trunc6(est_ctr).alias("est_ctr"),
+    )

@@ -203,3 +203,32 @@ def test_repetition_signals(spark):
     assert out[2]["db"] == 0.0 and out[2]["keep"] == 1
     assert out[3]["db"] == 0.0 and out[3]["keep"] == 0  # too short
     assert out[4]["dt"] == 0.0 and out[4]["keep"] == 0
+
+
+def test_success_rule_label_both_branches(spark, tmp_path):
+    """success_scores_rule's High/Not-High split on a constructed events
+    table: TESTDATA's count-parity event mix saturates the two rate caps
+    (every driver-sf user lands High — see the query docstring), so the
+    Not-High branch is pinned here instead."""
+    import datetime as dt
+
+    from kol_bigdata_realtime_analytics_spark.plans import REGISTRY
+
+    ts = dt.datetime(2025, 1, 1)
+    rows = [
+        # user 1: 1 view, 5 clicks, 2 purchases -> rate caps saturate:
+        # 30 + 20 + 1/50000*30 + 7/5000*20 = 50.0286 -> High
+        *[(i, ts, 1, t, 1.0, "{}") for i, t in enumerate(
+            ["view"] + ["click"] * 5 + ["purchase"] * 2)],
+        # user 2: views only -> score = 10/50000*30 = 0.006 -> Not-High
+        *[(100 + i, ts, 2, "view", 1.0, "{}") for i in range(10)],
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = {r["user_id"]: r for r in REGISTRY["success_scores_rule"].fn(spark, str(tmp_path)).collect()}
+    assert out[1]["success_label"] == "High"
+    assert abs(out[1]["success_score"] - 50.02) < 1e-9
+    assert out[2]["success_label"] == "Not-High"
+    assert out[2]["success_score"] == 0.0
