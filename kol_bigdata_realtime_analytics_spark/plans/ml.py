@@ -292,3 +292,116 @@ def weighted_median_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.groupBy("segment").agg(
         _wmedian("v", "w").alias("weighted_median_acctbal")
     )
+
+
+# ---------------------------------------------------------------------------
+# Model evaluation in-engine — the reference's offline evaluation module
+# (models/evaluation/evaluate_trained_models.py:32-33 computes sklearn
+# accuracy/precision/recall/F1/ROC-AUC on a driver-side pandas frame; at
+# engine scale the scored corpus never fits a driver). Confusion counts and
+# the EXACT ROC-AUC come from one pass: scores are already trunc6-quantized,
+# so group by score value (cardinality <= 1e8 at 6dp over the 0-100 range —
+# bounded by score precision, NOT corpus rows), then the Mann-Whitney U on
+# the binned frame: 2U = sum_s pos_s * (2*cumneg_below(s) + neg_s), an
+# all-integer sum (ties contribute 1/2 via the doubling), AUC = 2U /
+# (2*npos*nneg). The only window runs over the distinct-score frame.
+# Ground truth = the profile's `verified` flag (the model carries a +1.2
+# verified weight, so AUC is far from coin-flip — non-vacuous at every sf).
+# ---------------------------------------------------------------------------
+
+_ML_EVAL_ORACLE = f"""
+WITH prof AS ({_PROFILE_SQL}),
+sc AS (
+  SELECT floor(100.0 / (1.0 + exp(-(
+           -1.5
+           + 0.22 * ln(1 + GREATEST(followers, 0))
+           + 0.15 * ln(1 + GREATEST(posts, 0))
+           + 3.0 * engagement_rate
+           + 1.2 * CASE WHEN verified THEN 1.0 ELSE 0.0 END
+           + 0.3 * (age_days / 365.0)
+           + -0.08 * LEAST(ff_ratio, 50.0)
+         ))) * 1000000) / 1000000 AS s,
+         CASE WHEN verified THEN 1 ELSE 0 END AS y
+  FROM prof
+), b AS (
+  SELECT s,
+         CAST(SUM(y) AS BIGINT) AS pos,
+         CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg
+  FROM sc GROUP BY s
+), c AS (
+  SELECT s, pos, neg,
+         CAST(SUM(neg) OVER (ORDER BY s
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumneg
+  FROM b
+), g AS (
+  SELECT CAST(SUM(pos * (2 * cumneg - neg)) AS BIGINT) AS u2,
+         CAST(SUM(pos) AS BIGINT) AS npos,
+         CAST(SUM(neg) AS BIGINT) AS nneg,
+         CAST(SUM(CASE WHEN s >= 50 THEN pos ELSE 0 END) AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN s >= 50 THEN neg ELSE 0 END) AS BIGINT) AS fp
+  FROM c
+), m AS (
+  SELECT tp, fp, nneg - fp AS tn, npos - tp AS fn, u2, npos, nneg,
+         CASE WHEN tp + fp > 0 THEN tp / (tp + fp) ELSE 0.0 END AS p_raw,
+         CASE WHEN npos > 0 THEN tp / npos ELSE 0.0 END AS r_raw
+  FROM g
+)
+SELECT tp, fp, tn, fn,
+       floor((tp + tn) / (npos + nneg) * 1000000) / 1000000 AS accuracy,
+       floor(p_raw * 1000000) / 1000000 AS precision_,
+       floor(r_raw * 1000000) / 1000000 AS recall_,
+       floor(CASE WHEN p_raw + r_raw > 0
+                  THEN 2.0 * p_raw * r_raw / (p_raw + r_raw)
+                  ELSE 0.0 END * 1000000) / 1000000 AS f1,
+       floor(CASE WHEN npos > 0 AND nneg > 0
+                  THEN u2 / (2.0 * npos * nneg)
+                  ELSE 0.0 END * 1000000) / 1000000 AS roc_auc
+FROM m
+"""
+
+
+@register("ml_eval_metrics", oracle=_ML_EVAL_ORACLE)
+def ml_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix + exact binned-Mann-Whitney ROC-AUC, one row out."""
+    from pyspark.sql import Window
+
+    prof = synthetic_profiles(spark, sf_dir)
+    score = trunc6(
+        trust_logit("followers", "posts", "engagement_rate", "verified", "age_days", "ff_ratio")
+    )
+    sc = prof.select(score.alias("s"), F.col("verified").cast("int").alias("y"))
+    b = sc.groupBy("s").agg(
+        F.sum("y").cast("long").alias("pos"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("neg"),
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = b.select("s", "pos", "neg", F.sum("neg").over(w).cast("long").alias("cumneg"))
+    g = c.agg(
+        F.sum(F.col("pos") * (2 * F.col("cumneg") - F.col("neg"))).cast("long").alias("u2"),
+        F.sum("pos").cast("long").alias("npos"),
+        F.sum("neg").cast("long").alias("nneg"),
+        F.sum(F.when(F.col("s") >= 50, F.col("pos")).otherwise(0)).cast("long").alias("tp"),
+        F.sum(F.when(F.col("s") >= 50, F.col("neg")).otherwise(0)).cast("long").alias("fp"),
+    )
+    tp, fp = F.col("tp"), F.col("fp")
+    npos, nneg, u2 = F.col("npos"), F.col("nneg"), F.col("u2")
+    tn, fn = (nneg - fp).alias("tn"), (npos - tp).alias("fn")
+    p_raw = F.when(tp + fp > 0, tp / (tp + fp)).otherwise(F.lit(0.0))
+    r_raw = F.when(npos > 0, tp / npos).otherwise(F.lit(0.0))
+    return g.select(
+        "tp",
+        "fp",
+        tn,
+        fn,
+        trunc6((tp + (nneg - fp)) / (npos + nneg)).alias("accuracy"),
+        trunc6(p_raw).alias("precision_"),
+        trunc6(r_raw).alias("recall_"),
+        trunc6(
+            F.when(p_raw + r_raw > 0, F.lit(2.0) * p_raw * r_raw / (p_raw + r_raw)).otherwise(
+                F.lit(0.0)
+            )
+        ).alias("f1"),
+        trunc6(
+            F.when((npos > 0) & (nneg > 0), u2 / (F.lit(2.0) * npos * nneg)).otherwise(F.lit(0.0))
+        ).alias("roc_auc"),
+    )
