@@ -113,6 +113,9 @@ HEADLINE = [
     "variant_props_stats",
     "merge_upsert_orders",
     "serving_dashboard_page",
+    "trending_scores_v2",
+    "success_scores_rule",
+    "ml_eval_metrics",
 ]
 
 

@@ -405,3 +405,78 @@ def ml_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when((npos > 0) & (nneg > 0), u2 / (F.lit(2.0) * npos * nneg)).otherwise(F.lit(0.0))
         ).alias("roc_auc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Profile-based success estimation — the reference's cache-loader fallback
+# when a KOL has no product data (scripts/load_profiles_to_redis.py:199-229):
+# a piecewise engagement-ratio ladder (likes per follower, 5 bands) plus a
+# follower-tier bonus (+5/+3/+1 at 1M/500k/100k), clamped to [10, 100].
+# The reference evaluates it per profile inside a Redis-loading loop; here
+# it is one narrow projection over the synthesized profile frame — no
+# shuffle at all (per-row math), so it composes into any scan. The ladder
+# is piecewise-LINEAR in an integer-ratio input, so every band output is a
+# rational — floor at 2dp (the reference keeps full float; ROUND could tie
+# cross-engine). Both clamp bounds and several bands are exercised at
+# sf0.01 (followers span 0..1e7, favorites 0..1e5).
+# ---------------------------------------------------------------------------
+
+_SUCCESS_PROFILE_ORACLE = f"""
+WITH inp AS ({_TRUST_INPUT_SQL}),
+s AS (
+  SELECT c_custkey, followers_count, favorites_count,
+         favorites_count / greatest(followers_count, 1) AS er,
+         CASE WHEN favorites_count / greatest(followers_count, 1) >= 50
+                THEN 70 + least(20.0, (favorites_count / greatest(followers_count, 1) - 50) / 5)
+              WHEN favorites_count / greatest(followers_count, 1) >= 20
+                THEN 55 + (favorites_count / greatest(followers_count, 1) - 20) / 2
+              WHEN favorites_count / greatest(followers_count, 1) >= 10
+                THEN 40 + (favorites_count / greatest(followers_count, 1) - 10) * 1.5
+              WHEN favorites_count / greatest(followers_count, 1) >= 1
+                THEN 25 + (favorites_count / greatest(followers_count, 1) - 1) * 1.67
+              ELSE 15 + favorites_count / greatest(followers_count, 1) * 10
+         END
+         + CASE WHEN followers_count >= 1000000 THEN 5
+                WHEN followers_count >= 500000 THEN 3
+                WHEN followers_count >= 100000 THEN 1
+                ELSE 0 END AS score
+  FROM inp
+)
+SELECT c_custkey,
+       floor(least(100.0, greatest(10.0, score)) * 100) / 100 AS success_score,
+       floor(er * 1000000) / 1000000 AS engagement_ratio,
+       followers_count
+FROM s
+"""
+
+
+@register("success_scores_profile", oracle=_SUCCESS_PROFILE_ORACLE)
+def success_scores_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference profile-based success ladder, pure per-row projection.
+
+    TESTDATA's follower/favorites spread populates only the <1 and >=50
+    bands at driver sfs; all five bands, the bonus tiers, and both clamp
+    bounds are pinned on constructed rows in
+    tests/test_functions.py::test_success_profile_ladder_all_bands."""
+    inp = synthetic_trust_inputs(spark, sf_dir)
+    er = F.col("favorites_count") / F.greatest(F.col("followers_count"), F.lit(1))
+    ladder = (
+        F.when(er >= 50, F.lit(70) + F.least(F.lit(20.0), (er - 50) / 5))
+        .when(er >= 20, F.lit(55) + (er - 20) / 2)
+        .when(er >= 10, F.lit(40) + (er - 10) * 1.5)
+        .when(er >= 1, F.lit(25) + (er - 1) * F.lit(1.67))
+        .otherwise(F.lit(15) + er * 10)
+    )
+    bonus = (
+        F.when(F.col("followers_count") >= 1000000, 5)
+        .when(F.col("followers_count") >= 500000, 3)
+        .when(F.col("followers_count") >= 100000, 1)
+        .otherwise(0)
+    )
+    score = F.least(F.lit(100.0), F.greatest(F.lit(10.0), ladder + bonus))
+    return inp.select(
+        "c_custkey",
+        (F.floor(score * 100) / 100).alias("success_score"),
+        trunc6(er).alias("engagement_ratio"),
+        "followers_count",
+    )

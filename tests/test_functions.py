@@ -232,3 +232,38 @@ def test_success_rule_label_both_branches(spark, tmp_path):
     assert abs(out[1]["success_score"] - 50.02) < 1e-9
     assert out[2]["success_label"] == "Not-High"
     assert out[2]["success_score"] == 0.0
+
+
+def test_success_profile_ladder_all_bands(spark, tmp_path):
+    """success_scores_profile's five engagement-ratio bands + follower bonus
+    + both clamp bounds on constructed customers (TESTDATA populates only
+    the <1 and >=50 bands at driver sfs — see the query docstring)."""
+    import math as m
+
+    from kol_bigdata_realtime_analytics_spark.plans import REGISTRY
+
+    # favorites = (k*7) % 100000, followers = round(max(acctbal,0)*1000):
+    # acctbal .001 -> 1 follower, so er == favorites; acctbal 1000 -> 1e6
+    # followers (bonus +5) with er ~ 0.
+    rows = [
+        (1, 0.001),     # er=7    -> 25 + 6*1.67          (1..10 band)
+        (2, 0.001),     # er=14   -> 40 + 4*1.5           (10..20 band)
+        (3, 0.001),     # er=21   -> 55 + 1/2             (20..50 band)
+        (8, 0.001),     # er=56   -> 70 + min(20, 6/5)    (>=50 band)
+        (10, 1000.0),   # er=7e-5 -> 15 + er*10, +5 bonus (<1 band, 1M tier)
+        (14300, 0.0),   # fav=(14300*7)%100000=100        er=100 -> 70+min(20,10)=90... cap path
+    ]
+    df = spark.createDataFrame(rows, "c_custkey long, c_acctbal double")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/customer.parquet")
+    out = {r["c_custkey"]: r["success_score"]
+           for r in REGISTRY["success_scores_profile"].fn(spark, str(tmp_path)).collect()}
+
+    def fl2(x):
+        return m.floor(min(100.0, max(10.0, x)) * 100) / 100
+
+    assert out[1] == fl2(25 + (7 - 1) * 1.67)
+    assert out[2] == fl2(40 + (14 - 10) * 1.5)
+    assert out[3] == fl2(55 + (21 - 20) / 2)
+    assert out[8] == fl2(70 + min(20.0, (56 - 50) / 5))
+    assert out[10] == fl2(15 + (70 / max(1000000, 1)) * 10 + 5)
+    assert out[14300] == fl2(70 + min(20.0, (100 - 50) / 5))
