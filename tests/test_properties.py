@@ -219,3 +219,74 @@ def test_bloom_anti_join_matches_set_difference(spark, index_keys, batch_keys):
     batch = spark.createDataFrame([(f"k{i}",) for i in sorted(batch_keys)], "key string")
     got = {r["key"] for r in bloom_anti_join(batch, index, "key").collect()}
     assert got == {f"k{i}" for i in batch_keys - index_keys}
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    base=st.dictionaries(st.integers(0, 12), st.integers(-5, 5), max_size=8),
+    ops=st.lists(
+        st.tuples(
+            st.integers(0, 12), st.sampled_from(["U", "D"]), st.integers(-5, 5)
+        ),
+        max_size=12,
+    ),
+)
+def test_merge_changelog_matches_dict_model(spark, base, ops):
+    """merge_changelog == the obvious dict model (apply latest op per key)
+    for arbitrary base snapshots and op streams, and
+    changelog_from_snapshots derives a changelog whose merge rebuilds the
+    target snapshot exactly — MERGE and its inverse pinned against an
+    independent implementation, not against each other."""
+    from kol_bigdata_realtime_analytics_spark.operators.merge import (
+        changelog_from_snapshots,
+        merge_changelog,
+    )
+
+    # squash the op stream to its latest op per key (the operator's
+    # documented precondition) and compute the expected final snapshot
+    squashed = {}
+    for k, op, v in ops:
+        squashed[k] = (op, v)
+    expected = dict(base)
+    for k, (op, v) in squashed.items():
+        if op == "U":
+            expected[k] = v
+        else:
+            expected.pop(k, None)
+
+    def frame(rows, schema):
+        df = spark.createDataFrame(rows or [(0,) * len(schema.split(","))], schema)
+        if not rows:
+            df = df.filter("k != k")
+        return df
+
+    base_df = frame(sorted(base.items()), "k int, v int")
+    delta_df = frame(
+        [(k, op, v) for k, (op, v) in sorted(squashed.items())],
+        "k int, op string, v int",
+    )
+
+    merged = merge_changelog(base_df, delta_df, key="k")
+    got = {r["k"]: r["v"] for r in merged.collect()}
+    assert got == expected
+
+    # merge_action audit column matches the model's classification
+    actions = {r["k"]: r["merge_action"] for r in merged.collect()}
+    for k in got:
+        if k in base and squashed.get(k, ("", 0))[0] == "U":
+            assert actions[k] == "update"
+        elif k in base:
+            assert actions[k] == "carry"
+        else:
+            assert actions[k] == "insert"
+
+    # inverse direction: derive the changelog between the two snapshots and
+    # replay it — must rebuild the target exactly
+    expected_df = frame(sorted(expected.items()), "k int, v int")
+    import pyspark.sql.functions as _F
+
+    clog = changelog_from_snapshots(
+        base_df, expected_df, "k", _F.col("v").cast("string")
+    )
+    replayed = merge_changelog(base_df, clog, key="k")
+    assert {r["k"]: r["v"] for r in replayed.collect()} == expected
