@@ -40,9 +40,16 @@ def scd2_from_changelog(
     changes = (
         df.select(key_col, attr_col, ts_col, tiebreak_col)
         .withColumn("_prev", F.lag(attr_col).over(w))
-        # first row per key (_prev NULL) always opens an interval; NULL-safe
-        # inequality keeps runs of identical values as one interval
-        .filter(~F.col("_prev").eqNullSafe(F.col(attr_col)))
+        .withColumn("_rn", F.row_number().over(w))
+        # first row per key always opens an interval — detected by row
+        # number, NOT by _prev IS NULL, because lag's no-previous-row NULL
+        # is indistinguishable from a genuine NULL attribute value (a key
+        # whose history STARTS with a NULL attribute would otherwise emit
+        # no interval at all — caught by the hypothesis run-compression
+        # test). NULL-safe inequality keeps runs of identical values
+        # (including NULL runs) as one interval.
+        .filter((F.col("_rn") == 1) | ~F.col("_prev").eqNullSafe(F.col(attr_col)))
+        .drop("_rn")
     )
     return (
         changes.withColumn("_next_ts", F.lead(ts_col).over(w))
@@ -60,13 +67,14 @@ def scd2_from_changelog(
 SCD2_ORACLE_SQL = """
 WITH ordered AS (
   SELECT {key}, {attr}, {ts}, {tb},
-         LAG({attr}) OVER (PARTITION BY {key} ORDER BY {ts}, {tb}) AS prev
+         LAG({attr}) OVER (PARTITION BY {key} ORDER BY {ts}, {tb}) AS prev,
+         ROW_NUMBER() OVER (PARTITION BY {key} ORDER BY {ts}, {tb}) AS rn
   FROM {table}
 ),
 changes AS (
   SELECT {key}, {attr}, {ts}, {tb}
   FROM ordered
-  WHERE prev IS DISTINCT FROM {attr}
+  WHERE rn = 1 OR prev IS DISTINCT FROM {attr}
 )
 SELECT {key}, {attr},
        epoch_us({ts}) AS valid_from_us,

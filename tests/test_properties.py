@@ -290,3 +290,72 @@ def test_merge_changelog_matches_dict_model(spark, base, ops):
     )
     replayed = merge_changelog(base_df, clog, key="k")
     assert {r["k"]: r["v"] for r in replayed.collect()} == expected
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 3),       # key
+            st.sampled_from(["a", "b", "c", None]),  # attribute value
+            st.integers(0, 20),      # event second
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_scd2_matches_run_compression_model(spark, rows):
+    """scd2_from_changelog == per-key run-length compression of the
+    (ts, tiebreak)-ordered changelog, for arbitrary streams including
+    duplicate timestamps, NULL attribute values, and single-row keys.
+    Invariants: intervals tile exactly (valid_to[k] == valid_from[k+1]),
+    exactly one open current interval per key, runs of identical values
+    (NULL-safe) collapse into one interval."""
+    from datetime import datetime, timezone
+
+    from kol_bigdata_realtime_analytics_spark.operators.scd import scd2_from_changelog
+
+    data = [
+        (k, a, datetime.fromtimestamp(ts, tz=timezone.utc).replace(tzinfo=None), i)
+        for i, (k, a, ts) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, "k int, attr string, ts timestamp, tb long")
+    def skey(t):
+        return tuple((x is None, x) for x in t)
+
+    got = sorted(
+        (
+            (r["k"], r["attr"], r["valid_from_us"], r["valid_to_us"], r["is_current"])
+            for r in scd2_from_changelog(df, "k", "attr", "ts", "tb").collect()
+        ),
+        key=skey,
+    )
+
+    # independent model: order per key, compress equal-value runs
+    expected = []
+    bykey = {}
+    for k, a, ts, tb in data:
+        bykey.setdefault(k, []).append((ts, tb, a))
+    for k, evs in bykey.items():
+        evs.sort()
+        runs = []
+        for ts, tb, a in evs:
+            if not runs or runs[-1][1] != a:
+                runs.append((ts, a))
+        for i, (ts, a) in enumerate(runs):
+            nxt = runs[i + 1][0] if i + 1 < len(runs) else None
+            us = lambda t: int(t.replace(tzinfo=timezone.utc).timestamp() * 1_000_000)
+            expected.append(
+                (k, a, us(ts), us(nxt) if nxt else None, 1 if nxt is None else 0)
+            )
+    assert got == sorted(expected, key=skey)
+
+    # structural invariants straight off the result
+    per_key = {}
+    for k, a, vf, vt, cur in got:
+        per_key.setdefault(k, []).append((vf, vt, cur))
+    for k, ivals in per_key.items():
+        ivals.sort(key=lambda x: x[0])
+        assert sum(cur for _, _, cur in ivals) == 1
+        for (f1, t1, _), (f2, _, _) in zip(ivals, ivals[1:]):
+            assert t1 == f2
