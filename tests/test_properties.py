@@ -355,7 +355,12 @@ def test_scd2_matches_run_compression_model(spark, rows):
     for k, a, vf, vt, cur in got:
         per_key.setdefault(k, []).append((vf, vt, cur))
     for k, ivals in per_key.items():
-        ivals.sort(key=lambda x: x[0])
+        # same-instant changes create zero-length intervals sharing a
+        # valid_from; order those by (closed-before-open, valid_to) so the
+        # tiling check pairs them correctly
+        ivals.sort(
+            key=lambda x: (x[0], x[1] is None, x[1] if x[1] is not None else 0)
+        )
         assert sum(cur for _, _, cur in ivals) == 1
         for (f1, t1, _), (f2, _, _) in zip(ivals, ivals[1:]):
             assert t1 == f2
