@@ -364,3 +364,70 @@ def test_scd2_matches_run_compression_model(spark, rows):
         assert sum(cur for _, _, cur in ivals) == 1
         for (f1, t1, _), (f2, _, _) in zip(ivals, ivals[1:]):
             assert t1 == f2
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    left_rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(0, 2)),  # key (nullable)
+            st.integers(0, 6),                         # left ts
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    right_kts=st.sets(
+        st.tuples(
+            st.one_of(st.none(), st.integers(0, 2)),  # key (nullable)
+            st.integers(0, 6),                         # right ts
+        ),
+        max_size=10,
+    ),
+)
+def test_asof_three_forms_match_bruteforce_model(spark, left_rows, right_kts):
+    """All three as-of forms (equi-join+window, union-window carry,
+    cogrouped merge_asof) == a brute-force per-row model, on arbitrary
+    inputs: NULL keys on either side, left-ts ties with right-ts
+    (<= semantics), keys with no right rows at all, and right rows whose
+    payload FIELD is genuinely NULL (atomic carry — no cross-row
+    stitching). Right (key, ts) pairs are unique by construction: the
+    contract does not pin a winner among equal-ts right rows, so ties
+    there would test implementation accident, not semantics."""
+    from kol_bigdata_realtime_analytics_spark.operators.asof import (
+        as_of_join,
+        as_of_join_pandas,
+        as_of_join_union,
+    )
+
+    left_data = [(k, ts, f"L{i}") for i, (k, ts) in enumerate(left_rows)]
+    # payload xa is NULL on every third ts — the atomic-carry probe: a
+    # newer NULL-payload right row must shadow an older non-NULL one
+    right_data = [
+        (k, ts, None if ts % 3 == 0 else f"a{k}_{ts}", f"b{k}_{ts}")
+        for (k, ts) in sorted(right_kts, key=lambda t: (t[0] is None, t[0] or 0, t[1]))
+    ]
+    left = spark.createDataFrame(left_data, "k int, ts int, lv string")
+    right = spark.createDataFrame(right_data, "k int, ts int, ra string, rb string")
+    r_aliased = right.select("k", "ts", F.col("ra").alias("xa"), F.col("rb").alias("xb"))
+
+    expected = []
+    for k, ts, lv in left_data:
+        best = None
+        if k is not None:
+            for rk, rts, ra, rb in right_data:
+                if rk == k and rts <= ts and (best is None or rts > best[0]):
+                    best = (rts, ra, rb)
+        expected.append((lv, best[1] if best else None, best[2] if best else None))
+    expected.sort()
+
+    def rows(df):
+        return sorted(
+            (r["lv"], r["xa"], r["xb"]) for r in df.select("lv", "xa", "xb").collect()
+        )
+
+    a = as_of_join(left, r_aliased, "k", "ts", "ts", ["xa", "xb"], left_unique=["lv"])
+    b = as_of_join_union(left, r_aliased, "k", "ts", "ts", ["xa", "xb"])
+    c = as_of_join_pandas(left, r_aliased, "k", "ts", "ts", ["xa", "xb"])
+    assert rows(a) == expected
+    assert rows(b) == expected
+    assert rows(c) == expected
