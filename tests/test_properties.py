@@ -431,3 +431,51 @@ def test_asof_three_forms_match_bruteforce_model(spark, left_rows, right_kts):
     assert rows(a) == expected
     assert rows(b) == expected
     assert rows(c) == expected
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(0, 4),   # src
+            st.integers(0, 4),   # dst (self-loops allowed)
+            st.integers(1, 5),   # integer weight
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    n_iter=st.integers(1, 4),
+)
+def test_pagerank_fixedpoint_matches_integer_model(spark, edges, n_iter):
+    """pagerank_fixedpoint is BIT-IDENTICAL to an independent pure-Python
+    integer model on arbitrary graphs (parallel edges, self-loops,
+    dangling nodes, disconnected nodes): same floor divisions in the same
+    places, exact long sums in any order. This is the property the
+    hash-exact oracle relies on — not 'close to float PageRank' but
+    'every engine computes the same integers'."""
+    from kol_bigdata_realtime_analytics_spark.operators.graph import (
+        PAGERANK_SCALE,
+        pagerank_fixedpoint,
+    )
+
+    df = spark.createDataFrame(edges, "src long, dst long, weight long")
+    got = {
+        r["node"]: r["rank_fp"]
+        for r in pagerank_fixedpoint(df, n_iter=n_iter).collect()
+    }
+
+    # independent model — per-edge floor div, exact integer sums
+    num, den = 17, 20
+    out_w = {}
+    for s, d, w in edges:
+        out_w[s] = out_w.get(s, 0) + w
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    n = len(nodes)
+    base_fp = (den - num) * PAGERANK_SCALE // (den * n)
+    ranks = {v: PAGERANK_SCALE // n for v in nodes}
+    for _ in range(n_iter):
+        c = {}
+        for s, d, w in edges:
+            c[d] = c.get(d, 0) + (ranks[s] * w) // out_w[s]
+        ranks = {v: base_fp + num * c.get(v, 0) // den for v in nodes}
+    assert got == ranks
