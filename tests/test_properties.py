@@ -479,3 +479,48 @@ def test_pagerank_fixedpoint_matches_integer_model(spark, edges, n_iter):
             c[d] = c.get(d, 0) + (ranks[s] * w) // out_w[s]
         ranks = {v: base_fp + num * c.get(v, 0) // den for v in nodes}
     assert got == ranks
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 3),                 # basket id
+            st.sampled_from(["w", "x", "y", "z"]),  # item (duplicates likely)
+        ),
+        min_size=1,
+        max_size=16,
+    )
+)
+def test_cooccurrence_pairs_matches_counting_model(spark, rows):
+    """cooccurrence_pairs == the itertools/counting model, both modes, on
+    baskets with duplicate items and single-item baskets. distinct=True:
+    one (a, b) row per basket where both appear (a < b). distinct=False:
+    multiplicity cnt_basket(a) * cnt_basket(b) — the row-pair count the
+    raw self-join form would produce."""
+    from collections import Counter
+    from itertools import combinations
+
+    from kol_bigdata_realtime_analytics_spark.operators.graph import (
+        cooccurrence_pairs,
+    )
+
+    df = spark.createDataFrame(rows, "basket int, item string")
+
+    def got(distinct):
+        return sorted(
+            (r["a"], r["b"])
+            for r in cooccurrence_pairs(df, "basket", "item", distinct=distinct).collect()
+        )
+
+    baskets = {}
+    for b, it in rows:
+        baskets.setdefault(b, []).append(it)
+    exp_distinct, exp_multi = [], []
+    for items in baskets.values():
+        exp_distinct.extend(combinations(sorted(set(items)), 2))
+        c = Counter(items)
+        for a, b in combinations(sorted(c), 2):
+            exp_multi.extend([(a, b)] * (c[a] * c[b]))
+    assert got(True) == sorted(exp_distinct)
+    assert got(False) == sorted(exp_multi)
