@@ -116,6 +116,11 @@ HEADLINE = [
     "trending_scores_v2",
     "success_scores_rule",
     "ml_eval_metrics",
+    "substring_span_dedup",
+    "bpe_merge_ranks",
+    "embedding_decontaminate",
+    "brand_triple_affinity",
+    "calibration_bins",
 ]
 
 

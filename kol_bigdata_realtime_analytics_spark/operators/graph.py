@@ -215,6 +215,40 @@ def cooccurrence_pairs(
     return pairs
 
 
+def cooccurrence_triples(df: DataFrame, basket_col: str, item_col: str) -> DataFrame:
+    """Ordered (a < b < c) DISTINCT item triples per basket via ONE grouping
+    shuffle — the 3-itemset companion to cooccurrence_pairs, same basket-
+    local expansion (no self-joins: the classic Apriori candidate join
+    `b1 JOIN b2 JOIN b3 ON basket` shuffles the item table three times).
+
+    Fan-out is k^3/6 in BASKET size only, never corpus size; same hot-
+    basket caveat as pairs (cap basket size upstream if baskets are
+    unbounded — here callers pass bounded-cardinality items like brands).
+    Output columns: (a, b, c), one row per basket containing the triple.
+    """
+    baskets = df.groupBy(basket_col).agg(
+        F.array_sort(F.collect_set(item_col)).alias("_items")
+    )
+    items = F.col("_items")
+    # transform() lambda indices are 0-based, slice() starts are 1-based:
+    # x at 0-based i pairs with y at 0-based i+1+j, z ranges above that
+    triples = F.flatten(
+        F.flatten(
+            F.transform(
+                items,
+                lambda x, i: F.transform(
+                    F.slice(items, i + 2, F.size(items)),
+                    lambda y, j: F.transform(
+                        F.slice(items, i + j + 3, F.size(items)),
+                        lambda z: F.struct(x.alias("a"), y.alias("b"), z.alias("c")),
+                    ),
+                ),
+            )
+        )
+    )
+    return baskets.select(F.explode(triples).alias("_t")).select("_t.a", "_t.b", "_t.c")
+
+
 def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Global triangle count over an undirected edge list.
 

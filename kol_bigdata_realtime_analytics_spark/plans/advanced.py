@@ -2280,3 +2280,65 @@ def user_journey_bookends(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("event_type", 2).over(w).alias("second_et"),
         F.count("*").over(w).alias("n_events"),
     ).distinct()
+
+
+# ---------------------------------------------------------------------------
+# r5: Apriori-style frequent 3-itemsets (market-basket triples) — extends
+# part_affinity_scores' pair machinery to order-3 itemsets via the same
+# basket-local expansion (operators/graph.cooccurrence_triples).
+# ---------------------------------------------------------------------------
+
+_TRIPLES_ORACLE = """
+WITH b AS (
+  SELECT DISTINCT l_orderkey AS o, p_brand AS br
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), t AS (
+  SELECT a.br AS brand_a, b.br AS brand_b, c.br AS brand_c
+  FROM b a
+  JOIN b b ON a.o = b.o AND a.br < b.br
+  JOIN b c ON b.o = c.o AND b.br < c.br
+)
+SELECT brand_a, brand_b, brand_c, CAST(COUNT(*) AS BIGINT) AS support
+FROM t GROUP BY 1, 2, 3
+ORDER BY support DESC, brand_a, brand_b, brand_c
+LIMIT 50
+""".strip()
+
+
+@register("brand_triple_affinity", oracle=_TRIPLES_ORACLE)
+def brand_triple_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 brand 3-itemsets by basket support (Apriori frequent-itemset
+    mining, order 3) over order baskets.
+
+    Scale shape: triples expand BASKET-LOCALLY in one grouping shuffle
+    (`cooccurrence_triples` — never the classic three-way self-join, which
+    shuffles the basket table three times); fan-out is k^3/6 in basket
+    size only, bounded here by the 25-value brand domain. The brand dim is
+    broadcast onto lineitem; support counting is a map-side-combined
+    groupBy over 3-brand keys (domain-bounded cardinality); top-50 plans
+    TakeOrderedAndProject. The full Apriori loop would pre-prune items
+    below min-support before expansion — unnecessary on a bounded domain.
+    """
+    from kol_bigdata_realtime_analytics_spark.operators.graph import (
+        cooccurrence_triples,
+    )
+
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("br"))
+    )
+    return (
+        cooccurrence_triples(baskets, "o", "br")
+        .groupBy(
+            F.col("a").alias("brand_a"),
+            F.col("b").alias("brand_b"),
+            F.col("c").alias("brand_c"),
+        )
+        .agg(F.count("*").cast("long").alias("support"))
+        .orderBy(
+            F.col("support").desc(), "brand_a", "brand_b", "brand_c"
+        )
+        .limit(50)
+    )

@@ -480,3 +480,72 @@ def success_scores_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         trunc6(er).alias("engagement_ratio"),
         "followers_count",
     )
+
+
+# ---------------------------------------------------------------------------
+# r5: model calibration (reliability diagram) — the eval-suite companion to
+# ml_eval_metrics' confusion/AUC row. Same score/label derivation; bins are
+# decile buckets of the trunc6-quantized score, so every aggregate is either
+# an integer count or a DECIMAL(18,6)-exact sum (order-proof).
+# ---------------------------------------------------------------------------
+
+_CALIBRATION_ORACLE = f"""
+WITH prof AS ({_PROFILE_SQL}),
+sc AS (
+  SELECT floor(100.0 / (1.0 + exp(-(
+           -1.5
+           + 0.22 * ln(1 + GREATEST(followers, 0))
+           + 0.15 * ln(1 + GREATEST(posts, 0))
+           + 3.0 * engagement_rate
+           + 1.2 * CASE WHEN verified THEN 1.0 ELSE 0.0 END
+           + 0.3 * (age_days / 365.0)
+           + -0.08 * LEAST(ff_ratio, 50.0)
+         ))) * 1000000) / 1000000 AS s,
+         CASE WHEN verified THEN 1 ELSE 0 END AS y
+  FROM prof
+)
+SELECT CAST(floor(s / 10) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       floor(CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) * 1000000)
+         / 1000000 AS mean_score,
+       CAST(SUM(y) AS BIGINT) AS n_pos,
+       floor(CAST(SUM(y) AS DOUBLE) / COUNT(*) * 1000000) / 1000000 AS pos_rate
+FROM sc GROUP BY 1
+"""
+
+
+@register("calibration_bins", oracle=_CALIBRATION_ORACLE)
+def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins for the trust model: per score-decile bin,
+    row count, mean predicted score, and observed positive rate — the
+    calibration curve a quality-classifier training pipeline reads before
+    trusting model-scored corpus filtering.
+
+    Determinism: scores are trunc6-quantized, so the per-bin mean sums
+    DECIMAL(18,6)-exact values (any summation order); pos_rate is an
+    integer/integer ratio; the decile bin is floor of the same double in
+    both engines. One groupBy over <= 10 bins — map-side combined, the
+    shuffle carries 10 rows.
+    """
+    prof = synthetic_profiles(spark, sf_dir)
+    score = trunc6(
+        trust_logit(
+            "followers", "posts", "engagement_rate", "verified", "age_days", "ff_ratio"
+        )
+    )
+    sc = prof.select(score.alias("s"), F.col("verified").cast("int").alias("y"))
+    return sc.groupBy(F.floor(F.col("s") / 10).cast("long").alias("bin")).agg(
+        F.count("*").cast("long").alias("n"),
+        (
+            F.floor(
+                F.sum(F.col("s").cast("decimal(18,6)")).cast("double")
+                / F.count("*")
+                * 1000000
+            )
+            / 1000000
+        ).alias("mean_score"),
+        F.sum("y").cast("long").alias("n_pos"),
+        (F.floor(F.sum("y").cast("double") / F.count("*") * 1000000) / 1000000).alias(
+            "pos_rate"
+        ),
+    )

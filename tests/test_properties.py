@@ -524,3 +524,38 @@ def test_cooccurrence_pairs_matches_counting_model(spark, rows):
             exp_multi.extend([(a, b)] * (c[a] * c[b]))
     assert got(True) == sorted(exp_distinct)
     assert got(False) == sorted(exp_multi)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 2),
+            st.sampled_from(["v", "w", "x", "y", "z"]),
+        ),
+        min_size=1,
+        max_size=18,
+    )
+)
+def test_cooccurrence_triples_matches_counting_model(spark, rows):
+    """cooccurrence_triples == itertools.combinations over each basket's
+    distinct items (a < b < c), on baskets with duplicates, singletons,
+    and sub-triple baskets."""
+    from itertools import combinations
+
+    from kol_bigdata_realtime_analytics_spark.operators.graph import (
+        cooccurrence_triples,
+    )
+
+    df = spark.createDataFrame(rows, "basket int, item string")
+    got = sorted(
+        (r["a"], r["b"], r["c"])
+        for r in cooccurrence_triples(df, "basket", "item").collect()
+    )
+    baskets = {}
+    for b, it in rows:
+        baskets.setdefault(b, set()).add(it)
+    exp = []
+    for items in baskets.values():
+        exp.extend(combinations(sorted(items), 3))
+    assert got == sorted(exp)
