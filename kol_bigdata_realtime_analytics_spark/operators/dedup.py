@@ -299,10 +299,18 @@ def duplicate_clusters(
     5 rounds → 4, 2.46 s → 2.08 s warm (PERF.md §2.9); same fixpoint (min
     label per component) by monotonicity of min under both moves.
 
-    Scale: each round is one equi-join of (node, label) longs against the
-    edge list, one groupBy-min, and one self-join of the label table —
-    narrow shuffles, no text, no vectors. `localCheckpoint` truncates
-    lineage per round so the plan doesn't grow with iterations.
+    Scale: the iteration runs over EDGE-TOUCHED nodes only — a node with
+    no near-dup edge can never change label, so singletons bypass the
+    loop entirely and rejoin as size-1 canonical rows afterwards (one
+    anti-join, paid once, vs |V| rows shuffled per round). On a real
+    corpus the duplicate fraction is the minority (10-30% in published
+    web-corpus dedups), so the per-round tables shrink from |V| to
+    |V_dup|; measured on a constructed 5%-dup corpus of 2M nodes:
+    see PERF.md. Each round is then one equi-join of (node, label) longs
+    against the edge list, one groupBy-min, and one self-join of the
+    label table — narrow shuffles, no text, no vectors.
+    `localCheckpoint` truncates lineage per round so the plan doesn't
+    grow with iterations.
     Convergence detection rides the SAME job that materializes the round's
     checkpoint: labels are non-increasing under min-propagation (own label
     is in the min), so the label sum is strictly decreasing until fixpoint
@@ -317,14 +325,25 @@ def duplicate_clusters(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionAll(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
     sym = sym.localCheckpoint(eager=True)
-    labels = nodes.select(
-        F.col(id_col).cast("long").alias("node"), F.col(id_col).cast("long").alias("label")
-    ).localCheckpoint(eager=True)
+    all_nodes = nodes.select(F.col(id_col).cast("long").alias("node")).localCheckpoint(
+        eager=True
+    )
+    # singleton bypass: only edge-touched nodes can ever be relabeled (min
+    # over self + neighbors is a no-op without neighbors), so the loop runs
+    # over the touched subgraph only; untouched nodes rejoin after the
+    # fixpoint as their own size-1 canonical clusters. sym carries both
+    # directions, so src alone covers every endpoint.
+    touched = sym.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
+    labels = (
+        all_nodes.join(touched, "node", "left_semi")
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
     # decimal(38,0) sum: exact at any node-count * id-magnitude, no overflow
     label_sum = labels.agg(
         F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
     ).collect()[0]["s"]
-    for _ in range(max_iterations):
+    for _ in range(max_iterations if label_sum is not None else 0):
         neighbor_labels = sym.join(
             labels, sym["src"] == labels["node"]
         ).select(F.col("dst").alias("node"), F.col("label"))
@@ -359,12 +378,19 @@ def duplicate_clusters(
             break
         label_sum = new_sum
     sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
-    return labels.join(sizes, "label").select(
+    clustered = labels.join(sizes, "label").select(
         F.col("node").alias(id_col),
         F.col("label").alias("cluster_id"),
         "cluster_size",
         (F.col("node") == F.col("label")).cast("int").alias("is_canonical"),
     )
+    singletons = all_nodes.join(touched, "node", "left_anti").select(
+        F.col("node").alias(id_col),
+        F.col("node").alias("cluster_id"),
+        F.lit(1).cast("long").alias("cluster_size"),
+        F.lit(1).cast("int").alias("is_canonical"),
+    )
+    return clustered.unionByName(singletons)
 
 
 def contamination_overlap(
