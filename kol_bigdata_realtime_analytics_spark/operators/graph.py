@@ -177,7 +177,11 @@ def pagerank_fixedpoint(
 
 
 def cooccurrence_pairs(
-    df: DataFrame, basket_col: str, item_col: str, distinct: bool = True
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    distinct: bool = True,
+    max_basket_size: int | None = None,
 ) -> DataFrame:
     """Ordered (a < b) co-occurrence pairs per basket via ONE grouping
     shuffle — no self-join.
@@ -189,8 +193,17 @@ def cooccurrence_pairs(
     once and expands pairs where the basket already lives (measured 1.45x
     on the sf0.1 part graph). Pair fan-out stays quadratic in BASKET size
     only, never corpus size — the same property as the join form, with
-    the same skew caveat (one giant basket's k^2/2 pairs land in one
-    task; cap basket size upstream if baskets are unbounded).
+    the skew caveat that one giant basket's k^2/2 pairs land in ONE task.
+    `max_basket_size` is the in-operator guard for unbounded basket
+    domains (user histories, hub pages): baskets whose materialized item
+    array is longer (distinct items when distinct=True, with multiplicity
+    otherwise — the actual fan-out driver in each mode) are SKIPPED
+    between the grouping and the expansion —
+    same stance as the LSH hot-bucket guard (a 1e6-item basket would
+    expand 5e11 pairs in one task; its pairs are also the least
+    informative, pure popularity). Audit what a cap drops with
+    `oversized_baskets` (same args) — the truncation is visible, never
+    silent. Default None preserves complete output for bounded domains.
 
     distinct=True dedups items per basket (pair = "present together");
     distinct=False keeps row multiplicity, matching the raw self-join's
@@ -198,6 +211,10 @@ def cooccurrence_pairs(
     """
     agg = F.collect_set(item_col) if distinct else F.collect_list(item_col)
     baskets = df.groupBy(basket_col).agg(F.array_sort(agg).alias("_items"))
+    if max_basket_size is not None:
+        # guard on the materialized array length — the actual fan-out
+        # driver in BOTH modes (with multiplicity when distinct=False)
+        baskets = baskets.filter(F.size("_items") <= max_basket_size)
     pair_arrays = F.flatten(
         F.transform(
             F.col("_items"),
@@ -215,20 +232,29 @@ def cooccurrence_pairs(
     return pairs
 
 
-def cooccurrence_triples(df: DataFrame, basket_col: str, item_col: str) -> DataFrame:
+def cooccurrence_triples(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    max_basket_size: int | None = None,
+) -> DataFrame:
     """Ordered (a < b < c) DISTINCT item triples per basket via ONE grouping
     shuffle — the 3-itemset companion to cooccurrence_pairs, same basket-
     local expansion (no self-joins: the classic Apriori candidate join
     `b1 JOIN b2 JOIN b3 ON basket` shuffles the item table three times).
 
-    Fan-out is k^3/6 in BASKET size only, never corpus size; same hot-
-    basket caveat as pairs (cap basket size upstream if baskets are
-    unbounded — here callers pass bounded-cardinality items like brands).
+    Fan-out is k^3/6 in BASKET size only, never corpus size. The cubic
+    exponent makes `max_basket_size` matter even more than for pairs (a
+    10k-item basket is 1.7e11 triples in one task): baskets with more
+    distinct items are SKIPPED, audited via `oversized_baskets`. Default
+    None = complete output for bounded domains (brands: <= 25 items).
     Output columns: (a, b, c), one row per basket containing the triple.
     """
     baskets = df.groupBy(basket_col).agg(
         F.array_sort(F.collect_set(item_col)).alias("_items")
     )
+    if max_basket_size is not None:
+        baskets = baskets.filter(F.size("_items") <= max_basket_size)
     items = F.col("_items")
     # transform() lambda indices are 0-based, slice() starts are 1-based:
     # x at 0-based i pairs with y at 0-based i+1+j, z ranges above that
@@ -247,6 +273,28 @@ def cooccurrence_triples(df: DataFrame, basket_col: str, item_col: str) -> DataF
         )
     )
     return baskets.select(F.explode(triples).alias("_t")).select("_t.a", "_t.b", "_t.c")
+
+
+def oversized_baskets(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    max_basket_size: int,
+    distinct: bool = True,
+) -> DataFrame:
+    """Audit companion to the `max_basket_size` guard in cooccurrence_pairs
+    / cooccurrence_triples: the baskets a given cap would SKIP, with their
+    item counts — so a capped run can report exactly what it dropped (the
+    same visible-truncation stance as the LSH hot-bucket guard's
+    `minhash_lsh_truncated`). `distinct` must match the expansion call.
+    Output: (basket_col, basket_n), one row per skipped basket.
+    """
+    agg = F.collect_set(item_col) if distinct else F.collect_list(item_col)
+    return (
+        df.groupBy(basket_col)
+        .agg(F.size(agg).alias("basket_n"))
+        .filter(F.col("basket_n") > max_basket_size)
+    )
 
 
 def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:

@@ -559,3 +559,87 @@ def test_cooccurrence_triples_matches_counting_model(spark, rows):
     for items in baskets.values():
         exp.extend(combinations(sorted(items), 3))
     assert got == sorted(exp)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 3),
+            st.sampled_from(["v", "w", "x", "y", "z"]),
+        ),
+        min_size=1,
+        max_size=24,
+    ),
+    cap=st.integers(1, 4),
+)
+def test_basket_cap_equals_filtered_model_and_audit_complement(spark, rows, cap):
+    """max_basket_size == the uncapped expansion restricted to baskets at or
+    under the cap, in every mode (pairs distinct/multi, triples); and
+    oversized_baskets is exactly the complement of what the capped run kept
+    — the truncation is fully auditable, never silent."""
+    from collections import Counter
+    from itertools import combinations
+
+    from kol_bigdata_realtime_analytics_spark.operators.graph import (
+        cooccurrence_pairs,
+        cooccurrence_triples,
+        oversized_baskets,
+    )
+
+    df = spark.createDataFrame(rows, "basket int, item string")
+    baskets = {}
+    for b, it in rows:
+        baskets.setdefault(b, []).append(it)
+
+    exp_pairs_d, exp_pairs_m, exp_triples = [], [], []
+    for items in baskets.values():
+        dist = sorted(set(items))
+        if len(dist) <= cap:
+            exp_pairs_d.extend(combinations(dist, 2))
+            exp_triples.extend(combinations(dist, 3))
+        if len(items) <= cap:
+            c = Counter(items)
+            for a, b in combinations(sorted(c), 2):
+                exp_pairs_m.extend([(a, b)] * (c[a] * c[b]))
+
+    got_d = sorted(
+        (r["a"], r["b"])
+        for r in cooccurrence_pairs(
+            df, "basket", "item", distinct=True, max_basket_size=cap
+        ).collect()
+    )
+    got_m = sorted(
+        (r["a"], r["b"])
+        for r in cooccurrence_pairs(
+            df, "basket", "item", distinct=False, max_basket_size=cap
+        ).collect()
+    )
+    got_t = sorted(
+        (r["a"], r["b"], r["c"])
+        for r in cooccurrence_triples(
+            df, "basket", "item", max_basket_size=cap
+        ).collect()
+    )
+    assert got_d == sorted(exp_pairs_d)
+    assert got_m == sorted(exp_pairs_m)
+    assert got_t == sorted(exp_triples)
+
+    audit_d = {
+        (r["basket"], r["basket_n"])
+        for r in oversized_baskets(df, "basket", "item", cap, distinct=True).collect()
+    }
+    exp_audit_d = {
+        (b, len(set(items)))
+        for b, items in baskets.items()
+        if len(set(items)) > cap
+    }
+    assert audit_d == exp_audit_d
+    audit_m = {
+        (r["basket"], r["basket_n"])
+        for r in oversized_baskets(df, "basket", "item", cap, distinct=False).collect()
+    }
+    exp_audit_m = {
+        (b, len(items)) for b, items in baskets.items() if len(items) > cap
+    }
+    assert audit_m == exp_audit_m
