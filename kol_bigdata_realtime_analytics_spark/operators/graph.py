@@ -288,11 +288,18 @@ def oversized_baskets(
     same visible-truncation stance as the LSH hot-bucket guard's
     `minhash_lsh_truncated`). `distinct` must match the expansion call.
     Output: (basket_col, basket_n), one row per skipped basket.
+
+    Counts, not arrays: the audit must not itself materialize the giant
+    per-basket array it exists to flag — count/count_distinct partial-
+    aggregate map-side, so even a corpus-sized hot basket costs one
+    counter per task, never a collect_* buffer.
     """
-    agg = F.collect_set(item_col) if distinct else F.collect_list(item_col)
+    # count(col) / count_distinct(col) skip NULL items exactly as
+    # collect_list / collect_set do in the expansion path
+    agg = F.count_distinct(F.col(item_col)) if distinct else F.count(F.col(item_col))
     return (
         df.groupBy(basket_col)
-        .agg(F.size(agg).alias("basket_n"))
+        .agg(agg.alias("basket_n"))
         .filter(F.col("basket_n") > max_basket_size)
     )
 
