@@ -176,6 +176,27 @@ def pagerank_fixedpoint(
     return ranks
 
 
+def _under_cap(
+    df: DataFrame, basket_col: str, item_col: str, cap: int, distinct: bool
+) -> DataFrame:
+    """Rows of baskets at or under `cap` items — the hot-basket guard's
+    pre-filter. Runs BEFORE the collect_set/collect_list aggregation, so a
+    pathological corpus-sized basket (bot history, hub page) never
+    materializes its array in an aggregation buffer at all: the count
+    aggregation partial-aggregates map-side (one counter per task), and
+    the left_semi join shuffles on the same basket key the downstream
+    groupBy needs anyway. NULL items are skipped exactly as collect_*
+    would skip them."""
+    cnt = F.count_distinct(F.col(item_col)) if distinct else F.count(F.col(item_col))
+    keep = (
+        df.groupBy(basket_col)
+        .agg(cnt.alias("_n"))
+        .filter(F.col("_n") <= cap)
+        .select(basket_col)
+    )
+    return df.join(keep, basket_col, "left_semi")
+
+
 def cooccurrence_pairs(
     df: DataFrame,
     basket_col: str,
@@ -195,12 +216,13 @@ def cooccurrence_pairs(
     only, never corpus size — the same property as the join form, with
     the skew caveat that one giant basket's k^2/2 pairs land in ONE task.
     `max_basket_size` is the in-operator guard for unbounded basket
-    domains (user histories, hub pages): baskets whose materialized item
-    array is longer (distinct items when distinct=True, with multiplicity
-    otherwise — the actual fan-out driver in each mode) are SKIPPED
-    between the grouping and the expansion —
-    same stance as the LSH hot-bucket guard (a 1e6-item basket would
-    expand 5e11 pairs in one task; its pairs are also the least
+    domains (user histories, hub pages): baskets with more items than the
+    cap (distinct items when distinct=True, with multiplicity otherwise —
+    the fan-out driver in each mode) are SKIPPED by a count-based
+    pre-filter BEFORE the array aggregation, so a hot basket neither
+    expands its k^2/2 pairs in one task NOR materializes its array in an
+    aggregation buffer — same stance as the LSH hot-bucket guard (a
+    1e6-item basket would expand 5e11 pairs; its pairs are also the least
     informative, pure popularity). Audit what a cap drops with
     `oversized_baskets` (same args) — the truncation is visible, never
     silent. Default None preserves complete output for bounded domains.
@@ -209,12 +231,10 @@ def cooccurrence_pairs(
     distinct=False keeps row multiplicity, matching the raw self-join's
     row-pair count. Output columns: (a, b).
     """
+    if max_basket_size is not None:
+        df = _under_cap(df, basket_col, item_col, max_basket_size, distinct)
     agg = F.collect_set(item_col) if distinct else F.collect_list(item_col)
     baskets = df.groupBy(basket_col).agg(F.array_sort(agg).alias("_items"))
-    if max_basket_size is not None:
-        # guard on the materialized array length — the actual fan-out
-        # driver in BOTH modes (with multiplicity when distinct=False)
-        baskets = baskets.filter(F.size("_items") <= max_basket_size)
     pair_arrays = F.flatten(
         F.transform(
             F.col("_items"),
@@ -250,11 +270,11 @@ def cooccurrence_triples(
     None = complete output for bounded domains (brands: <= 25 items).
     Output columns: (a, b, c), one row per basket containing the triple.
     """
+    if max_basket_size is not None:
+        df = _under_cap(df, basket_col, item_col, max_basket_size, distinct=True)
     baskets = df.groupBy(basket_col).agg(
         F.array_sort(F.collect_set(item_col)).alias("_items")
     )
-    if max_basket_size is not None:
-        baskets = baskets.filter(F.size("_items") <= max_basket_size)
     items = F.col("_items")
     # transform() lambda indices are 0-based, slice() starts are 1-based:
     # x at 0-based i pairs with y at 0-based i+1+j, z ranges above that
