@@ -325,8 +325,15 @@ def duplicate_clusters(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionAll(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
     sym = sym.localCheckpoint(eager=True)
-    all_nodes = nodes.select(F.col(id_col).cast("long").alias("node")).localCheckpoint(
-        eager=True
+    # distinct: the pre-bypass form collapsed duplicate node ids as a side
+    # effect of the first round's groupBy; the singleton path forwards
+    # all_nodes rows verbatim, so the one-row-per-node output contract now
+    # needs an explicit dedup (a duplicated untouched id would otherwise
+    # emit two identical "canonical" rows and double-keep the doc).
+    all_nodes = (
+        nodes.select(F.col(id_col).cast("long").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
     )
     # singleton bypass: only edge-touched nodes can ever be relabeled (min
     # over self + neighbors is a no-op without neighbors), so the loop runs

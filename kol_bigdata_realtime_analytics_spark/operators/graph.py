@@ -176,25 +176,44 @@ def pagerank_fixedpoint(
     return ranks
 
 
+def _basket_counts(
+    df: DataFrame, basket_col: str, item_col: str, distinct: bool
+) -> DataFrame:
+    """(basket_col, basket_n) — per-basket item count matching the
+    expansion path's fan-out driver: distinct items when distinct=True
+    (count_distinct, like collect_set), row multiplicity otherwise
+    (count(col), like collect_list); NULL items skipped in both, exactly
+    as collect_* skips them. The SINGLE source of the guard's and the
+    audit's counting logic, so the keep/skip complement the property
+    test pins holds by construction."""
+    cnt = F.count_distinct(F.col(item_col)) if distinct else F.count(F.col(item_col))
+    return df.groupBy(basket_col).agg(cnt.alias("basket_n"))
+
+
 def _under_cap(
     df: DataFrame, basket_col: str, item_col: str, cap: int, distinct: bool
 ) -> DataFrame:
     """Rows of baskets at or under `cap` items — the hot-basket guard's
     pre-filter. Runs BEFORE the collect_set/collect_list aggregation, so a
-    pathological corpus-sized basket (bot history, hub page) never
-    materializes its array in an aggregation buffer at all: the count
-    aggregation partial-aggregates map-side (one counter per task), and
-    the left_semi join shuffles on the same basket key the downstream
-    groupBy needs anyway. NULL items are skipped exactly as collect_*
-    would skip them."""
-    cnt = F.count_distinct(F.col(item_col)) if distinct else F.count(F.col(item_col))
-    keep = (
-        df.groupBy(basket_col)
-        .agg(cnt.alias("_n"))
-        .filter(F.col("_n") <= cap)
-        .select(basket_col)
+    pathological corpus-sized basket (bot history, hub page) never builds
+    its array in an aggregation buffer at all. Cost of the counting pass:
+    plain count partial-aggregates map-side (one counter per basket per
+    task); count_distinct is a (basket, item)-keyed hash aggregate — a
+    hot basket holds its distinct items per partition pre-shuffle, which
+    is spillable, unlike a collect_set buffer. The semi-join shuffles on
+    the same basket key the downstream groupBy needs anyway. The join is
+    NULL-SAFE: a NULL basket key is a legitimate groupBy group in the
+    expansion, so the guard must cap it like any other basket rather than
+    silently dropping (plain equi semi-join) or unconditionally keeping
+    (anti-join form) it."""
+    keep = _basket_counts(df, basket_col, item_col, distinct).filter(
+        F.col("basket_n") <= cap
     )
-    return df.join(keep, basket_col, "left_semi")
+    return df.alias("_l").join(
+        keep.alias("_k"),
+        F.col(f"_l.{basket_col}").eqNullSafe(F.col(f"_k.{basket_col}")),
+        "left_semi",
+    )
 
 
 def cooccurrence_pairs(
@@ -310,17 +329,12 @@ def oversized_baskets(
     Output: (basket_col, basket_n), one row per skipped basket.
 
     Counts, not arrays: the audit must not itself materialize the giant
-    per-basket array it exists to flag — count/count_distinct partial-
-    aggregate map-side, so even a corpus-sized hot basket costs one
-    counter per task, never a collect_* buffer.
+    per-basket array it exists to flag — it shares `_basket_counts` with
+    the guard (one definition of the counting logic, complement by
+    construction), so no collect_* buffer ever builds here.
     """
-    # count(col) / count_distinct(col) skip NULL items exactly as
-    # collect_list / collect_set do in the expansion path
-    agg = F.count_distinct(F.col(item_col)) if distinct else F.count(F.col(item_col))
-    return (
-        df.groupBy(basket_col)
-        .agg(agg.alias("basket_n"))
-        .filter(F.col("basket_n") > max_basket_size)
+    return _basket_counts(df, basket_col, item_col, distinct).filter(
+        F.col("basket_n") > max_basket_size
     )
 
 

@@ -1076,3 +1076,49 @@ def test_changelog_roundtrip_rebuilds_new_snapshot(spark):
     assert ops == {1: "D", 3: "U", 9: "U"}  # unchanged key 2 absent from the log
     rebuilt = merge_changelog(old, log, "k").drop("merge_action")
     assert sorted(map(tuple, rebuilt.collect())) == sorted(map(tuple, new.collect()))
+
+
+def test_basket_cap_keeps_null_basket_keys(spark):
+    """A NULL basket key is a legitimate groupBy group: the cap pre-filter
+    must cap it like any other basket (null-safe semi-join), not silently
+    drop it (plain equi join) or unconditionally keep it (anti form)."""
+    from kol_bigdata_realtime_analytics_spark.operators.graph import (
+        cooccurrence_pairs,
+        oversized_baskets,
+    )
+
+    rows = [(None, "a"), (None, "b"), (1, "a"), (1, "b"), (1, "c")]
+    df = spark.createDataFrame(rows, "basket int, item string")
+    # cap 10: both baskets under cap -> NULL basket's pair survives
+    got = sorted(
+        (r["a"], r["b"])
+        for r in cooccurrence_pairs(df, "basket", "item", max_basket_size=10).collect()
+    )
+    assert got == [("a", "b"), ("a", "b"), ("a", "c"), ("b", "c")]
+    # cap 2: NULL basket (2 items) kept, basket 1 (3 items) skipped + audited
+    got2 = sorted(
+        (r["a"], r["b"])
+        for r in cooccurrence_pairs(df, "basket", "item", max_basket_size=2).collect()
+    )
+    assert got2 == [("a", "b")]
+    audit = {(r["basket"], r["basket_n"]) for r in oversized_baskets(df, "basket", "item", 2).collect()}
+    assert audit == {(1, 3)}
+    # cap 1: NULL basket itself oversized -> skipped and audited
+    got1 = cooccurrence_pairs(df, "basket", "item", max_basket_size=1).collect()
+    assert got1 == []
+    audit1 = {(r["basket"], r["basket_n"]) for r in oversized_baskets(df, "basket", "item", 1).collect()}
+    assert audit1 == {(None, 2), (1, 3)}
+
+
+def test_duplicate_clusters_dedups_duplicate_node_ids(spark):
+    """A node id appearing twice in `nodes` must yield ONE output row on
+    both paths — the loop collapses duplicates via groupBy, and the
+    singleton bypass must match (explicit distinct)."""
+    from kol_bigdata_realtime_analytics_spark.operators.dedup import duplicate_clusters
+
+    nodes = spark.createDataFrame([(1,), (1,), (2,), (2,), (3,)], "doc_id long")
+    edges = spark.createDataFrame([(1, 3)], "id_a long, id_b long")
+    rows = duplicate_clusters(nodes, edges).collect()
+    assert len(rows) == 3  # one row per distinct node, both paths
+    out = {r["doc_id"]: (r["cluster_id"], r["cluster_size"], r["is_canonical"]) for r in rows}
+    assert out == {1: (1, 2, 1), 3: (1, 2, 0), 2: (2, 1, 1)}
