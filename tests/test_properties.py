@@ -565,7 +565,7 @@ def test_cooccurrence_triples_matches_counting_model(spark, rows):
 @given(
     rows=st.lists(
         st.tuples(
-            st.integers(0, 3),
+            st.one_of(st.none(), st.integers(0, 3)),  # NULL basket = real group
             st.sampled_from(["v", "w", "x", "y", "z"]),
         ),
         min_size=1,
@@ -577,7 +577,9 @@ def test_basket_cap_equals_filtered_model_and_audit_complement(spark, rows, cap)
     """max_basket_size == the uncapped expansion restricted to baskets at or
     under the cap, in every mode (pairs distinct/multi, triples); and
     oversized_baskets is exactly the complement of what the capped run kept
-    — the truncation is fully auditable, never silent."""
+    — the truncation is fully auditable, never silent. NULL basket keys are
+    generated too: groupBy treats NULL as a group, so the null-safe guard
+    must cap it exactly like any other basket."""
     from collections import Counter
     from itertools import combinations
 
