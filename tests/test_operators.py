@@ -1122,3 +1122,33 @@ def test_duplicate_clusters_dedups_duplicate_node_ids(spark):
     assert len(rows) == 3  # one row per distinct node, both paths
     out = {r["doc_id"]: (r["cluster_id"], r["cluster_size"], r["is_canonical"]) for r in rows}
     assert out == {1: (1, 2, 1), 3: (1, 2, 0), 2: (2, 1, 1)}
+
+
+def test_basket_cap_survives_a_hot_basket(spark):
+    """A 100k-item single basket (5e9 pairs uncapped — an OOM/stall) must
+    cost the capped run only its counting pass: the guard skips it before
+    any array builds, the audit names it, and normal baskets still expand."""
+    from pyspark.sql import functions as F
+
+    from kol_bigdata_realtime_analytics_spark.operators.graph import (
+        cooccurrence_pairs,
+        oversized_baskets,
+    )
+
+    hot = spark.range(100_000).select(
+        F.lit(0).alias("basket"), F.concat(F.lit("i"), F.col("id")).alias("item")
+    )
+    normal = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "x"), (2, "y"), (2, "z")], "basket bigint, item string"
+    )
+    df = hot.unionByName(normal)
+    got = sorted(
+        (r["basket"] if False else r["a"], r["b"])
+        for r in cooccurrence_pairs(df, "basket", "item", max_basket_size=1000).collect()
+    )
+    assert got == [("a", "b"), ("x", "y"), ("x", "z"), ("y", "z")]
+    audit = {
+        (r["basket"], r["basket_n"])
+        for r in oversized_baskets(df, "basket", "item", 1000).collect()
+    }
+    assert audit == {(0, 100_000)}
