@@ -1143,7 +1143,7 @@ def test_basket_cap_survives_a_hot_basket(spark):
     )
     df = hot.unionByName(normal)
     got = sorted(
-        (r["basket"] if False else r["a"], r["b"])
+        (r["a"], r["b"])
         for r in cooccurrence_pairs(df, "basket", "item", max_basket_size=1000).collect()
     )
     assert got == [("a", "b"), ("x", "y"), ("x", "z"), ("y", "z")]
