@@ -9,10 +9,16 @@ Each query is materialized through the no-op sink (format("noop")) — full
 executor-side execution, no driver collect skew. One warm-up action first so
 JVM/codegen startup isn't billed to the first query. Each query runs TWICE
 and reports the faster run — i.e. steady-state execution after that query's
-own plan+codegen compile and JIT warm-up. Single cold runs measured
-±20-40% jitter from compile/GC/machine load; the steady-state number is
-the one that scales (at 100 TB a few seconds of one-time compile amortize
-to nothing, while per-row execution cost multiplies).
+own plan+codegen compile and JIT warm-up (three times when the best run
+exceeds 1 s — heavyweights get an extra sample so load spikes can't pose
+as regressions). Single cold runs measured ±20-40% jitter from
+compile/GC/machine load; the steady-state number is the one that scales
+(at 100 TB a few seconds of one-time compile amortize to nothing, while
+per-row execution cost multiplies).
+
+The final stdout line is budgeted ≤ ~1 KB: the driver's tail-capture
+window is ~2 KB, so the per-query spread lives in BENCH_DETAIL.json
+(committed per round) together with per-query loadavg + timestamps.
 """
 
 from __future__ import annotations
@@ -124,6 +130,12 @@ HEADLINE = [
 ]
 
 
+#: queries whose best run still exceeds this get a third (best-of-3) run —
+#: heavyweights are the ones where one GC pause / load spike distorts the
+#: round-over-round comparison the most (r5 verdict ask #2).
+_HEAVY_SEC = 1.0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -135,6 +147,8 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
+    loads: dict[str, list[float]] = {}
+    started: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
         q = REGISTRY[name]
@@ -144,12 +158,24 @@ def main() -> None:
         # recorded by a SUCCESSFUL iteration survives a later iteration's
         # failure (r3 advice): `runs` accumulates before any raise.
         measured: list[float] = []
+        started[name] = round(time.time(), 1)
         try:
-            for _ in range(2):
+            loads[name] = [round(x, 2) for x in os.getloadavg()]
+        except OSError:
+            loads[name] = []
+        try:
+            n_runs = 2
+            i = 0
+            while i < n_runs:
                 t0 = time.perf_counter()
                 df = q.fn(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
                 measured.append(round(time.perf_counter() - t0, 3))
+                i += 1
+                # heavyweight → one extra run so a single load spike can't
+                # masquerade as a regression (machine-load adjudication, r5)
+                if i == 2 and min(measured) > _HEAVY_SEC:
+                    n_runs = 3
         except Exception as exc:  # noqa: BLE001 — any failure becomes data
             errors[name] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:300]}"
         if measured:
@@ -157,43 +183,53 @@ def main() -> None:
             timings[name] = min(measured)  # jitter from regression from the artifact
 
     total = round(sum(timings.values()), 3)
-    # Per-run spread detail goes to a repo file, NOT stdout: r4's final line
-    # carried `runs` for 82 queries, overflowed the driver's tail-capture
-    # window, and the round's official bench was lost (`parsed: null`). The
-    # FINAL stdout line must stay compact — totals + per-query best only,
-    # error strings truncated hard — budgeted ≤ ~3 KB at 200 queries.
+    # Full per-query spread + load context goes to a repo file, NOT stdout.
+    # The driver's tail-capture window is ~2 KB (measured: BENCH_r04.json
+    # 2,189 B, r05 2,219 B) — r4 AND r5's final lines both overflowed it and
+    # the official bench came back `parsed: null` twice. The stdout contract
+    # line therefore NEVER carries a per-query map: totals + top-10 slowest
+    # only, ≤ ~1 KB at any registry size. os.getloadavg() per query lets a
+    # load-skewed run name itself without a cross-artifact diff.
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
     try:
         with open(detail_path, "w") as f:
-            json.dump({"sf": sf, "runs_sec": runs, "errors": errors}, f, indent=1)
+            json.dump(
+                {
+                    "sf": sf,
+                    "cpus": os.environ.get("SPARK_GRAFT_CPUS", ""),
+                    "runs_sec": runs,
+                    "loadavg_1_5_15": loads,
+                    "started_epoch": started,
+                    "errors": errors,
+                },
+                f,
+                indent=1,
+            )
     except OSError:
         pass  # detail is best-effort; the stdout contract line is the signal
+    slowest = {
+        k: int(round(v * 1000))
+        for k, v in sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+    }
     out = {
         "metric": "headline_queries_total_wall_sec",
         "value": total,
         "unit": "sec",
-        "queries": timings,
         "n_timed": len(timings),
         "n_headline": len(HEADLINE),
+        "n_errors": len(errors),
         "sf": sf,
+        "slowest_ms": slowest,
+        "detail": "BENCH_DETAIL.json",
     }
-    if errors:
-        out["errors"] = {k: v[:80] for k, v in errors.items()}
+    if errors:  # names only, capped — full strings live in BENCH_DETAIL.json
+        out["error_names"] = sorted(errors)[:5]
     line = json.dumps(out)
-    if len(line) > 6000:  # last-resort guard: shed detail, keep totals
-        # an error-heavy run (e.g. every query red on a broken sf_dir) can
-        # overflow on `errors` alone — cap it to a count + first few before
-        # dropping the per-query map, or the guard reproduces the exact
-        # tail-window overflow it exists to prevent
-        if errors:
-            first = dict(list(out["errors"].items())[:3])
-            out["errors"] = {"n_errors": len(errors), **first}
-        line = json.dumps(out)
-    if len(line) > 6000:
-        out["queries"] = {}
-        out["note"] = "per-query map dropped to fit tail window; see BENCH_DETAIL.json"
+    if len(line) > 1500:  # last-resort guard; unreachable at sane name lengths
+        out.pop("slowest_ms", None)
+        out.pop("error_names", None)
         line = json.dumps(out)
     print(line)
 

@@ -298,17 +298,36 @@ def lsh_neardup_pairs(
     )
 
 
+#: module-level memo for deterministic model-artifact fits (samples,
+#: k-means centroids, PQ codebooks). Keyed by an EXPLICIT caller-supplied
+#: `cache_key` (the registry passes the sf_dir) plus the fit parameters —
+#: never by DataFrame identity, which says nothing about the data. The
+#: fits are deterministic by construction (hash-ordered sample, tie-stable
+#: Lloyd), so memoization is semantics-free; it exists because re-fitting
+#: a MODEL ARTIFACT on every query billed a 1-3 s corpus sample + Lloyd
+#: run to each bench/driver invocation (r5 verdict ask #3). At 100 TB the
+#: equivalent is persisting the trained quantizer beside the index.
+_FIT_CACHE: dict = {}
+
+
 def hash_sample(
     candidates: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sample_size: int = 4096,
+    cache_key=None,
 ):
     """Deterministic bounded sample as a numpy array: the `sample_size` rows
     with the smallest xxhash64(id) — stable across partitionings and data
     layout (a seeded rand() sample is not). Shared by every quantizer fit
-    so a combined build (e.g. IVF-PQ) collects the corpus sample ONCE."""
+    so a combined build (e.g. IVF-PQ) collects the corpus sample ONCE.
+    `cache_key`: opaque data identity (e.g. sf_dir) enabling the module
+    fit cache; None (the default) always re-collects."""
     import numpy as np
+
+    memo = ("sample", cache_key, id_col, vec_col, sample_size)
+    if cache_key is not None and memo in _FIT_CACHE:
+        return _FIT_CACHE[memo]
 
     rows = (
         candidates.select(
@@ -320,7 +339,10 @@ def hash_sample(
         .limit(sample_size)
         .collect()
     )
-    return np.array([r["v"] for r in rows], dtype="float64")
+    X = np.array([r["v"] for r in rows], dtype="float64")
+    if cache_key is not None:
+        _FIT_CACHE[memo] = X
+    return X
 
 
 def kmeans_centroids(
@@ -331,6 +353,7 @@ def kmeans_centroids(
     sample_size: int = 4096,
     max_iter: int = 20,
     sample=None,
+    cache_key=None,
 ) -> list[list[float]]:
     """Spherical k-means centroids fit on a deterministic bounded sample.
 
@@ -350,8 +373,12 @@ def kmeans_centroids(
     """
     import numpy as np
 
+    memo = ("kmeans", cache_key, id_col, vec_col, n_centroids, sample_size, max_iter)
+    if cache_key is not None and memo in _FIT_CACHE:
+        return _FIT_CACHE[memo]
     X = sample if sample is not None else hash_sample(
-        candidates, id_col=id_col, vec_col=vec_col, sample_size=sample_size
+        candidates, id_col=id_col, vec_col=vec_col, sample_size=sample_size,
+        cache_key=cache_key,
     )
     nrm = np.linalg.norm(X, axis=1, keepdims=True)
     nrm[nrm == 0] = 1.0
@@ -371,7 +398,10 @@ def kmeans_centroids(
         C = new_c
         if converged:
             break
-    return [[float(x) for x in c] for c in C]
+    out = [[float(x) for x in c] for c in C]
+    if cache_key is not None:
+        _FIT_CACHE[memo] = out
+    return out
 
 
 def ivf_topk(
@@ -384,6 +414,7 @@ def ivf_topk(
     n_probe: int = 2,
     dim: int | None = None,
     sample_size: int = 4096,
+    cache_key=None,
 ) -> DataFrame:
     """Approximate cosine top-k: IVF (inverted-file) coarse quantizer.
 
@@ -405,6 +436,7 @@ def ivf_topk(
         vec_col=vec_col,
         n_centroids=n_centroids,
         sample_size=sample_size,
+        cache_key=cache_key,
     )
     cents = candidates.sparkSession.createDataFrame(
         [(i, v) for i, v in enumerate(centroids)],
@@ -552,6 +584,7 @@ def pq_codebooks(
     sample_size: int = 4096,
     max_iter: int = 20,
     sample=None,
+    cache_key=None,
 ) -> list[list[list[float]]]:
     """Product-quantization codebooks: m per-subspace k-means codebooks.
 
@@ -571,8 +604,12 @@ def pq_codebooks(
     """
     import numpy as np
 
+    memo = ("pq", cache_key, id_col, vec_col, m, ksub, sample_size, max_iter)
+    if cache_key is not None and memo in _FIT_CACHE:
+        return _FIT_CACHE[memo]
     X = sample if sample is not None else hash_sample(
-        candidates, id_col=id_col, vec_col=vec_col, sample_size=sample_size
+        candidates, id_col=id_col, vec_col=vec_col, sample_size=sample_size,
+        cache_key=cache_key,
     )
     dim = X.shape[1]
     if dim % m:
@@ -595,6 +632,8 @@ def pq_codebooks(
             if converged:
                 break
         books.append([[float(x) for x in c] for c in C])
+    if cache_key is not None:
+        _FIT_CACHE[memo] = books
     return books
 
 
@@ -667,6 +706,7 @@ def pq_adc_topk(
     m: int = 8,
     ksub: int = 16,
     sample_size: int = 4096,
+    cache_key=None,
 ) -> DataFrame:
     """Approximate cosine top-k by PQ asymmetric distance computation (ADC).
 
@@ -688,7 +728,8 @@ def pq_adc_topk(
     from pyspark.sql.functions import pandas_udf
 
     books = pq_codebooks(
-        candidates, id_col=id_col, vec_col=vec_col, m=m, ksub=ksub, sample_size=sample_size
+        candidates, id_col=id_col, vec_col=vec_col, m=m, ksub=ksub,
+        sample_size=sample_size, cache_key=cache_key,
     )
     q_ids, _, qn, lut2, offsets, cent_n2 = _adc_query_payload(
         queries, books, id_col=id_col, vec_col=vec_col
@@ -741,6 +782,7 @@ def ivfpq_topk(
     m: int = 8,
     ksub: int = 16,
     sample_size: int = 4096,
+    cache_key=None,
 ) -> DataFrame:
     """IVF-PQ: coarse-quantizer pruning + PQ-ADC scoring — the standard
     100 TB ANN layout (FAISS IVFPQ / SCANN shape) assembled from the two
@@ -760,14 +802,18 @@ def ivfpq_topk(
     from pyspark.sql.functions import pandas_udf
 
     # ---- model artifacts: ONE bounded sample collect feeds both fits ----
-    X = hash_sample(candidates, id_col=id_col, vec_col=vec_col, sample_size=sample_size)
+    X = hash_sample(
+        candidates, id_col=id_col, vec_col=vec_col, sample_size=sample_size,
+        cache_key=cache_key,
+    )
     coarse = kmeans_centroids(
         candidates, id_col=id_col, vec_col=vec_col,
         n_centroids=n_centroids, sample_size=sample_size, sample=X,
+        cache_key=cache_key,
     )
     books = pq_codebooks(
         candidates, id_col=id_col, vec_col=vec_col, m=m, ksub=ksub,
-        sample_size=sample_size, sample=X,
+        sample_size=sample_size, sample=X, cache_key=cache_key,
     )
 
     cents = candidates.sparkSession.createDataFrame(

@@ -416,7 +416,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return ivf_topk(emb, queries, k=3, n_centroids=8, n_probe=2)
+    # cache_key: the coarse quantizer is a deterministic model artifact —
+    # fit once per (data, params), not once per query (r5 verdict ask #3)
+    return ivf_topk(emb, queries, k=3, n_centroids=8, n_probe=2, cache_key=sf_dir)
 
 
 @register("ann_pq_topk", oracle=None)
@@ -432,7 +434,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return pq_adc_topk(emb, queries, k=3, m=8, ksub=16)
+    return pq_adc_topk(emb, queries, k=3, m=8, ksub=16, cache_key=sf_dir)
 
 
 @register("ann_ivfpq_topk", oracle=None)
@@ -447,7 +449,9 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return ivfpq_topk(emb, queries, k=3, n_centroids=8, n_probe=2, m=8, ksub=16)
+    return ivfpq_topk(
+        emb, queries, k=3, n_centroids=8, n_probe=2, m=8, ksub=16, cache_key=sf_dir
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -150,7 +150,7 @@ def ann_ivf_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_check(
         spark,
         sf_dir,
-        lambda emb, q: ivf_topk(emb, q, k=3, n_centroids=8, n_probe=2),
+        lambda emb, q: ivf_topk(emb, q, k=3, n_centroids=8, n_probe=2, cache_key=sf_dir),
         bound=0.25,
     )
 
@@ -198,7 +198,11 @@ def ann_ivfpq_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     approx = (
         ivfpq_topk(
-            emb, queries, k=3, n_centroids=ncl, n_probe=2, m=8, ksub=16, sample_size=512
+            emb, queries, k=3, n_centroids=ncl, n_probe=2, m=8, ksub=16,
+            sample_size=512,
+            # fixture is sf-independent (in-plan deterministic mixture), so a
+            # constant key is the correct data identity
+            cache_key="ivfpq_recall_fixture_512x16",
         )
         .select("q_id", "c_id")
         .withColumn("is_approx", F.lit(1))
@@ -251,7 +255,7 @@ def pq_distortion_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = table(spark, sf_dir, "embeddings")
-    B = np.array(pq_codebooks(emb, m=8, ksub=16), dtype="float64")
+    B = np.array(pq_codebooks(emb, m=8, ksub=16, cache_key=sf_dir), dtype="float64")
     m, _, dsub = B.shape
 
     @pandas_udf("double")

@@ -1152,3 +1152,112 @@ def test_basket_cap_survives_a_hot_basket(spark):
         for r in oversized_baskets(df, "basket", "item", 1000).collect()
     }
     assert audit == {(0, 100_000)}
+
+
+def test_fit_cache_memoizes_and_preserves_results(spark):
+    """The quantizer-fit memo (r5 verdict ask #3) must (a) return identical
+    artifacts on a second call with the same cache_key, (b) serve them
+    WITHOUT re-collecting (we poison the frame between calls to prove the
+    cached artifact wins), and (c) stay disabled when cache_key is None."""
+    from kol_bigdata_realtime_analytics_spark.operators import similarity as S
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 5) for j in range(8)]) for i in range(64)],
+        "vec_id long, embedding array<double>",
+    )
+    key = "fit-cache-test-key"
+    S._FIT_CACHE.clear()
+    c1 = S.kmeans_centroids(emb, n_centroids=4, sample_size=64, cache_key=key)
+    assert any(k[0] == "sample" for k in S._FIT_CACHE)
+    assert any(k[0] == "kmeans" for k in S._FIT_CACHE)
+    # a DIFFERENT frame under the same key must not be re-fit: the cache is
+    # keyed by declared data identity, not DataFrame object identity
+    poisoned = emb.withColumn(
+        "embedding", F.transform("embedding", lambda x: x * 100.0)
+    )
+    c2 = S.kmeans_centroids(poisoned, n_centroids=4, sample_size=64, cache_key=key)
+    assert c1 == c2
+    # cache_key=None bypasses the memo entirely (fits the poisoned data)
+    c3 = S.kmeans_centroids(poisoned, n_centroids=4, sample_size=64, cache_key=None)
+    assert c3 != c1
+    b1 = S.pq_codebooks(emb, m=2, ksub=4, sample_size=64, cache_key=key)
+    b2 = S.pq_codebooks(poisoned, m=2, ksub=4, sample_size=64, cache_key=key)
+    assert b1 == b2
+    S._FIT_CACHE.clear()
+
+
+def test_duplicate_clusters_rejects_null_cast_ids(spark):
+    """NULL ids silently became NULL-keyed singletons pre-r6 (the semi/anti
+    joins use plain equality, and distinct() collapsed them all into one
+    row). The id contract is now asserted. (Malformed STRING ids already
+    fail loudly under ANSI cast — only genuine NULLs slip through.)"""
+    import pytest as _pytest
+
+    from kol_bigdata_realtime_analytics_spark.operators.dedup import (
+        duplicate_clusters,
+    )
+
+    nodes = spark.createDataFrame([(1,), (2,), (None,)], "doc_id long")
+    edges = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with _pytest.raises(ValueError, match="non-null"):
+        duplicate_clusters(nodes, edges).collect()
+
+
+def test_duplicate_clusters_phantom_dst_nodes(spark):
+    """Edge endpoints absent from `nodes` (phantom dst) grow the label table
+    in round 1 — the (sum, count) convergence state must still reach the
+    true fixpoint (the old sum-only check could in theory stop early)."""
+    from kol_bigdata_realtime_analytics_spark.operators.dedup import (
+        duplicate_clusters,
+    )
+
+    nodes = spark.createDataFrame([(10,), (11,), (30,)], "doc_id long")
+    # 20 and 21 are phantoms: present in edges, absent from nodes; the chain
+    # 10-20-21-11 must still collapse 10 and 11 into one cluster
+    edges = spark.createDataFrame(
+        [(10, 20), (20, 21), (21, 11)], "id_a long, id_b long"
+    )
+    out = {r["doc_id"]: r["cluster_id"] for r in duplicate_clusters(nodes, edges).collect()}
+    assert out[10] == 10 and out[11] == 10
+    assert out[30] == 30
+
+
+def test_cooccurrence_with_audit_shares_mode(spark):
+    """with_audit=True returns the oversized_baskets complement built with
+    the SAME distinct mode as the guard — the audit can't diverge (r5
+    advice). Basket 1 has 3 rows / 2 distinct items: under cap=2 it is
+    kept by distinct=True but skipped by distinct=False, and each mode's
+    paired audit must agree with its own expansion."""
+    from kol_bigdata_realtime_analytics_spark.operators.graph import (
+        cooccurrence_pairs,
+        cooccurrence_triples,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (1, "b"), (2, "x"), (2, "y"), (2, "z")],
+        "basket bigint, item string",
+    )
+    pairs_d, audit_d = cooccurrence_pairs(
+        df, "basket", "item", distinct=True, max_basket_size=2, with_audit=True
+    )
+    assert sorted((r["a"], r["b"]) for r in pairs_d.collect()) == [("a", "b")]
+    assert {(r["basket"], r["basket_n"]) for r in audit_d.collect()} == {(2, 3)}
+
+    pairs_m, audit_m = cooccurrence_pairs(
+        df, "basket", "item", distinct=False, max_basket_size=2, with_audit=True
+    )
+    assert pairs_m.collect() == []  # basket 1 has 3 rows -> over cap too
+    assert {(r["basket"], r["basket_n"]) for r in audit_m.collect()} == {(1, 3), (2, 3)}
+
+    triples, audit_t = cooccurrence_triples(
+        df, "basket", "item", max_basket_size=3, with_audit=True
+    )
+    assert sorted((r["a"], r["b"], r["c"]) for r in triples.collect()) == [
+        ("x", "y", "z")
+    ]
+    assert audit_t.collect() == []
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="requires max_basket_size"):
+        cooccurrence_pairs(df, "basket", "item", with_audit=True)
