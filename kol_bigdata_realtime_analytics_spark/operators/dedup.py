@@ -313,9 +313,11 @@ def duplicate_clusters(
     grow with iterations.
     Convergence detection rides the SAME job that materializes the round's
     checkpoint: labels are non-increasing under min-propagation (own label
-    is in the min), so the label sum is strictly decreasing until fixpoint
-    — sum unchanged ⇔ converged. One scalar to the driver per round, and
-    no separate old-vs-new join probe (halves the per-round job count vs
+    is in the min) and the node set is non-shrinking, so (label sum, row
+    count) unchanged ⇔ converged — count guards the theoretical round-1
+    case where phantom dst nodes add rows whose labels exactly offset
+    decreases. Two scalars to the driver per round in one agg, and no
+    separate old-vs-new join probe (halves the per-round job count vs
     the naive changed-row check).
 
     Output: (id_col, cluster_id = min doc id in component, cluster_size,
@@ -335,6 +337,17 @@ def duplicate_clusters(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # id contract: ids must be non-null and castable to long. A NULL-cast id
+    # would silently route to the singleton path under the plain-equality
+    # semi/anti joins below (cluster_id NULL, is_canonical=1) and distinct()
+    # collapses ALL such ids into one row — assert instead of guessing
+    # (r5 advice). The probe runs on the already-pinned tiny node frame;
+    # this operator is eager anyway (per-round convergence scalars).
+    if all_nodes.filter(F.col("node").isNull()).limit(1).count():
+        raise ValueError(
+            f"duplicate_clusters requires non-null, long-castable {id_col!r} "
+            "values; found id(s) that cast to NULL"
+        )
     # singleton bypass: only edge-touched nodes can ever be relabeled (min
     # over self + neighbors is a no-op without neighbors), so the loop runs
     # over the touched subgraph only; untouched nodes rejoin after the
@@ -351,11 +364,19 @@ def duplicate_clusters(
         .select("node", F.col("node").alias("label"))
         .localCheckpoint(eager=True)
     )
-    # decimal(38,0) sum: exact at any node-count * id-magnitude, no overflow
-    label_sum = labels.agg(
-        F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-    ).collect()[0]["s"]
-    for _ in range(max_iterations if label_sum is not None else 0):
+    # decimal(38,0) sum: exact at any node-count * id-magnitude, no overflow.
+    # Convergence state is (sum, row count), not sum alone: round 1 can ADD
+    # rows for edge endpoints absent from `nodes` (phantom dst nodes), and
+    # in theory their added labels could exactly offset label decreases —
+    # sum-equal while not at fixpoint (r5 advice). Count rides the same agg
+    # job, so the guard is free; labels are non-increasing per node AND the
+    # node set is non-shrinking, so (sum, count) unchanged <=> fixpoint.
+    row0 = labels.agg(
+        F.sum(F.col("label").cast("decimal(38,0)")).alias("s"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    label_state = (row0["s"], row0["n"])
+    for _ in range(max_iterations if label_state[0] is not None else 0):
         neighbor_labels = sym.join(
             labels, sym["src"] == labels["node"]
         ).select(F.col("dst").alias("node"), F.col("label"))
@@ -382,13 +403,15 @@ def duplicate_clusters(
             )
             .localCheckpoint(eager=False)
         )
-        new_sum = new_labels.agg(
-            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
+        row = new_labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s"),
+            F.count("*").alias("n"),
+        ).collect()[0]
+        new_state = (row["s"], row["n"])
         labels = new_labels
-        if new_sum == label_sum:
+        if new_state == label_state:
             break
-        label_sum = new_sum
+        label_state = new_state
     sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
     clustered = labels.join(sizes, "label").select(
         F.col("node").alias(id_col),

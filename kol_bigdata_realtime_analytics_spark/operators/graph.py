@@ -222,7 +222,8 @@ def cooccurrence_pairs(
     item_col: str,
     distinct: bool = True,
     max_basket_size: int | None = None,
-) -> DataFrame:
+    with_audit: bool = False,
+):
     """Ordered (a < b) co-occurrence pairs per basket via ONE grouping
     shuffle — no self-join.
 
@@ -249,7 +250,16 @@ def cooccurrence_pairs(
     distinct=True dedups items per basket (pair = "present together");
     distinct=False keeps row multiplicity, matching the raw self-join's
     row-pair count. Output columns: (a, b).
+
+    with_audit=True (requires max_basket_size) returns `(pairs, audit)`
+    where audit is `oversized_baskets` built with the SAME distinct/cap as
+    the guard — the divergence-proof form: a standalone audit call that
+    passes a different `distinct` than the expansion silently reports the
+    wrong complement (r5 advice).
     """
+    if with_audit and max_basket_size is None:
+        raise ValueError("with_audit=True requires max_basket_size")
+    source = df
     if max_basket_size is not None:
         df = _under_cap(df, basket_col, item_col, max_basket_size, distinct)
     agg = F.collect_set(item_col) if distinct else F.collect_list(item_col)
@@ -268,6 +278,10 @@ def cooccurrence_pairs(
         # a sorted collect_list can hold duplicates; keep strict pairs only
         # (the sorted-set path is strictly increasing, no filter needed)
         pairs = pairs.filter(F.col("a") < F.col("b"))
+    if with_audit:
+        return pairs, oversized_baskets(
+            source, basket_col, item_col, max_basket_size, distinct=distinct
+        )
     return pairs
 
 
@@ -276,7 +290,8 @@ def cooccurrence_triples(
     basket_col: str,
     item_col: str,
     max_basket_size: int | None = None,
-) -> DataFrame:
+    with_audit: bool = False,
+):
     """Ordered (a < b < c) DISTINCT item triples per basket via ONE grouping
     shuffle — the 3-itemset companion to cooccurrence_pairs, same basket-
     local expansion (no self-joins: the classic Apriori candidate join
@@ -288,7 +303,13 @@ def cooccurrence_triples(
     distinct items are SKIPPED, audited via `oversized_baskets`. Default
     None = complete output for bounded domains (brands: <= 25 items).
     Output columns: (a, b, c), one row per basket containing the triple.
+    with_audit=True (requires max_basket_size) returns `(triples, audit)`
+    with the audit's mode pinned to this operator's distinct=True — see
+    cooccurrence_pairs.
     """
+    if with_audit and max_basket_size is None:
+        raise ValueError("with_audit=True requires max_basket_size")
+    source = df
     if max_basket_size is not None:
         df = _under_cap(df, basket_col, item_col, max_basket_size, distinct=True)
     baskets = df.groupBy(basket_col).agg(
@@ -311,7 +332,12 @@ def cooccurrence_triples(
             )
         )
     )
-    return baskets.select(F.explode(triples).alias("_t")).select("_t.a", "_t.b", "_t.c")
+    out = baskets.select(F.explode(triples).alias("_t")).select("_t.a", "_t.b", "_t.c")
+    if with_audit:
+        return out, oversized_baskets(
+            source, basket_col, item_col, max_basket_size, distinct=True
+        )
+    return out
 
 
 def oversized_baskets(
