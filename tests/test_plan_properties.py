@@ -416,3 +416,19 @@ def test_no_unexpected_nested_loop_joins(spark, sf_oracle):
         if "BroadcastNestedLoopJoin" in plan:
             offenders.append(name)
     assert not offenders, f"unexpected nested-loop joins in: {offenders}"
+
+
+def test_training_shard_pipeline_scans_documents_once(spark, sf_oracle):
+    """The fused pipeline fans into 5+ branches (bench shingles, dedup
+    window, train shingles, both jaccard sides, packing) but the documents
+    parquet file must be read ONCE: the quality projection is pinned via
+    localCheckpoint, so the returned plan contains ZERO parquet scans —
+    every branch reads the pinned survivor RDD. (The reference's medallion
+    re-scans per stage; the composition is where re-scans sneak in.)"""
+    import re
+
+    from kol_bigdata_realtime_analytics_spark.plans import REGISTRY
+
+    plan = _formatted(REGISTRY["training_shard_pipeline"].fn(spark, sf_oracle))
+    assert len(re.findall(r"Scan parquet", plan)) == 0, plan
+    assert "Scan ExistingRDD" in plan, plan
