@@ -129,6 +129,7 @@ HEADLINE = [
     "calibration_bins",
     "training_shard_pipeline",
     "bpe_vocab_train",
+    "bpe_encode_stats",
 ]
 
 
@@ -184,7 +185,6 @@ def main() -> None:
             runs[name] = measured  # per-run spread: lets a judge separate
             timings[name] = min(measured)  # jitter from regression from the artifact
 
-    total = round(sum(timings.values()), 3)
     # Full per-query spread + load context goes to a repo file, NOT stdout.
     # The driver's tail-capture window is ~2 KB (measured: BENCH_r04.json
     # 2,189 B, r05 2,219 B) — r4 AND r5's final lines both overflowed it and
@@ -211,16 +211,28 @@ def main() -> None:
             )
     except OSError:
         pass  # detail is best-effort; the stdout contract line is the signal
+    print(contract_line(timings, errors, len(HEADLINE), sf))
+
+
+def contract_line(
+    timings: dict[str, float], errors: dict[str, str], n_headline: int, sf: float
+) -> str:
+    """The final stdout line — THE artifact the round driver parses. Its
+    tail-capture window is ~2 KB (measured from BENCH_r04/r05.json), and
+    overflowing it cost rounds 4 AND 5 their official bench (`parsed:
+    null`), so this line never carries a per-query map at any registry
+    size: totals + top-10 slowest (integer ms) + error names only.
+    tests/test_bench_contract.py pins the budget."""
     slowest = {
         k: int(round(v * 1000))
         for k, v in sorted(timings.items(), key=lambda kv: -kv[1])[:10]
     }
     out = {
         "metric": "headline_queries_total_wall_sec",
-        "value": total,
+        "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "n_timed": len(timings),
-        "n_headline": len(HEADLINE),
+        "n_headline": n_headline,
         "n_errors": len(errors),
         "sf": sf,
         "slowest_ms": slowest,
@@ -233,7 +245,7 @@ def main() -> None:
         out.pop("slowest_ms", None)
         out.pop("error_names", None)
         line = json.dumps(out)
-    print(line)
+    return line
 
 
 if __name__ == "__main__":
