@@ -320,12 +320,22 @@ def duplicate_clusters(
     separate old-vs-new join probe (halves the per-round job count vs
     the naive changed-row check).
 
-    Output: (id_col, cluster_id = min doc id in component, cluster_size,
-    is_canonical). Rows to KEEP for training are is_canonical = 1.
+    Output: ONE row per input node — (id_col, cluster_id = min INPUT doc id
+    in the component, cluster_size = count of input docs in it,
+    is_canonical). Edge endpoints absent from `nodes` act as conduits for
+    connectivity but never appear in the output or counts; NULL edge
+    endpoints are treated as "no edge". Rows to KEEP for training are
+    is_canonical = 1 (every cluster has exactly one).
     """
-    sym = edges.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    ).unionAll(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    # NULL endpoints are dropped up front: a NULL-keyed edge can't join to
+    # any node (equality semantics) but WOULD emit a garbage (node=NULL,
+    # label=x) row from the neighbor join inside the loop — treating it as
+    # "no edge" is the only coherent reading (r6 review).
+    sym = (
+        edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionAll(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    )
     sym = sym.localCheckpoint(eager=True)
     # distinct: the pre-bypass form collapsed duplicate node ids as a side
     # effect of the first round's groupBy; the singleton path forwards
@@ -412,12 +422,25 @@ def duplicate_clusters(
         if new_state == label_state:
             break
         label_state = new_state
-    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
-    clustered = labels.join(sizes, "label").select(
+    # Output contract: one row per INPUT node, cluster_id = min REAL doc id
+    # in the component, cluster_size = count of REAL docs. Edge endpoints
+    # absent from `nodes` (phantoms) are legitimate CONDUITS inside the loop
+    # (10—20—21—11 must still merge 10 and 11) but must not leak into the
+    # output, inflate sizes, or — when a phantom is the component minimum —
+    # steal the canonical slot and leave the cluster with no canonical row
+    # (r6 review). The semi-join drops them; cluster_id comes from min(node)
+    # over surviving rows, which equals the old min-label whenever endpoints
+    # are a subset of nodes (the common case), so this is a pure widening of
+    # the contract. Same shuffle count as before: the agg just gains a MIN.
+    real = labels.join(all_nodes, "node", "left_semi")
+    grp = real.groupBy("label").agg(
+        F.min("node").alias("cluster_id"), F.count("*").alias("cluster_size")
+    )
+    clustered = real.join(grp, "label").select(
         F.col("node").alias(id_col),
-        F.col("label").alias("cluster_id"),
+        "cluster_id",
         "cluster_size",
-        (F.col("node") == F.col("label")).cast("int").alias("is_canonical"),
+        (F.col("node") == F.col("cluster_id")).cast("int").alias("is_canonical"),
     )
     singletons = all_nodes.join(touched, "node", "left_anti").select(
         F.col("node").alias(id_col),

@@ -341,6 +341,10 @@ def hash_sample(
     )
     X = np.array([r["v"] for r in rows], dtype="float64")
     if cache_key is not None:
+        # read-only: the cache hands out THIS object by reference; a caller
+        # mutating it in place (e.g. an in-place normalize) would silently
+        # corrupt every later fit under this key (r6 review)
+        X.setflags(write=False)
         _FIT_CACHE[memo] = X
     return X
 

@@ -1612,6 +1612,39 @@ FROM m
 """.strip()
 
 
+def c4_signal_columns(text_col) -> dict:
+    """The C4 segment-quality expressions, ONE definition shared by the
+    registered `c4_segment_filters` and the fused `training_shard_pipeline`
+    (a copy in each would let the keep predicate silently diverge between
+    the audited stage and the composed pipeline — r6 review). Returns
+    columns keyed: wc (per-segment word counts), total_words, kept_words,
+    has_lorem, has_brace. The keep rule built on these is: no boilerplate
+    flags, total_words > 0, and kept_words/total_words >= 0.8 compared
+    UN-truncated (exact integer/integer double division, identical in both
+    engines)."""
+    text = F.coalesce(text_col, F.lit(""))
+    segs = F.split(text, r"\. ")
+    wc = F.transform(
+        segs,
+        lambda s: F.when(F.trim(s) == "", F.lit(0)).otherwise(
+            F.size(F.split(F.trim(s), r"\s+"))
+        ),
+    )
+    return {
+        "wc": wc,
+        "total_words": F.aggregate(
+            wc, F.lit(0).cast("long"), lambda acc, v: acc + v
+        ),
+        "kept_words": F.aggregate(
+            F.filter(wc, lambda c: c >= 5),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ),
+        "has_lorem": F.lower(text).contains("lorem ipsum"),
+        "has_brace": text.contains("{"),
+    }
+
+
 @register("c4_segment_filters", oracle=_C4_ORACLE)
 def c4_segment_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style heuristic cleaning per document: sentence-ish segments
@@ -1628,28 +1661,16 @@ def c4_segment_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kol_bigdata_realtime_analytics_spark.plans.domain import trunc6
 
     docs = table(spark, sf_dir, "documents")
-    text = F.coalesce(F.col("text"), F.lit(""))
-    segs = F.split(text, r"\. ")
-    wc = F.transform(
-        segs,
-        lambda s: F.when(F.trim(s) == "", F.lit(0)).otherwise(
-            F.size(F.split(F.trim(s), r"\s+"))
-        ),
-    )
+    sig = c4_signal_columns(F.col("text"))
+    wc = sig["wc"]
     m = docs.select(
         "doc_id",
         F.size(wc).cast("long").alias("n_segments"),
         F.size(F.filter(wc, lambda c: c >= 5)).cast("long").alias("n_kept_segments"),
-        F.aggregate(wc, F.lit(0).cast("long"), lambda acc, v: acc + v).alias(
-            "total_words"
-        ),
-        F.aggregate(
-            F.filter(wc, lambda c: c >= 5),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        ).alias("kept_words"),
-        F.lower(text).contains("lorem ipsum").alias("_lorem"),
-        text.contains("{").alias("_brace"),
+        sig["total_words"].alias("total_words"),
+        sig["kept_words"].alias("kept_words"),
+        sig["has_lorem"].alias("_lorem"),
+        sig["has_brace"].alias("_brace"),
     )
     ratio = F.when(
         F.col("total_words") > 0,
@@ -2821,24 +2842,14 @@ def training_shard_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").filter(
         F.trim(F.coalesce("text", F.lit(""))) != ""
     )
-    text = F.coalesce(F.col("text"), F.lit(""))
-    segs = F.split(text, r"\. ")
-    wc = F.transform(
-        segs,
-        lambda s: F.when(F.trim(s) == "", F.lit(0)).otherwise(
-            F.size(F.split(F.trim(s), r"\s+"))
-        ),
-    )
-    total_words = F.aggregate(wc, F.lit(0).cast("long"), lambda acc, v: acc + v)
-    kept_words = F.aggregate(
-        F.filter(wc, lambda c: c >= 5), F.lit(0).cast("long"), lambda acc, v: acc + v
-    )
+    sig = c4_signal_columns(F.col("text"))  # ONE definition with the
+    # registered c4_segment_filters stage — the keep predicate cannot diverge
     n_tok = token_count("text").cast("long")
     keep = (
-        ~F.lower(text).contains("lorem ipsum")
-        & ~text.contains("{")
-        & (total_words > 0)
-        & (kept_words.cast("double") / total_words >= 0.8)
+        ~sig["has_lorem"]
+        & ~sig["has_brace"]
+        & (sig["total_words"] > 0)
+        & (sig["kept_words"].cast("double") / sig["total_words"] >= 0.8)
         & n_tok.between(50, 100000)
     )
     pinned = (
@@ -2936,7 +2947,7 @@ def _bpe_chain_ctes(n: int, carry_word: bool) -> list[str]:
     grp = "GROUP BY w" if carry_word else "GROUP BY 1"
     parts = [
         f"""w0 AS MATERIALIZED (
-  SELECT {wcol}regexp_replace(w, '(.)', chr(2) || '\\1' || chr(3), 'g') AS sym,
+  SELECT {wcol}regexp_replace(w, '(?s)(.)', chr(2) || '\\1' || chr(3), 'g') AS sym,
          CAST(COUNT(*) AS BIGINT) AS freq
   FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
         FROM documents WHERE trim(COALESCE(text,'')) <> '')
@@ -3020,23 +3031,32 @@ def bpe_vocab_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     order in both engines. Deterministic end-to-end; hash-exact vs the
     unrolled 40-round DuckDB oracle.
     """
+    # use_cache=False: TRAINING is this query's deliverable — serving it
+    # from the memo would elide the measured work (bench's best-of-N would
+    # report a ~0.1 s cache hit and training regressions would vanish from
+    # the official metric, r6 review). The run still REFRESHES the cache
+    # for consumers of the artifact (bpe_encode_stats).
     return spark.createDataFrame(
-        _bpe_merges(spark, sf_dir),
+        _bpe_merges(spark, sf_dir, use_cache=False),
         "merge_rank long, sym_a string, sym_b string, merged string, cnt long",
     )
 
 
 #: memo for the trained merge table, keyed by sf_dir — the merges are
 #: deterministic given the corpus (hash-free aggregation, total-order tie
-#: breaks), so this is the same semantics-free model-artifact reuse as
-#: similarity._FIT_CACHE: train once per (data, params), apply everywhere.
+#: breaks), so CONSUMERS of the artifact (the encode pass) may reuse it,
+#: same discipline as similarity._FIT_CACHE. The trainer itself always
+#: recomputes (its work product is the training).
 _BPE_MERGE_CACHE: dict[str, list[tuple]] = {}
 
 
-def _bpe_merges(spark: SparkSession, sf_dir: str) -> list[tuple]:
+def _bpe_merges(
+    spark: SparkSession, sf_dir: str, use_cache: bool = True
+) -> list[tuple]:
     """Run the 40-round merge loop (see bpe_vocab_train) and return the
-    merge table [(rank, sym_a, sym_b, merged, cnt)], memoized per sf_dir."""
-    if sf_dir in _BPE_MERGE_CACHE:
+    merge table [(rank, sym_a, sym_b, merged, cnt)]; the result is stored
+    in _BPE_MERGE_CACHE and served from it when use_cache is True."""
+    if use_cache and sf_dir in _BPE_MERGE_CACHE:
         return _BPE_MERGE_CACHE[sf_dir]
     docs = table(spark, sf_dir, "documents").filter(
         F.trim(F.coalesce("text", F.lit(""))) != ""
@@ -3048,7 +3068,11 @@ def _bpe_merges(spark: SparkSession, sf_dir: str) -> list[tuple]:
         words.groupBy("w")
         .agg(F.count("*").cast("long").alias("freq"))
         .select(
-            F.regexp_replace("w", "(.)", _BPE_C2 + "$1" + _BPE_C3).alias("sym"),
+            # (?s): Java's bare '.' skips U+0085/U+2028/U+2029 (which survive
+            # \s+ tokenization) while RE2's matches them — without DOTALL a
+            # word containing one would wrap differently per engine (r6
+            # review). \n itself can't appear inside a token in either.
+            F.regexp_replace("w", "(?s)(.)", _BPE_C2 + "$1" + _BPE_C3).alias("sym"),
             "freq",
         )
         # one partition: the vocab frame is |distinct words| rows — 40
@@ -3143,7 +3167,9 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.trim(F.coalesce("text", F.lit(""))) != ""
     )
     occ = docs.select("source", F.explode(tokens("text")).alias("w"))
-    enc = F.regexp_replace(F.col("w"), "(.)", _BPE_C2 + "$1" + _BPE_C3)
+    # (?s) for cross-engine totality over line-separator chars — see the
+    # matching note in _bpe_merges
+    enc = F.regexp_replace(F.col("w"), "(?s)(.)", _BPE_C2 + "$1" + _BPE_C3)
     for _rank, a, b, _merged, _cnt in merges:
         enc = F.replace(
             enc,

@@ -1171,9 +1171,14 @@ def test_fit_cache_memoizes_and_preserves_results(spark):
     assert any(k[0] == "sample" for k in S._FIT_CACHE)
     assert any(k[0] == "kmeans" for k in S._FIT_CACHE)
     # a DIFFERENT frame under the same key must not be re-fit: the cache is
-    # keyed by declared data identity, not DataFrame object identity
+    # keyed by declared data identity, not DataFrame object identity.
+    # AFFINE poison (2x+1): a pure scaling is invariant under spherical
+    # k-means' L2 normalization (r6 review found the original x100 poison
+    # only "worked" via 1-ulp sqrt wobble); 2x+1 changes the direction of
+    # every non-constant vector, so a re-fit provably produces different
+    # centroids.
     poisoned = emb.withColumn(
-        "embedding", F.transform("embedding", lambda x: x * 100.0)
+        "embedding", F.transform("embedding", lambda x: x * 2.0 + 1.0)
     )
     c2 = S.kmeans_centroids(poisoned, n_centroids=4, sample_size=64, cache_key=key)
     assert c1 == c2
@@ -1204,22 +1209,30 @@ def test_duplicate_clusters_rejects_null_cast_ids(spark):
 
 
 def test_duplicate_clusters_phantom_dst_nodes(spark):
-    """Edge endpoints absent from `nodes` (phantom dst) grow the label table
-    in round 1 — the (sum, count) convergence state must still reach the
-    true fixpoint (the old sum-only check could in theory stop early)."""
+    """Edge endpoints absent from `nodes` (phantoms) are connectivity
+    conduits only: the chain 10-20-21-11 must merge 10 and 11, but 20/21
+    must NOT appear in the output or inflate cluster_size, and a phantom
+    that is the component MINIMUM (id 5 below) must not steal the
+    canonical slot. NULL edge endpoints are ignored entirely."""
     from kol_bigdata_realtime_analytics_spark.operators.dedup import (
         duplicate_clusters,
     )
 
     nodes = spark.createDataFrame([(10,), (11,), (30,)], "doc_id long")
-    # 20 and 21 are phantoms: present in edges, absent from nodes; the chain
-    # 10-20-21-11 must still collapse 10 and 11 into one cluster
+    # 20/21 phantom conduits; 5 a phantom SMALLER than every real id;
+    # one NULL-endpoint edge that must behave as "no edge"
     edges = spark.createDataFrame(
-        [(10, 20), (20, 21), (21, 11)], "id_a long, id_b long"
+        [(10, 20), (20, 21), (21, 11), (10, 5), (30, None)],
+        "id_a long, id_b long",
     )
-    out = {r["doc_id"]: r["cluster_id"] for r in duplicate_clusters(nodes, edges).collect()}
-    assert out[10] == 10 and out[11] == 10
-    assert out[30] == 30
+    rows = {r["doc_id"]: r for r in duplicate_clusters(nodes, edges).collect()}
+    assert set(rows) == {10, 11, 30}  # phantoms never in output
+    assert rows[10]["cluster_id"] == 10 and rows[11]["cluster_id"] == 10
+    assert rows[10]["cluster_size"] == 2 and rows[11]["cluster_size"] == 2
+    assert rows[10]["is_canonical"] == 1 and rows[11]["is_canonical"] == 0
+    # 30's only edge had a NULL endpoint -> stays a singleton
+    assert rows[30]["cluster_id"] == 30 and rows[30]["cluster_size"] == 1
+    assert rows[30]["is_canonical"] == 1
 
 
 def test_cooccurrence_with_audit_shares_mode(spark):
