@@ -130,6 +130,7 @@ HEADLINE = [
     "training_shard_pipeline",
     "bpe_vocab_train",
     "bpe_encode_stats",
+    "split_leakage_check",
 ]
 
 

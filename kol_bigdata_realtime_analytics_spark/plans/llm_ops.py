@@ -3195,3 +3195,78 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("subwords_per_word"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Split-leakage audit — near-dup pairs straddling the train/dev/test split.
+# The classic training-data bug: dedup and splitting done independently
+# leave a test doc whose near-duplicate sits in train, silently inflating
+# eval. Composes two verified pieces (the deterministic hash split of
+# training_corpus_prep and the exact Jaccard pair join) into the audit a
+# pipeline runs before shipping a corpus.
+# ---------------------------------------------------------------------------
+
+_SPLIT_LEAKAGE_ORACLE = """
+WITH base AS (
+  SELECT doc_id, lang, source,
+         list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS tok,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'f' THEN 'test'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'e' THEN 'dev'
+              ELSE 'train' END AS split
+  FROM documents WHERE trim(COALESCE(text, '')) != ''
+),
+leaks AS (
+  SELECT a.split AS split_a, b.split AS split_b, a.doc_id AS id_a, b.doc_id AS id_b
+  FROM base a JOIN base b ON a.lang = b.lang AND a.source = b.source
+  WHERE a.doc_id < b.doc_id
+    AND a.split <> b.split
+    AND ROUND(CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.tok, b.tok))), 6) >= 0.5
+)
+SELECT split_a, split_b,
+       CAST(COUNT(*) AS BIGINT) AS n_leaky_pairs,
+       CAST(MIN(id_a) AS BIGINT) AS example_id_a,
+       CAST(MIN(id_b) AS BIGINT) AS example_id_b
+FROM leaks GROUP BY split_a, split_b
+""".strip()
+
+
+@register("split_leakage_check", oracle=_SPLIT_LEAKAGE_ORACLE)
+def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs (token-set Jaccard >= 0.5 within (lang, source))
+    whose endpoints land in DIFFERENT splits of the deterministic
+    md5-nibble train/dev/test split — the eval-inflation audit every
+    training pipeline should run before a corpus ships (dedup-then-split
+    done independently leaves test docs with train-side near-duplicates).
+
+    Scale shape: the pair side is the registered prefix-filter Jaccard
+    join (corpus-linear candidate generation); the split is a pure
+    function of doc_id computed in the join's projection — no extra scan,
+    no extra shuffle beyond the final tiny (split_a, split_b) aggregate.
+    Ordered pairs come out of the join as id_a < id_b, so (split_a,
+    split_b) is reported in id order, not canonicalized — (train, test)
+    and (test, train) are distinct rows, both leakage. The example ids
+    give an auditor a concrete pair to inspect.
+    """
+    docs = table(spark, sf_dir, "documents").filter(
+        F.trim(F.coalesce("text", F.lit(""))) != ""
+    )
+    pairs = jaccard_pairs(docs, "text", "doc_id", ["lang", "source"], threshold=0.5)
+
+    def split_of(c):
+        nib = F.substring(F.md5(c.cast("string")), 1, 1)
+        return (
+            F.when(nib == "f", "test").when(nib == "e", "dev").otherwise("train")
+        )
+
+    leaks = pairs.select(
+        split_of(F.col("id_a")).alias("split_a"),
+        split_of(F.col("id_b")).alias("split_b"),
+        "id_a",
+        "id_b",
+    ).filter(F.col("split_a") != F.col("split_b"))
+    return leaks.groupBy("split_a", "split_b").agg(
+        F.count("*").alias("n_leaky_pairs"),
+        F.min("id_a").alias("example_id_a"),
+        F.min("id_b").alias("example_id_b"),
+    )
