@@ -3053,9 +3053,10 @@ _BPE_MERGE_CACHE: dict[str, list[tuple]] = {}
 def _bpe_merges(
     spark: SparkSession, sf_dir: str, use_cache: bool = True
 ) -> list[tuple]:
-    """Run the 40-round merge loop (see bpe_vocab_train) and return the
-    merge table [(rank, sym_a, sym_b, merged, cnt)]; the result is stored
-    in _BPE_MERGE_CACHE and served from it when use_cache is True."""
+    """Run the merge loop (see bpe_vocab_train) over the corpus words and
+    return the merge table [(rank, sym_a, sym_b, merged, cnt)]; the result
+    is stored in _BPE_MERGE_CACHE and served from it when use_cache is
+    True."""
     if use_cache and sf_dir in _BPE_MERGE_CACHE:
         return _BPE_MERGE_CACHE[sf_dir]
     docs = table(spark, sf_dir, "documents").filter(
@@ -3064,6 +3065,17 @@ def _bpe_merges(
     words = docs.select(F.explode(tokens("text")).alias("w")).filter(
         F.length("w") >= 2
     )
+    merges = bpe_train(words, _BPE_N_MERGES)
+    _BPE_MERGE_CACHE[sf_dir] = merges
+    return merges
+
+
+def bpe_train(words: DataFrame, n_merges: int) -> list[tuple]:
+    """The distributed Sennrich merge loop over a (w: string) word frame —
+    factored out of _bpe_merges so tests can pin it against an independent
+    pure-Python BPE model on arbitrary word lists (the DuckDB oracle shares
+    the wrapped-replace application strategy, so it cannot catch a
+    common-mode bug in that encoding; the tuple-level Python model can)."""
     vocab = (
         words.groupBy("w")
         .agg(F.count("*").cast("long").alias("freq"))
@@ -3091,7 +3103,7 @@ def _bpe_merges(
         "j -> struct(element_at(_s, j) AS a, element_at(_s, j + 1) AS b)) END"
     )
     merges: list[tuple] = []
-    for i in range(1, _BPE_N_MERGES + 1):
+    for i in range(1, n_merges + 1):
         syms = F.split(
             F.substring(F.col("sym"), 2, F.length("sym") - 2), _BPE_C3 + _BPE_C2
         )
@@ -3124,8 +3136,22 @@ def _bpe_merges(
             # pins it in one pass — eager=True was a second job per round
             .localCheckpoint(eager=False)
         )
-    _BPE_MERGE_CACHE[sf_dir] = merges
     return merges
+
+
+def bpe_encode_expr(word_col, merges: list[tuple]):
+    """Encode a word column under a trained merge table: wrap chars, chain
+    the literal replaces in training order. Returns the wrapped-symbol
+    string column (split on C3+C2 after stripping the outer wrappers to
+    get symbols). Shared by bpe_encode_stats and the model tests."""
+    enc = F.regexp_replace(word_col, "(?s)(.)", _BPE_C2 + "$1" + _BPE_C3)
+    for _rank, a, b, _merged, _cnt in merges:
+        enc = F.replace(
+            enc,
+            F.lit(_BPE_C2 + a + _BPE_C3 + _BPE_C2 + b + _BPE_C3),
+            F.lit(_BPE_C2 + a + b + _BPE_C3),
+        )
+    return enc
 
 
 @register("bpe_encode_stats", oracle=_bpe_encode_oracle(_BPE_N_MERGES))
@@ -3167,15 +3193,7 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.trim(F.coalesce("text", F.lit(""))) != ""
     )
     occ = docs.select("source", F.explode(tokens("text")).alias("w"))
-    # (?s) for cross-engine totality over line-separator chars — see the
-    # matching note in _bpe_merges
-    enc = F.regexp_replace(F.col("w"), "(?s)(.)", _BPE_C2 + "$1" + _BPE_C3)
-    for _rank, a, b, _merged, _cnt in merges:
-        enc = F.replace(
-            enc,
-            F.lit(_BPE_C2 + a + _BPE_C3 + _BPE_C2 + b + _BPE_C3),
-            F.lit(_BPE_C2 + a + b + _BPE_C3),
-        )
+    enc = bpe_encode_expr(F.col("w"), merges)
     n_sub = F.size(
         F.split(F.substring(enc, 2, F.length(enc) - 2), _BPE_C3 + _BPE_C2)
     ).cast("long")
