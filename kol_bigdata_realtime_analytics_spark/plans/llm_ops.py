@@ -2834,14 +2834,22 @@ def training_shard_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     (xxhash64 vs md5): the stage is a pure existence semi-join on shingle
     identity, which is hash-independent modulo 64-bit collisions.
     """
+    return shard_pipeline(table(spark, sf_dir, "documents"))
+
+
+def shard_pipeline(documents: DataFrame) -> DataFrame:
+    """The fused pipeline over any (doc_id, source, lang, text) frame —
+    factored out of the registered query so tests can run it on planted
+    corpora with an independent Python model (the DuckDB oracle shadows
+    the same algorithm in SQL, so it can't catch a shared misreading of
+    the pipeline semantics). See training_shard_pipeline for the plan
+    shape and 100 TB notes."""
     from kol_bigdata_realtime_analytics_spark.operators.dedup import (
         shingle_hash_rows,
     )
     from kol_bigdata_realtime_analytics_spark.plans.domain import trunc6
 
-    docs = table(spark, sf_dir, "documents").filter(
-        F.trim(F.coalesce("text", F.lit(""))) != ""
-    )
+    docs = documents.filter(F.trim(F.coalesce("text", F.lit(""))) != "")
     sig = c4_signal_columns(F.col("text"))  # ONE definition with the
     # registered c4_segment_filters stage — the keep predicate cannot diverge
     n_tok = token_count("text").cast("long")
