@@ -3285,14 +3285,24 @@ def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(nib == "f", "test").when(nib == "e", "dev").otherwise("train")
         )
 
-    leaks = pairs.select(
-        split_of(F.col("id_a")).alias("split_a"),
-        split_of(F.col("id_b")).alias("split_b"),
-        "id_a",
-        "id_b",
-    ).filter(F.col("split_a") != F.col("split_b"))
-    return leaks.groupBy("split_a", "split_b").agg(
-        F.count("*").alias("n_leaky_pairs"),
-        F.min("id_a").alias("example_id_a"),
-        F.min("id_b").alias("example_id_b"),
+    # AGGREGATE FIRST over all (split_a, split_b) cells, then filter the
+    # <=9-row result: a filter BEFORE the agg gets pushed by Catalyst below
+    # the verify joins and the candidate distinct, where the md5 split
+    # evaluates per CANDIDATE occurrence (posting-list fan-out, millions of
+    # rows at sf0.1) instead of per verified pair — measured +2.6 s warm.
+    # Catalyst also pushes a grouping-key filter back below the aggregate
+    # (it commutes), so the tiny agg result is pinned with a lazy
+    # localCheckpoint as an optimizer fence before the filter.
+    cells = (
+        pairs.groupBy(
+            split_of(F.col("id_a")).alias("split_a"),
+            split_of(F.col("id_b")).alias("split_b"),
+        )
+        .agg(
+            F.count("*").alias("n_leaky_pairs"),
+            F.min("id_a").alias("example_id_a"),
+            F.min("id_b").alias("example_id_b"),
+        )
+        .localCheckpoint(eager=False)
     )
+    return cells.filter(F.col("split_a") != F.col("split_b"))
