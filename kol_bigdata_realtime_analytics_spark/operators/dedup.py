@@ -431,8 +431,11 @@ def duplicate_clusters(
     # (r6 review). The semi-join drops them; cluster_id comes from min(node)
     # over surviving rows, which equals the old min-label whenever endpoints
     # are a subset of nodes (the common case), so this is a pure widening of
-    # the contract. Same shuffle count as before: the agg just gains a MIN.
-    real = labels.join(all_nodes, "node", "left_semi")
+    # the contract. Pinned: `real` feeds BOTH the sizes agg and the final
+    # join — unpinned, the semi-join would execute twice per action (lazy:
+    # the first consumer materializes it, same shape as every other reused
+    # frame here).
+    real = labels.join(all_nodes, "node", "left_semi").localCheckpoint(eager=False)
     grp = real.groupBy("label").agg(
         F.min("node").alias("cluster_id"), F.count("*").alias("cluster_size")
     )

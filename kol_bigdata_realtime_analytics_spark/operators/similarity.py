@@ -379,7 +379,10 @@ def kmeans_centroids(
 
     memo = ("kmeans", cache_key, id_col, vec_col, n_centroids, sample_size, max_iter)
     if cache_key is not None and memo in _FIT_CACHE:
-        return _FIT_CACHE[memo]
+        # fresh copy per hit: the cached nested list is shared state — a
+        # caller-side sort/append would corrupt every later fit (r6 review,
+        # same rationale as hash_sample's write=False)
+        return [list(c) for c in _FIT_CACHE[memo]]
     X = sample if sample is not None else hash_sample(
         candidates, id_col=id_col, vec_col=vec_col, sample_size=sample_size,
         cache_key=cache_key,
@@ -404,7 +407,7 @@ def kmeans_centroids(
             break
     out = [[float(x) for x in c] for c in C]
     if cache_key is not None:
-        _FIT_CACHE[memo] = out
+        _FIT_CACHE[memo] = [list(c) for c in out]  # private copy in the cache
     return out
 
 
@@ -610,7 +613,8 @@ def pq_codebooks(
 
     memo = ("pq", cache_key, id_col, vec_col, m, ksub, sample_size, max_iter)
     if cache_key is not None and memo in _FIT_CACHE:
-        return _FIT_CACHE[memo]
+        # fresh copy per hit — see kmeans_centroids
+        return [[list(c) for c in b] for b in _FIT_CACHE[memo]]
     X = sample if sample is not None else hash_sample(
         candidates, id_col=id_col, vec_col=vec_col, sample_size=sample_size,
         cache_key=cache_key,
@@ -637,7 +641,7 @@ def pq_codebooks(
                 break
         books.append([[float(x) for x in c] for c in C])
     if cache_key is not None:
-        _FIT_CACHE[memo] = books
+        _FIT_CACHE[memo] = [[list(c) for c in b] for b in books]  # private copy
     return books
 
 

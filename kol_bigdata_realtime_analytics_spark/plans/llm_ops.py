@@ -1200,6 +1200,22 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # filter -> exact dedup -> deterministic split, in ONE declarative plan.
 # ---------------------------------------------------------------------------
 
+#: the deterministic 14:1:1 train/dev/test split — first md5 nibble of the
+#: id: 'f' test, 'e' dev, else train. ONE definition (Spark expr + oracle
+#: fragment) feeding every split-dependent query, so the audited split
+#: (split_leakage_check) can never diverge from the shipped one
+#: (training_corpus_prep) — same divergence fence as c4_signal_columns.
+SPLIT_ORACLE_SQL = (
+    "CASE WHEN substr(md5(CAST({col} AS VARCHAR)), 1, 1) = 'f' THEN 'test' "
+    "WHEN substr(md5(CAST({col} AS VARCHAR)), 1, 1) = 'e' THEN 'dev' "
+    "ELSE 'train' END"
+)
+
+
+def split_expr(id_col):
+    nib = F.substring(F.md5(id_col.cast("string")), 1, 1)
+    return F.when(nib == "f", "test").when(nib == "e", "dev").otherwise("train")
+
 
 @register(
     "training_corpus_prep",
@@ -1224,11 +1240,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT MIN(doc_id) AS doc_id, MIN(n_tokens) AS n_tokens
       FROM kept GROUP BY fp
     )
-    SELECT CASE
-             WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'f' THEN 'test'
-             WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'e' THEN 'dev'
-             ELSE 'train'
-           END AS split,
+    SELECT {SPLIT_ORACLE_SQL.format(col="doc_id")} AS split,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(CAST(n_tokens AS BIGINT)) AS BIGINT) AS total_tokens
     FROM deduped GROUP BY 1
@@ -1260,11 +1272,7 @@ def training_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = kept.groupBy("fp").agg(
         F.min("doc_id").alias("doc_id"), F.min("n_tokens").alias("n_tokens")
     )
-    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
-    split = (
-        F.when(nib == "f", "test").when(nib == "e", "dev").otherwise("train")
-    )
-    return deduped.groupBy(split.alias("split")).agg(
+    return deduped.groupBy(split_expr(F.col("doc_id")).alias("split")).agg(
         F.count("*").alias("n_docs"),
         F.sum(F.col("n_tokens").cast("long")).alias("total_tokens"),
     )
@@ -3066,7 +3074,9 @@ def _bpe_merges(
     is stored in _BPE_MERGE_CACHE and served from it when use_cache is
     True."""
     if use_cache and sf_dir in _BPE_MERGE_CACHE:
-        return _BPE_MERGE_CACHE[sf_dir]
+        # fresh list per hit: elements are immutable tuples, but handing out
+        # the cached LIST would let a caller append/sort shared state
+        return list(_BPE_MERGE_CACHE[sf_dir])
     docs = table(spark, sf_dir, "documents").filter(
         F.trim(F.coalesce("text", F.lit(""))) != ""
     )
@@ -3074,7 +3084,7 @@ def _bpe_merges(
         F.length("w") >= 2
     )
     merges = bpe_train(words, _BPE_N_MERGES)
-    _BPE_MERGE_CACHE[sf_dir] = merges
+    _BPE_MERGE_CACHE[sf_dir] = list(merges)  # private copy in the cache
     return merges
 
 
@@ -3232,13 +3242,11 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pipeline runs before shipping a corpus.
 # ---------------------------------------------------------------------------
 
-_SPLIT_LEAKAGE_ORACLE = """
+_SPLIT_LEAKAGE_ORACLE = f"""
 WITH base AS (
   SELECT doc_id, lang, source,
          list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS tok,
-         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'f' THEN 'test'
-              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'e' THEN 'dev'
-              ELSE 'train' END AS split
+         {SPLIT_ORACLE_SQL.format(col="doc_id")} AS split
   FROM documents WHERE trim(COALESCE(text, '')) != ''
 ),
 leaks AS (
@@ -3251,8 +3259,8 @@ leaks AS (
 )
 SELECT split_a, split_b,
        CAST(COUNT(*) AS BIGINT) AS n_leaky_pairs,
-       CAST(MIN(id_a) AS BIGINT) AS example_id_a,
-       CAST(MIN(id_b) AS BIGINT) AS example_id_b
+       CAST(arg_min(id_a, printf('%020d%020d', id_a, id_b)) AS BIGINT) AS example_id_a,
+       CAST(arg_min(id_b, printf('%020d%020d', id_a, id_b)) AS BIGINT) AS example_id_b
 FROM leaks GROUP BY split_a, split_b
 """.strip()
 
@@ -3271,19 +3279,18 @@ def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     no extra shuffle beyond the final tiny (split_a, split_b) aggregate.
     Ordered pairs come out of the join as id_a < id_b, so (split_a,
     split_b) is reported in id order, not canonicalized — (train, test)
-    and (test, train) are distinct rows, both leakage. The example ids
-    give an auditor a concrete pair to inspect.
+    and (test, train) are distinct rows, both leakage. example_id_a/_b is
+    the lexicographically smallest ACTUAL leaky pair in the cell (min_by
+    on a zero-padded pair key — independent per-column MINs could name two
+    ids that never paired, r6 review), so an auditor can inspect it
+    directly. The split expression is the shared `split_expr` — the same
+    definition training_corpus_prep ships, so the audit can't silently
+    diverge from the split in production.
     """
     docs = table(spark, sf_dir, "documents").filter(
         F.trim(F.coalesce("text", F.lit(""))) != ""
     )
     pairs = jaccard_pairs(docs, "text", "doc_id", ["lang", "source"], threshold=0.5)
-
-    def split_of(c):
-        nib = F.substring(F.md5(c.cast("string")), 1, 1)
-        return (
-            F.when(nib == "f", "test").when(nib == "e", "dev").otherwise("train")
-        )
 
     # AGGREGATE FIRST over all (split_a, split_b) cells, then filter the
     # <=9-row result: a filter BEFORE the agg gets pushed by Catalyst below
@@ -3292,16 +3299,17 @@ def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows at sf0.1) instead of per verified pair — measured +2.6 s warm.
     # Catalyst also pushes a grouping-key filter back below the aggregate
     # (it commutes), so the tiny agg result is pinned with a lazy
-    # localCheckpoint as an optimizer fence before the filter.
+    # localCheckpoint as an optimizer fence before the filter (PERF §2.17).
+    pair_key = F.format_string("%020d%020d", F.col("id_a"), F.col("id_b"))
     cells = (
         pairs.groupBy(
-            split_of(F.col("id_a")).alias("split_a"),
-            split_of(F.col("id_b")).alias("split_b"),
+            split_expr(F.col("id_a")).alias("split_a"),
+            split_expr(F.col("id_b")).alias("split_b"),
         )
         .agg(
             F.count("*").alias("n_leaky_pairs"),
-            F.min("id_a").alias("example_id_a"),
-            F.min("id_b").alias("example_id_b"),
+            F.min_by("id_a", pair_key).alias("example_id_a"),
+            F.min_by("id_b", pair_key).alias("example_id_b"),
         )
         .localCheckpoint(eager=False)
     )

@@ -37,6 +37,13 @@ SKIP = {
     "semantic_dedup_survivors": "iterative (collect-driven rounds)",
     "ann_ivf_topk": "centroid fit on build",
     "ann_ivf_recall_check": "centroid fit on build",
+    "bpe_vocab_train": "iterative (collect-driven merge rounds on build)",
+    "bpe_encode_stats": "merge-table fit on build (trains when cache cold)",
+    "split_leakage_check": (
+        "agg pinned as a pushdown fence (PERF §2.17) — the visible plan is "
+        "the post-pin filter; the join pipeline above the fence is "
+        "ngram_jaccard_pairs' shape"
+    ),
 }
 
 COUNTERS = [

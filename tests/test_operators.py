@@ -1185,9 +1185,25 @@ def test_fit_cache_memoizes_and_preserves_results(spark):
     # cache_key=None bypasses the memo entirely (fits the poisoned data)
     c3 = S.kmeans_centroids(poisoned, n_centroids=4, sample_size=64, cache_key=None)
     assert c3 != c1
+    # isolate the KMEANS-level memo from the sample-level one (r6 review:
+    # with both layers live, a broken kmeans memo is masked by the cached
+    # sample reproducing identical centroids): pop the sample entry — a
+    # kmeans hit must still serve c1 WITHOUT re-collecting a sample
+    for k in [k for k in S._FIT_CACHE if k[0] == "sample"]:
+        S._FIT_CACHE.pop(k)
+    c4 = S.kmeans_centroids(poisoned, n_centroids=4, sample_size=64, cache_key=key)
+    assert c4 == c1
+    assert not any(k[0] == "sample" for k in S._FIT_CACHE)
+    # cache hits hand out COPIES: mutating a returned artifact must not
+    # corrupt the cached one
+    c4[0][0] = 1e9
+    c5 = S.kmeans_centroids(poisoned, n_centroids=4, sample_size=64, cache_key=key)
+    assert c5 == c1
     b1 = S.pq_codebooks(emb, m=2, ksub=4, sample_size=64, cache_key=key)
     b2 = S.pq_codebooks(poisoned, m=2, ksub=4, sample_size=64, cache_key=key)
     assert b1 == b2
+    b2[0][0][0] = 1e9
+    assert S.pq_codebooks(poisoned, m=2, ksub=4, sample_size=64, cache_key=key) == b1
     S._FIT_CACHE.clear()
 
 
