@@ -1322,3 +1322,57 @@ def null_safe_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.alias("v").join(
         c.alias("c"), F.col("v.k").eqNullSafe(F.col("c.k"))
     ).select(F.col("v.k").alias("k"), "n_views", "n_clicks")
+
+
+_PYDS_STREAM_ORACLE = """
+WITH rows AS (
+  SELECT j AS event_id,
+         'type_' || CAST(j % 3 AS VARCHAR) AS event_type,
+         CAST(j % 7 AS DOUBLE) AS value
+  FROM generate_series(0, 199) AS t(j)
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(event_id) AS BIGINT) AS first_id,
+       CAST(MAX(event_id) AS BIGINT) AS last_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+FROM rows GROUP BY event_type
+""".strip()
+
+
+@register("python_stream_datasource_scan", oracle=_PYDS_STREAM_ORACLE)
+def python_stream_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One micro-batch (200 rows) from the custom `detstream` STREAMING
+    Python DataSource (Spark 4 SimpleDataSourceStreamReader) through a
+    memory sink, aggregated per event_type — the custom streaming-source
+    seam run end-to-end where no Kafka broker exists. Offsets are explicit
+    dicts the engine checkpoints; tests additionally prove checkpoint
+    RESUME (batch 2 continues exactly at the committed offset) and
+    readBetweenOffsets replay. Row content is a pure function of the
+    global row index, so the batch is hash-exact against a generate_series
+    oracle."""
+    import uuid
+
+    from kol_bigdata_realtime_analytics_spark.sources.pydatasource import (
+        register_detstream,
+    )
+
+    register_detstream(spark)
+    qname = f"pyds_stream_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.format("detstream").option("batch", "200").load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(once=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(qname).groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.min("event_id").alias("first_id"),
+        F.max("event_id").alias("last_id"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("value_sum"),
+    )

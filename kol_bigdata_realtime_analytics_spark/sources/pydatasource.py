@@ -64,3 +64,70 @@ class DetRangeDataSource(DataSource):
 def register_detrange(spark) -> None:
     """Idempotently register the source with a session."""
     spark.dataSource.register(DetRangeDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Streaming Python DataSource (Spark 4 SimpleDataSourceStreamReader) — the
+# custom STREAMING source seam. The container has no Kafka broker, so this
+# deterministic generator is the testable stand-in for "a source Spark has
+# no built-in streaming connector for": offsets are explicit dicts the
+# engine checkpoints, read(start) returns one micro-batch plus the next
+# offset, and readBetweenOffsets replays any committed range for recovery
+# — the exact one-partition contract (deterministic replay from offsets)
+# a Kafka-like source must honor. Reference semantics:
+# streaming/spark_jobs/features_stream.py:124-132 (the reference's Kafka
+# readStream entry) re-expressed through the public Python API.
+# ---------------------------------------------------------------------------
+
+try:  # pragma: no cover — API present in Spark 4; guarded for older runtimes
+    from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+    class DetStreamReader(SimpleDataSourceStreamReader):
+        """Micro-batches of `batch` rows: row j = (j, type_{j%3}, j%7/1.0).
+
+        Row content is a pure function of the global row index j, and the
+        offset is just {"i": next_j} — so any (start, end) range replays
+        bit-identically, which is the recovery contract."""
+
+        def __init__(self, options):
+            self.batch = int(options.get("batch", "100"))
+
+        @staticmethod
+        def _rows(lo: int, hi: int):
+            return [(j, f"type_{j % 3}", float(j % 7)) for j in range(lo, hi)]
+
+        def initialOffset(self):
+            return {"i": 0}
+
+        def read(self, start):
+            i = int(start["i"])
+            return iter(self._rows(i, i + self.batch)), {"i": i + self.batch}
+
+        def readBetweenOffsets(self, start, end):
+            return iter(self._rows(int(start["i"]), int(end["i"])))
+
+    class DetStreamDataSource(DataSource):
+        """readStream.format("detstream"): event_id bigint, event_type string, value double."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "detstream"
+
+        def schema(self) -> str:
+            return "event_id bigint, event_type string, value double"
+
+        def simpleStreamReader(self, schema):
+            return DetStreamReader(self.options)
+
+    def register_detstream(spark) -> None:
+        """Idempotently register the streaming source with a session."""
+        spark.dataSource.register(DetStreamDataSource)
+
+except ImportError:  # pragma: no cover
+    SimpleDataSourceStreamReader = None  # type: ignore[assignment]
+
+    def register_detstream(spark) -> None:  # type: ignore[misc]
+        raise NotImplementedError(
+            "SimpleDataSourceStreamReader requires Spark 4's "
+            "pyspark.sql.datasource streaming API"
+        )

@@ -37,6 +37,7 @@ SKIP = {
     "semantic_dedup_survivors": "iterative (collect-driven rounds)",
     "ann_ivf_topk": "centroid fit on build",
     "ann_ivf_recall_check": "centroid fit on build",
+    "python_stream_datasource_scan": "streaming (runs a micro-batch on build)",
     "bpe_vocab_train": "iterative (collect-driven merge rounds on build)",
     "bpe_encode_stats": "merge-table fit on build (trains when cache cold)",
     "split_leakage_check": (
