@@ -398,3 +398,90 @@ def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.processAllAvailable()
     q.stop()
     return spark.table("stream_sessions_mem")
+
+
+# ---------------------------------------------------------------------------
+# Streaming LEFT OUTER interval join — the hardest stream-stream shape:
+# NULL-padded results can only emit once the global watermark proves the
+# other side closed. The streaming counterpart of the batch
+# `unattributed_views`: views that never got a click within the gap.
+# ---------------------------------------------------------------------------
+
+_STREAM_UNATTR_ORACLE = """
+WITH v AS (SELECT user_id, ts AS l_ts FROM events WHERE event_type = 'view'),
+c AS (SELECT user_id, ts AS r_ts FROM events WHERE event_type = 'click'),
+wm AS (SELECT LEAST((SELECT MAX(l_ts) FROM v) - INTERVAL 10 MINUTE,
+                    (SELECT MAX(r_ts) FROM c) - INTERVAL 20 MINUTE) AS w),
+unmatched AS (
+  SELECT v.user_id, v.l_ts FROM v, wm
+  WHERE v.l_ts + INTERVAL 10 MINUTE < wm.w
+    AND NOT EXISTS (SELECT 1 FROM c
+                    WHERE c.user_id = v.user_id
+                      AND c.r_ts > v.l_ts
+                      AND c.r_ts <= v.l_ts + INTERVAL 10 MINUTE)
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_unattributed,
+       CAST(epoch_us(MIN(l_ts)) AS BIGINT) AS first_view_us,
+       CAST(epoch_us(MAX(l_ts)) AS BIGINT) AS last_view_us
+FROM unmatched GROUP BY user_id
+""".strip()
+
+
+@register("streaming_unattributed_views", oracle=_STREAM_UNATTR_ORACLE)
+def streaming_unattributed_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming LEFT OUTER interval join (view LEFT JOIN click within
+    10 minutes, per user): the NULL-padded side — views provably
+    unattributed — emits only when the GLOBAL watermark (min of the view
+    watermark at 10 min and the click watermark at 20 min) passes
+    view_ts + gap, i.e. Spark can prove no matching click can still
+    arrive. The oracle re-derives exactly that emission rule: NOT EXISTS
+    within the gap AND view_ts + gap < min(max(view_ts) - 10 min,
+    max(click_ts) - 20 min) — views closer to the stream's end stay in
+    state and correctly never emit in a bounded replay. This is the
+    semantics a batch anti-join cannot express and the hardest
+    stream-stream state shape (eviction-driven emission, not
+    match-driven). Aggregated per user for a stable compact result.
+    """
+    from kol_bigdata_realtime_analytics_spark.streaming.joins import interval_join
+
+    for q in spark.streams.active:
+        if q.name == "stream_unattr_mem":
+            q.stop()
+    stream = events_stream_source(spark, sf_dir)
+    views = stream.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("l_ts")
+    )
+    clicks = stream.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("r_ts")
+    )
+    j = interval_join(
+        views,
+        clicks,
+        key="user_id",
+        max_gap="10 minutes",
+        left_watermark="10 minutes",
+        right_watermark="20 minutes",
+        how="leftOuter",
+    )
+    nulls = j.filter(F.col("r.r_ts").isNull()).select(
+        F.col("l.user_id").alias("user_id"),
+        F.unix_micros(F.col("l.l_ts")).alias("view_us"),
+    )
+    q = (
+        nulls.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_unattr_mem")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return (
+        spark.table("stream_unattr_mem")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_unattributed"),
+            F.min("view_us").alias("first_view_us"),
+            F.max("view_us").alias("last_view_us"),
+        )
+    )

@@ -50,6 +50,7 @@ def interval_join(
     max_gap: str = "10 minutes",
     left_watermark: str = "10 minutes",
     right_watermark: str | None = None,
+    how: str = "inner",
 ) -> DataFrame:
     """Equi-key + event-time-interval join of two (streaming) frames.
 
@@ -59,12 +60,16 @@ def interval_join(
     watermark pair and never errors — the watermarks plus the interval
     condition only determine how long each side's join state is retained
     (left rows stay joinable until the right watermark passes
-    ``left_ts + max_gap``). Only OUTER interval joins require the
-    watermark/condition relationship up front, because NULL-padded rows
-    can't be emitted until the other side is provably closed. To keep left
-    state retention tight and correct for any ``max_gap``, the right
-    watermark defaults to ``left_watermark + max_gap`` instead of a fixed
-    constant.
+    ``left_ts + max_gap``). OUTER interval joins (``how="leftOuter"`` etc.)
+    additionally require the time bound in the condition (present here) so
+    NULL-padded rows can emit once the other side is provably closed: a
+    left row's NULL result emits when the GLOBAL watermark
+    (min of both sides' under the default multipleWatermarkPolicy=min)
+    passes ``left_ts + max_gap`` — rows closer to the stream's end than
+    that stay in state and never emit in a bounded replay, which any
+    oracle of an outer stream must account for. To keep left state
+    retention tight and correct for any ``max_gap``, the right watermark
+    defaults to ``left_watermark + max_gap`` instead of a fixed constant.
     """
     if right_watermark is None:
         right_watermark = (
@@ -78,7 +83,7 @@ def interval_join(
     return (
         left.withWatermark(left_ts, left_watermark)
         .alias("l")
-        .join(right.withWatermark(right_ts, right_watermark).alias("r"), cond, "inner")
+        .join(right.withWatermark(right_ts, right_watermark).alias("r"), cond, how)
     )
 
 

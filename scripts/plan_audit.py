@@ -31,6 +31,7 @@ SKIP = {
     "streaming_sessions": "streaming",
     "stream_static_enrichment": "streaming",
     "stream_stream_click_attribution": "streaming",
+    "streaming_unattributed_views": "streaming",
     "dedup_clusters": "iterative (collect-driven rounds)",
     "supplier_influence_pagerank": "iterative (collect-driven rounds)",
     "part_graph_triangles": "iterative (localCheckpoint stages)",
