@@ -1351,14 +1351,18 @@ def python_stream_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame
     readBetweenOffsets replay. Row content is a pure function of the
     global row index, so the batch is hash-exact against a generate_series
     oracle."""
-    import uuid
-
     from kol_bigdata_realtime_analytics_spark.sources.pydatasource import (
         register_detstream,
     )
 
     register_detstream(spark)
-    qname = f"pyds_stream_{uuid.uuid4().hex[:8]}"
+    # fixed sink name + stop-previous (the streaming_queries.py protocol):
+    # a per-call uuid name leaked one memory table per invocation for the
+    # session's lifetime (r6 review)
+    qname = "pyds_stream_mem"
+    for running in spark.streams.active:
+        if running.name == qname:
+            running.stop()
     stream = (
         spark.readStream.format("detstream").option("batch", "200").load()
     )
@@ -1369,7 +1373,12 @@ def python_stream_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame
         .trigger(once=True)
         .start()
     )
-    q.awaitTermination(120)
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError(
+            "python_stream_datasource_scan: micro-batch did not complete in "
+            "120 s — failing loudly instead of aggregating a partial sink"
+        )
     return spark.table(qname).groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.min("event_id").alias("first_id"),

@@ -410,8 +410,10 @@ def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STREAM_UNATTR_ORACLE = """
 WITH v AS (SELECT user_id, ts AS l_ts FROM events WHERE event_type = 'view'),
 c AS (SELECT user_id, ts AS r_ts FROM events WHERE event_type = 'click'),
-wm AS (SELECT LEAST((SELECT MAX(l_ts) FROM v) - INTERVAL 10 MINUTE,
-                    (SELECT MAX(r_ts) FROM c) - INTERVAL 20 MINUTE) AS w),
+wm AS (SELECT CASE WHEN (SELECT MAX(l_ts) FROM v) IS NULL
+                     OR (SELECT MAX(r_ts) FROM c) IS NULL THEN NULL
+              ELSE LEAST((SELECT MAX(l_ts) FROM v) - INTERVAL 10 MINUTE,
+                         (SELECT MAX(r_ts) FROM c) - INTERVAL 20 MINUTE) END AS w),
 unmatched AS (
   SELECT v.user_id, v.l_ts FROM v, wm
   WHERE v.l_ts + INTERVAL 10 MINUTE < wm.w
@@ -442,12 +444,24 @@ def streaming_unattributed_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics a batch anti-join cannot express and the hardest
     stream-stream state shape (eviction-driven emission, not
     match-driven). Aggregated per user for a stable compact result.
+
+    If EITHER side is empty, that side's watermark never leaves epoch, the
+    global watermark stays at epoch, and NO null-padded row ever emits —
+    the oracle's wm CTE goes NULL in that case so both engines return zero
+    rows (plain LEAST would ignore the NULL side and diverge). The oracle
+    also assumes a single-file, single-micro-batch replay (same class as
+    streaming_dedup_events): with multiple batches a view could be evicted
+    before a cross-batch click arrives — asserted, not assumed.
     """
+    import glob as _glob
+
     from kol_bigdata_realtime_analytics_spark.streaming.joins import interval_join
 
-    for q in spark.streams.active:
-        if q.name == "stream_unattr_mem":
-            q.stop()
+    src_files = _glob.glob(f"{sf_dir}/events.parquet")
+    assert len(src_files) == 1, (
+        "streaming_unattributed_views' watermark-closure oracle assumes a "
+        f"single-file, single-micro-batch replay; found {len(src_files)} files"
+    )
     stream = events_stream_source(spark, sf_dir)
     views = stream.filter(F.col("event_type") == "view").select(
         "user_id", F.col("ts").alias("l_ts")
@@ -468,14 +482,7 @@ def streaming_unattributed_views(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l.user_id").alias("user_id"),
         F.unix_micros(F.col("l.l_ts")).alias("view_us"),
     )
-    q = (
-        nulls.writeStream.outputMode("append")
-        .format("memory")
-        .queryName("stream_unattr_mem")
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    _run_to_memory(nulls, "stream_unattr_mem")
     return (
         spark.table("stream_unattr_mem")
         .groupBy("user_id")

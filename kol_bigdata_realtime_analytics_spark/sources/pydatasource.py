@@ -126,8 +126,18 @@ try:  # pragma: no cover — API present in Spark 4; guarded for older runtimes
 except ImportError:  # pragma: no cover
     SimpleDataSourceStreamReader = None  # type: ignore[assignment]
 
+    _MSG = (
+        "SimpleDataSourceStreamReader requires Spark 4's "
+        "pyspark.sql.datasource streaming API"
+    )
+
+    class DetStreamReader:  # type: ignore[no-redef]
+        def __init__(self, *a, **k):
+            raise NotImplementedError(_MSG)
+
+    class DetStreamDataSource:  # type: ignore[no-redef]
+        def __init__(self, *a, **k):
+            raise NotImplementedError(_MSG)
+
     def register_detstream(spark) -> None:  # type: ignore[misc]
-        raise NotImplementedError(
-            "SimpleDataSourceStreamReader requires Spark 4's "
-            "pyspark.sql.datasource streaming API"
-        )
+        raise NotImplementedError(_MSG)
