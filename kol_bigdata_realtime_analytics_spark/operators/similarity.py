@@ -310,6 +310,45 @@ def lsh_neardup_pairs(
 _FIT_CACHE: dict = {}
 
 
+def data_identity(cache_key):
+    """Resolve a caller-supplied cache key to a DATA identity for the fit
+    memos. For a key naming an existing directory (the registry passes the
+    sf_dir), folds in (name, mtime_ns, size) of every parquet under it, so a
+    parquet regenerated at the same path can never serve stale model
+    artifacts (r6 advisory: the memo was keyed by path alone). Non-path keys
+    (e.g. in-plan fixture tags) pass through unchanged — their data is
+    defined by the tag itself. Shared by similarity._FIT_CACHE and the BPE
+    merge cache in plans/llm_ops.py."""
+    import glob as _glob
+    import os as _os
+
+    if isinstance(cache_key, str) and _os.path.isdir(cache_key):
+        ident: list = [cache_key]
+        for p in sorted(_glob.glob(_os.path.join(cache_key, "*.parquet"))):
+            st = _os.stat(p)
+            ident.append((_os.path.basename(p), st.st_mtime_ns, st.st_size))
+        return tuple(ident)
+    return cache_key
+
+
+def _sample_fingerprint(sample) -> tuple:
+    """Content fingerprint of an explicit caller-supplied sample array, folded
+    into the fit-memo key so a memo hit can never silently discard the sample
+    and return centroids fit on different data (r6 advisory). sha1 over ~2 MB
+    is a few ms — negligible next to a Lloyd fit."""
+    import hashlib
+
+    import numpy as np
+
+    arr = np.ascontiguousarray(sample)
+    return (
+        "sample_fp",
+        arr.shape,
+        str(arr.dtype),
+        hashlib.sha1(arr.tobytes()).hexdigest(),
+    )
+
+
 def hash_sample(
     candidates: DataFrame,
     id_col: str = "vec_id",
@@ -325,7 +364,7 @@ def hash_sample(
     fit cache; None (the default) always re-collects."""
     import numpy as np
 
-    memo = ("sample", cache_key, id_col, vec_col, sample_size)
+    memo = ("sample", data_identity(cache_key), id_col, vec_col, sample_size)
     if cache_key is not None and memo in _FIT_CACHE:
         return _FIT_CACHE[memo]
 
@@ -377,7 +416,18 @@ def kmeans_centroids(
     """
     import numpy as np
 
-    memo = ("kmeans", cache_key, id_col, vec_col, n_centroids, sample_size, max_iter)
+    memo = (
+        "kmeans",
+        data_identity(cache_key),
+        # explicit sample: its content is part of the fit identity — a memo
+        # hit under a reused cache_key must not discard it (r6 advisory)
+        _sample_fingerprint(sample) if sample is not None else None,
+        id_col,
+        vec_col,
+        n_centroids,
+        sample_size,
+        max_iter,
+    )
     if cache_key is not None and memo in _FIT_CACHE:
         # fresh copy per hit: the cached nested list is shared state — a
         # caller-side sort/append would corrupt every later fit (r6 review,
@@ -611,7 +661,17 @@ def pq_codebooks(
     """
     import numpy as np
 
-    memo = ("pq", cache_key, id_col, vec_col, m, ksub, sample_size, max_iter)
+    memo = (
+        "pq",
+        data_identity(cache_key),
+        _sample_fingerprint(sample) if sample is not None else None,
+        id_col,
+        vec_col,
+        m,
+        ksub,
+        sample_size,
+        max_iter,
+    )
     if cache_key is not None and memo in _FIT_CACHE:
         # fresh copy per hit — see kmeans_centroids
         return [[list(c) for c in b] for b in _FIT_CACHE[memo]]

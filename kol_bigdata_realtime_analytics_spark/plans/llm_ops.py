@@ -3034,8 +3034,10 @@ def bpe_vocab_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     scanned ONCE, for the word-frequency aggregation (map-side partial
     counts on word keys); the merge loop then iterates on the WORD-
     FREQUENCY frame (|distinct words| rows, corpus-size-independent,
-    coalesced to 4 partitions so 40 rounds of tiny jobs don't pay 32-task
-    scheduling each). Same driver-loop-with-convergence-probe shape as
+    auto-coalesced to ~2M words/partition — 1 partition at test SFs, a
+    handful at a 100 TB corpus's ~1e7 distinct words, sized from a cheap
+    count so 40 rounds of tiny jobs don't pay 32-task scheduling each).
+    Same driver-loop-with-convergence-probe shape as
     `duplicate_clusters`; each round localCheckpoints the rewritten vocab
     so plan depth stays O(1), and the best-pair collect is 1 row.
 
@@ -3058,12 +3060,14 @@ def bpe_vocab_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: memo for the trained merge table, keyed by sf_dir — the merges are
-#: deterministic given the corpus (hash-free aggregation, total-order tie
-#: breaks), so CONSUMERS of the artifact (the encode pass) may reuse it,
-#: same discipline as similarity._FIT_CACHE. The trainer itself always
-#: recomputes (its work product is the training).
-_BPE_MERGE_CACHE: dict[str, list[tuple]] = {}
+#: memo for the trained merge table, keyed by the sf_dir's DATA identity
+#: (path + parquet mtime/size via similarity.data_identity, r6 advisory:
+#: path alone could serve stale merges after an in-session regeneration) —
+#: the merges are deterministic given the corpus (hash-free aggregation,
+#: total-order tie breaks), so CONSUMERS of the artifact (the encode pass)
+#: may reuse it, same discipline as similarity._FIT_CACHE. The trainer
+#: itself always recomputes (its work product is the training).
+_BPE_MERGE_CACHE: dict[tuple, list[tuple]] = {}
 
 
 def _bpe_merges(
@@ -3073,10 +3077,13 @@ def _bpe_merges(
     return the merge table [(rank, sym_a, sym_b, merged, cnt)]; the result
     is stored in _BPE_MERGE_CACHE and served from it when use_cache is
     True."""
-    if use_cache and sf_dir in _BPE_MERGE_CACHE:
+    from kol_bigdata_realtime_analytics_spark.operators.similarity import data_identity
+
+    cache_key = data_identity(sf_dir)
+    if use_cache and cache_key in _BPE_MERGE_CACHE:
         # fresh list per hit: elements are immutable tuples, but handing out
         # the cached LIST would let a caller append/sort shared state
-        return list(_BPE_MERGE_CACHE[sf_dir])
+        return list(_BPE_MERGE_CACHE[cache_key])
     docs = table(spark, sf_dir, "documents").filter(
         F.trim(F.coalesce("text", F.lit(""))) != ""
     )
@@ -3084,7 +3091,7 @@ def _bpe_merges(
         F.length("w") >= 2
     )
     merges = bpe_train(words, _BPE_N_MERGES)
-    _BPE_MERGE_CACHE[sf_dir] = list(merges)  # private copy in the cache
+    _BPE_MERGE_CACHE[cache_key] = list(merges)  # private copy in the cache
     return merges
 
 
@@ -3105,13 +3112,20 @@ def bpe_train(words: DataFrame, n_merges: int) -> list[tuple]:
             F.regexp_replace("w", "(?s)(.)", _BPE_C2 + "$1" + _BPE_C3).alias("sym"),
             "freq",
         )
-        # one partition: the vocab frame is |distinct words| rows — 40
-        # rounds of 32-task jobs would be pure scheduling overhead. At a
-        # 100 TB corpus the distinct-word frame is still ~1e7 rows
-        # (Heaps' law), so bump this to a handful of partitions there.
-        .coalesce(1)
         .localCheckpoint(eager=True)
     )
+    # Auto-sized loop partitioning: the vocab frame is |distinct words| rows
+    # — 40 rounds of 32-task jobs on a tiny frame would be pure scheduling
+    # overhead, but one partition stops scaling at a 100 TB corpus's ~1e7
+    # distinct words (Heaps' law). Size from a cheap count() of the already-
+    # checkpointed frame (no re-aggregation; one tiny job amortized over all
+    # rounds): ~2M wrapped words per partition, so sf0.1 still runs the loop
+    # on 1 partition while a 100 TB vocab gets a handful. coalesce on the
+    # checkpointed frame is narrow — no second materialization.
+    n_words = vocab.count()
+    parts = max(1, -(-int(n_words) // 2_000_000))
+    if parts < vocab.rdd.getNumPartitions():
+        vocab = vocab.coalesce(parts)
     # CASE guard: Spark's sequence(1, 0) is DESCENDING [1, 0] (not empty like
     # DuckDB's generate_series), so a fully-merged single-symbol word would
     # drive element_at out of bounds under ANSI.

@@ -194,10 +194,12 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kol_bigdata_realtime_analytics_spark.streaming.joins import dedup_within_watermark
 
     src_files = _glob.glob(f"{sf_dir}/events.parquet")
-    assert len(src_files) == 1, (
-        "streaming_dedup_events' exact-count oracle assumes a single-file, "
-        f"single-micro-batch replay; found {len(src_files)} source files"
-    )
+    if len(src_files) != 1:
+        # explicit raise, not assert: the contract must hold under python -O
+        raise ValueError(
+            "streaming_dedup_events' exact-count oracle assumes a single-file, "
+            f"single-micro-batch replay; found {len(src_files)} source files"
+        )
     events = events_stream_source(spark, sf_dir)
     deduped = dedup_within_watermark(events, ["user_id", "event_type"], watermark="10 minutes")
     _run_to_memory(deduped, "ss_dedup_mem")
@@ -458,10 +460,12 @@ def streaming_unattributed_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kol_bigdata_realtime_analytics_spark.streaming.joins import interval_join
 
     src_files = _glob.glob(f"{sf_dir}/events.parquet")
-    assert len(src_files) == 1, (
-        "streaming_unattributed_views' watermark-closure oracle assumes a "
-        f"single-file, single-micro-batch replay; found {len(src_files)} files"
-    )
+    if len(src_files) != 1:
+        # explicit raise, not assert: the contract must hold under python -O
+        raise ValueError(
+            "streaming_unattributed_views' watermark-closure oracle assumes a "
+            f"single-file, single-micro-batch replay; found {len(src_files)} files"
+        )
     stream = events_stream_source(spark, sf_dir)
     views = stream.filter(F.col("event_type") == "view").select(
         "user_id", F.col("ts").alias("l_ts")

@@ -1207,6 +1207,65 @@ def test_fit_cache_memoizes_and_preserves_results(spark):
     S._FIT_CACHE.clear()
 
 
+def test_fit_cache_invalidates_on_data_regeneration(spark, tmp_path):
+    """Path-keyed memos must carry the parquet's (mtime, size) identity
+    (r6 advisory): rewriting the file at the SAME path must trigger a
+    re-fit, never serve the stale artifact."""
+    from kol_bigdata_realtime_analytics_spark.operators import similarity as S
+
+    d = tmp_path / "regen_sf"
+    d.mkdir()
+    path = str(d)
+
+    def write(scale_rows: int):
+        spark.createDataFrame(
+            [
+                (i, [float(((i * 7 + j) % 5) + scale_rows) for j in range(8)])
+                for i in range(32 + scale_rows)
+            ],
+            "vec_id long, embedding array<double>",
+        ).toPandas().to_parquet(str(d / "embeddings.parquet"))
+
+    S._FIT_CACHE.clear()
+    write(0)
+    emb1 = spark.read.parquet(str(d / "embeddings.parquet"))
+    c1 = S.kmeans_centroids(emb1, n_centroids=4, sample_size=64, cache_key=path)
+    # same data, same path -> memo hit
+    assert S.kmeans_centroids(emb1, n_centroids=4, sample_size=64, cache_key=path) == c1
+    # regenerate the parquet in place (different rows AND size) -> re-fit
+    write(16)
+    emb2 = spark.read.parquet(str(d / "embeddings.parquet"))
+    c2 = S.kmeans_centroids(emb2, n_centroids=4, sample_size=64, cache_key=path)
+    assert c2 != c1
+    S._FIT_CACHE.clear()
+
+
+def test_fit_cache_explicit_sample_not_discarded(spark):
+    """A memo hit under a reused cache_key must NOT discard a caller-supplied
+    `sample` (r6 advisory): the sample's content is folded into the key, so
+    two different samples under one key fit independently."""
+    import numpy as np
+
+    from kol_bigdata_realtime_analytics_spark.operators import similarity as S
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 5) for j in range(8)]) for i in range(64)],
+        "vec_id long, embedding array<double>",
+    )
+    key = "sample-fp-test-key"
+    S._FIT_CACHE.clear()
+    s1 = np.array([[float((i * 7 + j) % 5) for j in range(8)] for i in range(64)])
+    s2 = s1 * 2.0 + 1.0  # affine: different directions -> different centroids
+    c1 = S.kmeans_centroids(emb, n_centroids=4, sample_size=64, sample=s1, cache_key=key)
+    c2 = S.kmeans_centroids(emb, n_centroids=4, sample_size=64, sample=s2, cache_key=key)
+    assert c1 != c2  # pre-fix: the s1 memo hit silently served c1 for s2
+    # and the same sample memoizes (second call is a hit, identical result)
+    assert S.kmeans_centroids(
+        emb, n_centroids=4, sample_size=64, sample=s2, cache_key=key
+    ) == c2
+    S._FIT_CACHE.clear()
+
+
 def test_duplicate_clusters_rejects_null_cast_ids(spark):
     """NULL ids silently became NULL-keyed singletons pre-r6 (the semi/anti
     joins use plain equality, and distinct() collapsed them all into one
