@@ -104,6 +104,87 @@ def streaming_momentum_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("mom_state_mem")
 
 
+_MOMENTUM_EQUIV_ORACLE = """
+WITH win AS (
+  SELECT user_id, (epoch_ms(ts) // 300000) * 300000 AS ws_ms
+  FROM events GROUP BY 1, 2
+),
+wm AS (SELECT MAX(epoch_ms(ts)) - 300000 AS w FROM events),
+closed AS (SELECT ws_ms FROM win, wm WHERE ws_ms + 300000 <= wm.w)
+SELECT CAST((SELECT COUNT(*) FROM closed) AS BIGINT) AS n_stream_rows,
+       CAST((SELECT COUNT(*) FROM closed) AS BIGINT) AS n_batch_closed_rows,
+       TRUE AS stream_equals_batch
+""".strip()
+
+
+@register("momentum_stream_batch_equiv_check", oracle=_MOMENTUM_EQUIV_ORACLE)
+def momentum_stream_batch_equiv_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-hashable stream==batch equivalence for the stateful momentum
+    operator (r6 verdict ask #1): runs the REAL applyInPandasWithState
+    stream into a memory sink, re-derives the batch window-function form
+    over the same events, and reduces the comparison to one hash-checkable
+    row — the invariant-companion pattern that certified the ANN/sketch
+    family (plans/invariants.py).
+
+    Emission rule being certified: the stream emits exactly the windows the
+    final watermark closed — ws + W <= wm where wm = max(event ts in ms)
+    - 5 min (Spark truncates event time to ms before the max; the oracle's
+    epoch_ms does the same) — and every emitted row's (n_events,
+    engagement, velocity, momentum, trending_score) matches the batch
+    form's. Floats compare at rel 1e-9 (the stream folds in Python floats,
+    the batch in decimal-exact sums cast to double — same tolerance the
+    pytest equivalence uses), so the booleans are deterministic; the
+    oracle re-derives both row counts from the closed-window rule and
+    states the match as TRUE. A state-machine regression (wrong closing,
+    dropped window, drifted momentum frame) flips a count or the boolean
+    -> hash mismatch -> red driver row.
+    """
+    from kol_bigdata_realtime_analytics_spark.streaming.momentum import (
+        momentum_batch,
+        momentum_stream,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    stream = events_stream_source(spark, sf_dir)
+    _run_to_memory(momentum_stream(stream), "mom_equiv_mem")
+    stream_df = spark.table("mom_equiv_mem")
+    # batch ground truth, filtered to the windows the final watermark closed
+    wm = ev.agg((F.unix_millis(F.max("ts")) - F.lit(300_000)).alias("wm_ms"))
+    closed = (
+        momentum_batch(ev)
+        .crossJoin(F.broadcast(wm))
+        .filter(F.col("window_start_ms") + 300_000 <= F.col("wm_ms"))
+        .drop("wm_ms")
+    )
+    j = stream_df.alias("s").join(
+        closed.alias("b"), ["key", "window_start_ms"], "full"
+    )
+
+    def _close(col: str) -> F.Column:
+        return F.abs(F.col(f"s.{col}") - F.col(f"b.{col}")) <= F.lit(1e-9) * F.greatest(
+            F.abs(F.col(f"b.{col}")), F.lit(1.0)
+        )
+
+    row_ok = (
+        F.col("s.n_events").isNotNull()
+        & F.col("b.n_events").isNotNull()
+        & (F.col("s.n_events") == F.col("b.n_events"))
+        & _close("engagement")
+        & _close("velocity")
+        & _close("momentum")
+        & _close("trending_score")
+    )
+    return j.agg(
+        F.sum(F.when(F.col("s.n_events").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_stream_rows"),
+        F.sum(F.when(F.col("b.n_events").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_batch_closed_rows"),
+        F.min(row_ok).alias("stream_equals_batch"),
+    )
+
+
 @register("streaming_trending", oracle=_STREAM_TRENDING_ORACLE)
 def streaming_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end Structured Streaming run of the trending hot path."""

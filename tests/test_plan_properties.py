@@ -382,6 +382,7 @@ def test_no_unexpected_nested_loop_joins(spark, sf_oracle):
         "brands_above_global_avg_qty",  # broadcast 1-row global average
         "collocations_pmi",         # broadcast 1-row total
         "count_min_check",          # broadcast 1-row totals (rows_ok, n)
+        "momentum_stream_batch_equiv_check",  # broadcast 1-row final-watermark scalar
         "join_size_ams_check",      # broadcast 1-row AGMS estimate x 1-row exact
         "rolling_hll_users_check",  # day-spine range join (days x days)
         "skew_salted_join",         # broadcast 8-row salt spine x dim
