@@ -679,6 +679,19 @@ def pq_codebooks(
         candidates, id_col=id_col, vec_col=vec_col, sample_size=sample_size,
         cache_key=cache_key,
     )
+    books = _pq_fit(X, m, ksub, max_iter)
+    if cache_key is not None:
+        _FIT_CACHE[memo] = [[list(c) for c in b] for b in books]  # private copy
+    return books
+
+
+def _pq_fit(X, m: int, ksub: int, max_iter: int) -> list[list[list[float]]]:
+    """The per-subspace L2 Lloyd fit shared by pq_codebooks (raw vectors)
+    and pq_residual_codebooks (coarse-quantizer residuals). Deterministic:
+    init = first ksub rows of the (hash-ordered) input per subspace, argmin
+    ties -> lowest index, empty cluster keeps its previous centroid."""
+    import numpy as np
+
     dim = X.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
@@ -700,6 +713,88 @@ def pq_codebooks(
             if converged:
                 break
         books.append([[float(x) for x in c] for c in C])
+    return books
+
+
+def _coarse_assign(X, coarse):
+    """Nearest-coarse-centroid assignment of sample rows by cosine — the
+    same rule the in-plan candidate assignment uses (argmax cosine, ties ->
+    lowest cent_id). Zero-norm rows fall to centroid 0."""
+    import numpy as np
+
+    C = np.array(coarse, dtype="float64")
+    xn = np.linalg.norm(X, axis=1, keepdims=True)
+    cn = np.linalg.norm(C, axis=1, keepdims=True)
+    xn[xn == 0] = 1.0
+    cn[cn == 0] = 1.0
+    sim = (X / xn) @ (C / cn).T
+    return np.argmax(sim, axis=1)
+
+
+def coarse_anchors(X, coarse):
+    """Per-list reconstruction anchors for IVFADC: the NON-normalized mean
+    of the sample rows assigned (by cosine) to each coarse list. Spherical
+    k-means centroids are unit vectors — subtracting one from unnormalized
+    data leaves residuals nearly as large as the data itself, which is why
+    IVFADC subtracts the list MEAN (the L2 reconstruction anchor) while the
+    unit centroid keeps doing the cosine pruning. Empty lists fall back to
+    the unit centroid. Deterministic given (sample, coarse)."""
+    import numpy as np
+
+    C = np.array(coarse, dtype="float64")
+    assign = _coarse_assign(X, coarse)
+    A = C.copy()
+    for t in range(C.shape[0]):
+        members = X[assign == t]
+        if len(members):
+            A[t] = members.mean(axis=0)
+    return A
+
+
+def pq_residual_codebooks(
+    candidates: DataFrame,
+    coarse: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    ksub: int = 16,
+    sample_size: int = 4096,
+    max_iter: int = 20,
+    sample=None,
+    cache_key=None,
+) -> list[list[list[float]]]:
+    """PQ codebooks fit on RESIDUALS vs the coarse lists' reconstruction
+    anchors — the IVFADC layout (Jegou, Douze & Schmid 2011; the Faiss
+    IVF-PQ default): each sample row is assigned (by cosine) to its coarse
+    list and the codebooks quantize x - anchor(list) instead of x, where
+    the anchor is the list's non-normalized mean (coarse_anchors; the unit
+    spherical centroid would leave residuals nearly as large as the data).
+    Residuals concentrate around 0 with a fraction of the raw vectors'
+    variance, so the same (m, ksub) budget spends its centroids on the
+    fine structure the coarse quantizer left — what keeps ksub=16
+    codebooks accurate at 100 TB. Same determinism contract and memo
+    discipline as pq_codebooks."""
+    memo = (
+        "pq_res",
+        data_identity(cache_key),
+        _sample_fingerprint(sample) if sample is not None else None,
+        id_col,
+        vec_col,
+        len(coarse),
+        m,
+        ksub,
+        sample_size,
+        max_iter,
+    )
+    if cache_key is not None and memo in _FIT_CACHE:
+        return [[list(c) for c in b] for b in _FIT_CACHE[memo]]
+    X = sample if sample is not None else hash_sample(
+        candidates, id_col=id_col, vec_col=vec_col, sample_size=sample_size,
+        cache_key=cache_key,
+    )
+    A = coarse_anchors(X, coarse)
+    R = X - A[_coarse_assign(X, coarse)]
+    books = _pq_fit(R, m, ksub, max_iter)
     if cache_key is not None:
         _FIT_CACHE[memo] = [[list(c) for c in b] for b in books]  # private copy
     return books
@@ -727,6 +822,33 @@ def pq_encode_udf(books: list[list[list[float]]]):
         for s in range(m):
             Xs = X[:, s * dsub : (s + 1) * dsub]
             d2 = ((Xs[:, None, :] - B[s][None, :, :]) ** 2).sum(axis=2)
+            codes[:, s] = np.argmin(d2, axis=1)
+        return pd.Series(list(codes))
+
+    return _encode
+
+
+def pq_encode_residual_udf(books: list[list[list[float]]], anchors):
+    """Arrow-batched IVFADC encoder: (float vector, coarse cent_id) -> m
+    residual subspace codes. The candidate's residual vs ITS OWN list's
+    reconstruction anchor (coarse_anchors) is quantized — both model
+    artifacts ride in the closure. Same argmin tie rule as pq_encode_udf."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    B = np.array(books, dtype="float64")  # (m, ksub, dsub)
+    C = np.array(anchors, dtype="float64")  # (ncent, dim)
+    m, _, dsub = B.shape
+
+    @pandas_udf("array<int>")
+    def _encode(vecs: pd.Series, cents: pd.Series) -> pd.Series:
+        X = np.stack([np.asarray(v, dtype="float64") for v in vecs])
+        R = X - C[cents.to_numpy(dtype="int64")]
+        codes = np.empty((len(R), m), dtype="int32")
+        for s in range(m):
+            Rs = R[:, s * dsub : (s + 1) * dsub]
+            d2 = ((Rs[:, None, :] - B[s][None, :, :]) ** 2).sum(axis=2)
             codes[:, s] = np.argmin(d2, axis=1)
         return pd.Series(list(codes))
 
@@ -851,6 +973,7 @@ def ivfpq_topk(
     ksub: int = 16,
     sample_size: int = 4096,
     cache_key=None,
+    residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ: coarse-quantizer pruning + PQ-ADC scoring — the standard
     100 TB ANN layout (FAISS IVFPQ / SCANN shape) assembled from the two
@@ -865,6 +988,20 @@ def ivfpq_topk(
     centroids, PQ codebooks) come from the same bounded deterministic
     sample fit. Output contract matches brute_force_topk; ranking quality
     is certified by the same distortion/recall machinery as the parts.
+
+    residual=True selects true IVFADC (Jegou et al. 2011): codebooks fit
+    on and codes quantize x - a(x), the residual vs the assigned list's
+    reconstruction ANCHOR (the list's non-normalized sample mean,
+    coarse_anchors — the unit spherical centroid keeps doing the cosine
+    pruning but would leave residuals nearly as large as the data), and
+    reconstruction is x_hat = a + r_hat. ADC then needs the per-list
+    correction terms: dot(q, x_hat) = dot(q, a) + LUT-sum, and
+    ||x_hat||^2 = ||a||^2 + 2*sum_s(a_s . b_code) + sum_s||b_code||^2 —
+    all (n_centroids x m x ksub)-sized query-side artifacts. Residuals
+    carry a fraction of the raw variance, so the same (m, ksub) budget is
+    spent on fine structure — what keeps ksub=16 accurate at scale
+    (certified by ann_ivfpq_residual_recall_check's residual-beats-plain
+    invariant).
     """
     import numpy as np
     from pyspark.sql.functions import pandas_udf
@@ -879,28 +1016,43 @@ def ivfpq_topk(
         n_centroids=n_centroids, sample_size=sample_size, sample=X,
         cache_key=cache_key,
     )
-    books = pq_codebooks(
-        candidates, id_col=id_col, vec_col=vec_col, m=m, ksub=ksub,
-        sample_size=sample_size, sample=X, cache_key=cache_key,
-    )
+    if residual:
+        books = pq_residual_codebooks(
+            candidates, coarse, id_col=id_col, vec_col=vec_col, m=m, ksub=ksub,
+            sample_size=sample_size, sample=X, cache_key=cache_key,
+        )
+    else:
+        books = pq_codebooks(
+            candidates, id_col=id_col, vec_col=vec_col, m=m, ksub=ksub,
+            sample_size=sample_size, sample=X, cache_key=cache_key,
+        )
 
     cents = candidates.sparkSession.createDataFrame(
         [(i, v) for i, v in enumerate(coarse)],
         "cent_id long, cent_vec array<double>",
     )
     # ---- index build: coarse assignment + PQ codes (one corpus pass) ----
-    encode = pq_encode_udf(books)
     base = candidates.select(
         F.col(id_col).alias("c_id"), as_double_vec(F.col(vec_col)).alias("c_vec")
     )
     wc = Window.partitionBy("c_id").orderBy(F.col("cent_cos").desc(), F.col("cent_id").asc())
-    indexed = (
+    assigned = (
         base.crossJoin(F.broadcast(cents))
         .select("c_id", "c_vec", "cent_id", cosine(F.col("c_vec"), F.col("cent_vec")).alias("cent_cos"))
         .withColumn("rn", F.row_number().over(wc))
         .filter(F.col("rn") == 1)
-        .select("c_id", "cent_id", encode(F.col("c_vec")).alias("codes"))
     )
+    if residual:
+        anchors = coarse_anchors(X, coarse)
+        encode_res = pq_encode_residual_udf(books, anchors)
+        indexed = assigned.select(
+            "c_id", "cent_id", encode_res(F.col("c_vec"), F.col("cent_id")).alias("codes")
+        )
+    else:
+        encode = pq_encode_udf(books)
+        indexed = assigned.select(
+            "c_id", "cent_id", encode(F.col("c_vec")).alias("codes")
+        )
     # ---- query payload: shared ADC arrays + probed coarse lists ----
     q_ids, Qv, qn, lut2, offsets, cent_n2 = _adc_query_payload(
         queries, books, id_col=id_col, vec_col=vec_col
@@ -918,14 +1070,50 @@ def ivfpq_topk(
     probe_df = candidates.sparkSession.createDataFrame(probes, "q_id long, cent_id long")
     qpos_of = {qid: i for i, qid in enumerate(q_ids)}
 
-    @pandas_udf("double")
-    def _adc_one(codes: pd.Series, qpos: pd.Series) -> pd.Series:
-        C = np.stack([np.asarray(c, dtype="int64") for c in codes]) + offsets
-        qi = qpos.to_numpy(dtype="int64")
-        dots = np.take_along_axis(lut2[qi], C, axis=1).sum(axis=1)
-        rn = np.sqrt(cent_n2[C].sum(axis=1))
-        with np.errstate(divide="ignore", invalid="ignore"):
-            return pd.Series(dots / (qn[qi] * rn))
+    if residual:
+        # IVFADC correction artifacts vs the list ANCHORS (x_hat = a + r_hat):
+        # per-(list, subspace, code) cross dots a_s . b_code, laid out flat
+        # to match the LUT/code offsets
+        k_eff = cent_n2.shape[0] // m
+        A = np.asarray(anchors, dtype="float64")  # (ncent, dim)
+        qc_dot = Qv @ A.T  # (nq, ncent) raw dots
+        cent_norm2 = (A * A).sum(axis=1)  # (ncent,)
+        B = np.array(books, dtype="float64")  # (m, k_eff, dsub)
+        dsub = B.shape[2]
+        cross = np.empty((A.shape[0], m * k_eff), dtype="float64")
+        for s in range(m):
+            cross[:, s * k_eff : (s + 1) * k_eff] = (
+                A[:, s * dsub : (s + 1) * dsub] @ B[s].T
+            )
+
+        @pandas_udf("double")
+        def _adc_one(codes: pd.Series, qpos: pd.Series, cent: pd.Series) -> pd.Series:
+            C = np.stack([np.asarray(c, dtype="int64") for c in codes]) + offsets
+            qi = qpos.to_numpy(dtype="int64")
+            t = cent.to_numpy(dtype="int64")
+            dots = qc_dot[qi, t] + np.take_along_axis(lut2[qi], C, axis=1).sum(axis=1)
+            rn2 = (
+                cent_norm2[t]
+                + 2.0 * np.take_along_axis(cross[t], C, axis=1).sum(axis=1)
+                + cent_n2[C].sum(axis=1)
+            )
+            rn = np.sqrt(np.maximum(rn2, 0.0))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                return pd.Series(dots / (qn[qi] * rn))
+
+        adc_cols = [F.col("codes"), F.col("qpos"), F.col("cent_id")]
+    else:
+
+        @pandas_udf("double")
+        def _adc_one(codes: pd.Series, qpos: pd.Series) -> pd.Series:
+            C = np.stack([np.asarray(c, dtype="int64") for c in codes]) + offsets
+            qi = qpos.to_numpy(dtype="int64")
+            dots = np.take_along_axis(lut2[qi], C, axis=1).sum(axis=1)
+            rn = np.sqrt(cent_n2[C].sum(axis=1))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                return pd.Series(dots / (qn[qi] * rn))
+
+        adc_cols = [F.col("codes"), F.col("qpos")]
 
     qpos_map = F.element_at(
         F.map_from_arrays(
@@ -938,7 +1126,7 @@ def ivfpq_topk(
         indexed.join(F.broadcast(probe_df), "cent_id")
         .filter(F.col("c_id") != F.col("q_id"))
         .withColumn("qpos", qpos_map)
-        .select("q_id", "c_id", _adc_one(F.col("codes"), F.col("qpos")).alias("cos_raw"))
+        .select("q_id", "c_id", _adc_one(*adc_cols).alias("cos_raw"))
         .filter(~F.isnan("cos_raw"))
         .select("q_id", "c_id", F.round("cos_raw", 6).alias("cosine"))
     )

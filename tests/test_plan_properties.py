@@ -375,6 +375,8 @@ def test_no_unexpected_nested_loop_joins(spark, sf_oracle):
     allowed = {
         "ann_cosine_topk",          # broadcast 5 query vectors x corpus (baseline scorer)
         "ann_ivfpq_topk",           # broadcast 8-row centroid frame x corpus (coarse assign)
+        "ann_ivfpq_residual_topk",  # same 8-row centroid broadcast cross (IVFADC variant)
+        "ann_ivfpq_residual_recall_check",  # brute-force reference + centroid broadcasts over the 512-row fixture
         "ann_int8_topk",            # broadcast 5 query codes x corpus
         "ann_lsh_recall_check",     # brute-force reference inside the invariant
         "ann_ivfpq_recall_check",   # brute-force reference over the 512-row clustered fixture + 8-row centroid broadcast
