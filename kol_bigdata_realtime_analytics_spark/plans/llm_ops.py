@@ -3248,6 +3248,159 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Byte-fallback BPE encode — real byte-level tokenizers (GPT-2, SentencePiece
+# byte mode) never emit UNK: a character outside the trained alphabet
+# decomposes to its UTF-8 byte symbols. The corpus alphabet is a bounded
+# model artifact (distinct chars of the training words); unknown chars are
+# counted and re-billed at their byte width, all in the scan projection.
+# ---------------------------------------------------------------------------
+
+#: deterministic out-of-alphabet probe row, planted on the ENCODE side only
+#: (never the training side): every word is built PURELY from chars outside
+#: the corpus alphabet (non-ASCII; the corpus is ASCII at every sf), so its
+#: trained-merge encode is the identity (no merge can contain an unseen
+#: char) and its token count is exactly its UTF-8 byte count — which keeps
+#: the DuckDB oracle chain-free for unseen words AND makes the fallback
+#: path non-vacuous at the driver's sf (2-byte e-acute/n-tilde/pi + 3-byte
+#: euro: 9 fallback byte tokens from 3 words).
+_FALLBACK_PROBE_SOURCE = "zz_fallback_probe"
+_FALLBACK_PROBE_TEXT = "é €ñ π"
+
+
+def _bpe_fallback_oracle(n: int) -> str:
+    """Oracle for the byte-fallback encode pass: the trained-merge chain
+    encodes every corpus word (carry_word CTEs, as in _bpe_encode_oracle);
+    the probe row's unknown-only words encode as len(w) symbols by
+    construction; per-word unknown-char/byte stats come from a char unnest
+    anti-joined against the alphabet CTE (chars of len>=2 training words)."""
+    parts = _bpe_chain_ctes(n, carry_word=True)
+    parts.append(
+        f"""enc AS MATERIALIZED (
+  SELECT w, CAST(len(string_split(substr(sym, 2, len(sym) - 2),
+                                  chr(3) || chr(2))) AS BIGINT) AS n_sub
+  FROM w{n}
+),
+alpha AS (
+  SELECT DISTINCT unnest(string_split(w, '')) AS ch
+  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+        FROM documents WHERE trim(COALESCE(text,'')) <> '')
+  WHERE len(w) >= 2
+),
+occ AS (
+  SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+  FROM documents WHERE trim(COALESCE(text,'')) <> ''
+  UNION ALL
+  SELECT '{_FALLBACK_PROBE_SOURCE}' AS source,
+         unnest(regexp_split_to_array('{_FALLBACK_PROBE_TEXT}', '\\s+')) AS w
+),
+enc_all AS (
+  SELECT w, n_sub FROM enc
+  UNION ALL
+  SELECT DISTINCT w, CAST(len(w) AS BIGINT) AS n_sub
+  FROM occ WHERE w NOT IN (SELECT w FROM enc)
+),
+wstats AS (
+  SELECT w,
+         CAST(SUM(CASE WHEN ch IN (SELECT ch FROM alpha) THEN 0 ELSE 1 END)
+              AS BIGINT) AS n_unknown,
+         CAST(SUM(CASE WHEN ch IN (SELECT ch FROM alpha) THEN 0
+                       ELSE octet_length(encode(ch)) END) AS BIGINT) AS n_bytes
+  FROM (SELECT w, unnest(string_split(w, '')) AS ch
+        FROM (SELECT DISTINCT w FROM occ))
+  GROUP BY w
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT o.source,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(e.n_sub - s.n_unknown + s.n_bytes) AS BIGINT) AS n_tokens,
+       CAST(SUM(s.n_bytes) AS BIGINT) AS n_byte_fallback_tokens
+FROM occ o JOIN enc_all e ON o.w = e.w JOIN wstats s ON o.w = s.w
+GROUP BY o.source"""
+    )
+
+
+@register("bpe_encode_fallback_stats", oracle=_bpe_fallback_oracle(_BPE_N_MERGES))
+def bpe_encode_fallback_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE encode with BYTE FALLBACK (r6 verdict ask #3): chars absent from
+    the trained alphabet never emit UNK — they decompose to their UTF-8
+    byte symbols, exactly the GPT-2 / byte-level-SentencePiece contract.
+    Per source: word count, total token count under the 40 trained merges
+    WITH fallback accounting (an unknown char's single symbol is re-billed
+    as octet_length bytes), and the fallback byte-token count itself.
+
+    Artifacts: the merge table (memoized per corpus identity, as in
+    bpe_encode_stats) plus the ALPHABET — the distinct chars of the len>=2
+    training words, a bounded driver-side collect (24 chars at every
+    TESTDATA sf; ~1e2-1e3 for real corpora — the tokenizer ships it next
+    to the merges). Encoding stays all-native in the scan projection: the
+    replace chain counts symbols; unknown chars come from
+    filter(split(w,''), c -> !array_contains(alphabet, c)) with their byte
+    widths summed by F.aggregate + octet_length — zero extra shuffles
+    before the per-source aggregate, corpus-linear like bpe_encode_stats.
+
+    The corpus is pure ASCII inside the alphabet at every TESTDATA sf, so
+    a deterministic probe row (source zz_fallback_probe) of PURELY
+    out-of-alphabet words is planted on the encode side — the fallback
+    path is exercised non-vacuously (9 byte tokens from 3 words: 2+2+2+3
+    bytes) and, because no trained merge can touch an unseen char, its
+    encode is the identity and the oracle prices it at len(w) symbols
+    without re-deriving the chain for unseen words. pytest pins mixed
+    known/unknown words against the independent Python BPE model."""
+    from kol_bigdata_realtime_analytics_spark.plans.domain import trunc6  # noqa: F401
+
+    merges = _bpe_merges(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents").filter(
+        F.trim(F.coalesce("text", F.lit(""))) != ""
+    )
+    # alphabet artifact: distinct chars of the len>=2 training words
+    alphabet = sorted(
+        r["ch"]
+        for r in docs.select(F.explode(tokens("text")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .select(F.explode(F.split("w", "")).alias("ch"))
+        .distinct()
+        .collect()
+    )
+    alph_lit = F.array(*[F.lit(c) for c in alphabet])
+    probe = spark.createDataFrame(
+        [(_FALLBACK_PROBE_SOURCE, _FALLBACK_PROBE_TEXT)], "source string, text string"
+    )
+    occ = (
+        docs.select("source", "text")
+        .unionByName(probe)
+        .select("source", F.explode(tokens("text")).alias("w"))
+    )
+    enc = bpe_encode_expr(F.col("w"), merges)
+    n_sub = F.size(
+        F.split(F.substring(enc, 2, F.length(enc) - 2), _BPE_C3 + _BPE_C2)
+    ).cast("long")
+    unknown = F.filter(
+        F.split("w", ""), lambda c: ~F.array_contains(alph_lit, c)
+    )
+    n_unknown = F.size(unknown).cast("long")
+    n_bytes = F.aggregate(
+        unknown, F.lit(0).cast("long"), lambda acc, c: acc + F.octet_length(c)
+    )
+    return (
+        occ.select(
+            "source",
+            (n_sub - n_unknown + n_bytes).alias("tok"),
+            n_bytes.alias("fb"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("tok").alias("n_tokens"),
+            F.sum("fb").alias("n_byte_fallback_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Split-leakage audit — near-dup pairs straddling the train/dev/test split.
 # The classic training-data bug: dedup and splitting done independently
 # leave a test doc whose near-duplicate sits in train, silently inflating

@@ -105,6 +105,43 @@ def test_bpe_frequency_weighting(spark):
     _check_corpus(spark, ["ab", "ab", "ab", "cd", "cd", "ce"], 2)
 
 
+def test_bpe_byte_fallback_mixed_words(spark):
+    """Byte fallback on MIXED known/unknown words (the registered probe row
+    uses unknown-only words so the oracle stays chain-free; the mixed case
+    is pinned here): trained merges apply to the known chars exactly as
+    without fallback, and each unknown char re-bills its single symbol as
+    octet_length(char) byte tokens. Reference token count per word =
+    len(_encode_ref) - n_unknown + sum(utf8 bytes of unknown chars)."""
+    words = ["abab", "abab", "ab", "cab"]
+    wdf = spark.createDataFrame([(w,) for w in words], "w string")
+    merges = bpe_train(wdf, 3)
+    alphabet = sorted({c for w in words for c in w})
+    mixed = ["cabé", "ab€ab", "π", "café¥"]
+    alph_lit = F.array(*[F.lit(c) for c in alphabet])
+    enc = bpe_encode_expr(F.col("w"), merges)
+    n_sub = F.size(
+        F.split(F.substring(enc, 2, F.length(enc) - 2), _BPE_C3 + _BPE_C2)
+    ).cast("long")
+    unknown = F.filter(F.split("w", ""), lambda c: ~F.array_contains(alph_lit, c))
+    n_tok = n_sub - F.size(unknown).cast("long") + F.aggregate(
+        unknown, F.lit(0).cast("long"), lambda acc, c: acc + F.octet_length(c)
+    )
+    got = {
+        r["w"]: r["t"]
+        for r in spark.createDataFrame([(w,) for w in mixed], "w string")
+        .select("w", n_tok.alias("t"))
+        .collect()
+    }
+    for w in mixed:
+        unk = [c for c in w if c not in alphabet]
+        want = (
+            len(_encode_ref(w, merges)) - len(unk) + sum(len(c.encode("utf-8")) for c in unk)
+        )
+        assert got[w] == want, (w, got[w], want)
+    # sanity on the widths the fixture exercises: 2-byte (é, π, ¥), 3-byte (€)
+    assert got["π"] == 2
+
+
 def test_bpe_random_corpus_seeded(spark):
     """A seeded random corpus over a tiny alphabet maximizes run/overlap
     and tie cases per word; 8 merge rounds exercise deep multi-char
