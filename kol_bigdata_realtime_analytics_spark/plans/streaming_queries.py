@@ -577,3 +577,112 @@ def streaming_unattributed_views(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("view_us").alias("last_view_us"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming FULL OUTER interval join — both sides' NULL-padded rows, each
+# gated by its own state-eviction rule under the shared global watermark:
+# a view's NULL row needs the watermark past view_ts + gap (no click can
+# still match), a click's needs it past click_ts (no view with an earlier
+# ts can still arrive). The remaining outer shape after r6's leftOuter.
+# ---------------------------------------------------------------------------
+
+_STREAM_FULL_OUTER_ORACLE = """
+WITH v AS (SELECT user_id, ts AS l_ts FROM events WHERE event_type = 'view'),
+c AS (SELECT user_id, ts AS r_ts FROM events WHERE event_type = 'click'),
+wm AS (SELECT CASE WHEN (SELECT MAX(l_ts) FROM v) IS NULL
+                     OR (SELECT MAX(r_ts) FROM c) IS NULL THEN NULL
+              ELSE LEAST((SELECT MAX(l_ts) FROM v) - INTERVAL 10 MINUTE,
+                         (SELECT MAX(r_ts) FROM c) - INTERVAL 20 MINUTE) END AS w),
+uv AS (
+  SELECT 'view' AS side, v.user_id, epoch_us(v.l_ts) AS ts_us FROM v, wm
+  WHERE v.l_ts + INTERVAL 10 MINUTE < wm.w
+    AND NOT EXISTS (SELECT 1 FROM c
+                    WHERE c.user_id = v.user_id
+                      AND c.r_ts > v.l_ts
+                      AND c.r_ts <= v.l_ts + INTERVAL 10 MINUTE)
+),
+uc AS (
+  SELECT 'click' AS side, c.user_id, epoch_us(c.r_ts) AS ts_us FROM c, wm
+  WHERE c.r_ts < wm.w
+    AND NOT EXISTS (SELECT 1 FROM v
+                    WHERE v.user_id = c.user_id
+                      AND v.l_ts < c.r_ts
+                      AND v.l_ts >= c.r_ts - INTERVAL 10 MINUTE)
+)
+SELECT side, user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_unmatched,
+       CAST(MIN(ts_us) AS BIGINT) AS first_us,
+       CAST(MAX(ts_us) AS BIGINT) AS last_us
+FROM (SELECT * FROM uv UNION ALL SELECT * FROM uc)
+GROUP BY side, user_id
+""".strip()
+
+
+@register("streaming_unmatched_both_sides", oracle=_STREAM_FULL_OUTER_ORACLE)
+def streaming_unmatched_both_sides(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming FULL OUTER interval join (view vs click within 10
+    minutes per user, view watermark 10 min / click watermark 20 min):
+    NULL-padded rows emit from BOTH sides, each when the GLOBAL watermark
+    (min of the two) proves that side's state entry can never match —
+
+    - an unmatched VIEW once wm passes view_ts + gap (the leftOuter rule
+      `streaming_unattributed_views` certified in r6: no click in
+      (view_ts, view_ts + gap] can still arrive), and
+    - an unmatched CLICK once wm passes click_ts (a click joins views with
+      view_ts in [click_ts - gap, click_ts); any such view would now be
+      later than the watermark allows).
+
+    The oracle re-derives the union of both closure rules: each side's
+    NOT-EXISTS-match filter gated by its own eviction inequality under the
+    shared wm = min(max(view_ts) - 10 min, max(click_ts) - 20 min), NULL
+    (zero rows) when either side is empty — same emptiness semantics as
+    the leftOuter oracle. Aggregated per (side, user) for a stable compact
+    result. Single-file, single-micro-batch replay asserted (multi-batch
+    replay changes cross-batch eviction timing, as in the leftOuter case).
+    """
+    import glob as _glob
+
+    from kol_bigdata_realtime_analytics_spark.streaming.joins import interval_join
+
+    src_files = _glob.glob(f"{sf_dir}/events.parquet")
+    if len(src_files) != 1:
+        raise ValueError(
+            "streaming_unmatched_both_sides' watermark-closure oracle assumes "
+            f"a single-file, single-micro-batch replay; found {len(src_files)} files"
+        )
+    stream = events_stream_source(spark, sf_dir)
+    views = stream.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("l_ts")
+    )
+    clicks = stream.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("r_ts")
+    )
+    j = interval_join(
+        views,
+        clicks,
+        key="user_id",
+        max_gap="10 minutes",
+        left_watermark="10 minutes",
+        right_watermark="20 minutes",
+        how="fullOuter",
+    )
+    unmatched = j.filter(
+        F.col("r.r_ts").isNull() | F.col("l.l_ts").isNull()
+    ).select(
+        F.when(F.col("r.r_ts").isNull(), F.lit("view"))
+        .otherwise(F.lit("click"))
+        .alias("side"),
+        F.coalesce(F.col("l.user_id"), F.col("r.user_id")).alias("user_id"),
+        F.unix_micros(F.coalesce(F.col("l.l_ts"), F.col("r.r_ts"))).alias("ts_us"),
+    )
+    _run_to_memory(unmatched, "stream_full_outer_mem")
+    return (
+        spark.table("stream_full_outer_mem")
+        .groupBy("side", "user_id")
+        .agg(
+            F.count("*").alias("n_unmatched"),
+            F.min("ts_us").alias("first_us"),
+            F.max("ts_us").alias("last_us"),
+        )
+    )

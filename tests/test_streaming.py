@@ -85,6 +85,56 @@ def test_interval_join_stream_equals_batch(spark, tmp_path):
         assert 0 < gap_us <= 2 * 3600 * 1_000_000
 
 
+def test_full_outer_interval_join_emits_both_sides(spark, tmp_path):
+    """FULL OUTER stream-stream interval join: each side's NULL-padded row
+    emits exactly when the global watermark proves it closed — the view
+    needs wm past view_ts + gap, the click needs wm past click_ts; rows
+    near the stream's end stay in state and never emit."""
+    from kol_bigdata_realtime_analytics_spark.streaming.joins import interval_join
+
+    base = datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # user 1: view with no click within 10 min -> unmatched view
+        (0, base, 1, "view", 1.0),
+        # user 2: click with no view in the preceding 10 min -> unmatched click
+        (1, base.replace(minute=5), 2, "click", 1.0),
+        # user 3: matched pair -> neither row emits as unmatched
+        (2, base, 3, "view", 1.0),
+        (3, base.replace(minute=4), 3, "click", 1.0),
+        # flush rows at 02:00: wm = min(02:00-10min, 02:00-20min) = 01:40,
+        # closing users 1-3; the flush rows themselves stay open (02:10 and
+        # 02:00 are past wm) and must not emit
+        (4, base.replace(hour=2), 99, "view", 1.0),
+        (5, base.replace(hour=2), 99, "click", 1.0),
+    ]
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    batch_df = spark.createDataFrame(rows, schema)
+    src = str(tmp_path / "ss_fo_src")
+    batch_df.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(batch_df.schema).parquet(src)
+    views = stream.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("l_ts")
+    )
+    clicks = stream.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("r_ts")
+    )
+    j = interval_join(
+        views, clicks, key="user_id", max_gap="10 minutes",
+        left_watermark="10 minutes", right_watermark="20 minutes",
+        how="fullOuter",
+    )
+    out = j.filter(F.col("r.r_ts").isNull() | F.col("l.l_ts").isNull()).select(
+        F.when(F.col("r.r_ts").isNull(), F.lit("view")).otherwise(F.lit("click")).alias("side"),
+        F.coalesce(F.col("l.user_id"), F.col("r.user_id")).alias("user_id"),
+    )
+    q = out.writeStream.outputMode("append").format("memory").queryName("t_ssfo").start()
+    q.processAllAvailable()
+    q.stop()
+    got = {(r["side"], r["user_id"]) for r in spark.table("t_ssfo").collect()}
+    assert got == {("view", 1), ("click", 2)}
+
+
 def test_dedup_within_watermark_collapses_redeliveries(spark, tmp_path):
     from kol_bigdata_realtime_analytics_spark.streaming.joins import dedup_within_watermark
 
