@@ -131,6 +131,9 @@ HEADLINE = [
     "bpe_vocab_train",
     "bpe_encode_stats",
     "split_leakage_check",
+    "ann_ivfpq_residual_topk",
+    "bpe_encode_fallback_stats",
+    "dsir_importance_weights",
 ]
 
 

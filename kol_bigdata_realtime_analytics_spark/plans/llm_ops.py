@@ -3481,3 +3481,145 @@ def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     return cells.filter(F.col("split_a") != F.col("split_b"))
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling"): score every raw document by
+# how much more likely its hashed-ngram features are under a TARGET domain
+# than under the raw corpus — the standard cheap data-selection signal when
+# a quality classifier is too expensive to run at 100 TB.
+# ---------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 256
+_DSIR_TARGET_SOURCE = "src0"  # the designated high-quality target domain
+
+#: md5-nibble feature bucket, identical in Spark and DuckDB (both engines
+#: md5 the UTF-8 string and emit lowercase hex; two nibbles -> 256 buckets).
+#: Same expression, two spellings: DuckDB's strpos == Spark's instr.
+_DSIR_BUCKET_SQL = (
+    "(({pos}('0123456789abcdef', substr(md5({g}), 1, 1)) - 1) * 16"
+    " + ({pos}('0123456789abcdef', substr(md5({g}), 2, 1)) - 1))"
+)
+
+_DSIR_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS tk
+  FROM documents WHERE trim(COALESCE(text,'')) <> ''
+),
+feats AS (
+  SELECT doc_id, source,
+         {_DSIR_BUCKET_SQL.format(g="tk[j] || ' ' || tk[j+1]", pos="strpos")} AS b
+  FROM toks, unnest(generate_series(1, len(tk) - 1)) AS t(j)
+  WHERE len(tk) >= 2
+),
+counts AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS s_cnt,
+         CAST(SUM(CASE WHEN source = '{_DSIR_TARGET_SOURCE}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS t_cnt
+  FROM feats GROUP BY b
+),
+tot AS (SELECT SUM(s_cnt) AS s_tot, SUM(t_cnt) AS t_tot FROM counts),
+lr AS (
+  SELECT b, floor(ln((t_cnt + 1.0) * (s_tot + {_DSIR_BUCKETS}.0)
+                     / ((s_cnt + 1.0) * (t_tot + {_DSIR_BUCKETS}.0))) * 1000000)
+            / 1000000 AS lw
+  FROM counts, tot
+)
+SELECT f.doc_id, f.source,
+       CAST(COUNT(*) AS BIGINT) AS n_features,
+       CAST(SUM(CAST(lr.lw AS DECIMAL(18,6))) AS DOUBLE) AS log_weight,
+       floor(CAST(SUM(CAST(lr.lw AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+             * 1000000) / 1000000 AS avg_log_weight
+FROM feats f JOIN lr ON lr.b = f.b
+GROUP BY f.doc_id, f.source
+""".strip()
+
+
+@register("dsir_importance_weights", oracle=_DSIR_ORACLE)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-ngram importance weights for data selection (DSIR, Xie et
+    al. 2023): per document, the log-likelihood ratio of its word-bigram
+    features under the TARGET domain vs the raw corpus, with Laplace
+    smoothing over 256 md5-nibble buckets. Downstream, sampling documents
+    by these weights (importance resampling) reshapes a raw 100 TB crawl
+    toward the target distribution without running a classifier over it.
+
+    Scale shape: bucket counts are ONE corpus aggregation with map-side
+    partial combine (the 256-key shuffle is constant-size); the per-bucket
+    log-ratio table is a 256-row broadcast model artifact (pinned — it
+    feeds the doc join and the totals), so the scoring pass is a
+    broadcast-joined scan projection followed by the per-doc aggregate.
+    The bigram explode is deliberately NOT pinned: the materialized
+    feature frame is larger than the corpus text, so recomputing it for
+    the scoring pass (2 scans total) beats writing it out — the same
+    call the shard pipeline makes for its shingle frames.
+
+    Determinism: the bucket hash is the shared md5-nibble scheme (the
+    split_expr fence family — identical hex in both engines); per-bucket
+    log-ratios are computed from pure-integer counts (identical doubles),
+    trunc6-quantized at the BUCKET level, and per-doc sums run in
+    DECIMAL(18,6) so summation order can't wobble the hash. Documents
+    with <2 tokens have no bigram features and are excluded (documented
+    contract; DSIR on unigrams would cover them)."""
+    from kol_bigdata_realtime_analytics_spark.plans.domain import trunc6
+
+    docs = table(spark, sf_dir, "documents").filter(
+        F.trim(F.coalesce("text", F.lit(""))) != ""
+    )
+    tk = tokens("text")
+    bigrams = F.expr(
+        "transform(sequence(1, size(_tk) - 1), "
+        "j -> concat(element_at(_tk, j), ' ', element_at(_tk, j + 1)))"
+    )
+    feats = (
+        docs.select("doc_id", "source", tk.alias("_tk"))
+        .filter(F.size("_tk") >= 2)
+        .select("doc_id", "source", F.explode(bigrams).alias("g"))
+        .select(
+            "doc_id",
+            "source",
+            F.expr(_DSIR_BUCKET_SQL.format(g="g", pos="instr")).alias("b"),
+        )
+    )
+    counts = (
+        feats.groupBy("b")
+        .agg(
+            F.count("*").alias("s_cnt"),
+            F.sum(
+                (F.col("source") == _DSIR_TARGET_SOURCE).cast("long")
+            ).alias("t_cnt"),
+        )
+        # tiny (<=256 rows) but feeds two branches (totals + the scoring
+        # join): pinned so neither re-runs the corpus aggregation
+        .localCheckpoint(eager=True)
+    )
+    tot = counts.agg(
+        F.sum("s_cnt").alias("s_tot"), F.sum("t_cnt").alias("t_tot")
+    )
+    lw = F.lit(1.0) * (
+        (F.col("t_cnt") + 1.0) * (F.col("s_tot") + float(_DSIR_BUCKETS))
+        / ((F.col("s_cnt") + 1.0) * (F.col("t_tot") + float(_DSIR_BUCKETS)))
+    )
+    lr = counts.crossJoin(F.broadcast(tot)).select(
+        "b", trunc6(F.log(lw)).alias("lw")
+    )
+    return (
+        feats.join(F.broadcast(lr), "b")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n_features"),
+            F.sum(F.col("lw").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("log_weight"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_features",
+            "log_weight",
+            trunc6(F.col("log_weight") / F.col("n_features")).alias(
+                "avg_log_weight"
+            ),
+        )
+    )

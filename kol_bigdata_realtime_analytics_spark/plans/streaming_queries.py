@@ -579,6 +579,75 @@ def streaming_unattributed_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STREAM_SEMI_ORACLE = """
+WITH v AS (SELECT user_id, ts AS l_ts FROM events WHERE event_type = 'view'),
+c AS (SELECT user_id, ts AS r_ts FROM events WHERE event_type = 'click')
+SELECT v.user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_attributed_views,
+       CAST(epoch_us(MIN(v.l_ts)) AS BIGINT) AS first_view_us,
+       CAST(epoch_us(MAX(v.l_ts)) AS BIGINT) AS last_view_us
+FROM v
+WHERE EXISTS (SELECT 1 FROM c
+              WHERE c.user_id = v.user_id
+                AND c.r_ts > v.l_ts
+                AND c.r_ts <= v.l_ts + INTERVAL 10 MINUTE)
+GROUP BY v.user_id
+""".strip()
+
+
+@register("streaming_attributed_views_semi", oracle=_STREAM_SEMI_ORACLE)
+def streaming_attributed_views_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming LEFT SEMI interval join — the existence-only shape
+    (views that DID get a click within 10 minutes, each view emitted at
+    most once with no click columns, so a multi-click view never
+    duplicates). Completes the stream-stream join family: inner
+    (click_attribution), leftOuter (unattributed_views), fullOuter
+    (unmatched_both_sides), semi. Match-driven emission means no
+    watermark-closure gate in the oracle: a plain EXISTS within the gap is
+    the exact row set for a bounded replay (matches land in the same
+    micro-batch; the single-file assert below keeps cross-batch eviction
+    out of the picture, as in the outer variants)."""
+    import glob as _glob
+
+    from kol_bigdata_realtime_analytics_spark.streaming.joins import interval_join
+
+    src_files = _glob.glob(f"{sf_dir}/events.parquet")
+    if len(src_files) != 1:
+        raise ValueError(
+            "streaming_attributed_views_semi assumes a single-file, "
+            f"single-micro-batch replay; found {len(src_files)} files"
+        )
+    stream = events_stream_source(spark, sf_dir)
+    views = stream.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("l_ts")
+    )
+    clicks = stream.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("r_ts")
+    )
+    j = interval_join(
+        views,
+        clicks,
+        key="user_id",
+        max_gap="10 minutes",
+        left_watermark="10 minutes",
+        right_watermark="20 minutes",
+        how="leftSemi",
+    )
+    out = j.select(
+        F.col("user_id"), F.unix_micros(F.col("l_ts")).alias("view_us")
+    )
+    _run_to_memory(out, "stream_semi_mem")
+    return (
+        spark.table("stream_semi_mem")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_attributed_views"),
+            F.min("view_us").alias("first_view_us"),
+            F.max("view_us").alias("last_view_us"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Streaming FULL OUTER interval join — both sides' NULL-padded rows, each
 # gated by its own state-eviction rule under the shared global watermark:

@@ -1426,3 +1426,21 @@ def test_cooccurrence_with_audit_shares_mode(spark):
 
     with _pytest.raises(ValueError, match="requires max_basket_size"):
         cooccurrence_pairs(df, "basket", "item", with_audit=True)
+
+
+def test_dsir_weights_favor_target_domain(spark, sf_small):
+    """DSIR's defining property: documents FROM the target domain must
+    score a higher mean importance weight than the rest of the corpus
+    (their features are, by construction, more likely under the target
+    distribution). Deterministic on the fixed TESTDATA."""
+    from kol_bigdata_realtime_analytics_spark.plans.llm_ops import (
+        _DSIR_TARGET_SOURCE,
+        dsir_importance_weights,
+    )
+
+    out = dsir_importance_weights(spark, sf_small)
+    rows = out.groupBy(
+        (F.col("source") == _DSIR_TARGET_SOURCE).alias("is_target")
+    ).agg(F.avg("avg_log_weight").alias("m")).collect()
+    m = {r["is_target"]: r["m"] for r in rows}
+    assert m[True] > m[False]
