@@ -134,6 +134,7 @@ HEADLINE = [
     "ann_ivfpq_residual_topk",
     "bpe_encode_fallback_stats",
     "dsir_importance_weights",
+    "heavy_hitters_hotkeys",
 ]
 
 

@@ -154,3 +154,60 @@ def agms_join_size(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:
         F.coalesce("dot", F.lit(0)).alias("dot")
     )
     return full.agg(F.coalesce(F.expr("percentile(dot, 0.5)"), F.lit(0.0)).alias("est"))
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters — the 2-pass distributed shape: bounded
+# per-partition summaries give a candidate SUPERSET of every item with
+# frequency > n/(k+1) (mergeable-summaries guarantee, Agarwal et al. 2012),
+# then one exact re-count of the tiny candidate set makes the final answer
+# EXACT — which is what lets a DuckDB oracle certify the whole pipeline,
+# no-false-negative property included.
+# ---------------------------------------------------------------------------
+
+
+def misra_gries_candidates(df: DataFrame, key_col: str, k: int = 16) -> DataFrame:
+    """Per-partition Misra-Gries summaries -> distinct candidate keys.
+
+    Each partition keeps at most k weighted counters (Arrow batches merge
+    by value_counts; over-capacity triggers subtract-the-min eviction
+    rounds until <= k survive — the weighted MG merge, whose undercount is
+    bounded by n_p/(k+1)). Pigeonhole across partitions: an item with
+    global count > n/(k+1) exceeds n_p/(k+1) in at least one partition and
+    therefore survives there — candidates are a guaranteed superset of the
+    true heavy hitters. Memory is O(k) per partition at ANY scale; the
+    shuffle moves only |partitions| * k candidate keys."""
+    import pandas as pd
+
+    def mg(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for item, c in pdf[key_col].value_counts().items():
+                counters[item] = counters.get(item, 0) + int(c)
+            while len(counters) > k:
+                m = min(counters.values())
+                counters = {i: c2 - m for i, c2 in counters.items() if c2 > m}
+        yield pd.DataFrame({key_col: list(counters.keys())})
+
+    return df.select(key_col).mapInPandas(mg, f"{key_col} long").distinct()
+
+
+def heavy_hitters_exact(df: DataFrame, key_col: str, k: int = 16) -> DataFrame:
+    """Keys with count * (k+1) > total, found scalably: MG candidates
+    (bounded state, one scan) -> semi-join -> exact count of candidates
+    (second scan, group-by over <= partitions*k keys) -> threshold filter
+    against the in-plan total. Exact output despite the sketch: the
+    candidate set can only over-include, and the re-count is exact."""
+    cand = misra_gries_candidates(df, key_col, k)
+    exact = (
+        df.select(key_col)
+        .join(F.broadcast(cand), key_col, "left_semi")
+        .groupBy(key_col)
+        .agg(F.count("*").alias("n_events"))
+    )
+    total = df.select(key_col).agg(F.count("*").alias("_total"))
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .filter(F.col("n_events") * (k + 1) > F.col("_total"))
+        .select(key_col, "n_events")
+    )

@@ -2367,3 +2367,47 @@ def brand_triple_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters / hot-key detection — the pre-join audit that decides which
+# keys need salting. TESTDATA traffic is uniform, so a deterministic hot
+# key is derived in-plan (every user_id % 7 == 0 folds into key -1, ~1/7 of
+# all events) — the skewed shape the operator exists for, identically
+# re-derived by the oracle.
+# ---------------------------------------------------------------------------
+
+_HEAVY_HITTERS_ORACLE = """
+WITH keyed AS (
+  SELECT CASE WHEN user_id % 7 = 0 THEN -1 ELSE user_id END AS hot_key
+  FROM events
+),
+c AS (SELECT hot_key, CAST(COUNT(*) AS BIGINT) AS n_events FROM keyed GROUP BY hot_key),
+t AS (SELECT COUNT(*) AS total FROM keyed)
+SELECT hot_key, n_events FROM c, t WHERE n_events * 17 > t.total
+""".strip()
+
+
+@register("heavy_hitters_hotkeys", oracle=_HEAVY_HITTERS_ORACLE)
+def heavy_hitters_hotkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters (count > n/17) found the 100 TB way: per-
+    partition Misra-Gries summaries (O(k)=O(16) memory each, mergeable-
+    summaries no-false-negative guarantee) produce a candidate superset;
+    one exact re-count of the <= partitions*k candidates + the threshold
+    filter make the answer exact — so the DuckDB oracle certifies the
+    sketch pipeline end-to-end (a broken MG eviction that drops a frequent
+    key loses an output row -> hash fail). This is the skew audit run
+    before a big join: its output keys are the ones skew_salted_join
+    salts. The hot key is derived in-plan (user_id % 7 -> -1) because
+    TESTDATA is uniform — real crawl/event traffic isn't.
+    Reference semantics: operators/sketch.misra_gries_candidates."""
+    from kol_bigdata_realtime_analytics_spark.operators.sketch import (
+        heavy_hitters_exact,
+    )
+
+    ev = table(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 7 == 0, F.lit(-1))
+        .otherwise(F.col("user_id"))
+        .alias("hot_key")
+    )
+    return heavy_hitters_exact(ev, "hot_key", k=16)

@@ -1444,3 +1444,36 @@ def test_dsir_weights_favor_target_domain(spark, sf_small):
     ).agg(F.avg("avg_log_weight").alias("m")).collect()
     m = {r["is_target"]: r["m"] for r in rows}
     assert m[True] > m[False]
+
+
+def test_misra_gries_no_false_negatives_under_eviction(spark):
+    """Adversarial MG stream: a huge distinct tail forces constant
+    eviction; every key with count > n/(k+1) must still be in the
+    candidate set (mergeable-summaries guarantee) and heavy_hitters_exact
+    must equal the brute-force answer exactly."""
+    from kol_bigdata_realtime_analytics_spark.operators.sketch import (
+        heavy_hitters_exact,
+        misra_gries_candidates,
+    )
+
+    rows = []
+    # 3 frequent keys: 400 each; 4000 distinct singletons (the tail)
+    for key in (1, 2, 3):
+        rows += [(key,)] * 400
+    rows += [(10_000 + i,) for i in range(4000)]
+    # deterministic interleave so frequents aren't contiguous
+    rows = [rows[i] for i in range(0, len(rows), 2)] + [
+        rows[i] for i in range(1, len(rows), 2)
+    ]
+    df = spark.createDataFrame(rows, "k long").repartition(8)
+    n = len(rows)
+    k = 16
+    true_heavy = {1, 2, 3}  # 400 * 17 > 5200
+    assert all(400 * (k + 1) > n for _ in true_heavy)
+    cand = {r["k"] for r in misra_gries_candidates(df, "k", k).collect()}
+    assert true_heavy <= cand
+    got = {
+        (r["k"], r["n_events"])
+        for r in heavy_hitters_exact(df, "k", k).collect()
+    }
+    assert got == {(1, 400), (2, 400), (3, 400)}
