@@ -135,6 +135,7 @@ HEADLINE = [
     "bpe_encode_fallback_stats",
     "dsir_importance_weights",
     "heavy_hitters_hotkeys",
+    "embedding_pca_project",
 ]
 
 

@@ -1138,6 +1138,75 @@ def ivfpq_topk(
     )
 
 
+def pca_fit(
+    candidates: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_components: int = 16,
+    sample_size: int = 4096,
+    sample=None,
+    cache_key=None,
+) -> tuple[list[float], list[list[float]]]:
+    """(mean, components) PCA artifact fit on the deterministic bounded
+    sample — the dimensionality-reduction / rotation step that precedes
+    PQ in the standard 100 TB ANN index build (PCA-k then OPQ/PQ is the
+    Faiss preprocessing idiom). Driver-side eigh on the sample covariance
+    (dim x dim doubles — a model artifact, not a data collect); components
+    are the top n_components eigenvectors, DESCENDING eigenvalue, each
+    sign-canonicalized (largest-|entry| coordinate made positive) so the
+    fit is fully deterministic. Same memo discipline as kmeans_centroids."""
+    import numpy as np
+
+    memo = (
+        "pca",
+        data_identity(cache_key),
+        _sample_fingerprint(sample) if sample is not None else None,
+        id_col,
+        vec_col,
+        n_components,
+        sample_size,
+    )
+    if cache_key is not None and memo in _FIT_CACHE:
+        mu, comps = _FIT_CACHE[memo]
+        return list(mu), [list(c) for c in comps]
+    X = sample if sample is not None else hash_sample(
+        candidates, id_col=id_col, vec_col=vec_col, sample_size=sample_size,
+        cache_key=cache_key,
+    )
+    mu = X.mean(axis=0)
+    Xc = X - mu
+    cov = (Xc.T @ Xc) / max(len(Xc) - 1, 1)
+    evals, evecs = np.linalg.eigh(cov)  # ascending; columns are eigenvectors
+    order = np.argsort(evals)[::-1][:n_components]
+    P = evecs[:, order].T  # (k, dim)
+    for i in range(P.shape[0]):  # canonical sign: largest-|entry| positive
+        j = int(np.argmax(np.abs(P[i])))
+        if P[i, j] < 0:
+            P[i] = -P[i]
+    out = ([float(x) for x in mu], [[float(x) for x in r] for r in P])
+    if cache_key is not None:
+        _FIT_CACHE[memo] = (list(out[0]), [list(r) for r in out[1]])
+    return out
+
+
+def pca_project_udf(mean: list[float], components: list[list[float]]):
+    """Arrow-batched PCA projection: x -> P @ (x - mean), n_components dims.
+    One (batch x dim) @ (dim x k) matmul per batch; artifacts in closure."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    mu = np.array(mean, dtype="float64")
+    P = np.array(components, dtype="float64").T  # (dim, k)
+
+    @pandas_udf("array<double>")
+    def _project(vecs: pd.Series) -> pd.Series:
+        X = np.stack([np.asarray(v, dtype="float64") for v in vecs])
+        return pd.Series(list((X - mu) @ P))
+
+    return _project
+
+
 def dequantize_mse(vec_col: Column, scale: Column, codes: Column) -> Column:
     """Mean squared reconstruction error of the quantization (double)."""
     sq = F.zip_with(

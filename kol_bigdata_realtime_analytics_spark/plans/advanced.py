@@ -2411,3 +2411,33 @@ def heavy_hitters_hotkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("hot_key")
     )
     return heavy_hitters_exact(ev, "hot_key", k=16)
+
+
+@register("embedding_pca_project", oracle=None)
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection of the embedding corpus to 16 dims — the
+    dimensionality-reduction / rotation step that precedes PQ in the
+    standard 100 TB ANN index build (Faiss's PCA-then-(O)PQ preprocessing
+    idiom). The (mean, components) artifact is fit driver-side on the
+    deterministic bounded sample (memoized per corpus identity, like the
+    quantizer fits, operators/similarity.pca_fit) and applied as one
+    Arrow-batched matmul per batch in the scan projection — corpus-linear,
+    no shuffle. Rows-only driver check (DuckDB has no eigendecomposition);
+    `pca_variance_check` hash-certifies the artifact's defining properties
+    on an anisotropic fixture, and pytest pins orthonormality."""
+    from kol_bigdata_realtime_analytics_spark.operators.similarity import (
+        as_double_vec,
+        pca_fit,
+        pca_project_udf,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    mean, comps = pca_fit(emb, n_components=16, cache_key=sf_dir)
+    project = pca_project_udf(mean, comps)
+    return emb.select(
+        "vec_id",
+        F.transform(
+            project(as_double_vec(F.col("embedding"))),
+            lambda x: F.floor(x * 1e6) / 1e6,
+        ).alias("pca16"),
+    )

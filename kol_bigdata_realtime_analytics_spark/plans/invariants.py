@@ -344,6 +344,92 @@ def pq_distortion_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pca_variance_check",
+    oracle="""
+    SELECT CAST(512 AS BIGINT) AS n_vectors, TRUE AS pca_captures_signal,
+           TRUE AS beats_truncation
+    """,
+)
+def pca_variance_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA's defining optimality, driver-hash-certified (companion to the
+    rows-only `embedding_pca_project`). The registered TESTDATA embeddings
+    are near-isotropic — PCA provably can't beat coordinate truncation
+    there — so the check builds a deterministic ANISOTROPIC mixture
+    in-plan: 512 vectors whose signal lives in a rank-4 subspace SPREAD
+    ACROSS all 16 coordinates (4 fixed LCG directions x per-id integer
+    coefficients) plus ~0.02 noise. Top-4 PCA reconstruction must recover
+    the signal (mean relative error <= 0.05; the noise floor is ~1e-4),
+    while keeping the first 4 raw coordinates — the naive compression —
+    must be >= 4x worse (measured ~0.75: the signal is deliberately not
+    axis-aligned). A wrong eigen-order, sign handling, or centering bug
+    inflates the PCA error and flips a boolean."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from kol_bigdata_realtime_analytics_spark.operators.similarity import (
+        _seeded_planes,
+        as_double_vec,
+        pca_fit,
+    )
+    from kol_bigdata_realtime_analytics_spark.plans.registry import dsum_raw
+
+    dim, rank = 16, 4
+    R = _seeded_planes(dim, rank, seed=7)
+    rlits = [F.array(*[F.lit(x) for x in row]) for row in R]
+    primes = [3, 7, 11, 13]
+    idx = F.sequence(F.lit(0), F.lit(dim - 1))
+
+    def coord(j):
+        out = F.lit(0.0)
+        for t in range(rank):
+            coef = ((F.col("id") * primes[t]) % 11 - 5).cast("double")
+            out = out + coef * F.element_at(rlits[t], j + 1)
+        noise = 0.02 * ((F.col("id") * 13 + j * 29) % 97).cast("double") / 97.0
+        return out + noise
+
+    emb = spark.range(512).select(
+        F.col("id").alias("vec_id"), F.transform(idx, coord).alias("embedding")
+    )
+    mu, comps = pca_fit(
+        emb, n_components=rank, sample_size=512,
+        # in-plan deterministic fixture -> constant key is the data identity
+        cache_key="pca_aniso_fixture_512x16",
+    )
+    m = np.array(mu)
+    P = np.array(comps)  # (rank, dim)
+
+    @pandas_udf("array<double>")
+    def _rel_errs(vecs: pd.Series) -> pd.Series:
+        X = np.stack([np.asarray(v, dtype="float64") for v in vecs])
+        Xc = X - m
+        tot = (Xc * Xc).sum(axis=1)
+        pca_res = Xc - (Xc @ P.T) @ P
+        trunc_res = Xc.copy()
+        trunc_res[:, :rank] = 0.0  # truncation keeps the first `rank` coords
+        denom = np.maximum(tot, 1e-300)
+        return pd.Series(
+            list(
+                np.stack(
+                    [(pca_res * pca_res).sum(axis=1) / denom,
+                     (trunc_res * trunc_res).sum(axis=1) / denom],
+                    axis=1,
+                )
+            )
+        )
+
+    errs = emb.select(_rel_errs(as_double_vec(F.col("embedding"))).alias("e")).select(
+        F.element_at("e", 1).alias("pca_err"), F.element_at("e", 2).alias("trunc_err")
+    )
+    return errs.agg(
+        F.count("*").alias("n_vectors"),
+        (dsum_raw(F.col("pca_err")) / F.count("*") <= 0.05).alias("pca_captures_signal"),
+        (
+            dsum_raw(F.col("trunc_err")) >= 4.0 * dsum_raw(F.col("pca_err"))
+        ).alias("beats_truncation"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash signature fidelity vs exact n-gram Jaccard (certifies
 # minhash_lsh_candidates' signature machinery)

@@ -1477,3 +1477,36 @@ def test_misra_gries_no_false_negatives_under_eviction(spark):
         for r in heavy_hitters_exact(df, "k", k).collect()
     }
     assert got == {(1, 400), (2, 400), (3, 400)}
+
+
+def test_pca_fit_orthonormal_and_deterministic(spark):
+    """pca_fit: components are orthonormal rows in descending-eigenvalue
+    order with canonical signs; two fits on the same data are identical
+    (no RNG); projection matches numpy."""
+    import numpy as np
+
+    from kol_bigdata_realtime_analytics_spark.operators import similarity as S
+
+    emb = spark.createDataFrame(
+        [(i, [float(((i * 7 + j) % 5) + (j < 2) * 3 * (i % 4)) for j in range(8)])
+         for i in range(128)],
+        "vec_id long, embedding array<double>",
+    )
+    mu1, P1 = S.pca_fit(emb, n_components=4, sample_size=128)
+    mu2, P2 = S.pca_fit(emb, n_components=4, sample_size=128)
+    assert mu1 == mu2 and P1 == P2
+    P = np.array(P1)
+    assert np.allclose(P @ P.T, np.eye(4), atol=1e-9)
+    for row in P:  # canonical sign
+        assert row[int(np.abs(row).argmax())] > 0
+    # projection UDF == numpy
+    proj = S.pca_project_udf(mu1, P1)
+    got = {
+        r["vec_id"]: np.array(r["p"])
+        for r in emb.select("vec_id", proj(S.as_double_vec(F.col("embedding"))).alias("p")).collect()
+    }
+    X = np.array([[float(((i * 7 + j) % 5) + (j < 2) * 3 * (i % 4)) for j in range(8)]
+                  for i in range(128)])
+    want = (X - np.array(mu1)) @ P.T
+    for i in range(128):
+        assert np.allclose(got[i], want[i], atol=1e-9)
