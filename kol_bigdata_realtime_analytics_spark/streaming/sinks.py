@@ -74,6 +74,40 @@ def foreach_partition_kv_sink(
     return sink
 
 
+def idempotent_foreach_batch(sink_fn, ledger_path: str):
+    """Exactly-once wrapper for any foreachBatch sink against a
+    NON-transactional target (KV store, plain parquet dir, HTTP push).
+
+    Structured Streaming's contract is at-least-once per micro-batch: after
+    a checkpoint recovery the LAST batch is re-delivered with the SAME
+    epoch_id. Transactional sinks dedupe on (checkpointLocation, epoch_id)
+    themselves; everything else must skip re-deliveries or double-write.
+    This wrapper keeps a ledger of committed epochs as empty marker files
+    (`{ledger}/epoch=<id>` — created atomically AFTER sink_fn returns, the
+    same commit-marker idiom as Spark's own file sink _spark_metadata):
+
+    - marker exists  -> re-delivered batch, skip sink_fn entirely;
+    - sink_fn raises -> no marker, the retry re-runs it (at-least-once
+      inside the wrapper; sink_fn itself should be per-key upsert-style so
+      a partial first attempt is absorbed by the retry).
+
+    The ledger directory is per-query (pass a path under the query's
+    checkpoint dir). Marker creation is a single O(1) driver-side touch —
+    no data moves through the driver."""
+    import os
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        os.makedirs(ledger_path, exist_ok=True)
+        marker = os.path.join(ledger_path, f"epoch={int(epoch_id)}")
+        if os.path.exists(marker):
+            return  # re-delivered after recovery: already committed
+        sink_fn(batch_df, epoch_id)
+        with open(marker, "w"):
+            pass
+
+    return sink
+
+
 def cassandra_sink_writer(df: DataFrame, keyspace: str, table: str, checkpoint: str):
     """S15: Cassandra stream sink (reference features_stream.py:124-132).
 

@@ -226,3 +226,81 @@ def test_python_stream_datasource_offset_resume(spark, tmp_path):
     r = DetStreamReader({"batch": "40"})
     replay = list(r.readBetweenOffsets({"i": 40}, {"i": 80}))
     assert replay == [(j, f"type_{j % 3}", float(j % 7)) for j in range(40, 80)]
+
+
+def test_idempotent_foreach_batch_skips_redelivery(spark, tmp_path):
+    """The exactly-once wrapper: a re-delivered epoch_id (checkpoint
+    recovery replays the last batch) must not re-run the sink; a failed
+    sink leaves no marker so the retry DOES re-run; new epochs run."""
+    from kol_bigdata_realtime_analytics_spark.streaming.sinks import (
+        idempotent_foreach_batch,
+    )
+
+    calls = []
+
+    def sink_fn(df, epoch_id):
+        calls.append(epoch_id)
+
+    wrapped = idempotent_foreach_batch(sink_fn, str(tmp_path / "ledger"))
+    df = spark.range(3)
+    wrapped(df, 0)
+    wrapped(df, 0)  # re-delivery -> skipped
+    wrapped(df, 1)
+    assert calls == [0, 1]
+
+    # a sink failure must not commit the marker: the retry re-runs
+    def flaky(df, epoch_id):
+        calls.append(epoch_id)
+        if calls.count(2) == 1:
+            raise RuntimeError("transient")
+
+    wrapped2 = idempotent_foreach_batch(flaky, str(tmp_path / "ledger2"))
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        wrapped2(df, 2)
+    wrapped2(df, 2)  # retry runs (no marker yet)
+    wrapped2(df, 2)  # now committed -> skipped
+    assert calls == [0, 1, 2, 2]
+
+
+def test_idempotent_wrapper_end_to_end_restart(spark, tmp_path):
+    """End-to-end: run a stream into the wrapped sink, stop it, delete the
+    memory of the LAST committed epoch from the sink output (simulating a
+    non-transactional target), restart from the SAME checkpoint with new
+    data — committed epochs are not re-applied, new data lands once."""
+    from kol_bigdata_realtime_analytics_spark.streaming.sinks import (
+        idempotent_foreach_batch,
+    )
+
+    src = tmp_path / "idem_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "idem_ckpt")
+    seen: list[tuple] = []
+
+    def sink_fn(df, epoch_id):
+        seen.extend((epoch_id, r["id"]) for r in df.orderBy("id").collect())
+
+    wrapped = idempotent_foreach_batch(sink_fn, str(tmp_path / "idem_ledger"))
+    spark.range(0, 3).coalesce(1).write.parquet(str(src / "f0"))
+    stream = spark.readStream.schema("id long").parquet(str(src) + "/*")
+
+    q = stream.writeStream.foreachBatch(wrapped).option(
+        "checkpointLocation", ckpt
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+    first = list(seen)
+    assert sorted(r[1] for r in first) == [0, 1, 2]
+
+    # restart from the same checkpoint with one more file
+    spark.range(10, 12).coalesce(1).write.parquet(str(src / "f1"))
+    stream2 = spark.readStream.schema("id long").parquet(str(src) + "/*")
+    q2 = stream2.writeStream.foreachBatch(wrapped).option(
+        "checkpointLocation", ckpt
+    ).start()
+    q2.processAllAvailable()
+    q2.stop()
+    new = seen[len(first):]
+    # only the new rows were applied, exactly once, under a fresh epoch
+    assert sorted(r[1] for r in new) == [10, 11]
