@@ -31,6 +31,10 @@ _FLOAT_AGG_ALLOWED = {
     # pairwise (segment-tree) and sequential summation associate identically,
     # so the value is engine- and order-invariant by construction.
     ("trending_momentum", "Average"),
+    # same Average, same proof: the equivalence companion embeds
+    # momentum_batch's <= 3-slot RANGE-frame avg (and only compares it at
+    # rel 1e-9 anyway — a 1-ulp wobble cannot flip its booleans).
+    ("momentum_stream_batch_equiv_check", "Average"),
 }
 
 
