@@ -141,3 +141,108 @@ except ImportError:  # pragma: no cover
 
     def register_detstream(spark) -> None:  # type: ignore[misc]
         raise NotImplementedError(_MSG)
+
+
+# ---------------------------------------------------------------------------
+# Python DataSource WRITER (Spark 4 batch write API) — the missing half of
+# the custom-connector seam: DetRange/DetStream cover reads; this covers
+# df.write.format(...) with real commit/abort transaction semantics.
+# ---------------------------------------------------------------------------
+
+try:
+    from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+    class _JsonDirCommit(WriterCommitMessage):
+        """Per-task commit message: the staged file to publish + row count.
+        Must stay picklable (it travels executor -> driver)."""
+
+        def __init__(self, filename: str, n_rows: int):
+            self.filename = filename
+            self.n_rows = n_rows
+
+    class JsonDirWriter(DataSourceWriter):
+        """Writes each partition to a STAGED jsonl file; the driver commit
+        publishes staged files into the target directory and writes a
+        _SUCCESS manifest; abort removes the staging dir — so readers never
+        observe a half-written dataset (the file-sink staging/rename
+        protocol, expressed through the Python writer API). Local-FS here;
+        at scale the same two-phase shape targets an object store."""
+
+        def __init__(self, options, overwrite: bool):
+            self.path = options.get("path")
+            if not self.path:
+                raise ValueError("jsondir writer requires .save(path)")
+            self.overwrite = overwrite
+
+        def write(self, iterator):
+            import json
+            import os
+            import uuid
+
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            staging = os.path.join(self.path, "_staging")
+            os.makedirs(staging, exist_ok=True)
+            fname = f"part-{pid:05d}-{uuid.uuid4().hex}.jsonl"
+            n = 0
+            with open(os.path.join(staging, fname), "w") as f:
+                for row in iterator:
+                    f.write(json.dumps(row.asDict()) + "\n")
+                    n += 1
+            return _JsonDirCommit(fname, n)
+
+        def commit(self, messages):
+            import glob
+            import json
+            import os
+            import shutil
+
+            staging = os.path.join(self.path, "_staging")
+            if self.overwrite:
+                for old in glob.glob(os.path.join(self.path, "part-*.jsonl")):
+                    os.remove(old)
+            total = 0
+            for m in messages:
+                os.replace(
+                    os.path.join(staging, m.filename),
+                    os.path.join(self.path, m.filename),
+                )
+                total += m.n_rows
+            shutil.rmtree(staging, ignore_errors=True)
+            with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+                json.dump({"n_rows": total, "n_files": len(messages)}, f)
+
+        def abort(self, messages):
+            import os
+            import shutil
+
+            shutil.rmtree(
+                os.path.join(self.path, "_staging"), ignore_errors=True
+            )
+            # committed data from previous successful writes stays intact
+
+    class JsonDirDataSource(DataSource):
+        """df.write.format("jsondir").mode(...).save(path): staged-commit
+        jsonl directory sink."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "jsondir"
+
+        def writer(self, schema, overwrite: bool):
+            return JsonDirWriter(self.options, overwrite)
+
+    def register_jsondir(spark) -> None:
+        """Idempotently register the writer datasource with a session."""
+        spark.dataSource.register(JsonDirDataSource)
+
+except ImportError:  # pragma: no cover
+    _WMSG = "DataSourceWriter requires Spark 4's pyspark.sql.datasource API"
+
+    class JsonDirDataSource:  # type: ignore[no-redef]
+        def __init__(self, *a, **k):
+            raise NotImplementedError(_WMSG)
+
+    def register_jsondir(spark) -> None:  # type: ignore[misc]
+        raise NotImplementedError(_WMSG)

@@ -304,3 +304,65 @@ def test_idempotent_wrapper_end_to_end_restart(spark, tmp_path):
     new = seen[len(first):]
     # only the new rows were applied, exactly once, under a fresh epoch
     assert sorted(r[1] for r in new) == [10, 11]
+
+
+def test_jsondir_writer_commit_and_modes(spark, tmp_path):
+    """Python DataSource WRITER: staged files publish only on commit (with
+    a _SUCCESS manifest), append adds, overwrite replaces."""
+    import json
+    import os
+
+    from kol_bigdata_realtime_analytics_spark.sources.pydatasource import (
+        register_jsondir,
+    )
+
+    register_jsondir(spark)
+    out = str(tmp_path / "jd_out")
+    spark.range(10).selectExpr("id", "id * 2 AS v").coalesce(2).write.format(
+        "jsondir"
+    ).mode("append").save(out)
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    assert not os.path.exists(os.path.join(out, "_staging"))
+    manifest = json.load(open(os.path.join(out, "_SUCCESS")))
+    assert manifest["n_rows"] == 10
+    back = spark.read.json(out + "/part-*.jsonl")
+    assert back.count() == 10
+    assert {r["v"] for r in back.collect()} == {2 * i for i in range(10)}
+
+    # append mode adds files
+    spark.range(5).selectExpr("id", "id * 2 AS v").coalesce(1).write.format(
+        "jsondir"
+    ).mode("append").save(out)
+    assert spark.read.json(out + "/part-*.jsonl").count() == 15
+    # overwrite replaces all previously committed files
+    spark.range(3).selectExpr("id", "id * 2 AS v").coalesce(1).write.format(
+        "jsondir"
+    ).mode("overwrite").save(out)
+    assert spark.read.json(out + "/part-*.jsonl").count() == 3
+
+
+def test_jsondir_writer_abort_leaves_committed_data(spark, tmp_path):
+    """A failing task aborts the write: staging is cleaned and previously
+    COMMITTED data is untouched — readers never see a partial dataset."""
+    import os
+
+    import pytest as _pytest
+
+    from kol_bigdata_realtime_analytics_spark.sources.pydatasource import (
+        register_jsondir,
+    )
+
+    register_jsondir(spark)
+    out = str(tmp_path / "jd_abort")
+    spark.range(4).selectExpr("id", "id AS v").coalesce(1).write.format(
+        "jsondir"
+    ).mode("append").save(out)
+    assert spark.read.json(out + "/part-*.jsonl").count() == 4
+
+    failing = spark.range(4).selectExpr(
+        "id", "CAST(raise_error(CASE WHEN id = 2 THEN 'boom' END) AS STRING) AS v"
+    )
+    with _pytest.raises(Exception):
+        failing.coalesce(1).write.format("jsondir").mode("append").save(out)
+    assert not os.path.exists(os.path.join(out, "_staging"))
+    assert spark.read.json(out + "/part-*.jsonl").count() == 4
