@@ -327,6 +327,13 @@ def data_identity(cache_key):
         for p in sorted(_glob.glob(_os.path.join(cache_key, "*.parquet"))):
             st = _os.stat(p)
             ident.append((_os.path.basename(p), st.st_mtime_ns, st.st_size))
+            if _os.path.isdir(p):
+                # directory-style parquet (part files inside): an in-place
+                # part rewrite leaves the dirent unchanged — stat the
+                # contents too (r7 review)
+                for q in sorted(_glob.glob(_os.path.join(p, "*"))):
+                    sq = _os.stat(q)
+                    ident.append((_os.path.basename(q), sq.st_mtime_ns, sq.st_size))
         return tuple(ident)
     return cache_key
 
@@ -780,7 +787,10 @@ def pq_residual_codebooks(
         _sample_fingerprint(sample) if sample is not None else None,
         id_col,
         vec_col,
-        len(coarse),
+        # the coarse centroids' CONTENT is part of the fit identity — two
+        # same-length coarse sets under one cache_key must not share
+        # residual codebooks (r7 review; same class as the sample hole)
+        _sample_fingerprint(coarse),
         m,
         ksub,
         sample_size,
@@ -1098,8 +1108,11 @@ def ivfpq_topk(
                 + cent_n2[C].sum(axis=1)
             )
             rn = np.sqrt(np.maximum(rn2, 0.0))
-            with np.errstate(divide="ignore", invalid="ignore"):
-                return pd.Series(dots / (qn[qi] * rn))
+            # NaN (not a 0-divide ±inf) for degenerate reconstructions: the
+            # plan filters NaN, and an inf would sort above every real hit
+            # (r7 review)
+            denom = qn[qi] * rn
+            return pd.Series(np.where(denom > 0, dots / np.where(denom > 0, denom, 1.0), np.nan))
 
         adc_cols = [F.col("codes"), F.col("qpos"), F.col("cent_id")]
     else:
@@ -1110,8 +1123,8 @@ def ivfpq_topk(
             qi = qpos.to_numpy(dtype="int64")
             dots = np.take_along_axis(lut2[qi], C, axis=1).sum(axis=1)
             rn = np.sqrt(cent_n2[C].sum(axis=1))
-            with np.errstate(divide="ignore", invalid="ignore"):
-                return pd.Series(dots / (qn[qi] * rn))
+            denom = qn[qi] * rn
+            return pd.Series(np.where(denom > 0, dots / np.where(denom > 0, denom, 1.0), np.nan))
 
         adc_cols = [F.col("codes"), F.col("qpos")]
 

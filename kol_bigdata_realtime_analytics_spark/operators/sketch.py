@@ -189,7 +189,10 @@ def misra_gries_candidates(df: DataFrame, key_col: str, k: int = 16) -> DataFram
                 counters = {i: c2 - m for i, c2 in counters.items() if c2 > m}
         yield pd.DataFrame({key_col: list(counters.keys())})
 
-    return df.select(key_col).mapInPandas(mg, f"{key_col} long").distinct()
+    # schema follows the key's actual type (string/int/... keys all valid —
+    # a hardcoded 'long' broke non-long keys at Arrow conversion, r7 review)
+    key_type = df.schema[key_col].dataType.simpleString()
+    return df.select(key_col).mapInPandas(mg, f"{key_col} {key_type}").distinct()
 
 
 def heavy_hitters_exact(df: DataFrame, key_col: str, k: int = 16) -> DataFrame:

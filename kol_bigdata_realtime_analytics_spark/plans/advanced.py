@@ -2431,13 +2431,14 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         pca_project_udf,
     )
 
+    from kol_bigdata_realtime_analytics_spark.plans.domain import trunc6
+
     emb = table(spark, sf_dir, "embeddings")
     mean, comps = pca_fit(emb, n_components=16, cache_key=sf_dir)
     project = pca_project_udf(mean, comps)
     return emb.select(
         "vec_id",
         F.transform(
-            project(as_double_vec(F.col("embedding"))),
-            lambda x: F.floor(x * 1e6) / 1e6,
+            project(as_double_vec(F.col("embedding"))), trunc6
         ).alias("pca16"),
     )

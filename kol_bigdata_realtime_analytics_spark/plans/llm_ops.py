@@ -3350,8 +3350,6 @@ def bpe_encode_fallback_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     encode is the identity and the oracle prices it at len(w) symbols
     without re-deriving the chain for unseen words. pytest pins mixed
     known/unknown words against the independent Python BPE model."""
-    from kol_bigdata_realtime_analytics_spark.plans.domain import trunc6  # noqa: F401
-
     merges = _bpe_merges(spark, sf_dir)
     docs = table(spark, sf_dir, "documents").filter(
         F.trim(F.coalesce("text", F.lit(""))) != ""

@@ -226,6 +226,37 @@ def _run_to_memory(df: DataFrame, name: str, output_mode: str = "append") -> Non
     q.stop()
 
 
+def _require_single_file_replay(sf_dir: str, plan_name: str) -> None:
+    """Shared precondition for every oracle that re-derives watermark /
+    single-micro-batch semantics: the replay must be ONE source file (a
+    multi-batch replay changes cross-batch eviction/dedup timing).
+    Explicit raise, not assert — the contract must hold under python -O."""
+    import glob as _glob
+
+    src_files = _glob.glob(f"{sf_dir}/events.parquet")
+    if len(src_files) != 1:
+        raise ValueError(
+            f"{plan_name} assumes a single-file, single-micro-batch replay; "
+            f"found {len(src_files)} source files"
+        )
+
+
+def _view_click_streams(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The (views, clicks) stream pair every interval-join plan starts
+    from: one readStream, filtered per side, ts aliased to the join-side
+    column names interval_join expects."""
+    stream = events_stream_source(spark, sf_dir)
+    views = stream.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("l_ts")
+    )
+    clicks = stream.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("r_ts")
+    )
+    return views, clicks
+
+
 @register("stream_stream_click_attribution", oracle=_ATTRIBUTION_ORACLE)
 def stream_stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL stream-stream interval join (click attribution): views and clicks
@@ -270,17 +301,9 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     epoch so every recurrence collapses. The guard below pins that
     assumption — a multi-file sf_dir would legitimately emit extra
     survivors and must not silently flip this check to flaky."""
-    import glob as _glob
-
     from kol_bigdata_realtime_analytics_spark.streaming.joins import dedup_within_watermark
 
-    src_files = _glob.glob(f"{sf_dir}/events.parquet")
-    if len(src_files) != 1:
-        # explicit raise, not assert: the contract must hold under python -O
-        raise ValueError(
-            "streaming_dedup_events' exact-count oracle assumes a single-file, "
-            f"single-micro-batch replay; found {len(src_files)} source files"
-        )
+    _require_single_file_replay(sf_dir, "streaming_dedup_events")
     events = events_stream_source(spark, sf_dir)
     deduped = dedup_within_watermark(events, ["user_id", "event_type"], watermark="10 minutes")
     _run_to_memory(deduped, "ss_dedup_mem")
@@ -536,24 +559,10 @@ def streaming_unattributed_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming_dedup_events): with multiple batches a view could be evicted
     before a cross-batch click arrives — asserted, not assumed.
     """
-    import glob as _glob
-
     from kol_bigdata_realtime_analytics_spark.streaming.joins import interval_join
 
-    src_files = _glob.glob(f"{sf_dir}/events.parquet")
-    if len(src_files) != 1:
-        # explicit raise, not assert: the contract must hold under python -O
-        raise ValueError(
-            "streaming_unattributed_views' watermark-closure oracle assumes a "
-            f"single-file, single-micro-batch replay; found {len(src_files)} files"
-        )
-    stream = events_stream_source(spark, sf_dir)
-    views = stream.filter(F.col("event_type") == "view").select(
-        "user_id", F.col("ts").alias("l_ts")
-    )
-    clicks = stream.filter(F.col("event_type") == "click").select(
-        "user_id", F.col("ts").alias("r_ts")
-    )
+    _require_single_file_replay(sf_dir, "streaming_unattributed_views")
+    views, clicks = _view_click_streams(spark, sf_dir)
     j = interval_join(
         views,
         clicks,
@@ -607,23 +616,10 @@ def streaming_attributed_views_semi(spark: SparkSession, sf_dir: str) -> DataFra
     the exact row set for a bounded replay (matches land in the same
     micro-batch; the single-file assert below keeps cross-batch eviction
     out of the picture, as in the outer variants)."""
-    import glob as _glob
-
     from kol_bigdata_realtime_analytics_spark.streaming.joins import interval_join
 
-    src_files = _glob.glob(f"{sf_dir}/events.parquet")
-    if len(src_files) != 1:
-        raise ValueError(
-            "streaming_attributed_views_semi assumes a single-file, "
-            f"single-micro-batch replay; found {len(src_files)} files"
-        )
-    stream = events_stream_source(spark, sf_dir)
-    views = stream.filter(F.col("event_type") == "view").select(
-        "user_id", F.col("ts").alias("l_ts")
-    )
-    clicks = stream.filter(F.col("event_type") == "click").select(
-        "user_id", F.col("ts").alias("r_ts")
-    )
+    _require_single_file_replay(sf_dir, "streaming_attributed_views_semi")
+    views, clicks = _view_click_streams(spark, sf_dir)
     j = interval_join(
         views,
         clicks,
@@ -710,23 +706,10 @@ def streaming_unmatched_both_sides(spark: SparkSession, sf_dir: str) -> DataFram
     result. Single-file, single-micro-batch replay asserted (multi-batch
     replay changes cross-batch eviction timing, as in the leftOuter case).
     """
-    import glob as _glob
-
     from kol_bigdata_realtime_analytics_spark.streaming.joins import interval_join
 
-    src_files = _glob.glob(f"{sf_dir}/events.parquet")
-    if len(src_files) != 1:
-        raise ValueError(
-            "streaming_unmatched_both_sides' watermark-closure oracle assumes "
-            f"a single-file, single-micro-batch replay; found {len(src_files)} files"
-        )
-    stream = events_stream_source(spark, sf_dir)
-    views = stream.filter(F.col("event_type") == "view").select(
-        "user_id", F.col("ts").alias("l_ts")
-    )
-    clicks = stream.filter(F.col("event_type") == "click").select(
-        "user_id", F.col("ts").alias("r_ts")
-    )
+    _require_single_file_replay(sf_dir, "streaming_unmatched_both_sides")
+    views, clicks = _view_click_streams(spark, sf_dir)
     j = interval_join(
         views,
         clicks,

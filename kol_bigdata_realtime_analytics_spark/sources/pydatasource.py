@@ -188,7 +188,13 @@ try:
             n = 0
             with open(os.path.join(staging, fname), "w") as f:
                 for row in iterator:
-                    f.write(json.dumps(row.asDict()) + "\n")
+                    # recursive: nested Rows flatten to dicts; default=str
+                    # covers timestamp/date/Decimal/bytes (non-JSON-native
+                    # types round-trip as their string forms — documented
+                    # lossy, like every text sink)
+                    f.write(
+                        json.dumps(row.asDict(recursive=True), default=str) + "\n"
+                    )
                     n += 1
             return _JsonDirCommit(fname, n)
 
@@ -202,16 +208,24 @@ try:
             if self.overwrite:
                 for old in glob.glob(os.path.join(self.path, "part-*.jsonl")):
                     os.remove(old)
-            total = 0
+            total, files = 0, 0
+            manifest_path = os.path.join(self.path, "_SUCCESS")
+            if not self.overwrite and os.path.exists(manifest_path):
+                # append: the manifest describes the whole committed dataset,
+                # not just this job (r7 review)
+                with open(manifest_path) as f:
+                    prev = json.load(f)
+                total, files = prev.get("n_rows", 0), prev.get("n_files", 0)
             for m in messages:
                 os.replace(
                     os.path.join(staging, m.filename),
                     os.path.join(self.path, m.filename),
                 )
                 total += m.n_rows
+                files += 1
             shutil.rmtree(staging, ignore_errors=True)
-            with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
-                json.dump({"n_rows": total, "n_files": len(messages)}, f)
+            with open(manifest_path, "w") as f:
+                json.dump({"n_rows": total, "n_files": files}, f)
 
         def abort(self, messages):
             import os

@@ -104,6 +104,14 @@ def idempotent_foreach_batch(sink_fn, ledger_path: str):
         sink_fn(batch_df, epoch_id)
         with open(marker, "w"):
             pass
+        # only the LAST committed epoch can ever be re-delivered — older
+        # markers are dead weight that would grow one file per trigger
+        # forever (r7 review). Keep a small window for paranoia.
+        floor = int(epoch_id) - 128
+        if floor > 0:
+            for name in os.listdir(ledger_path):
+                if name.startswith("epoch=") and int(name[6:]) < floor:
+                    os.remove(os.path.join(ledger_path, name))
 
     return sink
 
