@@ -136,6 +136,7 @@ HEADLINE = [
     "dsir_importance_weights",
     "heavy_hitters_hotkeys",
     "embedding_pca_project",
+    "hybrid_search_rrf",
 ]
 
 

@@ -2415,14 +2415,13 @@ LIMIT 20
 """.strip()
 
 
-@register("bm25_search", oracle=_BM25_ORACLE)
-def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-20 docs for the query {spark, table, value} by exact Okapi BM25.
-    Plan: one tokenize feeding doc lengths and (pushed-down) query-term
-    tfs; df and corpus stats are broadcast scalars; per-doc term scores
-    sum in decimal. The term filter reaches the tf aggregation as a
-    pre-agg predicate, so the scored frame is docs-matching-terms sized,
-    never corpus x vocab."""
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, score) exact Okapi BM25 frame for the fixed query terms —
+    shared by bm25_search and the hybrid RRF fusion. One tokenize feeding
+    doc lengths and (pushed-down) query-term tfs; df and corpus stats are
+    broadcast scalars; per-doc term scores sum in decimal. The term filter
+    reaches the tf aggregation as a pre-agg predicate, so the scored frame
+    is docs-matching-terms sized, never corpus x vocab."""
     docs = table(spark, sf_dir, "documents").filter(
         F.trim(F.coalesce("text", F.lit(""))) != ""
     )
@@ -2448,13 +2447,20 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.col("tf").cast("double") * 2.2)
         / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dlen") / F.col("avgdl")))
     ).cast("decimal(28,12)")
-    scored = (
+    return (
         tf.join(F.broadcast(df), "t")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(F.sum(term_score).cast("double").alias("score"))
     )
+
+
+@register("bm25_search", oracle=_BM25_ORACLE)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 docs for the query {spark, table, value} by exact Okapi BM25
+    (see _bm25_scored for the plan shape)."""
+    scored = _bm25_scored(spark, sf_dir)
     return (
         scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(20)
@@ -3620,4 +3626,156 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "avg_log_weight"
             ),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval — BM25 + vector cosine fused by Reciprocal Rank Fusion
+# (Cormack et al. 2009), the standard RAG retrieval shape: two independent
+# rankers, rank-level fusion (RRF needs no score calibration between a
+# BM25 scale and a cosine scale, which is why it's the default fusion).
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+_HYBRID_DEPTH = 50
+
+_HYBRID_RRF_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+  FROM documents WHERE trim(COALESCE(text, '')) != ''
+),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dlen FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dlen) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok WHERE t IN ({", ".join(f"'{t}'" for t in _BM25_TERMS)})
+  GROUP BY doc_id, t
+),
+df AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY t),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(SUM(CAST(
+           ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+           * (CAST(tf.tf AS DOUBLE) * 2.2)
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dlen / s.avgdl))
+         AS DECIMAL(28,12))) AS DOUBLE) AS score
+  FROM tf JOIN df ON tf.t = df.t JOIN dl ON tf.doc_id = dl.doc_id, stats s
+  GROUP BY tf.doc_id
+),
+lex AS (
+  SELECT doc_id, rank_t FROM (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank_t
+    FROM scored
+  ) WHERE rank_t <= {_HYBRID_DEPTH}
+),
+q AS (SELECT embedding::DOUBLE[] AS q_vec FROM embeddings WHERE vec_id = 0),
+vcos AS (
+  SELECT vec_id AS doc_id,
+         ROUND(list_dot_product(embedding::DOUBLE[], q.q_vec)
+               / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(q.q_vec, q.q_vec))), 6) AS cos
+  FROM embeddings, q WHERE vec_id != 0
+),
+vec AS (
+  SELECT doc_id, rank_v FROM (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id ASC) AS rank_v
+    FROM vcos
+  ) WHERE rank_v <= {_HYBRID_DEPTH}
+),
+fused AS (
+  SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+         CAST(l.rank_t IS NOT NULL AS BIGINT) AS in_lexical,
+         CAST(v.rank_v IS NOT NULL AS BIGINT) AS in_vector,
+         COALESCE(1.0 / ({_RRF_K} + l.rank_t), 0.0)
+           + COALESCE(1.0 / ({_RRF_K} + v.rank_v), 0.0) AS rrf
+  FROM lex l FULL JOIN vec v ON l.doc_id = v.doc_id
+)
+SELECT doc_id, in_lexical, in_vector,
+       floor(rrf * 1000000) / 1000000 AS rrf_score
+FROM fused
+ORDER BY rrf DESC, doc_id ASC
+LIMIT 20
+""".strip()
+
+
+@register("hybrid_search_rrf", oracle=_HYBRID_RRF_ORACLE)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: the BM25 lexical top-50 and the exact-cosine
+    vector top-50 (query = vec_id 0's embedding) fused by Reciprocal Rank
+    Fusion, rrf = sum over legs of 1/(60 + rank) — rank-level fusion needs
+    no cross-scale score calibration, which is why RRF is the default in
+    every hybrid RAG stack. Top-20 fused docs with per-leg membership
+    flags.
+
+    Determinism: both legs rank on engine-identical values (the decimal-
+    summed BM25 score; cosine rounded to 6dp) with doc_id tie-breaks, and
+    the RRF score is a fixed-order sum of two reciprocals of small
+    integers — bit-identical across engines, so even a LIMIT-boundary tie
+    resolves the same way. Scale shape: each leg is its registered
+    operator's plan (BM25: pre-agg term filter, broadcast stats; vector:
+    broadcast 1-row query, partition-local scoring), each leg's top-50 is
+    a distributed partial top-k (TakeOrderedAndProject — never a global
+    row_number over the corpus), and the fusion joins two <=50-row
+    frames — free at any corpus size. The
+    vector leg covers docs holding an embedding (vec_id space), the
+    lexical leg all docs; RRF's COALESCE handles one-legged docs, which
+    is fusion working as designed, not a gap."""
+    from kol_bigdata_realtime_analytics_spark.operators.similarity import (
+        as_double_vec,
+        cosine,
+    )
+    from kol_bigdata_realtime_analytics_spark.plans.domain import trunc6
+
+    # Each leg takes its top-50 via orderBy().limit() — TakeOrderedAndProject,
+    # a distributed partial top-k — and only THEN ranks with a window over
+    # the <=50-row frame. A global row_number over the corpus-sized scored
+    # frame would move every row to one partition (the 100 TB killer).
+    # lexical leg
+    wt = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    lex = (
+        _bm25_scored(spark, sf_dir)
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(_HYBRID_DEPTH)
+        .withColumn("rank_t", F.row_number().over(wt))
+        .select("doc_id", "rank_t")
+    )
+    # vector leg
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        as_double_vec(F.col("embedding")).alias("q_vec")
+    )
+    wv = Window.orderBy(F.col("cos").desc(), F.col("doc_id").asc())
+    vec = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                cosine(as_double_vec(F.col("embedding")), F.col("q_vec")), 6
+            ).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), F.col("doc_id").asc())
+        .limit(_HYBRID_DEPTH)
+        .withColumn("rank_v", F.row_number().over(wv))
+        .select("doc_id", "rank_v")
+    )
+    fused = lex.join(vec, "doc_id", "full").select(
+        "doc_id",
+        F.col("rank_t").isNotNull().cast("long").alias("in_lexical"),
+        F.col("rank_v").isNotNull().cast("long").alias("in_vector"),
+        (
+            F.coalesce(1.0 / (_RRF_K + F.col("rank_t")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_K + F.col("rank_v")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    return (
+        fused.orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+        .limit(20)
+        .select("doc_id", "in_lexical", "in_vector", trunc6(F.col("rrf")).alias("rrf_score"))
     )

@@ -386,6 +386,7 @@ def test_no_unexpected_nested_loop_joins(spark, sf_oracle):
         "count_min_check",          # broadcast 1-row totals (rows_ok, n)
         "dsir_importance_weights",  # broadcast 1-row feature totals into the 256-row LR table
         "heavy_hitters_hotkeys",    # broadcast 1-row total for the threshold filter
+        "hybrid_search_rrf",        # broadcast 1-row query vector + 1-row BM25 corpus stats
         "momentum_stream_batch_equiv_check",  # broadcast 1-row final-watermark scalar
         "join_size_ams_check",      # broadcast 1-row AGMS estimate x 1-row exact
         "rolling_hll_users_check",  # day-spine range join (days x days)
