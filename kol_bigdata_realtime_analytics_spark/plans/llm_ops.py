@@ -2381,8 +2381,10 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BM25_TERMS = ["spark", "table", "value"]
 
-_BM25_ORACLE = f"""
-WITH tok AS (
+#: the BM25 scored-CTE chain, shared by _BM25_ORACLE and the hybrid RRF
+#: oracle so the formula can never fork between them (r7 review) — the SQL
+#: twin of the Python-side _bm25_scored refactor.
+_BM25_SCORED_CTES = f"""tok AS (
   SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
   FROM documents WHERE trim(COALESCE(text, '')) != ''
 ),
@@ -2407,7 +2409,10 @@ scored AS (
          AS DECIMAL(28,12))) AS DOUBLE) AS score
   FROM tf JOIN df ON tf.t = df.t JOIN dl ON tf.doc_id = dl.doc_id, stats s
   GROUP BY tf.doc_id
-)
+)"""
+
+_BM25_ORACLE = f"""
+WITH {_BM25_SCORED_CTES}
 SELECT doc_id, floor(score * 1000000) / 1000000 AS bm25
 FROM scored
 ORDER BY score DESC, doc_id
@@ -3640,37 +3645,12 @@ _RRF_K = 60
 _HYBRID_DEPTH = 50
 
 _HYBRID_RRF_ORACLE = f"""
-WITH tok AS (
-  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
-  FROM documents WHERE trim(COALESCE(text, '')) != ''
-),
-dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dlen FROM tok GROUP BY doc_id),
-stats AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-         CAST(SUM(dlen) AS DOUBLE) / COUNT(*) AS avgdl
-  FROM dl
-),
-tf AS (
-  SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf
-  FROM tok WHERE t IN ({", ".join(f"'{t}'" for t in _BM25_TERMS)})
-  GROUP BY doc_id, t
-),
-df AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY t),
-scored AS (
-  SELECT tf.doc_id,
-         CAST(SUM(CAST(
-           ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
-           * (CAST(tf.tf AS DOUBLE) * 2.2)
-           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dlen / s.avgdl))
-         AS DECIMAL(28,12))) AS DOUBLE) AS score
-  FROM tf JOIN df ON tf.t = df.t JOIN dl ON tf.doc_id = dl.doc_id, stats s
-  GROUP BY tf.doc_id
-),
+WITH {_BM25_SCORED_CTES},
 lex AS (
   SELECT doc_id, rank_t FROM (
     SELECT doc_id,
            ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank_t
-    FROM scored
+    FROM scored WHERE doc_id != 0
   ) WHERE rank_t <= {_HYBRID_DEPTH}
 ),
 q AS (SELECT embedding::DOUBLE[] AS q_vec FROM embeddings WHERE vec_id = 0),
@@ -3722,36 +3702,43 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast 1-row query, partition-local scoring), each leg's top-50 is
     a distributed partial top-k (TakeOrderedAndProject — never a global
     row_number over the corpus), and the fusion joins two <=50-row
-    frames — free at any corpus size. The
-    vector leg covers docs holding an embedding (vec_id space), the
-    lexical leg all docs; RRF's COALESCE handles one-legged docs, which
-    is fusion working as designed, not a gap."""
+    frames — free at any corpus size. The QUERY document (doc_id 0,
+    whose embedding is the query vector) is excluded from both legs;
+    beyond that, the vector leg covers docs holding an embedding (vec_id
+    space), the lexical leg all docs — RRF's COALESCE handles one-legged
+    docs, which is fusion working as designed, not a gap."""
     from kol_bigdata_realtime_analytics_spark.operators.similarity import (
         as_double_vec,
         cosine,
     )
     from kol_bigdata_realtime_analytics_spark.plans.domain import trunc6
 
-    # Each leg takes its top-50 via orderBy().limit() — TakeOrderedAndProject,
-    # a distributed partial top-k — and only THEN ranks with a window over
-    # the <=50-row frame. A global row_number over the corpus-sized scored
-    # frame would move every row to one partition (the 100 TB killer).
-    # lexical leg
-    wt = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
-    lex = (
-        _bm25_scored(spark, sf_dir)
-        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
-        .limit(_HYBRID_DEPTH)
-        .withColumn("rank_t", F.row_number().over(wt))
-        .select("doc_id", "rank_t")
+    def ranked_topk(df: DataFrame, sort_col: str, rank_name: str) -> DataFrame:
+        """Top-_HYBRID_DEPTH via orderBy().limit() — TakeOrderedAndProject,
+        a distributed partial top-k — THEN ranked with a window over the
+        <=50-row frame. A global row_number over the corpus-sized frame
+        would move every row to one partition (the 100 TB killer). Sort
+        keys written ONCE so the selection and the rank can't diverge
+        (r7 review)."""
+        keys = [F.col(sort_col).desc(), F.col("doc_id").asc()]
+        return (
+            df.orderBy(*keys)
+            .limit(_HYBRID_DEPTH)
+            .withColumn(rank_name, F.row_number().over(Window.orderBy(*keys)))
+            .select("doc_id", rank_name)
+        )
+
+    # lexical leg — the query DOC (doc_id 0, whose embedding is the query
+    # vector) is excluded from BOTH legs, not just the vector one
+    lex = ranked_topk(
+        _bm25_scored(spark, sf_dir).filter(F.col("doc_id") != 0), "score", "rank_t"
     )
     # vector leg
     emb = table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select(
         as_double_vec(F.col("embedding")).alias("q_vec")
     )
-    wv = Window.orderBy(F.col("cos").desc(), F.col("doc_id").asc())
-    vec = (
+    vec = ranked_topk(
         emb.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(q))
         .select(
@@ -3759,11 +3746,9 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 cosine(as_double_vec(F.col("embedding")), F.col("q_vec")), 6
             ).alias("cos"),
-        )
-        .orderBy(F.col("cos").desc(), F.col("doc_id").asc())
-        .limit(_HYBRID_DEPTH)
-        .withColumn("rank_v", F.row_number().over(wv))
-        .select("doc_id", "rank_v")
+        ),
+        "cos",
+        "rank_v",
     )
     fused = lex.join(vec, "doc_id", "full").select(
         "doc_id",
