@@ -20,6 +20,8 @@ Registration is per-session: `register_detrange(spark)`; then
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
 
@@ -161,32 +163,39 @@ try:
             self.n_rows = n_rows
 
     class JsonDirWriter(DataSourceWriter):
-        """Writes each partition to a STAGED jsonl file; the driver commit
+        """Writes each partition to a PER-JOB staging dir; the driver commit
         publishes staged files into the target directory and writes a
-        _SUCCESS manifest; abort removes the staging dir — so readers never
-        observe a half-written dataset (the file-sink staging/rename
-        protocol, expressed through the Python writer API). Local-FS here;
-        at scale the same two-phase shape targets an object store."""
+        _SUCCESS manifest; abort removes this job's staging — so readers
+        never observe a half-written dataset (the file-sink staging/rename
+        protocol, expressed through the Python writer API). Staging is
+        job-scoped (`_staging-<job uuid>`, chosen on the driver and shipped
+        in the pickled writer) because abort RACES still-running tasks: a
+        zombie task can recreate a shared staging dir after abort's rmtree
+        (observed under full-suite load). A leftover dir from an aborted
+        job is inert — the next successful commit's janitor sweeps every
+        `_staging-*`. Local-FS here; at scale the same two-phase shape
+        targets an object store."""
 
         def __init__(self, options, overwrite: bool):
+            import uuid
+
             self.path = options.get("path")
             if not self.path:
                 raise ValueError("jsondir writer requires .save(path)")
             self.overwrite = overwrite
+            self.staging = os.path.join(self.path, f"_staging-{uuid.uuid4().hex}")
 
         def write(self, iterator):
             import json
-            import os
             import uuid
 
             from pyspark import TaskContext
 
             pid = TaskContext.get().partitionId()
-            staging = os.path.join(self.path, "_staging")
-            os.makedirs(staging, exist_ok=True)
+            os.makedirs(self.staging, exist_ok=True)
             fname = f"part-{pid:05d}-{uuid.uuid4().hex}.jsonl"
             n = 0
-            with open(os.path.join(staging, fname), "w") as f:
+            with open(os.path.join(self.staging, fname), "w") as f:
                 for row in iterator:
                     # recursive: nested Rows flatten to dicts; default=str
                     # covers timestamp/date/Decimal/bytes (non-JSON-native
@@ -201,10 +210,8 @@ try:
         def commit(self, messages):
             import glob
             import json
-            import os
             import shutil
 
-            staging = os.path.join(self.path, "_staging")
             if self.overwrite:
                 for old in glob.glob(os.path.join(self.path, "part-*.jsonl")):
                     os.remove(old)
@@ -218,22 +225,24 @@ try:
                 total, files = prev.get("n_rows", 0), prev.get("n_files", 0)
             for m in messages:
                 os.replace(
-                    os.path.join(staging, m.filename),
+                    os.path.join(self.staging, m.filename),
                     os.path.join(self.path, m.filename),
                 )
                 total += m.n_rows
                 files += 1
-            shutil.rmtree(staging, ignore_errors=True)
+            # janitor: this job's staging plus any stale dir an aborted
+            # job's racing task left behind
+            for d in glob.glob(os.path.join(self.path, "_staging-*")):
+                shutil.rmtree(d, ignore_errors=True)
             with open(manifest_path, "w") as f:
                 json.dump({"n_rows": total, "n_files": files}, f)
 
         def abort(self, messages):
-            import os
             import shutil
 
-            shutil.rmtree(
-                os.path.join(self.path, "_staging"), ignore_errors=True
-            )
+            # best-effort: a still-running task may recreate this dir after
+            # the rmtree; it stays inert and the next commit sweeps it
+            shutil.rmtree(self.staging, ignore_errors=True)
             # committed data from previous successful writes stays intact
 
     class JsonDirDataSource(DataSource):

@@ -342,8 +342,13 @@ def test_jsondir_writer_commit_and_modes(spark, tmp_path):
 
 
 def test_jsondir_writer_abort_leaves_committed_data(spark, tmp_path):
-    """A failing task aborts the write: staging is cleaned and previously
-    COMMITTED data is untouched — readers never see a partial dataset."""
+    """A failing task aborts the write: previously COMMITTED data is
+    untouched and no part files appear — readers never see a partial
+    dataset. Staging dirs are JOB-scoped because abort races still-running
+    tasks (a zombie task can recreate its dir after the rmtree); a
+    leftover is inert and the next successful commit's janitor sweeps
+    every _staging-*."""
+    import glob
     import os
 
     import pytest as _pytest
@@ -364,5 +369,11 @@ def test_jsondir_writer_abort_leaves_committed_data(spark, tmp_path):
     )
     with _pytest.raises(Exception):
         failing.coalesce(1).write.format("jsondir").mode("append").save(out)
-    assert not os.path.exists(os.path.join(out, "_staging"))
+    # nothing published by the failed job
     assert spark.read.json(out + "/part-*.jsonl").count() == 4
+    # the next successful commit sweeps any staging left by the abort race
+    spark.range(2).selectExpr("id", "id AS v").coalesce(1).write.format(
+        "jsondir"
+    ).mode("append").save(out)
+    assert glob.glob(os.path.join(out, "_staging-*")) == []
+    assert spark.read.json(out + "/part-*.jsonl").count() == 6
