@@ -3644,8 +3644,10 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RRF_K = 60
 _HYBRID_DEPTH = 50
 
-_HYBRID_RRF_ORACLE = f"""
-WITH {_BM25_SCORED_CTES},
+#: CTE chain up to the fused RRF frame, shared by the hybrid top-20 oracle
+#: and the rerank-stage oracle so the fusion formula can never fork between
+#: them (same discipline as _BM25_SCORED_CTES).
+_RRF_FUSED_CTES = f"""{_BM25_SCORED_CTES},
 lex AS (
   SELECT doc_id, rank_t FROM (
     SELECT doc_id,
@@ -3675,7 +3677,10 @@ fused AS (
          COALESCE(1.0 / ({_RRF_K} + l.rank_t), 0.0)
            + COALESCE(1.0 / ({_RRF_K} + v.rank_v), 0.0) AS rrf
   FROM lex l FULL JOIN vec v ON l.doc_id = v.doc_id
-)
+)"""
+
+_HYBRID_RRF_ORACLE = f"""
+WITH {_RRF_FUSED_CTES}
 SELECT doc_id, in_lexical, in_vector,
        floor(rrf * 1000000) / 1000000 AS rrf_score
 FROM fused
@@ -3684,34 +3689,14 @@ LIMIT 20
 """.strip()
 
 
-@register("hybrid_search_rrf", oracle=_HYBRID_RRF_ORACLE)
-def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hybrid retrieval: the BM25 lexical top-50 and the exact-cosine
-    vector top-50 (query = vec_id 0's embedding) fused by Reciprocal Rank
-    Fusion, rrf = sum over legs of 1/(60 + rank) — rank-level fusion needs
-    no cross-scale score calibration, which is why RRF is the default in
-    every hybrid RAG stack. Top-20 fused docs with per-leg membership
-    flags.
-
-    Determinism: both legs rank on engine-identical values (the decimal-
-    summed BM25 score; cosine rounded to 6dp) with doc_id tie-breaks, and
-    the RRF score is a fixed-order sum of two reciprocals of small
-    integers — bit-identical across engines, so even a LIMIT-boundary tie
-    resolves the same way. Scale shape: each leg is its registered
-    operator's plan (BM25: pre-agg term filter, broadcast stats; vector:
-    broadcast 1-row query, partition-local scoring), each leg's top-50 is
-    a distributed partial top-k (TakeOrderedAndProject — never a global
-    row_number over the corpus), and the fusion joins two <=50-row
-    frames — free at any corpus size. The QUERY document (doc_id 0,
-    whose embedding is the query vector) is excluded from both legs;
-    beyond that, the vector leg covers docs holding an embedding (vec_id
-    space), the lexical leg all docs — RRF's COALESCE handles one-legged
-    docs, which is fusion working as designed, not a gap."""
+def _rrf_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fused RRF frame (doc_id, in_lexical, in_vector, rrf) shared by
+    hybrid_search_rrf and the rerank stage — Python twin of
+    _RRF_FUSED_CTES. See hybrid_search_rrf for semantics and scale shape."""
     from kol_bigdata_realtime_analytics_spark.operators.similarity import (
         as_double_vec,
         cosine,
     )
-    from kol_bigdata_realtime_analytics_spark.plans.domain import trunc6
 
     def ranked_topk(df: DataFrame, sort_col: str, rank_name: str) -> DataFrame:
         """Top-_HYBRID_DEPTH via orderBy().limit() — TakeOrderedAndProject,
@@ -3750,7 +3735,7 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cos",
         "rank_v",
     )
-    fused = lex.join(vec, "doc_id", "full").select(
+    return lex.join(vec, "doc_id", "full").select(
         "doc_id",
         F.col("rank_t").isNotNull().cast("long").alias("in_lexical"),
         F.col("rank_v").isNotNull().cast("long").alias("in_vector"),
@@ -3759,8 +3744,327 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.coalesce(1.0 / (_RRF_K + F.col("rank_v")), F.lit(0.0))
         ).alias("rrf"),
     )
+
+
+@register("hybrid_search_rrf", oracle=_HYBRID_RRF_ORACLE)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: the BM25 lexical top-50 and the exact-cosine
+    vector top-50 (query = vec_id 0's embedding) fused by Reciprocal Rank
+    Fusion, rrf = sum over legs of 1/(60 + rank) — rank-level fusion needs
+    no cross-scale score calibration, which is why RRF is the default in
+    every hybrid RAG stack. Top-20 fused docs with per-leg membership
+    flags.
+
+    Determinism: both legs rank on engine-identical values (the decimal-
+    summed BM25 score; cosine rounded to 6dp) with doc_id tie-breaks, and
+    the RRF score is a fixed-order sum of two reciprocals of small
+    integers — bit-identical across engines, so even a LIMIT-boundary tie
+    resolves the same way. Scale shape: each leg is its registered
+    operator's plan (BM25: pre-agg term filter, broadcast stats; vector:
+    broadcast 1-row query, partition-local scoring), each leg's top-50 is
+    a distributed partial top-k (TakeOrderedAndProject — never a global
+    row_number over the corpus), and the fusion joins two <=50-row
+    frames — free at any corpus size. The QUERY document (doc_id 0,
+    whose embedding is the query vector) is excluded from both legs;
+    beyond that, the vector leg covers docs holding an embedding (vec_id
+    space), the lexical leg all docs — RRF's COALESCE handles one-legged
+    docs, which is fusion working as designed, not a gap."""
+    from kol_bigdata_realtime_analytics_spark.plans.domain import trunc6
+
+    fused = _rrf_fused(spark, sf_dir)
     return (
         fused.orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
         .limit(20)
         .select("doc_id", "in_lexical", "in_vector", trunc6(F.col("rrf")).alias("rrf_score"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Late-interaction retrieval (ColBERT MaxSim, Khattab & Zaharia 2020), the
+# candidate-bounded rerank stage, and the matryoshka truncation audit
+# (Kusupati et al. 2022) — the remaining stages of a modern RAG stack on
+# top of bm25_search / ann_* / hybrid_search_rrf.
+# ---------------------------------------------------------------------------
+
+_MAXSIM_T = 4  # token vectors per document (64-dim embedding -> 4 x 16)
+_MAXSIM_D = 16  # dims per token vector
+_MAXSIM_K = 10
+
+_MAXSIM_ORACLE = f"""
+WITH qtok AS (
+  SELECT t.t AS t, (embedding::DOUBLE[])[(t.t*{_MAXSIM_D}+1):(t.t*{_MAXSIM_D}+{_MAXSIM_D})] AS qv
+  FROM embeddings, unnest([0,1,2,3]) AS t(t)
+  WHERE vec_id = 0
+),
+dtok AS (
+  SELECT vec_id AS doc_id, d.d AS d,
+         (embedding::DOUBLE[])[(d.d*{_MAXSIM_D}+1):(d.d*{_MAXSIM_D}+{_MAXSIM_D})] AS dv
+  FROM embeddings, unnest([0,1,2,3]) AS d(d)
+  WHERE vec_id != 0
+),
+best AS (
+  SELECT doc_id, t,
+         MAX(ROUND(list_dot_product(qv, dv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(dv, dv))), 6)) AS best_cos
+  FROM dtok, qtok
+  GROUP BY doc_id, t
+),
+scored AS (
+  SELECT doc_id, CAST(SUM(CAST(best_cos AS DECIMAL(18,6))) AS DOUBLE) AS maxsim
+  FROM best GROUP BY doc_id
+)
+SELECT doc_id, floor(maxsim * 1000000) / 1000000 AS maxsim_score
+FROM scored ORDER BY maxsim DESC, doc_id ASC LIMIT {_MAXSIM_K}
+""".strip()
+
+
+@register("late_interaction_maxsim", oracle=_MAXSIM_ORACLE)
+def late_interaction_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction (ColBERT-style) MaxSim retrieval: each embedding is
+    treated as 4 token vectors of 16 dims (a fixed
+    reshape of the stored vector — the container has no encoder, so the
+    multi-vector layout is derived, not learned; the OPERATOR is the real
+    thing). score(doc) = sum over query tokens t of max over doc tokens d
+    of cos(q_t, d_d); top-10 docs for query vec_id 0.
+
+    Scale shape: all 16 token-pair cosines are computed IN ONE PROJECTION
+    over the scan (the 1-row query side is a broadcast cross join), the
+    per-query-token max is F.greatest — not an explode + re-aggregate, so
+    the corpus is never inflated 4x and there is ZERO shuffle before the
+    distributed partial top-k (TakeOrderedAndProject). At 100 TB this is
+    a single linear scan, which is exactly how a late-interaction scorer
+    should burn down: per-row arithmetic, no state.
+
+    Determinism: each cosine is rounded to 6dp (both engines share the
+    left-to-right dot fold), the 4 per-token maxima sum exactly as
+    DECIMAL(18,6), ordering tie-breaks on doc_id."""
+    from kol_bigdata_realtime_analytics_spark.operators.similarity import (
+        as_double_vec,
+        cosine,
+    )
+    from kol_bigdata_realtime_analytics_spark.plans.domain import trunc6
+
+    emb = table(spark, sf_dir, "embeddings")
+
+    def tokvecs(col):
+        return [
+            F.slice(col, t * _MAXSIM_D + 1, _MAXSIM_D) for t in range(_MAXSIM_T)
+        ]
+
+    q = emb.filter(F.col("vec_id") == 0).select(
+        *[
+            v.alias(f"qv{t}")
+            for t, v in enumerate(tokvecs(as_double_vec(F.col("embedding"))))
+        ]
+    )
+    d = emb.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+    dv = tokvecs(as_double_vec(F.col("embedding")))
+    best = [
+        F.greatest(
+            *[F.round(cosine(F.col(f"qv{t}"), dv[j]), 6) for j in range(_MAXSIM_T)]
+        ).cast("decimal(18,6)")
+        for t in range(_MAXSIM_T)
+    ]
+    maxsim = best[0]
+    for b in best[1:]:
+        maxsim = maxsim + b
+    return (
+        d.select(
+            F.col("vec_id").alias("doc_id"),
+            maxsim.cast("double").alias("maxsim"),
+        )
+        .orderBy(F.col("maxsim").desc(), F.col("doc_id").asc())
+        .limit(_MAXSIM_K)
+        .select("doc_id", trunc6(F.col("maxsim")).alias("maxsim_score"))
+    )
+
+
+_MATRYOSHKA_PREFIX = 16
+_MATRYOSHKA_K = 10
+
+_MATRYOSHKA_ORACLE = f"""
+WITH q AS (
+  SELECT embedding::DOUBLE[] AS qf,
+         (embedding::DOUBLE[])[1:{_MATRYOSHKA_PREFIX}] AS qp
+  FROM embeddings WHERE vec_id = 0
+),
+cand AS (
+  SELECT vec_id AS doc_id, embedding::DOUBLE[] AS df,
+         (embedding::DOUBLE[])[1:{_MATRYOSHKA_PREFIX}] AS dp
+  FROM embeddings WHERE vec_id != 0
+),
+fullr AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, ROUND(list_dot_product(df, qf)
+      / (sqrt(list_dot_product(df, df)) * sqrt(list_dot_product(qf, qf))), 6) AS c
+    FROM cand, q
+  ) ORDER BY c DESC, doc_id ASC LIMIT {_MATRYOSHKA_K}
+),
+prefr AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, ROUND(list_dot_product(dp, qp)
+      / (sqrt(list_dot_product(dp, dp)) * sqrt(list_dot_product(qp, qp))), 6) AS c
+    FROM cand, q
+  ) ORDER BY c DESC, doc_id ASC LIMIT {_MATRYOSHKA_K}
+),
+ov AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_overlap FROM fullr JOIN prefr USING (doc_id))
+SELECT CAST({_MATRYOSHKA_K} AS BIGINT) AS k, n_overlap,
+       floor(CAST(n_overlap AS DOUBLE) / {_MATRYOSHKA_K} * 1000000) / 1000000 AS overlap_ratio
+FROM ov
+""".strip()
+
+
+@register("matryoshka_overlap_check", oracle=_MATRYOSHKA_ORACLE)
+def matryoshka_overlap_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation audit: how much of the exact-cosine top-10
+    (query = vec_id 0) survives when vectors are truncated to their first
+    16 dims — the overlap@k a team measures before
+    shipping MRL-style short embeddings to cut ANN index cost 4x. One row:
+    (k, n_overlap, overlap_ratio).
+
+    Scale shape: both rankings are single-scan broadcast-query projections
+    feeding distributed partial top-ks; the overlap join is 10x10 rows.
+    The prefix leg reads the SAME column (a slice projection), so at
+    100 TB this is two passes over one parquet scan's cache, not two
+    datasets."""
+    from kol_bigdata_realtime_analytics_spark.operators.similarity import (
+        as_double_vec,
+        cosine,
+    )
+    from kol_bigdata_realtime_analytics_spark.plans.domain import trunc6
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        as_double_vec(F.col("embedding")).alias("qf"),
+        F.slice(as_double_vec(F.col("embedding")), 1, _MATRYOSHKA_PREFIX).alias("qp"),
+    )
+    cand = emb.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+
+    def topk(vec_col: str, qcol: str) -> DataFrame:
+        dvec = (
+            F.slice(as_double_vec(F.col("embedding")), 1, _MATRYOSHKA_PREFIX)
+            if vec_col == "prefix"
+            else as_double_vec(F.col("embedding"))
+        )
+        return (
+            cand.select(
+                F.col("vec_id").alias("doc_id"),
+                F.round(cosine(dvec, F.col(qcol)), 6).alias("c"),
+            )
+            .orderBy(F.col("c").desc(), F.col("doc_id").asc())
+            .limit(_MATRYOSHKA_K)
+            .select("doc_id")
+        )
+
+    ov = (
+        topk("full", "qf")
+        .join(topk("prefix", "qp"), "doc_id")
+        .agg(F.count("*").cast("long").alias("n_overlap"))
+    )
+    return ov.select(
+        F.lit(_MATRYOSHKA_K).cast("long").alias("k"),
+        "n_overlap",
+        trunc6(F.col("n_overlap").cast("double") / _MATRYOSHKA_K).alias(
+            "overlap_ratio"
+        ),
+    )
+
+
+_RERANK_DEPTH = 20
+_RERANK_K = 10
+
+_RERANK_ORACLE = f"""
+WITH {_RRF_FUSED_CTES},
+cand AS (SELECT doc_id, rrf FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT {_RERANK_DEPTH}),
+qg AS (
+  SELECT DISTINCT g FROM (
+    SELECT unnest(list_transform(generate_series(1, greatest(length(lower(text))-2, 0)),
+           i -> substr(lower(text), i, 3))) AS g
+    FROM documents WHERE doc_id = 0)
+),
+qn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nq FROM qg),
+dg AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT c.doc_id,
+           unnest(list_transform(generate_series(1, greatest(length(lower(d.text))-2, 0)),
+             i -> substr(lower(d.text), i, 3))) AS g
+    FROM cand c JOIN documents d USING (doc_id))
+),
+inter AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ni FROM dg JOIN qg USING (g) GROUP BY doc_id)
+SELECT c.doc_id,
+       COALESCE(i.ni, 0) AS n_shared_grams,
+       floor(CAST(COALESCE(i.ni, 0) AS DOUBLE) / qn.nq * 1000000) / 1000000 AS ce_score,
+       floor(c.rrf * 1000000) / 1000000 AS rrf_score
+FROM cand c LEFT JOIN inter i USING (doc_id), qn
+ORDER BY COALESCE(i.ni, 0) DESC, c.rrf DESC, c.doc_id ASC
+LIMIT {_RERANK_K}
+""".strip()
+
+
+@register("hybrid_rerank_containment", oracle=_RERANK_ORACLE)
+def hybrid_rerank_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-2 rerank over the hybrid RRF top-20: candidates are re-scored
+    by character-trigram containment against the query document (doc 0) —
+    |3grams(d) intersect 3grams(q)| / |3grams(q)| — and re-ordered by
+    (containment, rrf, doc_id). This is the rerank pattern itself: an
+    expensive PAIRWISE scorer (here trigram set intersection; in prod a
+    cross-encoder) that would be ruinous corpus-wide is affordable because
+    it only ever touches the candidate page. Top-10 out.
+
+    Scale shape: the fused frame is two joined top-50s (<=100 rows); the
+    candidate page broadcasts INTO the documents scan (broadcast hash
+    join — the corpus is filtered to 20 rows before any text work), and
+    the trigram extraction/intersection runs on exactly 20+1 documents
+    regardless of corpus size. At 100 TB the rerank stage costs the same
+    as at 100 MB — that invariance is the point of retrieve-then-rerank.
+
+    Determinism: containment ordering uses the INTEGER intersection size
+    (ni), rrf is the bit-identical fixed-order reciprocal sum pinned by
+    hybrid_search_rrf, final tie-break doc_id."""
+    from kol_bigdata_realtime_analytics_spark.plans.domain import trunc6
+
+    fused = _rrf_fused(spark, sf_dir)
+    cand = (
+        fused.orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+        .limit(_RERANK_DEPTH)
+        .select("doc_id", "rrf")
+    )
+    docs = table(spark, sf_dir, "documents")
+
+    def grams(col):
+        low = F.lower(col)
+        return F.when(
+            F.length(low) >= 3,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(low) - 2),
+                    lambda i: F.substr(low, i, F.lit(3)),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    qrow = docs.filter(F.col("doc_id") == 0).select(grams(F.col("text")).alias("qg"))
+    scored = (
+        docs.join(F.broadcast(cand), "doc_id")
+        .crossJoin(F.broadcast(qrow))
+        .select(
+            "doc_id",
+            "rrf",
+            F.size(F.array_intersect(grams(F.col("text")), F.col("qg")))
+            .cast("long")
+            .alias("ni"),
+            F.size("qg").alias("nq"),
+        )
+    )
+    return (
+        scored.orderBy(
+            F.col("ni").desc(), F.col("rrf").desc(), F.col("doc_id").asc()
+        )
+        .limit(_RERANK_K)
+        .select(
+            "doc_id",
+            F.col("ni").alias("n_shared_grams"),
+            trunc6(F.col("ni").cast("double") / F.col("nq")).alias("ce_score"),
+            trunc6(F.col("rrf")).alias("rrf_score"),
+        )
     )
