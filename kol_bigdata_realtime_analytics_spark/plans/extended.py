@@ -1385,3 +1385,77 @@ def python_stream_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame
         F.max("event_id").alias("last_id"),
         F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("value_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 SQL surface: pipe syntax (SQL |> operators, SPARK-49555) and
+# string collations (SPARK-46830) — the post-Trino SQL dialect features a
+# migrating user would expect the engine to speak.
+# ---------------------------------------------------------------------------
+
+_PIPE_SQL = """
+FROM {events}
+|> WHERE event_type IS NOT NULL
+|> AGGREGATE COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+   GROUP BY event_type
+|> WHERE n_events > 10
+|> SELECT event_type, n_events, n_users
+|> ORDER BY event_type
+"""
+
+_PIPE_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+WHERE event_type IS NOT NULL
+GROUP BY event_type
+HAVING COUNT(*) > 10
+ORDER BY event_type
+""".strip()
+
+
+@register("sql_pipe_syntax_stats", oracle=_PIPE_ORACLE)
+def sql_pipe_syntax_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL pipe syntax end-to-end: FROM |> WHERE |> AGGREGATE
+    |> WHERE (post-agg, i.e. HAVING) |> SELECT |> ORDER BY, executed as one
+    pipe-dialect string. Semantically identical to the ANSI GROUP BY/HAVING
+    oracle — the point is that the engine's SQL surface accepts the pipe
+    dialect a 2025-era SQL user writes, with Catalyst planning it exactly
+    like the classic form (same single-shuffle partial-agg plan)."""
+    table(spark, sf_dir, "events").createOrReplaceTempView("events_pipe_v")
+    return spark.sql(_PIPE_SQL.format(events="events_pipe_v"))
+
+
+_COLLATED_ORACLE = """
+SELECT lower(CASE WHEN p_partkey % 2 = 0 THEN upper(p_type)
+             ELSE lower(p_type) END) AS type_key,
+       CAST(COUNT(*) AS BIGINT) AS n_parts
+FROM part
+GROUP BY 1
+ORDER BY 1
+""".strip()
+
+
+@register("collated_type_counts", oracle=_COLLATED_ORACLE)
+def collated_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive grouping via Spark 4 string collations: group parts
+    on a UTF8_LCASE-collated key instead of a lower() rewrite. The input is
+    made deliberately case-varied (even part keys upper-cased, odd ones
+    lower-cased) so the check is NON-VACUOUS: without the collation the
+    group-by would produce twice as many groups. The emitted key is
+    canonicalized with lower() + cast to a plain (UTF8_BINARY) string so
+    the output schema and values are deterministic — the collated group-by
+    itself picks an arbitrary case representative per group, which is
+    exactly why the canonicalization step belongs in the query."""
+    p = table(spark, sf_dir, "part")
+    styled = F.when(F.col("p_partkey") % 2 == 0, F.upper("p_type")).otherwise(
+        F.lower("p_type")
+    )
+    return (
+        p.select(F.collate(styled, "UTF8_LCASE").alias("k"))
+        .groupBy("k")
+        .agg(F.count("*").cast("long").alias("n_parts"))
+        .select(F.lower(F.col("k")).cast("string").alias("type_key"), "n_parts")
+        .orderBy("type_key")
+    )
