@@ -439,3 +439,40 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         "left_semi",
     )
     return closed.agg(F.count("*").alias("n_triangles"))
+
+
+def bfs_layers(edges: DataFrame, seed: DataFrame, n_hops: int) -> DataFrame:
+    """Frontier BFS over a DIRECTED edge list (src, dst) from a seed node
+    set: returns (node, dist) for every node within n_hops, dist = length
+    of the shortest path (first frontier that reaches it). Symmetrize the
+    edge list before calling for undirected semantics.
+
+    The distributed-BFS shape: per hop, ONE shuffle join of the current
+    frontier against the edge list on src, one distinct, one anti-join
+    against the visited set. The frontier and visited frames are O(nodes)
+    — never O(edges) — and both are localCheckpoint-pinned each hop so
+    round k's plan doesn't re-execute rounds 0..k-1's lineage (the same
+    iterative-truncation discipline as pagerank / dedup_clusters). With
+    the edge list checkpointed once up front, a 1000-executor run shuffles
+    only the frontier; hop count is fixed, so the job count is bounded.
+    """
+    e = edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    ).localCheckpoint(eager=False)
+    visited = seed.select(
+        F.col("node").cast("long").alias("node"), F.lit(0).cast("int").alias("dist")
+    ).localCheckpoint(eager=True)
+    frontier = visited.select("node")
+    for hop in range(1, n_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(hop).cast("int").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    return visited

@@ -2442,3 +2442,90 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             project(as_double_vec(F.col("embedding"))), trunc6
         ).alias("pca16"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed BFS — shortest-hop layers over the purchase graph.
+# ---------------------------------------------------------------------------
+
+_BFS_HOPS = 3
+
+
+def _bfs_oracle_sql(n_hops: int) -> str:
+    """Unrolled-iteration DuckDB oracle for bfs_layers: layer k = nodes
+    reachable from layer k-1 minus every earlier layer — set algebra only
+    (ints, DISTINCT, anti-joins), so the hash comparison is exact."""
+    head = """
+WITH edges0 AS (
+  SELECT o_custkey AS src, l_suppkey + 10000000 AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+),
+edges AS (SELECT src, dst FROM edges0 UNION SELECT dst, src FROM edges0),
+l0 AS (SELECT MIN(src) AS node, 0 AS dist FROM edges)"""
+    parts = [head]
+    for k in range(1, n_hops + 1):
+        prev_union = " UNION ALL ".join(
+            f"SELECT node FROM l{j}" for j in range(k)
+        )
+        parts.append(f""",
+l{k} AS (
+  SELECT DISTINCT e.dst AS node, {k} AS dist
+  FROM edges e JOIN l{k - 1} p ON e.src = p.node
+  WHERE e.dst NOT IN ({prev_union})
+)""")
+    all_union = " UNION ALL ".join(
+        f"SELECT node, dist FROM l{j}" for j in range(n_hops + 1)
+    )
+    parts.append(f"""
+SELECT CAST(dist AS INT) AS dist,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(node) AS BIGINT) AS sum_node_ids,
+       CAST(MIN(node) AS BIGINT) AS min_node,
+       CAST(MAX(node) AS BIGINT) AS max_node
+FROM ({all_union})
+GROUP BY dist ORDER BY dist""")
+    return "".join(parts).strip()
+
+
+@register("graph_bfs_layers", oracle=_bfs_oracle_sql(_BFS_HOPS))
+def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shortest-hop BFS layers from the minimum-id customer over the
+    UNDIRECTED customer<->supplier purchase graph (same edge derivation as
+    supplier_influence_pagerank, symmetrized): per layer 0..3, the node
+    count and id aggregates. On the bipartite purchase graph the layers
+    alternate customer/supplier populations — hop 2 is "customers sharing
+    a supplier with the seed", the collaborative-filtering neighborhood.
+
+    Scale shape: see operators/graph.bfs_layers — per hop one frontier
+    shuffle join (frontier and visited are O(nodes), the edge list is
+    checkpointed once), hop count fixed, every layer pinned so lineage
+    never re-executes. The oracle unrolls the same set algebra as chained
+    CTEs; integer-only outputs make the hash exact."""
+    from kol_bigdata_realtime_analytics_spark.operators.graph import bfs_layers
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(10_000_000)).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    seed = edges.agg(F.min("src").alias("node"))
+    visited = bfs_layers(edges, seed, _BFS_HOPS)
+    return (
+        visited.groupBy("dist")
+        .agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.sum("node").cast("long").alias("sum_node_ids"),
+            F.min("node").cast("long").alias("min_node"),
+            F.max("node").cast("long").alias("max_node"),
+        )
+        .orderBy("dist")
+    )
