@@ -2529,3 +2529,172 @@ def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# Iterative Lloyd's k-means — integer-exact, driver-resident centroids.
+# ---------------------------------------------------------------------------
+
+_KM_K = 4
+_KM_ITERS = 3
+_KM_DIM = 64
+_KM_SHIFT = 1_000_000  # components are in (-0.6, 0.6): *1e6 + shift > 0
+
+
+def _kmeans_oracle_sql(k: int, n_iter: int, dim: int) -> str:
+    """Unrolled-iteration DuckDB oracle for embedding_kmeans_lloyd. All
+    arithmetic is integer (quantized components, exact bigint distance
+    sums, floor-division centroids over strictly positive sums), so every
+    assignment comparison — and therefore the hash — is exact, the same
+    discipline as the fixed-point PageRank and 40-round BPE oracles."""
+    head = f"""
+WITH pts AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        e -> CAST(floor(e * 1000000) AS BIGINT) + {_KM_SHIFT}) AS x
+  FROM embeddings
+),
+c0 AS (SELECT vec_id AS c, x FROM pts WHERE vec_id < {k})"""
+    parts = [head]
+    for t in range(1, n_iter + 1):
+        parts.append(f""",
+d{t} AS (
+  SELECT p.vec_id, p.x, c.c,
+         CAST(list_sum(list_transform(generate_series(1, {dim}),
+              i -> (p.x[i] - c.x[i]) * (p.x[i] - c.x[i]))) AS BIGINT) AS d2
+  FROM pts p, c{t - 1} c
+),
+a{t} AS (
+  SELECT vec_id, x, c FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+    FROM d{t}) WHERE rn = 1
+),
+s{t} AS (
+  SELECT c, i.i AS i, CAST(SUM(x[i.i]) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM a{t}, unnest(generate_series(1, {dim})) AS i(i)
+  GROUP BY c, i.i
+),
+u{t} AS (SELECT c, list(s // n ORDER BY i) AS x FROM s{t} GROUP BY c),
+c{t} AS (SELECT p.c, COALESCE(u.x, p.x) AS x FROM c{t - 1} p LEFT JOIN u{t} u USING (c))""")
+    parts.append(f""",
+df AS (
+  SELECT p.vec_id, c.c,
+         CAST(list_sum(list_transform(generate_series(1, {dim}),
+              i -> (p.x[i] - c.x[i]) * (p.x[i] - c.x[i]))) AS BIGINT) AS d2
+  FROM pts p, c{n_iter} c
+),
+af AS (
+  SELECT vec_id, c, d2 FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+    FROM df) WHERE rn = 1
+)
+SELECT CAST(c AS INT) AS cluster,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(SUM(vec_id) AS BIGINT) AS sum_vec_ids,
+       CAST(SUM(d2) AS BIGINT) AS inertia
+FROM af GROUP BY c ORDER BY c""")
+    return "".join(parts).strip()
+
+
+def _km_assign(pts: DataFrame, cents: list) -> DataFrame:
+    """Assignment pass under driver-resident centroids: d2 per cluster is a
+    zip_with/aggregate integer fold INSIDE one projection (no join, no
+    explode — the corpus is never inflated k times), argmin via least()
+    over (d2, c) structs so ties break on the lower cluster id."""
+    structs = []
+    for c, cv in enumerate(cents):
+        lit = F.array(*[F.lit(int(v)).cast("long") for v in cv])
+        d2 = F.aggregate(
+            F.zip_with(F.col("x"), lit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, e: acc + e,
+        )
+        structs.append(
+            F.struct(d2.alias("d"), F.lit(c).cast("int").alias("c"))
+        )
+    best = F.least(*structs)
+    return pts.select(
+        "vec_id",
+        "x",
+        best.getField("c").alias("c"),
+        best.getField("d").alias("d2"),
+    )
+
+
+@register(
+    "embedding_kmeans_lloyd",
+    oracle=_kmeans_oracle_sql(_KM_K, _KM_ITERS, _KM_DIM),
+)
+def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative Lloyd's k-means (k=4, 3 full assign+update rounds, init =
+    the k lowest-id vectors) over the embeddings, INTEGER-EXACT so the
+    unrolled DuckDB oracle hash-matches: components quantized to 1e-6 and
+    shifted positive, distances are exact bigint sums, and each centroid
+    update is an element-wise floor division (positive operands, so Spark
+    `//`-in-Python == DuckDB `//`). An empty cluster keeps its previous
+    centroid on both sides. Output: per final cluster, size, id-sum and
+    exact integer inertia.
+
+    Scale shape — how Spark ML's own KMeans runs: centroids live on the
+    DRIVER (k x dim ints; the per-iteration collect is the 4-row update
+    aggregate, never the corpus) and are folded into the next assignment
+    as literal arrays, so each round is ONE map-side projection (16k-item
+    zip_with fold, whole-stage codegen) plus ONE 4-group aggregation; the
+    points frame is localCheckpoint-pinned once and re-read from block
+    storage each round instead of re-scanning parquet. At 100 TB: 3 scans
+    of cached points, zero shuffled joins, 260 longs over the wire per
+    round."""
+    pts = (
+        _kmeans_pts_frame(spark, sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=True)
+    )
+    init = pts.filter(F.col("vec_id") < _KM_K).orderBy("vec_id").collect()
+    cents = [list(r["x"]) for r in init]
+    for _ in range(_KM_ITERS):
+        rows = (
+            _km_assign(pts, cents)
+            .groupBy("c")
+            .agg(
+                F.count("*").alias("n"),
+                *[F.sum(F.col("x")[i]).alias(f"s{i}") for i in range(_KM_DIM)],
+            )
+            .collect()
+        )
+        upd = {
+            int(r["c"]): [int(r[f"s{i}"]) // int(r["n"]) for i in range(_KM_DIM)]
+            for r in rows
+        }
+        cents = [upd.get(c, cents[c]) for c in range(_KM_K)]
+    final = _km_assign(pts, cents)
+    return (
+        final.groupBy("c")
+        .agg(
+            F.count("*").cast("long").alias("n_points"),
+            F.sum("vec_id").cast("long").alias("sum_vec_ids"),
+            F.sum("d2").cast("long").alias("inertia"),
+        )
+        .select(
+            F.col("c").cast("int").alias("cluster"),
+            "n_points",
+            "sum_vec_ids",
+            "inertia",
+        )
+        .orderBy("cluster")
+    )
+
+
+def _kmeans_pts_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, x: array<long>) — components quantized to 1e-6 and shifted
+    strictly positive so every later division is over positive ints."""
+    from kol_bigdata_realtime_analytics_spark.operators.similarity import (
+        as_double_vec,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    x = F.transform(
+        as_double_vec(F.col("embedding")),
+        lambda e: F.floor(e * 1_000_000).cast("long") + _KM_SHIFT,
+    )
+    return emb.select("vec_id", x.alias("x"))
