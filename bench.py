@@ -137,6 +137,10 @@ HEADLINE = [
     "heavy_hitters_hotkeys",
     "embedding_pca_project",
     "hybrid_search_rrf",
+    "late_interaction_maxsim",
+    "hybrid_rerank_containment",
+    "graph_bfs_layers",
+    "embedding_kmeans_lloyd",
 ]
 
 

@@ -2698,3 +2698,165 @@ def _kmeans_pts_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda e: F.floor(e * 1_000_000).cast("long") + _KM_SHIFT,
     )
     return emb.select("vec_id", x.alias("x"))
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift (binned two-sample KS) and column entropy profiling.
+# ---------------------------------------------------------------------------
+
+_KS_BINS = 256
+_KS_WIDTH = 2.0
+
+_KS_ORACLE = f"""
+WITH f AS (
+  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_a,
+         least(CAST(floor(value / {_KS_WIDTH}) AS BIGINT), {_KS_BINS - 1}) AS bin
+  FROM events WHERE event_type IN ('purchase', 'view')
+),
+per AS (
+  SELECT bin, CAST(SUM(is_a) AS BIGINT) AS a, CAST(SUM(1 - is_a) AS BIGINT) AS b
+  FROM f GROUP BY bin
+),
+cum AS (
+  SELECT CAST(SUM(a) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ca,
+         CAST(SUM(b) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cb,
+         CAST(SUM(a) OVER () AS BIGINT) AS ta,
+         CAST(SUM(b) OVER () AS BIGINT) AS tb
+  FROM per
+)
+SELECT MAX(ta) AS n_a, MAX(tb) AS n_b,
+       CAST(MAX(ABS(ca * tb - cb * ta)) AS BIGINT) AS ks_num,
+       floor(CAST(MAX(ABS(ca * tb - cb * ta)) AS DOUBLE)
+             / (MAX(ta) * MAX(tb)) * 1000000) / 1000000 AS ks_d
+FROM cum
+""".strip()
+
+
+@register("ks_value_drift_check", oracle=_KS_ORACLE)
+def ks_value_drift_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic between the purchase
+    and view value distributions, BINNED (256 x width-2 bins) — the
+    scalable KS form. Exact KS needs a global sort of both samples (one
+    partition at 100 TB); binning caps the CDF frame at 256 rows, the
+    window runs over bins not events, and the statistic's error vs exact
+    KS is bounded by the largest bin mass. The comparison itself is
+    INTEGER-exact: D's numerator is max|ca*tb - cb*ta| over bin-cumulative
+    bigint counts, divided once at the end — so the hash is exact, and
+    ks_d is the drift monitor's alert input (compare to c(alpha)*
+    sqrt((n_a+n_b)/(n_a*n_b)))."""
+    from kol_bigdata_realtime_analytics_spark.plans.domain import trunc6
+
+    ev = table(spark, sf_dir, "events")
+    f = ev.filter(F.col("event_type").isin("purchase", "view")).select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_a"),
+        F.least(
+            F.floor(F.col("value") / _KS_WIDTH).cast("long"),
+            F.lit(_KS_BINS - 1).cast("long"),
+        ).alias("bin"),
+    )
+    per = f.groupBy("bin").agg(
+        F.sum("is_a").cast("long").alias("a"),
+        F.sum(1 - F.col("is_a")).cast("long").alias("b"),
+    )
+    wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = per.select(
+        F.sum("a").over(wcum).alias("ca"),
+        F.sum("b").over(wcum).alias("cb"),
+        F.sum("a").over(wall).alias("ta"),
+        F.sum("b").over(wall).alias("tb"),
+    )
+    return cum.agg(
+        F.max("ta").alias("n_a"),
+        F.max("tb").alias("n_b"),
+        F.max(F.abs(F.col("ca") * F.col("tb") - F.col("cb") * F.col("ta")))
+        .cast("long")
+        .alias("ks_num"),
+        trunc6(
+            F.max(F.abs(F.col("ca") * F.col("tb") - F.col("cb") * F.col("ta"))).cast(
+                "double"
+            )
+            / (F.max("ta") * F.max("tb"))
+        ).alias("ks_d"),
+    )
+
+
+def _entropy_block(table_name: str, col: str) -> str:
+    return f"""
+SELECT '{table_name}.{col}' AS column_name,
+       CAST(SUM(cnt) AS BIGINT) AS n_values,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       floor((ln(CAST(SUM(cnt) AS DOUBLE))
+              - CAST(SUM(CAST(cnt * ln(cnt) AS DECIMAL(28, 12))) AS DOUBLE)
+                / CAST(SUM(cnt) AS DOUBLE)) * 1000000) / 1000000 AS entropy,
+       CASE WHEN COUNT(*) > 1 THEN
+         floor((ln(CAST(SUM(cnt) AS DOUBLE))
+                - CAST(SUM(CAST(cnt * ln(cnt) AS DECIMAL(28, 12))) AS DOUBLE)
+                  / CAST(SUM(cnt) AS DOUBLE))
+               / ln(CAST(COUNT(*) AS DOUBLE)) * 1000000) / 1000000
+       END AS norm_entropy
+FROM (SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM {table_name}
+      WHERE {col} IS NOT NULL GROUP BY {col})"""
+
+
+_ENTROPY_COLS = [
+    ("events", "event_type"),
+    ("documents", "lang"),
+    ("documents", "source"),
+    ("orders", "o_orderpriority"),
+    ("customer", "c_mktsegment"),
+]
+
+_ENTROPY_ORACLE = (
+    " UNION ALL ".join(_entropy_block(t, c) for t, c in _ENTROPY_COLS)
+    + " ORDER BY column_name"
+)
+
+
+@register("column_entropy_profile", oracle=_ENTROPY_ORACLE)
+def column_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy profile of the categorical columns a data-quality
+    scanner watches (H = ln(N) - sum(cnt*ln(cnt))/N, plus H/ln(k)
+    normalized to [0,1]) — low entropy on a supposedly-diverse column or a
+    sudden entropy drop is the classic silent-upstream-failure signal.
+
+    Scale shape: one partial-agg groupBy per column (value-distinct sized,
+    never row-sized), a 5-frame union of 1-row results. The cnt*ln(cnt)
+    terms sum as DECIMAL(28,12) so the entropy is summation-order-proof
+    (the registry's order-proof float discipline)."""
+    from kol_bigdata_realtime_analytics_spark.plans.domain import trunc6
+
+    frames = []
+    for t, c in _ENTROPY_COLS:
+        g = (
+            table(spark, sf_dir, t)
+            .filter(F.col(c).isNotNull())
+            .groupBy(c)
+            .agg(F.count("*").cast("long").alias("cnt"))
+        )
+        h = F.log(F.sum("cnt").cast("double")) - F.sum(
+            (F.col("cnt") * F.log("cnt")).cast("decimal(28,12)")
+        ).cast("double") / F.sum("cnt").cast("double")
+        frames.append(
+            g.agg(
+                F.sum("cnt").cast("long").alias("n_values"),
+                F.count("*").cast("long").alias("n_distinct"),
+                trunc6(h).alias("entropy"),
+                F.when(
+                    F.count("*") > 1,
+                    trunc6(h / F.log(F.count("*").cast("double"))),
+                ).alias("norm_entropy"),
+            ).select(
+                F.lit(f"{t}.{c}").alias("column_name"),
+                "n_values",
+                "n_distinct",
+                "entropy",
+                "norm_entropy",
+            )
+        )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out.orderBy("column_name")
