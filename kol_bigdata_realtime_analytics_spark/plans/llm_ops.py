@@ -4068,3 +4068,90 @@ def hybrid_rerank_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             trunc6(F.col("rrf")).alias("rrf_score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Contrastive-training data prep: hard-negative mining.
+# ---------------------------------------------------------------------------
+
+_HNM_ANCHORS = 32
+_HNM_K = 3
+
+_HNM_ORACLE = f"""
+WITH anchors AS (
+  SELECT vec_id AS anchor_id, embedding::DOUBLE[] AS a_vec, label AS a_label
+  FROM embeddings WHERE vec_id < {_HNM_ANCHORS}
+),
+scored AS (
+  SELECT a.anchor_id, e.vec_id AS neg_id,
+         ROUND(list_dot_product(e.embedding::DOUBLE[], a.a_vec)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(a.a_vec, a.a_vec))), 6) AS cos
+  FROM embeddings e JOIN anchors a ON e.label != a.a_label
+),
+ranked AS (
+  SELECT anchor_id, neg_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY cos DESC, neg_id ASC) AS neg_rank
+  FROM scored
+)
+SELECT anchor_id, neg_rank, neg_id,
+       floor(cos * 1000000) / 1000000 AS cos_sim
+FROM ranked WHERE neg_rank <= {_HNM_K}
+ORDER BY anchor_id, neg_rank
+""".strip()
+
+
+@register("hard_negative_mining", oracle=_HNM_ORACLE)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training: for each of
+    the 32 anchor vectors, the top-3 most-similar vectors with a DIFFERENT
+    label — the negatives that actually move an InfoNCE/triplet loss
+    (random negatives are trivially separable; the hard ones live at the
+    decision boundary). Non-vacuous: 10 labels, so ~90% of the corpus
+    competes per anchor.
+
+    Scale shape: the anchor page (32 rows) broadcasts into the corpus scan
+    — a bounded-query-side pattern identical to ann_cosine_topk's; scoring
+    is one projection per (row, anchor) pair and the per-anchor top-k is a
+    window PARTITIONED on anchor_id (32 partitions, never a global sort).
+    At 100 TB with B anchors this is O(corpus x B) scan work, the same
+    complexity the mining loop costs on a GPU cluster — and the natural
+    next step, bucketing anchors via the IVF coarse lists, is what
+    ann_ivf_topk already provides."""
+    from kol_bigdata_realtime_analytics_spark.operators.similarity import (
+        as_double_vec,
+        cosine,
+    )
+    from kol_bigdata_realtime_analytics_spark.plans.domain import trunc6
+
+    emb = table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < _HNM_ANCHORS).select(
+        F.col("vec_id").alias("anchor_id"),
+        as_double_vec(F.col("embedding")).alias("a_vec"),
+        F.col("label").alias("a_label"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(anchors))
+        .filter(F.col("label") != F.col("a_label"))
+        .select(
+            "anchor_id",
+            F.col("vec_id").alias("neg_id"),
+            F.round(
+                cosine(as_double_vec(F.col("embedding")), F.col("a_vec")), 6
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos").desc(), F.col("neg_id").asc()
+    )
+    return (
+        scored.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= _HNM_K)
+        .select(
+            "anchor_id",
+            F.col("neg_rank").cast("long").alias("neg_rank"),
+            "neg_id",
+            trunc6(F.col("cos")).alias("cos_sim"),
+        )
+        .orderBy("anchor_id", "neg_rank")
+    )
