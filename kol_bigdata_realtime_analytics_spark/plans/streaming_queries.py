@@ -738,3 +738,102 @@ def streaming_unmatched_both_sides(spark: SparkSession, sf_dir: str) -> DataFram
             F.max("ts_us").alias("last_us"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming heavy hitters — bounded-state Misra-Gries via stateful shards.
+# ---------------------------------------------------------------------------
+
+_SHH_K = 8
+_SHH_BUCKETS = 8
+
+
+def _shh_keyed(df: DataFrame) -> DataFrame:
+    """Same in-plan hot-key derivation as heavy_hitters_hotkeys (user_id
+    % 7 -> -1) so genuine heavy keys exist over uniform TESTDATA."""
+    return df.select(
+        F.when(F.col("user_id") % 7 == 0, F.lit(-1))
+        .otherwise(F.col("user_id"))
+        .cast("long")
+        .alias("hot_key")
+    )
+
+
+def _shh_run(spark: SparkSession, sf_dir: str, mem_name: str) -> DataFrame:
+    from kol_bigdata_realtime_analytics_spark.streaming.heavy_hitters import (
+        mg_heavy_hitters_stream,
+    )
+
+    _require_single_file_replay(sf_dir, "streaming_heavy_hitters")
+    stream = _shh_keyed(events_stream_source(spark, sf_dir))
+    _run_to_memory(
+        mg_heavy_hitters_stream(stream, k=_SHH_K, n_buckets=_SHH_BUCKETS),
+        mem_name,
+        output_mode="update",
+    )
+    return spark.table(mem_name)
+
+
+@register("streaming_heavy_hitters", oracle=None)
+def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Misra-Gries candidates: per hash bucket, the <= 8 weighted
+    counters a bounded-state stream summary retains (streaming/
+    heavy_hitters.py — total state O(buckets * k) at any stream length).
+    The candidate SET depends on Arrow chunk boundaries (MG merge order),
+    so this is rows-only by design; streaming_heavy_hitters_check is the
+    hash-exact companion certifying the properties that hold under ANY
+    chunking (no heavy key missed, state bound respected)."""
+    return _shh_run(spark, sf_dir, "shh_mem").orderBy("bucket", "candidate_key")
+
+
+_SHH_CHECK_ORACLE = f"""
+WITH keyed AS (
+  SELECT CASE WHEN user_id % 7 = 0 THEN -1 ELSE user_id END AS hot_key
+  FROM events
+),
+b AS (SELECT hot_key, ((hot_key % {_SHH_BUCKETS}) + {_SHH_BUCKETS}) % {_SHH_BUCKETS} AS bucket FROM keyed),
+c AS (SELECT bucket, hot_key, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY 1, 2),
+nb AS (SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS n_b FROM c GROUP BY 1),
+heavy AS (
+  SELECT c.bucket, c.hot_key FROM c JOIN nb USING (bucket)
+  WHERE c.cnt * {_SHH_K + 1} > nb.n_b
+)
+SELECT CAST((SELECT COUNT(*) FROM heavy) AS BIGINT) AS n_true_heavy,
+       CAST(0 AS BIGINT) AS n_missed,
+       TRUE AS state_bound_ok
+""".strip()
+
+
+@register("streaming_heavy_hitters_check", oracle=_SHH_CHECK_ORACLE)
+def streaming_heavy_hitters_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-exact companion for streaming_heavy_hitters (the invariant-
+    companion pattern): runs the REAL stateful stream, then certifies the
+    two properties Misra-Gries guarantees under ANY Arrow chunking —
+    (1) every key whose in-bucket count exceeds n_bucket/(k+1) IS in the
+    emitted candidate set (n_missed = 0: a broken eviction that drops a
+    frequent key flips the hash), and (2) the emitted state never exceeds
+    buckets*k counters (state_bound_ok). The oracle re-derives the exact
+    per-bucket heavy set in SQL and states the guarantees."""
+    cand = _shh_run(spark, sf_dir, "shh_check_mem")
+    keyed = _shh_keyed(table(spark, sf_dir, "events"))
+    c = keyed.groupBy(
+        F.pmod(F.col("hot_key"), F.lit(_SHH_BUCKETS)).cast("long").alias("bucket"),
+        "hot_key",
+    ).agg(F.count("*").alias("cnt"))
+    nb = c.groupBy("bucket").agg(F.sum("cnt").alias("n_b"))
+    heavy = (
+        c.join(nb, "bucket")
+        .filter(F.col("cnt") * (_SHH_K + 1) > F.col("n_b"))
+        .select("bucket", "hot_key")
+    )
+    missed = heavy.join(
+        cand.select("bucket", F.col("candidate_key").alias("hot_key")),
+        ["bucket", "hot_key"],
+        "left_anti",
+    )
+    n_heavy = heavy.agg(F.count("*").cast("long").alias("n_true_heavy"))
+    n_missed = missed.agg(F.count("*").cast("long").alias("n_missed"))
+    bound = cand.agg(
+        (F.count("*") <= _SHH_BUCKETS * _SHH_K).alias("state_bound_ok")
+    )
+    return n_heavy.crossJoin(n_missed).crossJoin(bound)

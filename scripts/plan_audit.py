@@ -32,6 +32,9 @@ SKIP = {
     "stream_static_enrichment": "streaming",
     "stream_stream_click_attribution": "streaming",
     "streaming_unattributed_views": "streaming",
+    "streaming_heavy_hitters": "streaming (stateful MG shards)",
+    "streaming_heavy_hitters_check": "streaming (runs the stateful stream on build)",
+    "embedding_kmeans_lloyd": "iterative (collect-driven assign/update rounds)",
     "dedup_clusters": "iterative (collect-driven rounds)",
     "supplier_influence_pagerank": "iterative (collect-driven rounds)",
     "part_graph_triangles": "iterative (localCheckpoint stages)",

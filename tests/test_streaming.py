@@ -377,3 +377,46 @@ def test_jsondir_writer_abort_leaves_committed_data(spark, tmp_path):
     ).mode("append").save(out)
     assert glob.glob(os.path.join(out, "_staging-*")) == []
     assert spark.read.json(out + "/part-*.jsonl").count() == 6
+
+
+def test_streaming_heavy_hitters_state_merges_across_batches(spark, tmp_path):
+    """Two micro-batches (maxFilesPerTrigger=1): the MG state must carry
+    batch 1's counters into batch 2 — the planted hot key's weight equals
+    its TOTAL count across both files (no eviction pressure: fewer distinct
+    keys than k), which a stateless per-batch summary cannot produce."""
+    import pandas as pd
+
+    from kol_bigdata_realtime_analytics_spark.streaming.heavy_hitters import (
+        mg_heavy_hitters_stream,
+    )
+
+    src = tmp_path / "shh_src"
+    src.mkdir()
+    # hot key 8 (bucket 0): 50 occurrences per file; 3 cold keys per file
+    pd.DataFrame({"hot_key": [8] * 50 + [1, 2, 3]}).to_parquet(src / "a.parquet")
+    pd.DataFrame({"hot_key": [8] * 50 + [9, 10, 11]}).to_parquet(src / "b.parquet")
+    stream = (
+        spark.readStream.schema("hot_key long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    for q in spark.streams.active:
+        if q.name == "shh_state_test":
+            q.stop()
+    q = (
+        mg_heavy_hitters_stream(stream, k=8, n_buckets=8)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("shh_state_test")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.table("shh_state_test").collect()
+    # update-mode memory sink appends per-batch emissions; the LAST emission
+    # for (bucket 0, key 8) carries the merged weight
+    w8 = [r["mg_weight"] for r in rows if r["candidate_key"] == 8]
+    assert w8, "hot key missing from candidates"
+    assert max(w8) == 100, f"state did not merge across batches: {w8}"
+    # bounded state: no emission ever exceeds buckets * k rows per batch
+    assert len(rows) <= 2 * 8 * 8
