@@ -1459,3 +1459,69 @@ def collated_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lower(F.col("k")).cast("string").alias("type_key"), "n_parts")
         .orderBy("type_key")
     )
+
+
+_SCRIPT_SQL = """
+BEGIN
+  DECLARE total BIGINT DEFAULT 0;
+  DECLARE hi_thr DOUBLE DEFAULT 0;
+  SET total = (SELECT COUNT(*) FROM events_script_v);
+  SET hi_thr = (SELECT percentile(value, 0.9) FROM events_script_v);
+  SELECT event_type,
+         COUNT(*) AS n_events,
+         CAST(SUM(CASE WHEN value >= hi_thr THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+         total AS corpus_total
+  FROM events_script_v GROUP BY event_type ORDER BY event_type;
+END
+"""
+
+_SCRIPT_ORACLE = """
+WITH t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM events),
+h AS (SELECT quantile_cont(value, 0.9) AS thr FROM events)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN value >= h.thr THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+       t.total AS corpus_total
+FROM events, t, h GROUP BY event_type, t.total ORDER BY event_type
+""".strip()
+
+
+@register("sql_scripting_stats", oracle=_SCRIPT_ORACLE)
+def sql_scripting_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL scripting (BEGIN/DECLARE/SET blocks, SPARK-48338)
+    end-to-end: session variables hold a corpus count and the exact p90
+    value threshold, then parameterize the final grouped SELECT — the
+    procedural-SQL surface a Trino/warehouse migrator expects. The oracle
+    is the same computation as plain scalar-subquery SQL (Spark
+    `percentile` == DuckDB `quantile_cont`, parity pinned by
+    value_percentiles)."""
+    table(spark, sf_dir, "events").createOrReplaceTempView("events_script_v")
+    return spark.sql(_SCRIPT_SQL)
+
+
+_PARAM_ORACLE = """
+SELECT o_orderkey, o_custkey, o_orderpriority
+FROM orders
+WHERE o_orderstatus = 'F' AND o_totalprice >= 100000.0
+ORDER BY o_orderkey
+LIMIT 25
+""".strip()
+
+
+@register("sql_parameterized_page", oracle=_PARAM_ORACLE)
+def sql_parameterized_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL (spark.sql(..., args={...}), SPARK-44140): the
+    serving-path page query with its filter values bound as parameters
+    instead of f-string splicing — the injection-safe form a serving API
+    should use (the reference's FastAPI layer interpolates request params
+    into SQL strings; this is the engine-side fix)."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_param_v")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_orderpriority
+        FROM orders_param_v
+        WHERE o_orderstatus = :status AND o_totalprice >= :min_price
+        ORDER BY o_orderkey
+        LIMIT :page_size
+        """,
+        args={"status": "F", "min_price": 100000.0, "page_size": 25},
+    )
