@@ -4155,3 +4155,66 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("anchor_id", "neg_rank")
     )
+
+
+_HYBRID_RECALL_ORACLE = f"""
+WITH {_RRF_FUSED_CTES},
+page AS (SELECT doc_id FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT {_RERANK_DEPTH}),
+qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+exact AS (
+  SELECT doc_id FROM (
+    SELECT vec_id AS doc_id,
+           ROUND(list_dot_product(embedding::DOUBLE[], qv.v)
+                 / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(qv.v, qv.v))), 6) AS c
+    FROM embeddings, qv WHERE vec_id != 0
+  ) ORDER BY c DESC, doc_id ASC LIMIT 5
+)
+SELECT CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_exact,
+       CAST((SELECT COUNT(*) FROM exact JOIN page USING (doc_id)) AS BIGINT) AS n_in_fused_page
+""".strip()
+
+
+@register("hybrid_recall_check", oracle=_HYBRID_RECALL_ORACLE)
+def hybrid_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end retrieval-quality certificate for the hybrid stack: how
+    many of the exact-cosine top-5 appear in the fused RRF top-20 (the
+    page the rerank stage sees). Unlike the ANN recall bounds, BOTH sides
+    are SQL-expressible, so the oracle computes the TRUE intersection —
+    the hash certifies the exact recall value (5/5 at every TESTDATA sf),
+    not a tuned floor. A fusion regression that lets the lexical leg push
+    a true vector neighbor off the page flips n_in_fused_page."""
+    fused = _rrf_fused(spark, sf_dir)
+    page = (
+        fused.orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+        .limit(_RERANK_DEPTH)
+        .select("doc_id")
+    )
+    from kol_bigdata_realtime_analytics_spark.operators.similarity import (
+        as_double_vec,
+        cosine,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        as_double_vec(F.col("embedding")).alias("qv")
+    )
+    exact = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                cosine(as_double_vec(F.col("embedding")), F.col("qv")), 6
+            ).alias("c"),
+        )
+        .orderBy(F.col("c").desc(), F.col("doc_id").asc())
+        .limit(5)
+        .select("doc_id")
+    )
+    n_exact = exact.agg(F.count("*").cast("long").alias("n_exact"))
+    n_found = (
+        exact.join(page, "doc_id")
+        .agg(F.count("*").cast("long").alias("n_in_fused_page"))
+    )
+    return n_exact.crossJoin(n_found)

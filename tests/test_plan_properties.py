@@ -388,6 +388,7 @@ def test_no_unexpected_nested_loop_joins(spark, sf_oracle):
         "heavy_hitters_hotkeys",    # broadcast 1-row total for the threshold filter
         "hybrid_search_rrf",        # broadcast 1-row query vector + 1-row BM25 corpus stats
         "hybrid_rerank_containment",  # inherits RRF's 1-row crosses + broadcast 1-row query-grams
+        "hybrid_recall_check",      # inherits RRF's 1-row crosses + 1-row x 1-row stat cross
         "hard_negative_mining",     # broadcast 32-row anchor page x corpus (bounded query side)
         "late_interaction_maxsim",  # broadcast 1-row query token-vector frame x corpus
         "matryoshka_overlap_check",  # broadcast 1-row (full, prefix) query vector pair x corpus
