@@ -2860,3 +2860,114 @@ def column_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for fr in frames[1:]:
         out = out.unionByName(fr)
     return out.orderBy("column_name")
+
+
+# ---------------------------------------------------------------------------
+# Label propagation — majority-vote community detection, fixed rounds.
+# ---------------------------------------------------------------------------
+
+_LPA_ROUNDS = 2
+_LPA_TOP = 10
+
+
+def _lpa_oracle_sql(n_rounds: int) -> str:
+    """Unrolled-iteration DuckDB oracle for label_propagation_communities:
+    per round, each node adopts the most frequent label among its
+    neighbors (count desc, label asc tie-break) — integer votes and
+    integer tie-breaks, so every adoption and the final histogram are
+    exact."""
+    head = """
+WITH edges0 AS (
+  SELECT o_custkey AS src, l_suppkey + 10000000 AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+),
+edges AS (SELECT src, dst FROM edges0 UNION SELECT dst, src FROM edges0),
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges)"""
+    parts = [head]
+    for k in range(1, n_rounds + 1):
+        parts.append(f""",
+v{k} AS (
+  SELECT e.dst AS node, l.label, CAST(COUNT(*) AS BIGINT) AS c
+  FROM edges e JOIN l{k - 1} l ON e.src = l.node
+  GROUP BY 1, 2
+),
+l{k} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+    FROM v{k}) WHERE rn = 1
+)""")
+    parts.append(f"""
+SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM l{n_rounds}
+GROUP BY label
+ORDER BY n_nodes DESC, community ASC
+LIMIT {_LPA_TOP}""")
+    return "".join(parts).strip()
+
+
+@register(
+    "label_propagation_communities", oracle=_lpa_oracle_sql(_LPA_ROUNDS)
+)
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation community detection (Raghavan et al. 2007,
+    deterministic variant) over the symmetrized customer<->supplier
+    purchase graph: labels start as node ids and for 2 fixed rounds each
+    node adopts its neighbors' MAJORITY label (count desc, label asc
+    tie-break — the determinism knob; async random-order LPA is
+    irreproducible by construction). Output: the 10 largest communities.
+    Complements the graph family: connected components (dedup_clusters)
+    find reachability islands, LPA finds DENSITY communities inside one
+    component.
+
+    Scale shape: per round ONE shuffle join edges⋈labels on src (labels
+    are O(nodes), the edge list is checkpointed once), one (node, label)
+    count aggregation, one argmax window PARTITIONED by node — node-sized
+    frames throughout, round count fixed, labels localCheckpoint-pinned so
+    round k never re-executes rounds 1..k-1."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(10_000_000)).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = (
+        e0.unionByName(
+            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.col("c").desc(), F.col("label").asc()
+    )
+    for _ in range(_LPA_ROUNDS):
+        votes = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .select(F.col("dst").alias("node"), "label")
+            .groupBy("node", "label")
+            .agg(F.count("*").alias("c"))
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(F.count("*").cast("long").alias("n_nodes"))
+        .orderBy(F.col("n_nodes").desc(), F.col("community").asc())
+        .limit(_LPA_TOP)
+    )

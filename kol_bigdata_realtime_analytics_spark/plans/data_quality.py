@@ -436,3 +436,53 @@ def value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid.groupBy("event_type").agg(
         (F.floor(F.sum(term).cast("double") * 1000000) / 1000000).alias("psi")
     )
+
+
+# ---------------------------------------------------------------------------
+# l-diversity audit — k-anonymity's complement: a class can be large (k-safe)
+# yet leak the sensitive attribute if every member shares one value. Per QI
+# class, count DISTINCT sensitive values; the release gate checks min l.
+# ---------------------------------------------------------------------------
+
+_L_DIV_ORACLE = """
+WITH classes AS (
+  SELECT c_mktsegment, c_nationkey,
+         CAST(COUNT(*) AS BIGINT) AS class_size,
+         CAST(COUNT(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) AS BIGINT) AS l_div
+  FROM customer
+  GROUP BY 1, 2
+)
+SELECT CAST(3 AS BIGINT) AS l,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(CASE WHEN l_div < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_diversity,
+       CAST(SUM(CASE WHEN l_div < 3 THEN class_size ELSE 0 END) AS BIGINT) AS n_exposed_rows,
+       CAST(MIN(l_div) AS BIGINT) AS min_l
+FROM classes
+""".strip()
+
+
+@register("l_diversity_audit", oracle=_L_DIV_ORACLE)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is the customer table 3-diverse over the balance band within each
+    (segment, nation) class? k-anonymity (k_anonymity_audit) bounds class
+    SIZE; this bounds sensitive-value homogeneity — a 1000-row class where
+    everyone shares a balance band still leaks it. One narrow groupBy on
+    the QI pair with a distinct-count of the sensitive band; emits the
+    low-diversity class and exposed-row counts."""
+    l = 3
+    c = table(spark, sf_dir, "customer")
+    classes = c.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count("*").alias("class_size"),
+        F.countDistinct(
+            F.floor(F.col("c_acctbal") / 1000).cast("long")
+        ).alias("l_div"),
+    )
+    return classes.agg(
+        F.lit(l).cast("long").alias("l"),
+        F.count("*").alias("n_classes"),
+        F.sum((F.col("l_div") < l).cast("long")).alias("n_low_diversity"),
+        F.sum(
+            F.when(F.col("l_div") < l, F.col("class_size")).otherwise(0)
+        ).alias("n_exposed_rows"),
+        F.min("l_div").alias("min_l"),
+    )
