@@ -4218,3 +4218,137 @@ def hybrid_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_in_fused_page"))
     )
     return n_exact.crossJoin(n_found)
+
+
+# ---------------------------------------------------------------------------
+# Fused RAG index-build pipeline — the serving-side twin of
+# training_shard_pipeline: dedup survivorship + chunk accounting + int8
+# quantization + LSH shard assignment as ONE plan.
+# ---------------------------------------------------------------------------
+
+_RAG_CHUNK = 64
+_RAG_OVERLAP = 16
+_RAG_STEP = _RAG_CHUNK - _RAG_OVERLAP
+_RAG_PLANES = 4
+
+
+def _rag_index_oracle() -> str:
+    from kol_bigdata_realtime_analytics_spark.operators.similarity import (
+        lsh_bucket_sql,
+    )
+
+    bucket = lsh_bucket_sql("vec", dim=64, n_planes=_RAG_PLANES, seed=42)
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         {DOC_FINGERPRINT_ORACLE_SQL.format(col="text")} AS fingerprint,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok
+  FROM documents WHERE trim(COALESCE(text, '')) != ''
+),
+surv AS (
+  SELECT MIN(doc_id) AS doc_id, min_by(n_tok, doc_id) AS n_tok
+  FROM base GROUP BY fingerprint
+),
+chunked AS (
+  SELECT doc_id,
+         GREATEST(1, (n_tok - {_RAG_OVERLAP} + {_RAG_STEP - 1}) // {_RAG_STEP}) AS n_chunks
+  FROM surv
+),
+emb0 AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec,
+         CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) / 127.0 AS scale
+  FROM embeddings
+),
+idx AS (SELECT vec_id, scale, CAST({bucket} AS BIGINT) AS bucket FROM emb0),
+j AS (
+  SELECT i.bucket, i.scale, c.n_chunks
+  FROM idx i JOIN chunked c ON i.vec_id = c.doc_id
+)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(SUM(n_chunks) AS BIGINT) AS total_chunks,
+       CAST(MAX(n_chunks) AS BIGINT) AS max_chunks,
+       floor(CAST(SUM(CAST(scale AS DECIMAL(28, 12))) AS DOUBLE) / COUNT(*)
+             * 1000000) / 1000000 AS avg_scale
+FROM j GROUP BY bucket ORDER BY bucket
+""".strip()
+
+
+@register("rag_index_build_pipeline", oracle=_rag_index_oracle())
+def rag_index_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The serving-index build as ONE fused plan — the read-side twin of
+    training_shard_pipeline: documents pass the blank gate, exact-dedup
+    survivorship (min doc_id per content fingerprint) picks the indexed
+    copy, chunk COUNTS come from token counts arithmetically (the chunk
+    bodies are never materialized — an index build needs the accounting,
+    not 4x corpus inflation), embeddings are int8-quantized and assigned
+    to their 4-plane LSH shard in the scan projection, and the final
+    per-shard stats (vector count, chunk totals, mean quantization scale)
+    are what a capacity planner reads before provisioning the ANN serving
+    tier.
+
+    Scale shape: each input parquet is scanned EXACTLY ONCE (documents ->
+    fingerprint groupBy; embeddings -> pure projection), the only join is
+    survivors⋈vectors on the id (equi, shuffle-partitioned both sides),
+    and the output aggregation has 2^4 groups. Zero UDFs, zero explodes,
+    zero re-scans — at 100 TB this is two linear passes and one shuffle.
+
+    Determinism: fingerprint is md5, chunk math is integer, buckets are
+    the literal-plane sign test both engines fold identically
+    (lsh_bucket_sql), avg scale is a decimal-summed mean truncated at
+    6dp."""
+    from kol_bigdata_realtime_analytics_spark.functions.text import (
+        doc_fingerprint_md5,
+        tokens,
+    )
+    from kol_bigdata_realtime_analytics_spark.operators.similarity import (
+        lsh_bucket_id,
+        quantize_int8,
+    )
+    from kol_bigdata_realtime_analytics_spark.plans.domain import trunc6
+
+    docs = table(spark, sf_dir, "documents").filter(
+        F.trim(F.coalesce("text", F.lit(""))) != ""
+    )
+    base = docs.select(
+        "doc_id",
+        doc_fingerprint_md5(F.col("text")).alias("fingerprint"),
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tok"),
+    )
+    surv = (
+        base.groupBy("fingerprint")
+        .agg(F.min(F.struct("doc_id", "n_tok")).alias("s"))
+        .select(F.col("s.doc_id").alias("doc_id"), F.col("s.n_tok").alias("n_tok"))
+    )
+    chunked = surv.select(
+        "doc_id",
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.expr(
+                f"(n_tok - {_RAG_OVERLAP} + {_RAG_STEP - 1}) div {_RAG_STEP}"
+            ),
+        ).alias("n_chunks"),
+    )
+    emb = table(spark, sf_dir, "embeddings")
+    scale, _codes = quantize_int8(F.col("embedding"))
+    idx = emb.select(
+        "vec_id",
+        scale.alias("scale"),
+        lsh_bucket_id(F.col("embedding"), dim=64, n_planes=_RAG_PLANES, seed=42).alias(
+            "bucket"
+        ),
+    )
+    j = idx.join(chunked, idx["vec_id"] == chunked["doc_id"])
+    return (
+        j.groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_vectors"),
+            F.sum("n_chunks").cast("long").alias("total_chunks"),
+            F.max("n_chunks").cast("long").alias("max_chunks"),
+            trunc6(
+                F.sum(F.col("scale").cast("decimal(28,12)")).cast("double")
+                / F.count("*")
+            ).alias("avg_scale"),
+        )
+        .orderBy("bucket")
+    )
