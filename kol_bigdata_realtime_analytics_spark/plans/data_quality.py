@@ -486,3 +486,63 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_exposed_rows"),
         F.min("l_div").alias("min_l"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Daily volume anomalies — robust (median/MAD) spike detection, the pager
+# alert for "ingestion broke / a bot farm arrived" that mean/stddev misses
+# because the anomaly itself drags the mean.
+# ---------------------------------------------------------------------------
+
+_DAILY_ANOM_ORACLE = """
+WITH d AS (
+  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1
+),
+m AS (SELECT quantile_cont(n_events, 0.5) AS med FROM d),
+a AS (SELECT quantile_cont(abs(n_events - m.med), 0.5) AS mad FROM d, m)
+SELECT day, n_events,
+       floor((n_events - m.med) / a.mad * 1000000) / 1000000 AS robust_z
+FROM d, m, a
+WHERE abs(n_events - m.med) > 3 * a.mad
+ORDER BY day
+""".strip()
+
+
+@register("daily_value_anomalies", oracle=_DAILY_ANOM_ORACLE)
+def daily_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days whose event volume deviates more than 3 robust sigmas
+    (median/MAD over the daily series) — non-vacuous on TESTDATA (the
+    30-day series carries real >3-MAD days at every sf). One day-keyed
+    aggregation of the fact table; the median/MAD passes run over the
+    30-row day frame, so the robust statistics cost nothing at any corpus
+    size — which is the point of aggregating BEFORE the statistics.
+    Exact interpolated percentiles on both sides (parity pinned by
+    value_percentiles)."""
+    from kol_bigdata_realtime_analytics_spark.plans.domain import trunc6
+
+    ev = table(spark, sf_dir, "events")
+    d = (
+        ev.groupBy(F.expr("unix_micros(ts) div 86400000000").alias("day"))
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .localCheckpoint(eager=True)  # 30-row frame feeds three branches
+    )
+    m = d.agg(F.expr("percentile(n_events, 0.5)").alias("med"))
+    a = (
+        d.crossJoin(F.broadcast(m))
+        .agg(F.expr("percentile(abs(n_events - med), 0.5)").alias("mad"))
+    )
+    return (
+        d.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(a))
+        .filter(F.abs(F.col("n_events") - F.col("med")) > 3 * F.col("mad"))
+        .select(
+            "day",
+            "n_events",
+            trunc6((F.col("n_events") - F.col("med")) / F.col("mad")).alias(
+                "robust_z"
+            ),
+        )
+        .orderBy("day")
+    )

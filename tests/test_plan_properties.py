@@ -413,6 +413,7 @@ def test_no_unexpected_nested_loop_joins(spark, sf_oracle):
         "domain_temperature_weights",
         "embedding_neardup_pairs",
         "robust_value_stats",
+        "daily_value_anomalies",    # broadcast 1-row median + 1-row MAD over the 30-row day frame
         "incremental_dedup_new_docs",
         "quality_funnel",
     }
