@@ -141,6 +141,8 @@ HEADLINE = [
     "hybrid_rerank_containment",
     "graph_bfs_layers",
     "embedding_kmeans_lloyd",
+    "label_propagation_communities",
+    "rag_index_build_pipeline",
 ]
 
 
