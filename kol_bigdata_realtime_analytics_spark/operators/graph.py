@@ -476,3 +476,44 @@ def bfs_layers(edges: DataFrame, seed: DataFrame, n_hops: int) -> DataFrame:
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt.select("node")
     return visited
+
+
+def label_propagation(edges: DataFrame, n_rounds: int) -> DataFrame:
+    """Deterministic label propagation over a DIRECTED edge list (src, dst):
+    labels start as node ids; each round every node adopts the most
+    frequent label among its in-neighbors (count desc, label asc
+    tie-break). Symmetrize the edges first for undirected semantics.
+    Returns (node, label) after n_rounds.
+
+    Scale shape: per round one edges⋈labels shuffle join (labels are
+    O(nodes); checkpoint the edge list once outside if reused), one
+    (node, label) count aggregation, one argmax window PARTITIONED by
+    node; labels are localCheckpoint-pinned per round so round k never
+    re-executes rounds 1..k-1."""
+    from pyspark.sql import Window
+
+    e = edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    ).localCheckpoint(eager=False)
+    labels = (
+        e.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("label").asc())
+    for _ in range(n_rounds):
+        votes = (
+            e.join(labels, e["src"] == labels["node"])
+            .select(F.col("dst").alias("node"), "label")
+            .groupBy("node", "label")
+            .agg(F.count("*").alias("c"))
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=True)
+        )
+    return labels

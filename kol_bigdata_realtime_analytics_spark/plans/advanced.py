@@ -2936,35 +2936,14 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .distinct()
     )
-    edges = (
-        e0.unionByName(
-            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .distinct()
-        .localCheckpoint(eager=False)
+    from kol_bigdata_realtime_analytics_spark.operators.graph import (
+        label_propagation,
     )
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("label"))
-        .localCheckpoint(eager=True)
-    )
-    w = Window.partitionBy("node").orderBy(
-        F.col("c").desc(), F.col("label").asc()
-    )
-    for _ in range(_LPA_ROUNDS):
-        votes = (
-            edges.join(labels, edges["src"] == labels["node"])
-            .select(F.col("dst").alias("node"), "label")
-            .groupBy("node", "label")
-            .agg(F.count("*").alias("c"))
-        )
-        labels = (
-            votes.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("node", "label")
-            .localCheckpoint(eager=True)
-        )
+
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    labels = label_propagation(edges, _LPA_ROUNDS)
     return (
         labels.groupBy(F.col("label").alias("community"))
         .agg(F.count("*").cast("long").alias("n_nodes"))

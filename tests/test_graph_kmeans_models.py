@@ -1,0 +1,117 @@
+"""Independent pure-Python model pins for the r7 iterative operators.
+
+Same discipline as tests/test_bpe_model.py: the DuckDB oracles share the
+distributed implementation's algebraic strategy (unrolled CTEs of the same
+set/vote/distance algebra), so a common-mode misreading of the ALGORITHM
+would pass the oracle. These tests re-derive the expected output with a
+dict-and-loop reference implementation that shares no code or strategy
+with the Spark side.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+
+
+def test_bfs_layers_matches_python_model(spark):
+    from kol_bigdata_realtime_analytics_spark.operators.graph import bfs_layers
+
+    # planted graph: 0-1-2-3 path, a branch 1-10, an unreachable island 7-8
+    und = [(0, 1), (1, 2), (2, 3), (1, 10), (7, 8)]
+    edges = [(a, b) for a, b in und] + [(b, a) for a, b in und]
+
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+    expected, frontier = {0: 0}, {0}
+    for dist in (1, 2, 3):
+        frontier = {
+            n for f in frontier for n in adj.get(f, ()) if n not in expected
+        }
+        expected.update({n: dist for n in frontier})
+
+    e_df = spark.createDataFrame(edges, "src long, dst long")
+    seed = spark.createDataFrame([(0,)], "node long")
+    got = {
+        r["node"]: r["dist"] for r in bfs_layers(e_df, seed, 3).collect()
+    }
+    assert got == expected  # island {7, 8} absent, branch at dist 2
+
+
+def test_label_propagation_matches_python_model(spark):
+    from kol_bigdata_realtime_analytics_spark.operators.graph import (
+        label_propagation,
+    )
+
+    # two triangles bridged by one edge: LPA must keep two communities
+    und = [(0, 1), (1, 2), (0, 2), (10, 11), (11, 12), (10, 12), (2, 10)]
+    edges = [(a, b) for a, b in und] + [(b, a) for a, b in und]
+
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+    labels = {n: n for n in adj}
+    for _ in range(2):
+        nxt = {}
+        for n in adj:
+            counts: dict = {}
+            for nb in adj[n]:
+                counts[labels[nb]] = counts.get(labels[nb], 0) + 1
+            best = min(counts, key=lambda l: (-counts[l], l))
+            nxt[n] = best
+        labels = nxt
+
+    e_df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["label"] for r in label_propagation(e_df, 2).collect()}
+    assert got == labels
+    # the communities stay separate across the bridge
+    assert len({got[n] for n in (0, 1, 2)} & {got[n] for n in (10, 11, 12)}) == 0
+
+
+def test_embedding_kmeans_lloyd_matches_python_model(spark, sf_small):
+    """Full-query pin at sf0.001: dict-and-loop integer Lloyd's over the
+    same parquet must reproduce the registered query's output exactly."""
+    from kol_bigdata_realtime_analytics_spark.plans import REGISTRY
+
+    K, ITERS, SHIFT = 4, 3, 1_000_000
+    emb = pd.read_parquet(f"{sf_small}/embeddings.parquet")
+    pts = {
+        int(r.vec_id): [
+            int(math.floor(float(e) * 1_000_000)) + SHIFT for e in r.embedding
+        ]
+        for r in emb.itertuples()
+    }
+    cents = [pts[c] for c in range(K)]
+
+    def assign(x):
+        best = None
+        for c in range(K):
+            d2 = sum((a - b) * (a - b) for a, b in zip(x, cents[c]))
+            if best is None or (d2, c) < best:
+                best = (d2, c)
+        return best  # (d2, c)
+
+    for _ in range(ITERS):
+        groups: dict = {}
+        for x in pts.values():
+            _, c = assign(x)
+            groups.setdefault(c, []).append(x)
+        for c, members in groups.items():
+            n = len(members)
+            cents[c] = [sum(col) // n for col in zip(*members)]
+
+    expected: dict = {}
+    for vid, x in pts.items():
+        d2, c = assign(x)
+        agg = expected.setdefault(c, [0, 0, 0])
+        agg[0] += 1
+        agg[1] += vid
+        agg[2] += d2
+
+    got = REGISTRY["embedding_kmeans_lloyd"].fn(spark, sf_small).collect()
+    assert {
+        r["cluster"]: [r["n_points"], r["sum_vec_ids"], r["inertia"]]
+        for r in got
+    } == expected
