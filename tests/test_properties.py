@@ -645,3 +645,42 @@ def test_basket_cap_equals_filtered_model_and_audit_complement(spark, rows, cap)
         (b, len(items)) for b, items in baskets.items() if len(items) > cap
     }
     assert audit_m == exp_audit_m
+
+
+@settings(max_examples=60, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=300),
+    n_chunks=st.integers(min_value=1, max_value=5),
+    k=st.integers(min_value=2, max_value=8),
+)
+def test_streaming_mg_merge_guarantees_any_chunking(keys, n_chunks, k):
+    """The streaming MG state's pure merge core (value_counts per chunk +
+    subtract-min eviction) under ARBITRARY chunk boundaries: (1) no key
+    with true count > n/(k+1) is ever evicted, (2) every surviving weight
+    lower-bounds the true count, (3) the state never exceeds k counters
+    after a merge — the invariants streaming_heavy_hitters_check certifies
+    on TESTDATA, here pinned on adversarial streams."""
+    import pandas as pd
+
+    from kol_bigdata_realtime_analytics_spark.streaming.heavy_hitters import _evict
+
+    bounds = sorted(
+        {0, len(keys)} | set(range(0, len(keys), max(1, len(keys) // n_chunks)))
+    )
+    chunks = [keys[a:b] for a, b in zip(bounds, bounds[1:]) if b > a]
+    counters: dict = {}
+    for chunk in chunks:
+        for u, c in pd.Series(chunk).value_counts().items():
+            counters[int(u)] = counters.get(int(u), 0) + int(c)
+        counters = _evict(counters, k)
+        assert len(counters) <= k
+
+    true_counts: dict = {}
+    for u in keys:
+        true_counts[u] = true_counts.get(u, 0) + 1
+    n = len(keys)
+    for u, c in true_counts.items():
+        if c * (k + 1) > n:
+            assert u in counters, f"heavy key {u} (count {c}/{n}) evicted"
+    for u, w in counters.items():
+        assert w <= true_counts[u], "MG weight must lower-bound the true count"
