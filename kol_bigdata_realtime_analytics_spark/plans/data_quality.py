@@ -505,7 +505,7 @@ a AS (SELECT quantile_cont(abs(n_events - m.med), 0.5) AS mad FROM d, m)
 SELECT day, n_events,
        floor((n_events - m.med) / a.mad * 1000000) / 1000000 AS robust_z
 FROM d, m, a
-WHERE abs(n_events - m.med) > 3 * a.mad
+WHERE a.mad > 0 AND abs(n_events - m.med) > 3 * a.mad
 ORDER BY day
 """.strip()
 
@@ -533,10 +533,16 @@ def daily_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.crossJoin(F.broadcast(m))
         .agg(F.expr("percentile(abs(n_events - med), 0.5)").alias("mad"))
     )
+    # mad > 0 fenced EXPLICITLY in both engines: on a zero-MAD series Spark's
+    # x/0.0 is NULL (row silently dropped) while DuckDB's is +-inf (row
+    # kept) — the filters would diverge exactly when the data degenerates
     return (
         d.crossJoin(F.broadcast(m))
         .crossJoin(F.broadcast(a))
-        .filter(F.abs(F.col("n_events") - F.col("med")) > 3 * F.col("mad"))
+        .filter(
+            (F.col("mad") > 0)
+            & (F.abs(F.col("n_events") - F.col("med")) > 3 * F.col("mad"))
+        )
         .select(
             "day",
             "n_events",

@@ -3993,7 +3993,7 @@ dg AS (
 inter AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ni FROM dg JOIN qg USING (g) GROUP BY doc_id)
 SELECT c.doc_id,
        COALESCE(i.ni, 0) AS n_shared_grams,
-       floor(CAST(COALESCE(i.ni, 0) AS DOUBLE) / qn.nq * 1000000) / 1000000 AS ce_score,
+       floor(CAST(COALESCE(i.ni, 0) AS DOUBLE) / NULLIF(qn.nq, 0) * 1000000) / 1000000 AS ce_score,
        floor(c.rrf * 1000000) / 1000000 AS rrf_score
 FROM cand c LEFT JOIN inter i USING (doc_id), qn
 ORDER BY COALESCE(i.ni, 0) DESC, c.rrf DESC, c.doc_id ASC
