@@ -552,3 +552,85 @@ def daily_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# EWMA smoothing of the daily volume series — the standard monitoring
+# baseline the anomaly alert compares against.
+# ---------------------------------------------------------------------------
+
+_EWMA_ALPHA = 0.3
+_EWMA_LAGS = 30
+#: (lag j, weight (1-alpha)^j) precomputed in Python and embedded as the
+#: SAME literal doubles in both engines (repr round-trips exactly), so the
+#: smoothing kernel cannot diverge — the literal-table discipline of
+#: lsh_bucket_sql applied to a time-series kernel.
+_EWMA_WEIGHTS = [(j, (1.0 - _EWMA_ALPHA) ** j) for j in range(_EWMA_LAGS)]
+
+_EWMA_ORACLE = f"""
+WITH d AS (
+  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1
+),
+w(j, w) AS (VALUES {", ".join(f"(CAST({j} AS BIGINT), {w!r})" for j, w in _EWMA_WEIGHTS)}),
+terms AS (
+  SELECT cur.day, cur.n_events,
+         CAST(hist.n_events * w.w AS DECIMAL(28, 12)) AS num_t,
+         CAST(w.w AS DECIMAL(28, 12)) AS den_t
+  FROM d cur
+  JOIN w ON TRUE
+  JOIN d hist ON hist.day = cur.day - w.j
+)
+SELECT day, n_events,
+       floor(CAST(SUM(num_t) AS DOUBLE) / CAST(SUM(den_t) AS DOUBLE)
+             * 1000000) / 1000000 AS ewma
+FROM terms GROUP BY day, n_events ORDER BY day
+""".strip()
+
+
+@register("ewma_daily_event_volume", oracle=_EWMA_ORACLE)
+def ewma_daily_event_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (alpha=0.3) of daily event
+    volume, normalized over the available history so early days aren't
+    biased toward zero — the smoothed baseline a volume alert compares
+    today against. The recursive EWMA definition is unrolled into a
+    30-term weighted sum with the kernel weights precomputed driver-side
+    and embedded as IDENTICAL literal doubles in both engines; the terms
+    sum as DECIMAL(28,12) (order-proof), one division at the end.
+
+    Scale shape: the fact table reduces to the 30-row day frame first;
+    the kernel join is 30 days x 30 lags = at most 900 rows regardless of
+    corpus size — aggregate-then-smooth, same discipline as
+    daily_value_anomalies."""
+    from kol_bigdata_realtime_analytics_spark.plans.domain import trunc6
+
+    ev = table(spark, sf_dir, "events")
+    d = (
+        ev.groupBy(F.expr("unix_micros(ts) div 86400000000").alias("day"))
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .localCheckpoint(eager=True)  # 30-row frame, self-joined below
+    )
+    w = F.broadcast(
+        ev.sparkSession.createDataFrame(_EWMA_WEIGHTS, "j long, w double")
+    )
+    hist = d.select(F.col("day").alias("h_day"), F.col("n_events").alias("h_n"))
+    terms = (
+        d.crossJoin(w)
+        .join(hist, F.col("h_day") == F.col("day") - F.col("j"))
+        .select(
+            "day",
+            "n_events",
+            (F.col("h_n") * F.col("w")).cast("decimal(28,12)").alias("num_t"),
+            F.col("w").cast("decimal(28,12)").alias("den_t"),
+        )
+    )
+    return (
+        terms.groupBy("day", "n_events")
+        .agg(
+            trunc6(
+                F.sum("num_t").cast("double") / F.sum("den_t").cast("double")
+            ).alias("ewma")
+        )
+        .orderBy("day")
+    )

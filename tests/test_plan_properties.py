@@ -414,6 +414,7 @@ def test_no_unexpected_nested_loop_joins(spark, sf_oracle):
         "embedding_neardup_pairs",
         "robust_value_stats",
         "daily_value_anomalies",    # broadcast 1-row median + 1-row MAD over the 30-row day frame
+        "ewma_daily_event_volume",  # broadcast 30-row literal kernel x 30-row day frame
         "incremental_dedup_new_docs",
         "quality_funnel",
     }
