@@ -91,6 +91,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return _prioritized(get_queries())
 
 
-def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable oracle SQL per query (omitted => rows-only check)."""
-    return _prioritized(get_oracles())
+def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
+    """DuckDB-runnable oracle SQL per query (omitted => rows-only check).
+
+    The driver calls this with no args and evaluates at sf=0.01 — the
+    registry materializes sf-dependent oracles (fitted-artifact CTEs) for
+    that dir by default; verify_local passes its actual sf explicitly.
+    """
+    return _prioritized(
+        get_oracles() if sf_dir is None else get_oracles(sf_dir)
+    )

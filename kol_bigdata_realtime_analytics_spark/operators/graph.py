@@ -488,8 +488,15 @@ def label_propagation(edges: DataFrame, n_rounds: int) -> DataFrame:
     Scale shape: per round one edges⋈labels shuffle join (labels are
     O(nodes); checkpoint the edge list once outside if reused), one
     (node, label) count aggregation, one argmax window PARTITIONED by
-    node; labels are localCheckpoint-pinned per round so round k never
-    re-executes rounds 1..k-1."""
+    node, one O(nodes) carry join; labels are localCheckpoint-pinned per
+    round so round k never re-executes rounds 1..k-1.
+
+    Every node keeps a label every round: the vote argmax is left-joined
+    back onto the previous label frame and coalesced to the prior label,
+    so on a genuinely DIRECTED edge list a node with no in-neighbors
+    (source-only) keeps its own label instead of silently dropping out of
+    the result after round 1 (r7 advisory). The node universe is
+    src ∪ dst, so sink-only nodes are initialized too."""
     from pyspark.sql import Window
 
     e = edges.select(
@@ -498,6 +505,7 @@ def label_propagation(edges: DataFrame, n_rounds: int) -> DataFrame:
     ).localCheckpoint(eager=False)
     labels = (
         e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
         .select("node", F.col("node").alias("label"))
         .localCheckpoint(eager=True)
@@ -510,10 +518,17 @@ def label_propagation(edges: DataFrame, n_rounds: int) -> DataFrame:
             .groupBy("node", "label")
             .agg(F.count("*").alias("c"))
         )
-        labels = (
+        argmax = (
             votes.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
-            .select("node", "label")
+            .select("node", F.col("label").alias("new_label"))
+        )
+        labels = (
+            labels.join(argmax, "node", "left")
+            .select(
+                "node",
+                F.coalesce("new_label", "label").alias("label"),
+            )
             .localCheckpoint(eager=True)
         )
     return labels

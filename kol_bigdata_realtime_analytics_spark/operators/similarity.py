@@ -328,12 +328,18 @@ def data_identity(cache_key):
             st = _os.stat(p)
             ident.append((_os.path.basename(p), st.st_mtime_ns, st.st_size))
             if _os.path.isdir(p):
-                # directory-style parquet (part files inside): an in-place
-                # part rewrite leaves the dirent unchanged — stat the
-                # contents too (r7 review)
-                for q in sorted(_glob.glob(_os.path.join(p, "*"))):
-                    sq = _os.stat(q)
-                    ident.append((_os.path.basename(q), sq.st_mtime_ns, sq.st_size))
+                # directory-style parquet: an in-place part rewrite leaves
+                # the dirent unchanged — stat the FULL tree (os.walk), since
+                # partitioned layouts nest part files under key=... subdirs
+                # that a one-level listing misses (r7 advisory)
+                for root, dirs, files in _os.walk(p):
+                    dirs.sort()
+                    rel = _os.path.relpath(root, p)
+                    for q in sorted(files):
+                        sq = _os.stat(_os.path.join(root, q))
+                        ident.append(
+                            (_os.path.join(rel, q), sq.st_mtime_ns, sq.st_size)
+                        )
         return tuple(ident)
     return cache_key
 
@@ -1215,6 +1221,29 @@ def pca_project_udf(mean: list[float], components: list[list[float]]):
     @pandas_udf("array<double>")
     def _project(vecs: pd.Series) -> pd.Series:
         X = np.stack([np.asarray(v, dtype="float64") for v in vecs])
+        return pd.Series(list((X - mu) @ P))
+
+    return _project
+
+
+def pca_project_int_udf(mean_q: list[int], components_q: list[list[int]]):
+    """Integer-exact Arrow-batched PCA projection: xq -> Pq @ (xq - muq)
+    over quantized int64 vectors. Same plan shape as pca_project_udf (one
+    (batch x dim) @ (dim x k) matmul per Arrow batch, artifacts in closure)
+    but numpy's int64 GEMM is its own exact loop (no BLAS float path), so
+    the result is bit-identical under ANY summation order — the property a
+    DuckDB list_sum oracle hash needs. Bounds: |xq|,|Pq| <= 1e6 => a 64-dim
+    dot is <= 64 * 4e12 ~ 2.6e14, far inside int64."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    mu = np.array(mean_q, dtype="int64")
+    P = np.array(components_q, dtype="int64").T  # (dim, k)
+
+    @pandas_udf("array<long>")
+    def _project(vecs: pd.Series) -> pd.Series:
+        X = np.stack([np.asarray(v, dtype="int64") for v in vecs])
         return pd.Series(list((X - mu) @ P))
 
     return _project

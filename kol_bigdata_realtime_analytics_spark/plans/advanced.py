@@ -15,6 +15,8 @@ Every query follows the registry determinism rules (registry.py docstring).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2413,34 +2415,116 @@ def heavy_hitters_hotkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters_exact(ev, "hot_key", k=16)
 
 
-@register("embedding_pca_project", oracle=None)
+_PCA_PROJ_K = 16
+_PCA_Q_SCALE = 1_000_000
+
+
+def _pca_q_artifact(sf_dir: str) -> tuple[list[int], list[list[int]]]:
+    """Quantized (mean, components) PCA artifact for an sf dir's embeddings,
+    derived WITHOUT a SparkSession (DuckDB parquet scan) so the registered
+    Spark query and its DuckDB oracle BUILDER obtain the identical integers
+    from the identical floats: sample = the <= 4096 lowest vec_ids in id
+    order, float32 widened to float64 (exact on both engines), eigh fit via
+    operators/similarity.pca_fit (deterministic: sign-canonicalized,
+    descending eigenvalue), then mean/components floor-quantized to 1e-6 in
+    PYTHON — the artifact crosses the engine boundary as literal ints, so
+    no cross-engine float arithmetic ever touches it (the kmeans-oracle
+    discipline, _kmeans_oracle_sql above)."""
+    import math
+
+    import duckdb
+    import numpy as np
+
+    from kol_bigdata_realtime_analytics_spark.operators.similarity import (
+        _FIT_CACHE,
+        data_identity,
+        pca_fit,
+    )
+
+    memo = ("pca_q", data_identity(sf_dir), _PCA_PROJ_K, _PCA_Q_SCALE)
+    if memo in _FIT_CACHE:
+        return _FIT_CACHE[memo]
+    path = f"{sf_dir}/embeddings.parquet"
+    if os.path.isdir(path):
+        path = f"{path}/**/*.parquet"
+    rows = duckdb.sql(
+        f"SELECT embedding::DOUBLE[] FROM '{path}' "
+        "WHERE vec_id < 4096 ORDER BY vec_id"
+    ).fetchall()
+    X = np.array([r[0] for r in rows], dtype="float64")
+    mean, comps = pca_fit(None, n_components=_PCA_PROJ_K, sample=X)
+    muq = [math.floor(m * _PCA_Q_SCALE) for m in mean]
+    pq = [[math.floor(c * _PCA_Q_SCALE) for c in row] for row in comps]
+    _FIT_CACHE[memo] = (muq, pq)
+    return muq, pq
+
+
+def _pca_project_oracle(sf_dir: str) -> str:
+    """sf-dependent oracle for embedding_pca_project: the fitted artifact is
+    serialized as literal BIGINT lists (the registry resolves this builder
+    per sf — registry.Query.oracle_fn), and the projection is the exact
+    integer fold sum_j (xq[j]-muq[j]) * Pq[k][j], identical to the Spark
+    side's int64 matmul under any summation order."""
+    muq, pq = _pca_q_artifact(sf_dir)
+    dim = len(muq)
+    mu_lit = "[" + ", ".join(str(v) for v in muq) + "]"
+    p_lit = (
+        "["
+        + ", ".join("[" + ", ".join(str(v) for v in row) + "]" for row in pq)
+        + "]"
+    )
+    return f"""
+WITH pts AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        e -> CAST(floor(e * {_PCA_Q_SCALE}) AS BIGINT)) AS x
+  FROM embeddings
+),
+art AS (SELECT {mu_lit}::BIGINT[] AS mu, {p_lit}::BIGINT[][] AS p)
+SELECT vec_id, CAST(k.k AS INT) AS dim_idx,
+       CAST(list_sum(list_transform(generate_series(1, {dim}),
+            j -> (x[j] - mu[j]) * p[k.k + 1][j])) AS BIGINT) AS component
+FROM pts, art, unnest(generate_series(0, {_PCA_PROJ_K - 1})) AS k(k)
+""".strip()
+
+
+@register("embedding_pca_project", oracle=_pca_project_oracle)
 def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA projection of the embedding corpus to 16 dims — the
     dimensionality-reduction / rotation step that precedes PQ in the
     standard 100 TB ANN index build (Faiss's PCA-then-(O)PQ preprocessing
     idiom). The (mean, components) artifact is fit driver-side on the
     deterministic bounded sample (memoized per corpus identity, like the
-    quantizer fits, operators/similarity.pca_fit) and applied as one
-    Arrow-batched matmul per batch in the scan projection — corpus-linear,
-    no shuffle. Rows-only driver check (DuckDB has no eigendecomposition);
-    `pca_variance_check` hash-certifies the artifact's defining properties
-    on an anisotropic fixture, and pytest pins orthonormality."""
+    quantizer fits) and applied as ONE Arrow-batched int64 matmul per batch
+    in the scan projection — corpus-linear, no shuffle; output posexploded
+    to long form (vec_id, dim_idx, component) so every value is a scalar
+    the driver can canonicalize (r7's array<double> output was the round's
+    one driver-red). INTEGER-EXACT end to end: data quantized in-plan to
+    1e-6 (floor, the kmeans discipline), artifact quantized once in Python
+    and shared with the DuckDB oracle as literal ints, so the hash
+    comparison is exact — component is at scale 1e-12 of the float
+    projection. `pca_variance_check` hash-certifies the float artifact's
+    defining properties; pytest pins orthonormality."""
     from kol_bigdata_realtime_analytics_spark.operators.similarity import (
         as_double_vec,
-        pca_fit,
-        pca_project_udf,
+        pca_project_int_udf,
     )
 
-    from kol_bigdata_realtime_analytics_spark.plans.domain import trunc6
-
+    muq, pq = _pca_q_artifact(sf_dir)
+    project = pca_project_int_udf(muq, pq)
     emb = table(spark, sf_dir, "embeddings")
-    mean, comps = pca_fit(emb, n_components=16, cache_key=sf_dir)
-    project = pca_project_udf(mean, comps)
-    return emb.select(
-        "vec_id",
-        F.transform(
-            project(as_double_vec(F.col("embedding"))), trunc6
-        ).alias("pca16"),
+    xq = F.transform(
+        as_double_vec(F.col("embedding")),
+        lambda e: F.floor(e * _PCA_Q_SCALE).cast("long"),
+    )
+    return (
+        emb.select("vec_id", project(xq).alias("p"))
+        .select("vec_id", F.posexplode("p"))
+        .select(
+            "vec_id",
+            F.col("pos").cast("int").alias("dim_idx"),
+            F.col("col").alias("component"),
+        )
     )
 
 

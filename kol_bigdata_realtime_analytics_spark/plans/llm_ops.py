@@ -3700,16 +3700,25 @@ def _rrf_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def ranked_topk(df: DataFrame, sort_col: str, rank_name: str) -> DataFrame:
         """Top-_HYBRID_DEPTH via orderBy().limit() — TakeOrderedAndProject,
-        a distributed partial top-k — THEN ranked with a window over the
-        <=50-row frame. A global row_number over the corpus-sized frame
-        would move every row to one partition (the 100 TB killer). Sort
-        keys written ONCE so the selection and the rank can't diverge
-        (r7 review)."""
+        a distributed partial top-k — THEN ranked on the <=50-row result.
+        A global row_number over the corpus-sized frame would move every
+        row to one partition (the 100 TB killer). Sort keys written ONCE so
+        the selection and the rank can't diverge (r7 review). The rank is
+        monotonically_increasing_id over the coalesce(1)-sorted frame —
+        contiguous 0..n-1 on a single partition, identical to row_number()
+        over Window.orderBy(keys) here, but structurally free of the
+        partitionless-WindowExec WARN spam that crowded the r7 bench tail
+        (r7 verdict ask #6): the single partition is explicit in the plan,
+        not a silent window side effect."""
         keys = [F.col(sort_col).desc(), F.col("doc_id").asc()]
         return (
             df.orderBy(*keys)
             .limit(_HYBRID_DEPTH)
-            .withColumn(rank_name, F.row_number().over(Window.orderBy(*keys)))
+            .coalesce(1)
+            .sortWithinPartitions(*keys)
+            .withColumn(
+                rank_name, (F.monotonically_increasing_id() + 1).cast("int")
+            )
             .select("doc_id", rank_name)
         )
 

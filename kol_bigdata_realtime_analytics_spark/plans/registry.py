@@ -29,6 +29,17 @@ class Query:
     fn: Callable[[SparkSession, str], DataFrame]
     oracle: str | None  # None => non-SQL-expressible; driver does rows-only check
     doc: str = ""
+    #: sf-dependent oracle builder, for queries whose oracle must embed a
+    #: data-fitted artifact (e.g. the quantized PCA rotation): called with
+    #: the sf dir and returns raw SQL (sql_norm is applied on resolution).
+    #: The driver's contract is a static dict built for ITS sf (0.01) —
+    #: see get_oracles(); verify_local/pytest resolve per actual sf.
+    oracle_fn: Callable[[str], str] | None = None
+
+    def oracle_for(self, sf_dir: str) -> str | None:
+        if self.oracle_fn is not None:
+            return sql_norm(self.oracle_fn(sf_dir))
+        return self.oracle
 
 
 REGISTRY: dict[str, Query] = {}
@@ -89,19 +100,22 @@ def sql_norm(sql: str) -> str:
     return f"{lead}WITH {ctes} {stripped}"
 
 
-def register(name: str, oracle: str | None = None):
+def register(name: str, oracle=None):
     """Decorator: register a (spark, sf_dir) -> DataFrame query builder.
 
-    Oracle texts are passed through sql_norm so the whole registry is
-    parquet-encoding-proof by construction.
+    `oracle` is static SQL text, a callable (sf_dir -> SQL text) for oracles
+    that must embed data-fitted artifacts, or None (rows-only check). Texts
+    are passed through sql_norm so the whole registry is parquet-encoding-
+    proof by construction; callable oracles are normalized on resolution.
     """
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         REGISTRY[name] = Query(
             name=name,
             fn=fn,
-            oracle=None if oracle is None else sql_norm(oracle),
+            oracle=sql_norm(oracle) if isinstance(oracle, str) else None,
             doc=fn.__doc__ or "",
+            oracle_fn=oracle if callable(oracle) else None,
         )
         return fn
 
@@ -112,8 +126,19 @@ def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {q.name: q.fn for q in REGISTRY.values()}
 
 
-def get_oracles() -> dict[str, str]:
-    return {q.name: q.oracle for q in REGISTRY.values() if q.oracle is not None}
+#: The driver runs oracle_sql() against sf0.01 (its documented contract sf);
+#: sf-dependent oracles therefore materialize for this dir by default, and
+#: verify_local/pytest pass their actual sf explicitly.
+DRIVER_SF_DIR = "/root/testdata/sf0.01"
+
+
+def get_oracles(sf_dir: str = DRIVER_SF_DIR) -> dict[str, str]:
+    out = {}
+    for q in REGISTRY.values():
+        sql = q.oracle_for(sf_dir)
+        if sql is not None:
+            out[q.name] = sql
+    return out
 
 
 # ---------------------------------------------------------------------------

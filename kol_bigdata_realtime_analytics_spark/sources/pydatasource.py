@@ -207,35 +207,84 @@ try:
                     n += 1
             return _JsonDirCommit(fname, n)
 
+        #: janitor grace: another job's `_staging-*` dir is only swept when
+        #: its mtime is older than this — a LIVE concurrent job's staging
+        #: must never be rmtree'd out from under its tasks (r7 advisory:
+        #: the unconditional sweep made two concurrent appends to one path
+        #: mutually fatal). An aborted job's leftover is inert and gets
+        #: collected once it ages out.
+        _JANITOR_GRACE_SEC = 3600.0
+
         def commit(self, messages):
             import glob
             import json
             import shutil
+            import time
 
             if self.overwrite:
                 for old in glob.glob(os.path.join(self.path, "part-*.jsonl")):
                     os.remove(old)
-            total, files = 0, 0
             manifest_path = os.path.join(self.path, "_SUCCESS")
-            if not self.overwrite and os.path.exists(manifest_path):
-                # append: the manifest describes the whole committed dataset,
-                # not just this job (r7 review)
-                with open(manifest_path) as f:
-                    prev = json.load(f)
-                total, files = prev.get("n_rows", 0), prev.get("n_files", 0)
-            for m in messages:
-                os.replace(
-                    os.path.join(self.staging, m.filename),
-                    os.path.join(self.path, m.filename),
-                )
-                total += m.n_rows
-                files += 1
-            # janitor: this job's staging plus any stale dir an aborted
-            # job's racing task left behind
+            lock_path = os.path.join(self.path, "_SUCCESS.lock")
+            # serialize the manifest read-modify-write across concurrent
+            # committers (driver-side, once per job — contention is rare and
+            # bounded): O_EXCL create is the atomic take; a crashed holder's
+            # stale lock ages out on the same grace clock as staging dirs.
+            deadline = time.monotonic() + 30.0
+            while True:
+                try:
+                    fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    os.close(fd)
+                    break
+                except FileExistsError:
+                    try:
+                        if time.time() - os.stat(lock_path).st_mtime > self._JANITOR_GRACE_SEC:
+                            os.remove(lock_path)
+                            continue
+                    except OSError:
+                        continue  # holder released between stat and remove
+                    if time.monotonic() > deadline:
+                        raise TimeoutError(
+                            f"jsondir commit: manifest lock {lock_path} held >30s"
+                        )
+                    time.sleep(0.05)
+            try:
+                total, files = 0, 0
+                if not self.overwrite and os.path.exists(manifest_path):
+                    # append: the manifest describes the whole committed
+                    # dataset, not just this job (r7 review)
+                    with open(manifest_path) as f:
+                        prev = json.load(f)
+                    total, files = prev.get("n_rows", 0), prev.get("n_files", 0)
+                for m in messages:
+                    os.replace(
+                        os.path.join(self.staging, m.filename),
+                        os.path.join(self.path, m.filename),
+                    )
+                    total += m.n_rows
+                    files += 1
+                # atomic manifest publish: temp + rename, so a concurrent
+                # reader never observes a torn _SUCCESS
+                tmp = manifest_path + f".tmp-{os.path.basename(self.staging)}"
+                with open(tmp, "w") as f:
+                    json.dump({"n_rows": total, "n_files": files}, f)
+                os.replace(tmp, manifest_path)
+            finally:
+                try:
+                    os.remove(lock_path)
+                except OSError:
+                    pass
+            # janitor: this job's own staging always; OTHER jobs' staging
+            # dirs only past the grace age (a live concurrent job's staging
+            # is younger than that and must not be swept)
+            shutil.rmtree(self.staging, ignore_errors=True)
+            now = time.time()
             for d in glob.glob(os.path.join(self.path, "_staging-*")):
-                shutil.rmtree(d, ignore_errors=True)
-            with open(manifest_path, "w") as f:
-                json.dump({"n_rows": total, "n_files": files}, f)
+                try:
+                    if now - os.stat(d).st_mtime > self._JANITOR_GRACE_SEC:
+                        shutil.rmtree(d, ignore_errors=True)
+                except OSError:
+                    pass  # concurrently removed — fine
 
         def abort(self, messages):
             import shutil

@@ -60,11 +60,12 @@ def main() -> int:
 
     mismatches = []
     for name, q in REGISTRY.items():
-        if q.oracle is None or (only and name not in only):
+        oracle = q.oracle_for(sf_dir)
+        if oracle is None or (only and name not in only):
             continue
         try:
             sl, sd = canon(q.fn(spark, sf_dir).toPandas())
-            ol, od = canon(con.execute(q.oracle).fetchdf())
+            ol, od = canon(con.execute(oracle).fetchdf())
         except Exception as e:  # noqa: BLE001 — an erroring query is a finding
             print(f"ERR       {name}: {str(e).splitlines()[0][:140]}", flush=True)
             mismatches.append(name)

@@ -46,6 +46,26 @@ def table_hash(cols: list[str], rows: list[tuple]) -> str:
     return h.hexdigest()[:16]
 
 
+def rows_only_canonical_check(cols: list[str], rows: list[tuple]) -> str | None:
+    """Replicate the driver's pandas canonicalization on the NO-ORACLE tier.
+
+    The driver sort_values-canonicalizes every result frame — including
+    rows-only queries — before recording even the row count, so an
+    array/map/struct output cell raises `TypeError: unhashable type` and the
+    query goes driver-RED while a fetchall-only harness stays green (r7's
+    embedding_pca_project). Returns the error string, or None if clean.
+    """
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=cols)
+    try:
+        if len(pdf.columns):
+            pdf.sort_values(by=sorted(pdf.columns))
+    except Exception as e:  # noqa: BLE001 — any canonicalization error is the finding
+        return f"{type(e).__name__}: {e}"
+    return None
+
+
 def _duck_family(ty: str) -> str:
     t = str(ty).upper()
     if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
@@ -104,7 +124,7 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs = se.queries()
-    oracles = se.oracle_sql()
+    oracles = se.oracle_sql(sf_dir)
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
@@ -119,7 +139,12 @@ def main() -> int:
             failures.append(name)
             continue
         if name not in oracles:
-            print(f"ROWS  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            canon_err = rows_only_canonical_check(scols, srows)
+            if canon_err:
+                print(f"FAIL  {name}: driver canonicalization would reject: {canon_err}")
+                failures.append(name)
+            else:
+                print(f"ROWS  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
             continue
         try:
             res = con.execute(oracles[name])

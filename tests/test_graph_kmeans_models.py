@@ -70,6 +70,43 @@ def test_label_propagation_matches_python_model(spark):
     assert len({got[n] for n in (0, 1, 2)} & {got[n] for n in (10, 11, 12)}) == 0
 
 
+def test_label_propagation_directed_keeps_all_nodes(spark):
+    """On a genuinely DIRECTED edge list every node keeps a (node, label)
+    row: a source-only node (no in-neighbors) carries its own label instead
+    of dropping out after round 1, and a sink-only node is initialized and
+    voted on (r7 advisory fix). Model: votes from in-neighbors, coalesce to
+    prior label."""
+    from kol_bigdata_realtime_analytics_spark.operators.graph import (
+        label_propagation,
+    )
+
+    # 0 is source-only (nothing points at it); 3 is sink-only
+    edges = [(0, 1), (0, 2), (1, 2), (2, 3), (1, 3)]
+
+    in_nbrs: dict = {}
+    nodes = set()
+    for a, b in edges:
+        nodes.update((a, b))
+        in_nbrs.setdefault(b, []).append(a)
+    labels = {n: n for n in nodes}
+    for _ in range(2):
+        nxt = {}
+        for n in nodes:
+            counts: dict = {}
+            for nb in in_nbrs.get(n, []):
+                counts[labels[nb]] = counts.get(labels[nb], 0) + 1
+            nxt[n] = (
+                min(counts, key=lambda l: (-counts[l], l)) if counts else labels[n]
+            )
+        labels = nxt
+
+    e_df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["label"] for r in label_propagation(e_df, 2).collect()}
+    assert set(got) == nodes  # no dropout
+    assert got[0] == 0  # source-only node keeps its own label
+    assert got == labels
+
+
 def test_embedding_kmeans_lloyd_matches_python_model(spark, sf_small):
     """Full-query pin at sf0.001: dict-and-loop integer Lloyd's over the
     same parquet must reproduce the registered query's output exactly."""

@@ -77,16 +77,20 @@ from scripts.verify_local import _duck_family, _spark_family  # noqa: E402,E501
 def test_query_matches_oracle(spark, sf_small, duck, name):
     q = REGISTRY[name]
     sdf = q.fn(spark, sf_small)
-    if q.oracle is not None:
-        # driver contract fence: its hash canonicalization pandas-sorts every
-        # column, and array/map/struct values raise "unhashable type: 'list'"
-        # (took out embedding_quantize_int8 in r2). Oracled outputs must be
-        # scalars — emit arrays as to_json text (see user_event_type_sets).
-        for col, dt in sdf.dtypes:
-            assert not dt.startswith(("array", "map", "struct")), (
-                f"{name}.{col} is {dt}: oracled queries must emit scalar "
-                "columns only (stringify arrays with to_json)"
-            )
+    oracle = q.oracle_for(sf_small)
+    # driver contract fence — REGISTRY-WIDE, rows-only queries included: the
+    # driver pandas-sorts every output column even on the no-oracle tier, and
+    # array/map/struct values raise "unhashable type: 'list'" (took out
+    # embedding_quantize_int8 in r2 and drove embedding_pca_project red in
+    # r7 before its row count could even be recorded). Registered outputs
+    # must be scalars — stringify arrays (to_json/array_join) or posexplode
+    # to long form.
+    for col, dt in sdf.dtypes:
+        assert not dt.startswith(("array", "map", "struct")), (
+            f"{name}.{col} is {dt}: registered queries must emit scalar "
+            "columns only (to_json/array_join the array, or posexplode)"
+        )
+    if oracle is not None:
         # float-aggregation fence: SUM/AVG over a raw DOUBLE is summation-
         # order-dependent (r3: sql_platform_stats hash flake). Every oracled
         # plan must aggregate floats through the decimal order-proof forms
@@ -99,7 +103,7 @@ def test_query_matches_oracle(spark, sf_small, duck, name):
                 "add an allowlist entry with a determinism proof"
             )
     srows = [tuple(r) for r in sdf.collect()]
-    if q.oracle is None:
+    if oracle is None:
         assert srows is not None  # rows-only check (non-SQL-expressible op)
         return
     # dtype-family fence (r5 root cause of the perennial sql_platform_stats
@@ -109,7 +113,7 @@ def test_query_matches_oracle(spark, sf_small, duck, name):
     # oracle output column to sit in the same type family as the Spark
     # column, and ban HUGEINT outright (integer SUMs must CAST ... AS BIGINT).
     sdt = dict(sdf.dtypes)
-    rel = duck.sql(q.oracle)
+    rel = duck.sql(oracle)
     for col, ty in zip(rel.columns, rel.types):
         tname = str(ty).upper()
         assert "HUGEINT" not in tname, (
@@ -121,12 +125,26 @@ def test_query_matches_oracle(spark, sf_small, duck, name):
                 f"{name}.{col}: oracle type {ty} vs Spark dtype {sdt[col]} "
                 "— pandas materialization drifts, align the casts"
             )
-    res = duck.execute(q.oracle)
+    res = duck.execute(oracle)
     ocols = [d[0] for d in res.description]
     orows = res.fetchall()
     assert sorted(sdf.columns) == sorted(ocols)
     assert len(srows) == len(orows)
     assert table_hash(sdf.columns, srows) == table_hash(ocols, orows)
+
+
+def test_rows_only_canonical_check_rejects_arrays():
+    """verify_local's no-oracle tier replicates the driver's pandas
+    sort_values canonicalization (r7: embedding_pca_project was driver-red
+    on an array<double> output while the local gate stayed green). A planted
+    list cell must be rejected; scalar rows must pass."""
+    from scripts.verify_local import rows_only_canonical_check
+
+    err = rows_only_canonical_check(["a", "b"], [(1, [1.0, 2.0]), (2, [3.0])])
+    assert err is not None and "unhashable" in err
+
+    assert rows_only_canonical_check(["a", "b"], [(1, "x"), (2, "y")]) is None
+    assert rows_only_canonical_check(["a"], []) is None
 
 
 def test_sql_norm_shadows_only_referenced_tables():

@@ -346,10 +346,13 @@ def test_jsondir_writer_abort_leaves_committed_data(spark, tmp_path):
     untouched and no part files appear — readers never see a partial
     dataset. Staging dirs are JOB-scoped because abort races still-running
     tasks (a zombie task can recreate its dir after the rmtree); a
-    leftover is inert and the next successful commit's janitor sweeps
-    every _staging-*."""
+    leftover is inert and the janitor sweeps it once it AGES past the
+    grace window — a YOUNG foreign staging dir is a live concurrent job's
+    and must survive (r7 advisory: the unconditional sweep made two
+    concurrent appends mutually fatal)."""
     import glob
     import os
+    import time
 
     import pytest as _pytest
 
@@ -371,12 +374,24 @@ def test_jsondir_writer_abort_leaves_committed_data(spark, tmp_path):
         failing.coalesce(1).write.format("jsondir").mode("append").save(out)
     # nothing published by the failed job
     assert spark.read.json(out + "/part-*.jsonl").count() == 4
-    # the next successful commit sweeps any staging left by the abort race
+
+    # plant a STALE leftover (mtime past the grace window — an old aborted
+    # job's zombie) and a FRESH one (a live concurrent job's staging)
+    stale = os.path.join(out, "_staging-stalezombie")
+    live = os.path.join(out, "_staging-liveconcurrent")
+    os.makedirs(stale)
+    os.makedirs(live)
+    old = time.time() - 7200
+    os.utime(stale, (old, old))
     spark.range(2).selectExpr("id", "id AS v").coalesce(1).write.format(
         "jsondir"
     ).mode("append").save(out)
-    assert glob.glob(os.path.join(out, "_staging-*")) == []
+    left = glob.glob(os.path.join(out, "_staging-*"))
+    assert left == [live]  # stale swept, live concurrent job untouched
     assert spark.read.json(out + "/part-*.jsonl").count() == 6
+    # manifest publish is atomic and the commit lock was released
+    assert not glob.glob(os.path.join(out, "_SUCCESS.lock"))
+    assert not glob.glob(os.path.join(out, "_SUCCESS.tmp-*"))
 
 
 def test_streaming_heavy_hitters_state_merges_across_batches(spark, tmp_path):
