@@ -913,6 +913,7 @@ def pq_adc_topk(
     ksub: int = 16,
     sample_size: int = 4096,
     cache_key=None,
+    sample=None,
 ) -> DataFrame:
     """Approximate cosine top-k by PQ asymmetric distance computation (ADC).
 
@@ -935,7 +936,7 @@ def pq_adc_topk(
 
     books = pq_codebooks(
         candidates, id_col=id_col, vec_col=vec_col, m=m, ksub=ksub,
-        sample_size=sample_size, cache_key=cache_key,
+        sample_size=sample_size, cache_key=cache_key, sample=sample,
     )
     q_ids, _, qn, lut2, offsets, cent_n2 = _adc_query_payload(
         queries, books, id_col=id_col, vec_col=vec_col
@@ -1224,6 +1225,122 @@ def pca_project_udf(mean: list[float], components: list[list[float]]):
         return pd.Series(list((X - mu) @ P))
 
     return _project
+
+
+def opq_rotation(
+    candidates: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    sample_size: int = 4096,
+    sample=None,
+    cache_key=None,
+) -> list[list[float]]:
+    """Full-rank OPQ rotation (Ge et al. 2013's parametric solution; Faiss
+    OPQMatrix): PCA-decorrelate, then allocate principal directions to the
+    m subspaces so each subspace's eigenvalue PRODUCT is balanced (greedy:
+    next-largest eigenvalue goes to the subspace with the smallest current
+    log-variance product and a free slot). Pure PCA CONCENTRATES variance
+    into the first subspace — measurably worse than no rotation on rank-
+    deficient data — while the balanced allocation is what makes rotated
+    PQ dominate plain PQ on anisotropic data (ann_opq_distortion_check
+    pins plain 0.121 vs OPQ 0.009 mean rel err on the planted fixture).
+    Returns the (dim x dim) rotation R, rows orthonormal, applied as
+    z = R @ x (NO centering: a pure rotation preserves dots and norms, so
+    cosine top-k in the rotated space is cosine top-k in the original).
+    Deterministic (sign-canonicalized eigh on the hash-ordered sample) and
+    memoized like every quantizer fit."""
+    import math
+
+    import numpy as np
+
+    memo = (
+        "opq_rot",
+        data_identity(cache_key),
+        _sample_fingerprint(sample) if sample is not None else None,
+        id_col,
+        vec_col,
+        m,
+        sample_size,
+    )
+    if cache_key is not None and memo in _FIT_CACHE:
+        return [list(r) for r in _FIT_CACHE[memo]]
+    X = sample if sample is not None else hash_sample(
+        candidates, id_col=id_col, vec_col=vec_col, sample_size=sample_size,
+        cache_key=cache_key,
+    )
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    mu = X.mean(axis=0)
+    Xc = X - mu
+    cov = (Xc.T @ Xc) / max(len(Xc) - 1, 1)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1]
+    evals, P = evals[order], evecs[:, order].T  # rows are components
+    for i in range(P.shape[0]):  # canonical sign: largest-|entry| positive
+        j = int(np.argmax(np.abs(P[i])))
+        if P[i, j] < 0:
+            P[i] = -P[i]
+    dsub = dim // m
+    slots: list[list[int]] = [[] for _ in range(m)]
+    logprod = [0.0] * m
+    for comp in range(dim):
+        s = min(
+            (s for s in range(m) if len(slots[s]) < dsub),
+            key=lambda s: (logprod[s], s),
+        )
+        slots[s].append(comp)
+        logprod[s] += math.log(max(float(evals[comp]), 1e-12))
+    perm = [c for s in range(m) for c in slots[s]]
+    R = [[float(x) for x in P[c]] for c in perm]
+    if cache_key is not None:
+        _FIT_CACHE[memo] = [list(r) for r in R]
+    return R
+
+
+def opq_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    m: int = 8,
+    ksub: int = 16,
+    sample_size: int = 4096,
+    cache_key=None,
+) -> DataFrame:
+    """OPQ ANN: rotate by the eigenvalue-balanced PCA basis (opq_rotation),
+    then run the standard PQ-ADC pipeline in the rotated space. The
+    rotation is a broadcast model artifact applied as one Arrow matmul in
+    the scan projection (pca_project_udf with a zero mean — pure rotation,
+    so the returned cosines are cosines of the ORIGINAL vectors); codebooks
+    are fit on the ROTATED sample (one shared collect — the corpus is
+    never collected). Same output contract as pq_adc_topk. This is Faiss's
+    standard 100 TB preprocessing: OPQMatrix -> PQ."""
+    X = hash_sample(
+        candidates, id_col=id_col, vec_col=vec_col, sample_size=sample_size,
+        cache_key=cache_key,
+    )
+    import numpy as np
+
+    R = opq_rotation(
+        candidates, id_col=id_col, vec_col=vec_col, m=m,
+        sample_size=sample_size, sample=X, cache_key=cache_key,
+    )
+    dim = len(R)
+    rot = pca_project_udf([0.0] * dim, R)
+    rc = candidates.select(
+        F.col(id_col), rot(as_double_vec(F.col(vec_col))).alias(vec_col)
+    )
+    rq = queries.select(
+        F.col(id_col), rot(as_double_vec(F.col(vec_col))).alias(vec_col)
+    )
+    return pq_adc_topk(
+        rc, rq, id_col=id_col, vec_col=vec_col, k=k, m=m, ksub=ksub,
+        sample_size=sample_size, cache_key=cache_key,
+        sample=X @ np.array(R, dtype="float64").T,
+    )
 
 
 def pca_project_int_udf(mean_q: list[int], components_q: list[list[int]]):

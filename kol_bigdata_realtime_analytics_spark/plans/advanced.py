@@ -17,13 +17,16 @@ from __future__ import annotations
 
 import os
 
+import pandas as pd  # noqa: F401 — pandas_udf signature resolution
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kol_bigdata_realtime_analytics_spark.plans.registry import (
     davg,
+    dsum,
     register,
     sql_davg,
+    sql_dsum,
     table,
 )
 
@@ -474,6 +477,313 @@ def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(
         emb, queries, k=3, n_centroids=8, n_probe=2, m=8, ksub=16,
         cache_key=sf_dir, residual=True,
+    )
+
+
+@register("ann_opq_topk", oracle=None)
+def ann_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ ANN (Ge et al. 2013; Faiss OPQMatrix -> PQ, the standard 100 TB
+    preprocessing): vectors are rotated by the eigenvalue-BALANCED PCA
+    basis — decorrelate, then allocate principal directions so each PQ
+    subspace sees a balanced variance product — and the usual ADC pipeline
+    runs in the rotated space. The rotation is a pure orthogonal transform
+    (no centering), so returned cosines are cosines of the ORIGINAL
+    vectors. Rows-only driver check; `ann_opq_distortion_check`
+    hash-certifies that rotated-PQ distortion strictly beats plain PQ on
+    an anisotropic fixture (composition of the r7 pca_fit and pq_codebooks
+    artifacts, r7 verdict ask #3)."""
+    from kol_bigdata_realtime_analytics_spark.operators.similarity import opq_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return opq_topk(emb, queries, k=3, m=8, ksub=16, cache_key=sf_dir)
+
+
+#: anisotropic OPQ fixture: dims 0,1 carry +-4 high-variance lattices, a
+#: moderate third direction is spread across ALL dims (0.8 * t * w), tiny
+#: jitter elsewhere — plain contiguous-pair PQ puts both heavy dims in ONE
+#: subspace (16 centroids for the full 2-D spread) while the balanced
+#: rotation gives every subspace ~one heavy direction. Measured mean rel
+#: reconstruction err: plain 0.121, OPQ 0.009.
+_OPQ_FIX_DIM = 16
+_OPQ_FIX_EXPR = (
+    f"transform(sequence(0, {_OPQ_FIX_DIM - 1}), j -> "
+    "0.1d * ((CAST((id * 7 + j * 31) % 53 AS DOUBLE) / 53.0d) - 0.5d)"
+    " + 0.8d * ((CAST((id * 17) % 83 AS DOUBLE) / 83.0d * 2.0d) - 1.0d)"
+    "        * (CAST((j * 41 + 3) % 9 AS DOUBLE) - 4.0d) / 4.0d"
+    " + CASE WHEN j = 0 THEN (CAST((id * 13) % 97 AS DOUBLE) / 97.0d * 8.0d) - 4.0d"
+    "        WHEN j = 1 THEN (CAST((id * 29) % 89 AS DOUBLE) / 89.0d * 8.0d) - 4.0d"
+    "        ELSE 0.0d END)"
+)
+
+
+@register(
+    "ann_opq_distortion_check",
+    oracle="""
+    SELECT CAST(512 AS BIGINT) AS n_vectors,
+           TRUE AS opq_beats_plain, TRUE AS opq_err_ok
+    """,
+)
+def ann_opq_distortion_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ's rotated-PQ reconstruction distortion STRICTLY beats plain PQ
+    on anisotropic data (r7 verdict ask #3 — the strictly-beats pattern of
+    ann_ivfpq_residual_recall_check). Fixture: 512 x 16 deterministic
+    lattice whose variance is concentrated in dims 0,1 plus a dense
+    moderate direction — the case PQ's contiguous-subspace split handles
+    worst. Both quantizers get the identical (m=8, ksub=16) budget and the
+    identical hash-ordered sample; distortion is ||x - x_hat||^2/||x||^2
+    meaned over all 512 vectors (rotation preserves norms, so the rotated
+    err is measured in the SAME metric). Measured plain 0.121 / OPQ 0.009:
+    the booleans certify OPQ < plain AND OPQ <= 0.05; a broken eigenvalue
+    balancing (pure-PCA concentration) measures ~0.19 > plain and flips
+    the first, a collapsed codebook flips both."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from kol_bigdata_realtime_analytics_spark.operators.similarity import (
+        as_double_vec,
+        hash_sample,
+        opq_rotation,
+        pq_codebooks,
+    )
+
+    emb = spark.range(512).select(
+        F.col("id").alias("vec_id"), F.expr(_OPQ_FIX_EXPR).alias("embedding")
+    )
+    key = "opq_fixture_512x16"
+    X = hash_sample(emb, sample_size=512, cache_key=key)
+    books_plain = pq_codebooks(None, m=8, ksub=16, sample=X, cache_key=key)
+    R = np.array(
+        opq_rotation(None, m=8, sample=X, cache_key=key), dtype="float64"
+    )
+    books_rot = pq_codebooks(
+        None, m=8, ksub=16, sample=X @ R.T, cache_key=key
+    )
+    BP = np.array(books_plain, dtype="float64")
+    BR = np.array(books_rot, dtype="float64")
+    m, _, dsub = BP.shape
+
+    @pandas_udf("array<double>")
+    def _errs(vecs: pd.Series) -> pd.Series:
+        Xb = np.stack([np.asarray(v, dtype="float64") for v in vecs])
+        n2 = (Xb * Xb).sum(axis=1)
+        n2[n2 == 0] = 1.0
+        out = np.zeros((len(Xb), 2))
+        for space, B in ((0, BP), (1, BR)):
+            Z = Xb if space == 0 else Xb @ R.T
+            e = np.zeros(len(Xb))
+            for s in range(m):
+                Zs = Z[:, s * dsub : (s + 1) * dsub]
+                d2 = ((Zs[:, None, :] - B[s][None, :, :]) ** 2).sum(axis=2)
+                e += d2.min(axis=1)
+            out[:, space] = e / n2
+        return pd.Series(list(out))
+
+    errs = emb.select(_errs(as_double_vec(F.col("embedding"))).alias("e"))
+    return errs.agg(
+        F.count("*").alias("n_vectors"),
+        F.avg(F.element_at("e", 2)).alias("_rot"),
+        F.avg(F.element_at("e", 1)).alias("_plain"),
+    ).select(
+        "n_vectors",
+        (F.col("_rot") < F.col("_plain")).alias("opq_beats_plain"),
+        (F.col("_rot") <= 0.05).alias("opq_err_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental ANN index maintenance (r7 verdict ask #4) — real serving
+# indexes absorb daily vector deltas WITHOUT a refit: the coarse quantizer
+# is frozen at fit time, new vectors are assignment-only appended to its
+# lists, and a per-list residual-drift check decides when a refit is due.
+# Pairs with incremental_dedup's standing-index pattern.
+# ---------------------------------------------------------------------------
+
+#: planted drifted delta batch: 64 synthetic vectors at ~5x the corpus's
+#: component range (data is +-0.58; these are +-3), appended as deltas so
+#: the drift check has a TRUE row to certify — uniform TESTDATA deltas
+#: alone would leave every list at ratio ~1.0 and the alert vacuously
+#: FALSE at every sf.
+_IVF_DELTA_DIM = 64
+_IVF_DELTA_PLANT_N = 64
+_IVF_DELTA_PLANT_EXPR = (
+    f"transform(sequence(0, {_IVF_DELTA_DIM - 1}), j -> "
+    "3.0d * ((CAST((id * 11 + j * 7) % 61 AS DOUBLE) / 61.0d) * 2.0d - 1.0d))"
+)
+_IVF_DELTA_PLANT_SQL = (
+    "list_transform(generate_series(0, 63), j -> "
+    "3.0 * ((CAST((i * 11 + j * 7) % 61 AS DOUBLE) / 61.0) * 2.0 - 1.0))"
+)
+
+
+def _ivf_delta_artifact(sf_dir: str) -> tuple[list[list[float]], list[list[float]]]:
+    """Frozen (centroids, anchors) for the delta-append queries, derived
+    WITHOUT a SparkSession (same engine-neutral discipline as
+    _pca_q_artifact): the fit-time corpus is the BASE slice (vec_id % 5 !=
+    4), sampled as the <= 4096 lowest vec_ids in id order; spherical
+    k-means centroids via kmeans_centroids, per-list reconstruction
+    anchors via coarse_anchors. Both the Spark query and the DuckDB oracle
+    builder call this, so the artifact crosses the engine boundary as
+    identical literal doubles."""
+    import duckdb
+    import numpy as np
+
+    from kol_bigdata_realtime_analytics_spark.operators.similarity import (
+        coarse_anchors,
+        kmeans_centroids,
+    )
+
+    path = f"{sf_dir}/embeddings.parquet"
+    if os.path.isdir(path):
+        path = f"{path}/**/*.parquet"
+    rows = duckdb.sql(
+        f"SELECT embedding::DOUBLE[] FROM '{path}' "
+        "WHERE vec_id % 5 != 4 AND vec_id < 4096 ORDER BY vec_id"
+    ).fetchall()
+    X = np.array([r[0] for r in rows], dtype="float64")
+    cents = kmeans_centroids(None, n_centroids=8, sample=X, cache_key=sf_dir)
+    anchors = [[float(x) for x in a] for a in coarse_anchors(X, cents)]
+    return cents, anchors
+
+
+def _ivf_delta_oracle(sf_dir: str) -> str:
+    """sf-dependent oracle for ann_index_delta_append: centroids/anchors as
+    literal DOUBLE[][] (registry resolves this per sf via oracle_fn);
+    assignment = argmax list_dot_product against the frozen centroids
+    (bit-exact vs the Spark fold — the ann_cosine_topk-proven pairing),
+    residuals vs the assigned list's anchor, trunc6 + decimal sums."""
+    cents, anchors = _ivf_delta_artifact(sf_dir)
+    dim = len(cents[0])
+
+    def lit2(mat):
+        return (
+            "["
+            + ", ".join(
+                "[" + ", ".join(repr(v) for v in row) + "]" for row in mat
+            )
+            + "]"
+        )
+
+    return f"""
+WITH pts AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, (vec_id % 5 = 4) AS is_delta
+  FROM embeddings
+  UNION ALL
+  SELECT 10000000 + i AS vec_id, {_IVF_DELTA_PLANT_SQL} AS v, TRUE AS is_delta
+  FROM unnest(generate_series(0, {_IVF_DELTA_PLANT_N - 1})) AS t(i)
+),
+art AS (SELECT {lit2(cents)}::DOUBLE[][] AS cents, {lit2(anchors)}::DOUBLE[][] AS anchors),
+assigned AS (
+  SELECT vec_id, v, is_delta, cent_id, anchors[cent_id + 1] AS a FROM (
+    SELECT p.vec_id, p.v, p.is_delta, c.c AS cent_id, anchors,
+           ROW_NUMBER() OVER (PARTITION BY p.vec_id
+             ORDER BY list_dot_product(p.v, cents[c.c + 1]) DESC, c.c ASC) AS rn
+    FROM pts p, art, unnest(generate_series(0, 7)) AS c(c)
+  ) WHERE rn = 1
+),
+res AS (
+  SELECT cent_id, is_delta,
+         floor(list_dot_product(list_transform(generate_series(1, {dim}), j -> v[j] - a[j]),
+                                list_transform(generate_series(1, {dim}), j -> v[j] - a[j]))
+               * 1000000) / 1000000 AS r6
+  FROM assigned
+)
+SELECT CAST(cent_id AS INT) AS cent_id,
+       CAST(COUNT(*) FILTER (WHERE NOT is_delta) AS BIGINT) AS n_base,
+       CAST(COUNT(*) FILTER (WHERE is_delta) AS BIGINT) AS n_delta,
+       {sql_dsum("CASE WHEN NOT is_delta THEN r6 END", 6)} AS res2_base,
+       {sql_dsum("CASE WHEN is_delta THEN r6 END", 6)} AS res2_delta,
+       COALESCE(
+         {sql_dsum("CASE WHEN is_delta THEN r6 END", 6)}
+           / NULLIF(COUNT(*) FILTER (WHERE is_delta), 0)
+         > 2.0 * {sql_dsum("CASE WHEN NOT is_delta THEN r6 END", 6)}
+           / NULLIF(COUNT(*) FILTER (WHERE NOT is_delta), 0),
+         FALSE) AS drift_alert
+FROM res GROUP BY cent_id
+""".strip()
+
+
+@register("ann_index_delta_append", oracle=_ivf_delta_oracle)
+def ann_index_delta_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assignment-only append of a vector delta to a FROZEN IVF index plus
+    the per-list residual-drift audit — the operational half of the ANN
+    story (Faiss's add-without-train; Milvus/Vespa segment appends): the
+    coarse quantizer fit on the base corpus (vec_id % 5 != 4) never
+    refits; the delta slice (vec_id % 5 == 4, plus a planted 64-vector
+    drifted batch at 5x the data's range) is assigned to its nearest
+    frozen list in one scan projection. Per list: base/delta counts,
+    trunc6+decimal-summed residual norms-squared vs the list's fit-time
+    reconstruction anchor, and drift_alert — TRUE when the delta's mean
+    residual exceeds 2x the base's (the planted batch trips it; organic
+    TESTDATA deltas sit at ratio ~1.0), i.e. "this list needs a refit".
+
+    Scale shape: centroids/anchors are a frozen broadcast artifact (8 x 64
+    doubles in the plan); assignment is 8 codegen dot folds per row — NO
+    crossJoin row inflation (the _km_assign shape), no shuffle before the
+    8-group aggregate. At 100 TB the delta scan writes cent_id as a
+    partition column and this audit is the nightly index-health job."""
+    from kol_bigdata_realtime_analytics_spark.operators.similarity import (
+        as_double_vec,
+    )
+    from kol_bigdata_realtime_analytics_spark.plans.domain import trunc6
+
+    cents, anchors = _ivf_delta_artifact(sf_dir)
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        as_double_vec(F.col("embedding")).alias("v"),
+        (F.col("vec_id") % 5 == 4).alias("is_delta"),
+    )
+    planted = spark.range(_IVF_DELTA_PLANT_N).select(
+        (F.col("id") + 10_000_000).alias("vec_id"),
+        F.expr(_IVF_DELTA_PLANT_EXPR).alias("v"),
+        F.lit(True).alias("is_delta"),
+    )
+    pts = emb.unionByName(planted)
+
+    def dot_lit(vec):
+        arr = F.array(*[F.lit(float(x)) for x in vec])
+        return F.aggregate(
+            F.zip_with(F.col("v"), arr, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, e: acc + e,
+        )
+
+    best = F.least(
+        *[
+            F.struct((-dot_lit(c)).alias("nd"), F.lit(i).cast("int").alias("c"))
+            for i, c in enumerate(cents)
+        ]
+    )
+    anchors_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in a]) for a in anchors]
+    )
+    assigned = pts.select(
+        "is_delta",
+        best.getField("c").alias("cent_id"),
+        F.element_at(anchors_lit, best.getField("c") + 1).alias("a"),
+        "v",
+    )
+    diff = F.zip_with(F.col("v"), F.col("a"), lambda x, y: x - y)
+    res2 = F.aggregate(
+        F.zip_with(diff, diff, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, e: acc + e,
+    )
+    res = assigned.select("cent_id", "is_delta", trunc6(res2).alias("r6"))
+    d_base = dsum(F.when(~F.col("is_delta"), F.col("r6")), 6)
+    d_delta = dsum(F.when(F.col("is_delta"), F.col("r6")), 6)
+    n_base = F.count(F.when(~F.col("is_delta"), F.lit(1))).cast("long")
+    n_delta = F.count(F.when(F.col("is_delta"), F.lit(1))).cast("long")
+    return res.groupBy("cent_id").agg(
+        n_base.alias("n_base"),
+        n_delta.alias("n_delta"),
+        d_base.alias("res2_base"),
+        d_delta.alias("res2_delta"),
+        F.coalesce(
+            d_delta / F.nullif(n_delta, F.lit(0))
+            > 2.0 * d_base / F.nullif(n_base, F.lit(0)),
+            F.lit(False),
+        ).alias("drift_alert"),
     )
 
 

@@ -3410,6 +3410,105 @@ def bpe_encode_fallback_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Tokenizer round-trip certificate — decode(encode(x)) == x, the invariant
+# every production tokenizer test pins (r7 verdict ask #5). Decode is the
+# merge table's INVERSE folded into one replace chain in REVERSE rank order:
+# each merged symbol token <ab> rewrites to <a><b>; symbols produced by
+# earlier ranks expand at later steps of the reverse chain, so only plain
+# wrapped chars remain — and that is exactly the char-wrapped original.
+# Robust even if two merges produce the same merged STRING via different
+# splits: every expansion path of a symbol yields its constituent char
+# sequence, and the comparison is at char level.
+# ---------------------------------------------------------------------------
+
+
+def _bpe_roundtrip_oracle(n: int) -> str:
+    """Round-trip oracle: token counts re-derived via the carry-word merge
+    chain (as in _bpe_encode_oracle); the mismatch column is the LITERAL 0
+    the invariant demands — if the Spark-side decode chain ever fails to
+    reproduce a word, its nonzero mismatch count hash-fails against this."""
+    parts = _bpe_chain_ctes(n, carry_word=True)
+    parts.append(
+        f"""enc AS MATERIALIZED (
+  SELECT w, CAST(len(string_split(substr(sym, 2, len(sym) - 2),
+                                  chr(3) || chr(2))) AS BIGINT) AS n_sub
+  FROM w{n}
+),
+occ AS (
+  SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+  FROM documents WHERE trim(COALESCE(text,'')) <> ''
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT o.source,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(e.n_sub) AS BIGINT) AS n_tokens,
+       CAST(0 AS BIGINT) AS n_roundtrip_mismatch
+FROM occ o JOIN enc e ON o.w = e.w
+GROUP BY o.source"""
+    )
+
+
+def bpe_decode_expr(enc_col, merges: list[tuple]):
+    """Invert a trained merge table over a wrapped-symbol encoding: chain
+    the literal replaces <merged> -> <a><b> in REVERSE training order.
+    Shared by bpe_roundtrip_check and the model tests."""
+    dec = enc_col
+    for _rank, a, b, merged, _cnt in reversed(merges):
+        dec = F.replace(
+            dec,
+            F.lit(_BPE_C2 + merged + _BPE_C3),
+            F.lit(_BPE_C2 + a + _BPE_C3 + _BPE_C2 + b + _BPE_C3),
+        )
+    return dec
+
+
+@register("bpe_roundtrip_check", oracle=_bpe_roundtrip_oracle(_BPE_N_MERGES))
+def bpe_roundtrip_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decode(encode(word)) == word over EVERY corpus word occurrence — the
+    losslessness certificate a production tokenizer ships with (HuggingFace
+    tokenizers' round-trip tests; SentencePiece's --hard_vocab_limit
+    checks). Encode chains the 40 trained merges forward; decode chains
+    their inverses in reverse rank order; the decoded wrapped string is
+    compared against the char-wrapped original exactly. Output per source:
+    word count, token count (re-derived independently by the DuckDB merge
+    chain), and the exact mismatch count — 0 rows for every source, pinned
+    by the oracle's literal zero, so a wrong merged string in the table, a
+    mis-nested wrapper, or a non-greedy application all hash-fail.
+
+    Scale: both chains are literal replaces folded into the scan
+    projection (whole-stage codegen, zero extra shuffles before the
+    per-source aggregate) — corpus-linear with constant per-word work,
+    the same shape as the encode pass; the merge table is the memoized
+    ~50 KB artifact (_bpe_merges)."""
+    merges = _bpe_merges(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents").filter(
+        F.trim(F.coalesce("text", F.lit(""))) != ""
+    )
+    occ = docs.select("source", F.explode(tokens("text")).alias("w"))
+    enc = bpe_encode_expr(F.col("w"), merges)
+    n_sub = F.size(
+        F.split(F.substring(enc, 2, F.length(enc) - 2), _BPE_C3 + _BPE_C2)
+    ).cast("long")
+    wrapped_orig = F.regexp_replace(
+        F.col("w"), "(?s)(.)", _BPE_C2 + "$1" + _BPE_C3
+    )
+    mismatch = (bpe_decode_expr(enc, merges) != wrapped_orig).cast("long")
+    return (
+        occ.select("source", n_sub.alias("n_sub"), mismatch.alias("mm"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_sub").alias("n_tokens"),
+            F.sum("mm").alias("n_roundtrip_mismatch"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Split-leakage audit — near-dup pairs straddling the train/dev/test split.
 # The classic training-data bug: dedup and splitting done independently
 # leave a test doc whose near-duplicate sits in train, silently inflating

@@ -69,15 +69,29 @@ def _check_corpus(spark, words: list[str], n_merges: int) -> None:
     assert got == want, f"\ngot:  {got}\nwant: {want}"
     # encode every distinct word under the trained merges, both ways
     if got:
+        from kol_bigdata_realtime_analytics_spark.plans.llm_ops import (
+            bpe_decode_expr,
+        )
+
         distinct = sorted({w for w in words if len(w) >= 2})
         ddf = spark.createDataFrame([(w,) for w in distinct], "w string")
         enc = bpe_encode_expr(F.col("w"), got)
         syms = F.split(
             F.substring(enc, 2, F.length(enc) - 2), _BPE_C3 + _BPE_C2
         )
-        rows = {r["w"]: tuple(r["s"]) for r in ddf.select("w", syms.alias("s")).collect()}
+        # round trip: the reverse inverse-replace chain must reproduce the
+        # char-wrapped original for every word (bpe_roundtrip_check's core)
+        wrapped = F.regexp_replace(
+            F.col("w"), "(?s)(.)", _BPE_C2 + "$1" + _BPE_C3
+        )
+        ok = (bpe_decode_expr(enc, got) == wrapped).alias("rt")
+        rows = {
+            r["w"]: (tuple(r["s"]), r["rt"])
+            for r in ddf.select("w", syms.alias("s"), ok).collect()
+        }
         for w in distinct:
-            assert rows[w] == _encode_ref(w, got), (w, rows[w], _encode_ref(w, got))
+            assert rows[w][0] == _encode_ref(w, got), (w, rows[w][0], _encode_ref(w, got))
+            assert rows[w][1], f"round-trip failed for {w!r}"
 
 
 def test_bpe_overlapping_runs(spark):
@@ -103,6 +117,17 @@ def test_bpe_frequency_weighting(spark):
     """Pair counts weight by word OCCURRENCE (Sennrich), not distinct
     word: 'ab' three times must beat 'cd' twice + 'ce' once."""
     _check_corpus(spark, ["ab", "ab", "ab", "cd", "cd", "ce"], 2)
+
+
+def test_bpe_roundtrip_same_merged_string_different_splits(spark):
+    """Two merges can produce the SAME merged string via different splits
+    (('a','bc') and ('ab','c') both yield 'abc'): the reverse decode chain
+    may expand a token through the OTHER split, but every expansion path of
+    a symbol yields its constituent chars, so the char-level round trip
+    still holds — the exact robustness bpe_roundtrip_check relies on."""
+    # force both 'ab'+'c' and 'a'+'bc' style merges into one table
+    words = ["abc"] * 6 + ["ab"] * 5 + ["bc"] * 4 + ["abcabc"] * 3
+    _check_corpus(spark, words, 6)
 
 
 def test_bpe_byte_fallback_mixed_words(spark):
