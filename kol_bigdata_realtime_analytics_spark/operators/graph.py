@@ -478,6 +478,50 @@ def bfs_layers(edges: DataFrame, seed: DataFrame, n_hops: int) -> DataFrame:
     return visited
 
 
+def k_core(edges: DataFrame, k: int, n_rounds: int) -> DataFrame:
+    """k-core peel over a SYMMETRIZED edge list (src, dst): repeatedly
+    remove nodes with degree < k; after `n_rounds` fixed peeling rounds,
+    return (node, deg) for the surviving core with each node's in-core
+    degree. Rounds past the fixpoint are no-ops, so a FIXED round budget
+    makes the result comparable to an unrolled-SQL oracle whatever the
+    data's actual peel depth (the bfs_layers discipline); a chain graph
+    peels one layer per round, so depth-limited results are "the k-core
+    of round-n_rounds peeling" — documented, deterministic.
+
+    Scale shape: per round two left-semi joins of the edge list against
+    the live-node frame (O(nodes), localCheckpoint-pinned) and one degree
+    aggregation — O(E) per round with no corpus-sized collects; the edge
+    list is checkpointed once up front."""
+    e = edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    ).localCheckpoint(eager=False)
+    live = (
+        e.select(F.col("src").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(n_rounds):
+        alive = e.join(
+            live.select(F.col("node").alias("src")), "src", "left_semi"
+        ).join(live.select(F.col("node").alias("dst")), "dst", "left_semi")
+        live = (
+            alive.groupBy("src")
+            .agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select(F.col("src").alias("node"))
+            .localCheckpoint(eager=True)
+        )
+    core = e.join(
+        live.select(F.col("node").alias("src")), "src", "left_semi"
+    ).join(live.select(F.col("node").alias("dst")), "dst", "left_semi")
+    return (
+        core.groupBy("src")
+        .agg(F.count("*").cast("long").alias("deg"))
+        .select(F.col("src").alias("node"), "deg")
+    )
+
+
 def label_propagation(edges: DataFrame, n_rounds: int) -> DataFrame:
     """Deterministic label propagation over a DIRECTED edge list (src, dst):
     labels start as node ids; each round every node adopts the most

@@ -2926,6 +2926,99 @@ def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# k-core decomposition — iterative degree peel over the sparse purchase
+# graph (high-quantity lineitems only, so the peel is non-trivial).
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 3
+
+
+def _kcore_oracle_sql(k: int, n_rounds: int) -> str:
+    """Unrolled-iteration DuckDB oracle for graph_kcore_decomposition:
+    round t recomputes degrees over edges restricted to round t-1's live
+    nodes and keeps deg >= k — pure set algebra (ints, joins, counts), so
+    the hash comparison is exact; rounds past the fixpoint are no-ops on
+    both engines."""
+    head = """
+WITH e0 AS MATERIALIZED (
+  SELECT o_custkey AS src, l_suppkey + 10000000 AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_quantity > 48
+  GROUP BY 1, 2
+),
+e AS MATERIALIZED (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+n0 AS (SELECT DISTINCT src AS node FROM e)"""
+    parts = [head]
+    for t in range(1, n_rounds + 1):
+        parts.append(f""",
+n{t} AS MATERIALIZED (
+  SELECT e.src AS node FROM e
+  JOIN n{t - 1} a ON e.src = a.node
+  JOIN n{t - 1} b ON e.dst = b.node
+  GROUP BY e.src HAVING COUNT(*) >= {k}
+)""")
+    parts.append(f"""
+SELECT CAST(deg AS BIGINT) AS deg,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(node) AS BIGINT) AS sum_node_ids,
+       CAST(MIN(node) AS BIGINT) AS min_node
+FROM (
+  SELECT e.src AS node, COUNT(*) AS deg FROM e
+  JOIN n{n_rounds} a ON e.src = a.node
+  JOIN n{n_rounds} b ON e.dst = b.node
+  GROUP BY e.src
+) GROUP BY deg""")
+    return "".join(parts).strip()
+
+
+@register(
+    "graph_kcore_decomposition",
+    oracle=_kcore_oracle_sql(_KCORE_K, _KCORE_ROUNDS),
+)
+def graph_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-round k-core peel (k=3) of the SPARSE purchase graph (only
+    lineitems with l_quantity > 48, symmetrized customer<->supplier edges
+    — the full graph is too dense to peel): repeatedly drop nodes with
+    degree < 3, then report the surviving core's degree histogram. k-core
+    is the standard influence/spam-ring filter before community detection
+    (nodes outside the 3-core are weakly-attached one-off buyers). The
+    round budget is FIXED at 3 on both engines — rounds past the fixpoint
+    are no-ops, so the unrolled oracle stays exact whatever the actual
+    peel depth (measured: fixpoint in 1 round at sf0.01, 2 at sf0.1); a
+    deep cascade (chain graph, one layer per round) is pinned in pytest
+    against an independent Python model.
+
+    Scale shape: see operators/graph.k_core — per round two left-semi
+    joins against the O(nodes) live frame plus one degree agg, edge list
+    checkpointed once, every live frame pinned."""
+    from kol_bigdata_realtime_analytics_spark.operators.graph import k_core
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    )
+    e0 = (
+        li.filter(F.col("l_quantity") > 48)
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(10_000_000)).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    core = k_core(edges, _KCORE_K, _KCORE_ROUNDS)
+    return core.groupBy("deg").agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.sum("node").cast("long").alias("sum_node_ids"),
+        F.min("node").cast("long").alias("min_node"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Iterative Lloyd's k-means — integer-exact, driver-resident centroids.
 # ---------------------------------------------------------------------------
 

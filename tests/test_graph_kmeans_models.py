@@ -107,6 +107,43 @@ def test_label_propagation_directed_keeps_all_nodes(spark):
     assert got == labels
 
 
+def test_k_core_chain_cascade_matches_python_model(spark):
+    """Deep-cascade pin the registered purchase graph can't exercise
+    (fixpoint there is 1-2 rounds): a chain 0-1-2-...-9 under k=2 peels
+    exactly one layer per round from each end, and a planted triangle
+    attached at node 5 survives as the 2-core. Spark's fixed-round k_core
+    must match an independent dict-and-loop peel at every round budget."""
+    from kol_bigdata_realtime_analytics_spark.operators.graph import k_core
+
+    und = [(i, i + 1) for i in range(9)] + [(5, 20), (20, 21), (21, 5)]
+    edges = [(a, b) for a, b in und] + [(b, a) for a, b in und]
+
+    def model(n_rounds: int) -> dict[int, int]:
+        adj: dict = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+        nodes = set(adj)
+        for _ in range(n_rounds):
+            nodes = {
+                n
+                for n in nodes
+                if sum(1 for m in adj[n] if m in nodes) >= 2
+            }
+        return {
+            n: sum(1 for m in adj[n] if m in nodes)
+            for n in nodes
+            if sum(1 for m in adj[n] if m in nodes) > 0
+        }
+
+    e_df = spark.createDataFrame(edges, "src long, dst long")
+    for rounds in (1, 2, 5, 8):
+        got = {r["node"]: r["deg"] for r in k_core(e_df, 2, rounds).collect()}
+        assert got == model(rounds), f"rounds={rounds}"
+    # at fixpoint the 2-core is the triangle plus the chain segment that
+    # closes through it — i.e. exactly the planted triangle {5, 20, 21}
+    assert set(model(8)) == {5, 20, 21}
+
+
 def test_embedding_kmeans_lloyd_matches_python_model(spark, sf_small):
     """Full-query pin at sf0.001: dict-and-loop integer Lloyd's over the
     same parquet must reproduce the registered query's output exactly."""
