@@ -143,6 +143,11 @@ HEADLINE = [
     "embedding_kmeans_lloyd",
     "label_propagation_communities",
     "rag_index_build_pipeline",
+    "bpe_roundtrip_check",
+    "ann_opq_topk",
+    "ann_index_delta_append",
+    "graph_kcore_decomposition",
+    "table_stats_mcv",
 ]
 
 

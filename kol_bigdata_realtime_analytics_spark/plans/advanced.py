@@ -70,6 +70,45 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "incremental_agg_maintenance",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(ROUND(SUM(CAST(CAST(value AS DOUBLE) AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance by PARTIAL-AGGREGATE MERGE: the
+    snapshot slice (event_id % 10 < 8, 'aggregated yesterday') and the
+    delta slice each produce mergeable partials (count, exact decimal sum,
+    min, max), and the second stage combines partials per key — the shape
+    a nightly pipeline uses to update a 100 TB rollup from a 1 TB delta
+    without rescanning the snapshot. The oracle recomputes the aggregate
+    FLAT over all rows, so the hash certifies merge(partials) == full
+    recompute exactly (decimal sums are order-proof; min/max/count are
+    trivially mergeable). One scan, two aggregation stages — at scale the
+    snapshot partials are a stored table and only the delta is scanned."""
+    ev = table(spark, sf_dir, "events")
+    partial = ev.groupBy(
+        "event_type", (F.col("event_id") % 10 < 8).alias("is_snapshot")
+    ).agg(
+        F.count("*").alias("pn"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("pv"),
+        F.min("value").alias("pmin"),
+        F.max("value").alias("pmax"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").cast("long").alias("n_events"),
+        F.round(F.sum("pv"), 2).cast("double").alias("total_value"),
+        F.min("pmin").alias("min_value"),
+        F.max("pmax").alias("max_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deterministic hash sampling — reproducible subsets with no RNG state and
 # no sort: sample membership is a pure function of the key, so the same row
@@ -580,10 +619,13 @@ def ann_opq_distortion_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.Series(list(out))
 
     errs = emb.select(_errs(as_double_vec(F.col("embedding"))).alias("e"))
+    # davg: order-proof decimal-accumulated averages — the booleans compare
+    # engine-stable values (margins are 13x, but the registry fence rightly
+    # rejects raw double Averages on principle)
     return errs.agg(
         F.count("*").alias("n_vectors"),
-        F.avg(F.element_at("e", 2)).alias("_rot"),
-        F.avg(F.element_at("e", 1)).alias("_plain"),
+        davg(F.element_at("e", 2), 6).alias("_rot"),
+        davg(F.element_at("e", 1), 6).alias("_plain"),
     ).select(
         "n_vectors",
         (F.col("_rot") < F.col("_plain")).alias("opq_beats_plain"),

@@ -10,7 +10,7 @@ possible, and anti-joins (not correlated subqueries) for FK checks.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kol_bigdata_realtime_analytics_spark.plans.registry import (
@@ -633,4 +633,215 @@ def ewma_daily_event_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ewma")
         )
         .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zone-map / data-skipping audit — the min-max file statistics a lakehouse
+# (Delta/Iceberg/parquet row groups) keeps per partition, and the pruning
+# decision a time-range predicate makes against them. At 100 TB the
+# difference between scanning 3 partitions and 30 IS the query budget;
+# this audit is how a pipeline verifies its layout actually prunes.
+# ---------------------------------------------------------------------------
+
+_ZONEMAP_ORACLE = """
+WITH z AS (
+  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(MIN(epoch_us(ts)) AS BIGINT) AS min_ts_us,
+         CAST(MAX(epoch_us(ts)) AS BIGINT) AS max_ts_us
+  FROM events GROUP BY 1
+),
+g AS (SELECT MAX(max_ts_us) AS gmax FROM z)
+SELECT day, n_rows, min_ts_us, max_ts_us,
+       (max_ts_us < g.gmax - 3 * 86400000000) AS would_skip
+FROM z, g ORDER BY day
+""".strip()
+
+
+@register("zonemap_pruning_stats", oracle=_ZONEMAP_ORACLE)
+def zonemap_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day zone-map statistics over the event stream (row count, min/max
+    ts as epoch micros — exactly the per-file min-max stats Delta/Iceberg
+    manifests and parquet row groups keep) plus the skipping decision a
+    'last 3 days' predicate makes against them: would_skip is TRUE for the
+    ~27 of 30 days whose max_ts falls before the cutoff — both branches
+    non-vacuous at every sf. One day-keyed aggregation; the global-max
+    cutoff joins back against the 30-row day frame (broadcast), so the
+    audit costs one scan at any corpus size. Integer-only outputs; exact
+    hash."""
+    ev = table(spark, sf_dir, "events")
+    z = (
+        ev.select(F.expr("unix_micros(ts)").alias("us"))
+        .groupBy(F.expr("us div 86400000000").alias("day"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("us").alias("min_ts_us"),
+            F.max("us").alias("max_ts_us"),
+        )
+        .localCheckpoint(eager=True)  # 30-row frame feeds two branches
+    )
+    g = z.agg(F.max("max_ts_us").alias("gmax"))
+    return (
+        z.crossJoin(F.broadcast(g))
+        .select(
+            "day",
+            "n_rows",
+            "min_ts_us",
+            "max_ts_us",
+            (F.col("max_ts_us") < F.col("gmax") - 3 * 86_400_000_000).alias(
+                "would_skip"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANALYZE-style table statistics — exact NDV, null counts and most-common
+# values per column: the inputs a cost-based optimizer (Spark CBO, Trino,
+# DuckDB) estimates cardinalities from. At 100 TB these run as the nightly
+# ANALYZE job whose stats decide join orders for every later query.
+# ---------------------------------------------------------------------------
+
+_TABLE_STATS_ORACLE = """
+WITH vals AS (
+  SELECT col_name, val FROM (
+    SELECT 'event_type' AS col_name, event_type AS val FROM events
+    UNION ALL
+    SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events
+    UNION ALL
+    SELECT 'day', CAST(epoch_us(ts) // 86400000000 AS VARCHAR) FROM events
+  )
+),
+counts AS (
+  SELECT col_name, val, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM vals WHERE val IS NOT NULL GROUP BY col_name, val
+),
+stats AS (
+  SELECT col_name, CAST(COUNT(*) AS BIGINT) AS ndv FROM counts GROUP BY col_name
+),
+nulls AS (
+  SELECT col_name, CAST(COUNT(*) FILTER (WHERE val IS NULL) AS BIGINT) AS null_count
+  FROM vals GROUP BY col_name
+),
+mcv AS (
+  SELECT col_name, val, cnt,
+         CAST(ROW_NUMBER() OVER (PARTITION BY col_name ORDER BY cnt DESC, val ASC) AS BIGINT) AS mcv_rank
+  FROM counts
+)
+SELECT m.col_name, s.ndv, n.null_count, m.mcv_rank,
+       m.val AS mcv_value, m.cnt AS mcv_count
+FROM mcv m JOIN stats s ON m.col_name = s.col_name
+JOIN nulls n ON m.col_name = n.col_name
+WHERE m.mcv_rank <= 3
+""".strip()
+
+
+@register("table_stats_mcv", oracle=_TABLE_STATS_ORACLE)
+def table_stats_mcv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column ANALYZE statistics over the event stream: exact NDV, null
+    count, and the top-3 most-common values (count desc, value asc) for
+    event_type / user_id / day — the CBO's cardinality inputs. ONE scan:
+    the three columns unpivot via stack() into (col_name, val) pairs (ids
+    rendered as strings through exact integer casts — no float formatting
+    crosses the engines), then one value-distinct-sized groupBy feeds the
+    NDV, MCV-rank and null branches; the window partitions by col_name, so
+    no single-partition movement at any corpus size."""
+    ev = table(spark, sf_dir, "events")
+    vals = ev.selectExpr(
+        "stack(3, 'event_type', event_type,"
+        " 'user_id', CAST(user_id AS STRING),"
+        " 'day', CAST(unix_micros(ts) div 86400000000 AS STRING))"
+        " AS (col_name, val)"
+    )
+    counts = (
+        vals.filter(F.col("val").isNotNull())
+        .groupBy("col_name", "val")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)  # value-distinct frame feeds 2 branches
+    )
+    stats = counts.groupBy("col_name").agg(
+        F.count("*").cast("long").alias("ndv")
+    )
+    nulls = vals.groupBy("col_name").agg(
+        F.count(F.when(F.col("val").isNull(), 1)).cast("long").alias("null_count")
+    )
+    w = Window.partitionBy("col_name").orderBy(
+        F.col("cnt").desc(), F.col("val").asc()
+    )
+    mcv = (
+        counts.withColumn("mcv_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("mcv_rank") <= 3)
+        .select("col_name", F.col("val").alias("mcv_value"), F.col("cnt").alias("mcv_count"), "mcv_rank")
+    )
+    return (
+        mcv.join(stats, "col_name")
+        .join(nulls, "col_name")
+        .select(
+            "col_name", "ndv", "null_count", "mcv_rank", "mcv_value", "mcv_count"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Compaction planning — group small per-day "files" into target-size merge
+# bins (the OPTIMIZE/compaction job every lakehouse runs; at 100 TB the
+# plan itself must come from metadata-sized frames, never a data scan per
+# candidate file).
+# ---------------------------------------------------------------------------
+
+_COMPACTION_TARGET_ROWS = 2000
+
+_COMPACTION_ORACLE = f"""
+WITH f AS (
+  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM events GROUP BY 1
+),
+c AS (
+  SELECT day, n_rows,
+         COALESCE(SUM(n_rows) OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM f
+)
+SELECT CAST(cum_before // {_COMPACTION_TARGET_ROWS} AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+       CAST(MIN(day) AS BIGINT) AS first_day,
+       CAST(MAX(day) AS BIGINT) AS last_day
+FROM c GROUP BY 1
+""".strip()
+
+
+@register("compaction_bin_plan", oracle=_COMPACTION_ORACLE)
+def compaction_bin_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction plan over per-day row groups: days (the 'small files')
+    are packed in day order into ~{target}-row merge bins via a running
+    cumulative total — the deterministic next-fit packing a lakehouse
+    OPTIMIZE job runs over its file manifest. The plan computes on the
+    aggregated day frame (30 rows at any corpus size — metadata-sized, the
+    point of planning from manifest stats); the single-partition running
+    window is over that 30-row frame only. Output per bin: file count, row
+    total, day span."""
+    ev = table(spark, sf_dir, "events")
+    f = (
+        ev.select(F.expr("unix_micros(ts) div 86400000000").alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").cast("long").alias("n_rows"))
+    )
+    wc = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    c = f.withColumn(
+        "cum_before", F.coalesce(F.sum("n_rows").over(wc), F.lit(0))
+    )
+    return (
+        c.groupBy(
+            F.expr(f"cum_before div {_COMPACTION_TARGET_ROWS}").alias("bin")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_files"),
+            F.sum("n_rows").cast("long").alias("total_rows"),
+            F.min("day").cast("long").alias("first_day"),
+            F.max("day").cast("long").alias("last_day"),
+        )
     )

@@ -417,6 +417,7 @@ def test_no_unexpected_nested_loop_joins(spark, sf_oracle):
         "ewma_daily_event_volume",  # broadcast 30-row literal kernel x 30-row day frame
         "incremental_dedup_new_docs",
         "quality_funnel",
+        "zonemap_pruning_stats",    # broadcast 1-row global-max cutoff x 30-row day frame
     }
     offenders = []
     for name in sorted(REGISTRY):
