@@ -148,6 +148,8 @@ HEADLINE = [
     "ann_index_delta_append",
     "graph_kcore_decomposition",
     "table_stats_mcv",
+    "graph_scc_classify",
+    "bigram_xent_scores",
 ]
 
 

@@ -576,3 +576,101 @@ def label_propagation(edges: DataFrame, n_rounds: int) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+def fw_bw_classify(edges: DataFrame, pivot: DataFrame, n_rounds: int) -> DataFrame:
+    """One forward-backward step of parallel SCC (Fleischer/Hendrickson/
+    Pinar FW-BW): over a DIRECTED edge list (src, dst) and a single-row
+    pivot frame (node), classify every node of the graph as
+
+      - 'scc'       — in the pivot's strongly connected component
+                      (forward- AND backward-reachable from the pivot),
+      - 'fwd_only'  — reachable from the pivot but cannot reach it back,
+      - 'bwd_only'  — reaches the pivot but is not reachable from it,
+      - 'unreached' — in neither reachability cone.
+
+    This is the canonical first recursion step of distributed SCC: the
+    three non-scc classes are exactly the independent sub-problems the
+    full algorithm recurses into. Reachability runs `n_rounds` fixed
+    frontier-BFS rounds in each direction (the bfs_layers discipline:
+    rounds past the fixpoint are no-ops, so a fixed budget stays
+    comparable to an unrolled-SQL oracle; pick n_rounds >= the graph's
+    directed diameter for exact SCC semantics).
+
+    Scale shape: BOTH reachability cones run in ONE fused frontier loop —
+    the forward edges and the reversed edges are tagged 'f'/'b' into a
+    single edge list and the frontier carries (node, dir), so each hop is
+    ONE frontier shuffle join + one anti-join instead of two sequential
+    BFS passes (halves the round-trip job count; frontier and visited stay
+    O(nodes), the tagged edge list is checkpointed once) plus two O(nodes)
+    membership left-joins at the end — never an O(V^2) reachability
+    matrix. Returns (node, cls)."""
+    e = edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    )
+    tagged = (
+        e.withColumn("dir", F.lit("f"))
+        .unionByName(
+            e.select(
+                F.col("dst").alias("src"),
+                F.col("src").alias("dst"),
+                F.lit("b").alias("dir"),
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+    visited = (
+        pivot.select(F.col("node").cast("long").alias("node"))
+        .crossJoin(
+            pivot.sparkSession.createDataFrame([("f",), ("b",)], "dir string")
+        )
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited
+    for _ in range(n_rounds):
+        fr = frontier.select(
+            F.col("node").alias("f_node"), F.col("dir").alias("f_dir")
+        )
+        nxt = (
+            fr.join(
+                tagged,
+                (fr["f_node"] == tagged["src"]) & (fr["f_dir"] == tagged["dir"]),
+            )
+            .select(F.col("dst").alias("node"), tagged["dir"])
+            .distinct()
+            .join(visited, ["node", "dir"], "left_anti")
+            # fresh exprIds before the checkpoint: the frame otherwise
+            # carries tagged's attribute ids into the next round's join
+            # against tagged itself (ambiguous-self-join analyzer error)
+            .select(F.col("node").alias("node"), F.col("dir").alias("dir"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():  # fixpoint: remaining rounds are no-ops by definition
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    # fresh exprIds per cone: both filters derive from the same visited
+    # frame, and the downstream two-way membership join would otherwise
+    # be an ambiguous self-join
+    fwd = visited.filter(F.col("dir") == "f").select(F.col("node").alias("node"))
+    bwd = visited.filter(F.col("dir") == "b").select(F.col("node").alias("node"))
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    return (
+        nodes.join(fwd.withColumn("in_f", F.lit(1)), "node", "left")
+        .join(bwd.withColumn("in_b", F.lit(1)), "node", "left")
+        .select(
+            "node",
+            F.when(
+                F.col("in_f").isNotNull() & F.col("in_b").isNotNull(), F.lit("scc")
+            )
+            .when(F.col("in_f").isNotNull(), F.lit("fwd_only"))
+            .when(F.col("in_b").isNotNull(), F.lit("bwd_only"))
+            .otherwise(F.lit("unreached"))
+            .alias("cls"),
+        )
+    )

@@ -3479,3 +3479,125 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
         .orderBy(F.col("n_nodes").desc(), F.col("community").asc())
         .limit(_LPA_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# FW-BW strongly-connected-component classification — the canonical first
+# recursion step of distributed SCC (Fleischer/Hendrickson/Pinar 2000)
+# over a DIRECTED purchase/return graph that actually has cycles:
+# customer -> supplier edges for high-quantity purchases, supplier ->
+# customer edges where such an item came back with returnflag 'R' at a
+# deep discount (sparse on purpose, so all four FW-BW classes are live
+# at sf0.1).
+# ---------------------------------------------------------------------------
+
+_SCC_ROUNDS = 12  # directed diameter measured <= 10 at sf0.1; +2 margin
+_SCC_EP = "l_quantity > 45"
+_SCC_ER = "l_returnflag = 'R' AND l_quantity > 45 AND l_discount > 0.07"
+
+
+def _scc_oracle_sql(n_rounds: int) -> str:
+    """Unrolled-iteration DuckDB oracle for graph_scc_classify: forward
+    and backward reachability cones from the pivot as chained
+    reach(k) = reach(k-1) UNION neighbors(reach(k-1)) CTEs — pure set
+    algebra over integer node ids, so the class histogram hashes exact.
+    Rounds past the fixpoint are no-ops in both engines (the bfs_layers
+    discipline)."""
+    parts = [f"""
+WITH ep AS (
+  SELECT DISTINCT o_custkey AS src, l_suppkey + 10000000 AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE {_SCC_EP}
+),
+er AS (
+  SELECT DISTINCT l_suppkey + 10000000 AS src, o_custkey AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE {_SCC_ER}
+),
+e AS MATERIALIZED (SELECT src, dst FROM ep UNION SELECT src, dst FROM er),
+piv AS (SELECT MIN(src) AS node FROM e WHERE src IN (SELECT dst FROM e)),
+f0 AS (SELECT node FROM piv),
+b0 AS (SELECT node FROM piv)"""]
+    for k in range(1, n_rounds + 1):
+        parts.append(f""",
+f{k} AS MATERIALIZED (SELECT DISTINCT node FROM (
+  SELECT node FROM f{k - 1}
+  UNION ALL SELECT e.dst FROM e JOIN f{k - 1} p ON e.src = p.node) t),
+b{k} AS MATERIALIZED (SELECT DISTINCT node FROM (
+  SELECT node FROM b{k - 1}
+  UNION ALL SELECT e.src FROM e JOIN b{k - 1} p ON e.dst = p.node) t)""")
+    parts.append(f""",
+nodes AS (SELECT DISTINCT src AS node FROM e UNION SELECT dst FROM e)
+SELECT cls,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(node) AS BIGINT) AS sum_node_ids,
+       CAST(MIN(node) AS BIGINT) AS min_node,
+       CAST(MAX(node) AS BIGINT) AS max_node
+FROM (
+  SELECT n.node,
+         CASE WHEN f.node IS NOT NULL AND b.node IS NOT NULL THEN 'scc'
+              WHEN f.node IS NOT NULL THEN 'fwd_only'
+              WHEN b.node IS NOT NULL THEN 'bwd_only'
+              ELSE 'unreached' END AS cls
+  FROM nodes n
+    LEFT JOIN f{n_rounds} f ON n.node = f.node
+    LEFT JOIN b{n_rounds} b ON n.node = b.node) c
+GROUP BY cls ORDER BY cls""")
+    return "".join(parts).strip()
+
+
+@register("graph_scc_classify", oracle=_scc_oracle_sql(_SCC_ROUNDS))
+def graph_scc_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FW-BW SCC classification over the directed purchase/return graph:
+    customer->supplier edges for quantity>45 purchases, supplier->customer
+    back-edges where such an item was RETURNED ('R') at discount>0.07 —
+    cycles exist exactly where purchase and return relations close a loop.
+    Pivot = min node with both an out- and an in-edge; every node is
+    classified scc / fwd_only / bwd_only / unreached (the three non-scc
+    classes are the independent sub-problems full distributed SCC recurses
+    into). Output: per-class node count + id aggregates, integer-exact.
+
+    Scale shape: see operators/graph.fw_bw_classify — two fixed-round
+    frontier BFS passes (per hop ONE frontier shuffle join; frontier and
+    visited are O(nodes); the edge list is derived and checkpointed once)
+    plus two O(nodes) membership left-joins. _SCC_ROUNDS=12 >= measured
+    directed diameter (<=10 at sf0.1) so the classification is exact SCC,
+    and the unrolled oracle replays identical set algebra either way."""
+    from kol_bigdata_realtime_analytics_spark.operators.graph import fw_bw_classify
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_quantity", "l_returnflag", "l_discount"
+    )
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+    ep = (
+        j.filter(F.expr(_SCC_EP))
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(10_000_000)).alias("dst"),
+        )
+        .distinct()
+    )
+    er = (
+        j.filter(F.expr(_SCC_ER))
+        .select(
+            (F.col("l_suppkey") + F.lit(10_000_000)).alias("src"),
+            F.col("o_custkey").alias("dst"),
+        )
+        .distinct()
+    )
+    edges = ep.unionByName(er).distinct().localCheckpoint(eager=True)
+    pivot = (
+        edges.select("src")
+        .join(edges.select(F.col("dst").alias("src")), "src", "left_semi")
+        .agg(F.min("src").alias("node"))
+    )
+    classified = fw_bw_classify(edges, pivot, _SCC_ROUNDS)
+    return (
+        classified.groupBy("cls")
+        .agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.sum("node").cast("long").alias("sum_node_ids"),
+            F.min("node").cast("long").alias("min_node"),
+            F.max("node").cast("long").alias("max_node"),
+        )
+        .orderBy("cls")
+    )

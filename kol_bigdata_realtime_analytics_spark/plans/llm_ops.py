@@ -4469,3 +4469,115 @@ def rag_index_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Interpolated bigram LM cross-entropy — the CCNet/KenLM-style perplexity
+# quality filter one model order up from unigram_xent_scores: score each
+# document by mean -ln p(w_i | w_{i-1}) under a Jelinek-Mercer-interpolated
+# bigram model trained on the corpus itself.
+# ---------------------------------------------------------------------------
+
+#: Jelinek-Mercer interpolation weight on the bigram term; 1-lambda falls
+#: back to the unigram MLE. 3/4 is the classic default and is exactly
+#: representable in binary, so 0.75*x is one IEEE multiply in both engines.
+_BIGRAM_LAMBDA = 0.75
+
+_BIGRAM_XENT_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts
+  FROM documents WHERE trim(COALESCE(text, '')) != ''
+),
+tok AS (
+  SELECT doc_id, unnest(ts) AS t, generate_subscripts(ts, 1) AS i FROM toks
+),
+big AS (
+  SELECT a.doc_id, a.t AS w1, b.t AS w2
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+),
+cb AS (SELECT w1, w2, COUNT(*) AS c FROM big GROUP BY w1, w2),
+cw AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS n1 FROM cb GROUP BY w1),
+uni AS (SELECT t, COUNT(*) AS cnt FROM tok GROUP BY t),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tok),
+db AS (SELECT doc_id, w1, w2, COUNT(*) AS k FROM big GROUP BY doc_id, w1, w2)
+SELECT db.doc_id,
+       CAST(SUM(db.k) AS BIGINT) AS n_bigrams,
+       floor((CAST(SUM(CAST(db.k * -ln(
+                 0.75 * (CAST(cb.c AS DOUBLE) / cw.n1)
+               + 0.25 * (CAST(uni.cnt AS DOUBLE) / tot.n))
+               AS DECIMAL(28,12))) AS DOUBLE)
+              / SUM(db.k)) * 1000000) / 1000000 AS xent_nats
+FROM db
+  JOIN cb ON db.w1 = cb.w1 AND db.w2 = cb.w2
+  JOIN cw ON db.w1 = cw.w1
+  JOIN uni ON uni.t = db.w2, tot
+GROUP BY db.doc_id
+""".strip()
+
+
+@register("bigram_xent_scores", oracle=_BIGRAM_XENT_ORACLE)
+def bigram_xent_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean -ln p(w_i | w_{i-1}) per document under a Jelinek-Mercer
+    interpolated bigram model (lambda=0.75 bigram MLE + 0.25 unigram MLE)
+    trained on the corpus in the same plan — the CCNet-style perplexity
+    filter one order above unigram_xent_scores: n-gram-soup documents that
+    a unigram model scores as "common tokens" surface here because their
+    TRANSITIONS are rare. Docs with < 2 tokens have no bigram events and
+    drop out (same rule both engines).
+
+    Determinism: every probability is a ratio of exact integer counts
+    widened to double, the interpolation weights (0.75/0.25) are binary-
+    exact, the per-event -ln terms are summed in DECIMAL(28,12) (order-
+    proof), and the mean is trunc6'd — the unigram_xent discipline.
+
+    Scale shape: bigram extraction is a zero-shuffle arrays_zip projection
+    (no self-join on token position — the oracle's join formulation would
+    shuffle the corpus' token stream twice); the model is built with two
+    corpus-keyed aggregations (bigram counts, unigram counts) and scoring
+    is a (doc,w1,w2)-stream join against model frames keyed by vocabulary
+    — model cardinality, not corpus cardinality. At 100 TB, stage the
+    model to a table once and broadcast-or-bucket the scoring join; the
+    per-doc rollup below is unchanged by that split."""
+    from kol_bigdata_realtime_analytics_spark.functions.text import tokens
+    from kol_bigdata_realtime_analytics_spark.plans.domain import trunc6
+
+    docs = table(spark, sf_dir, "documents").filter(
+        F.trim(F.coalesce("text", F.lit(""))) != ""
+    )
+    big = docs.select("doc_id", tokens("text").alias("ts")).filter(
+        F.size("ts") >= 2
+    ).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(ts, 1, size(ts) - 1),"
+                " (w, i) -> struct(w AS w1, ts[i + 1] AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    tok = docs.select(F.explode(tokens("text")).alias("t"))
+    cb = big.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    cw = cb.groupBy("w1").agg(F.sum("c").alias("n1"))
+    uni = tok.groupBy("t").agg(F.count("*").alias("cnt"))
+    tot = uni.agg(F.sum("cnt").alias("n"))
+    db = big.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("k"))
+    lam = _BIGRAM_LAMBDA
+    p = F.lit(lam) * (F.col("c").cast("double") / F.col("n1")) + F.lit(
+        1.0 - lam
+    ) * (F.col("cnt").cast("double") / F.col("n"))
+    return (
+        db.join(cb, ["w1", "w2"])
+        .join(cw, "w1")
+        .join(uni, db["w2"] == uni["t"])
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("long").alias("n_bigrams"),
+            trunc6(
+                F.sum((F.col("k") * -F.log(p)).cast("decimal(28,12)")).cast(
+                    "double"
+                )
+                / F.sum("k")
+            ).alias("xent_nats"),
+        )
+    )

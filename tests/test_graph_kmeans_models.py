@@ -189,3 +189,50 @@ def test_embedding_kmeans_lloyd_matches_python_model(spark, sf_small):
         r["cluster"]: [r["n_points"], r["sum_vec_ids"], r["inertia"]]
         for r in got
     } == expected
+
+
+def test_fw_bw_classify_matches_python_model(spark):
+    """FW-BW SCC classification vs an independent pure-Python BFS model on
+    a directed graph exercising all four classes: a 3-cycle SCC containing
+    the pivot, a forward-only tail, a backward-only feeder, a 2-node side
+    cycle reachable one-way, and a fully disconnected pair."""
+    from kol_bigdata_realtime_analytics_spark.operators.graph import fw_bw_classify
+
+    edges = [
+        (1, 2), (2, 3), (3, 1),   # pivot SCC {1,2,3}
+        (3, 4), (4, 5),           # fwd-only tail {4,5}
+        (6, 1), (7, 6),           # bwd-only feeder {6,7}
+        (4, 8), (8, 9), (9, 8),   # fwd-only side cycle {8,9}
+        (10, 11),                 # unreached {10,11}
+    ]
+
+    def reach(adj, start):
+        seen, stack = {start}, [start]
+        while stack:
+            for n in adj.get(stack.pop(), ()):
+                if n not in seen:
+                    seen.add(n)
+                    stack.append(n)
+        return seen
+
+    fwd_adj, bwd_adj = {}, {}
+    for s, d in edges:
+        fwd_adj.setdefault(s, []).append(d)
+        bwd_adj.setdefault(d, []).append(s)
+    pivot = 1
+    fwd, bwd = reach(fwd_adj, pivot), reach(bwd_adj, pivot)
+    nodes = {n for e in edges for n in e}
+    expect = {
+        n: (
+            "scc" if n in fwd and n in bwd
+            else "fwd_only" if n in fwd
+            else "bwd_only" if n in bwd
+            else "unreached"
+        )
+        for n in nodes
+    }
+
+    e_df = spark.createDataFrame(edges, "src long, dst long")
+    piv = spark.createDataFrame([(pivot,)], "node long")
+    got = {r["node"]: r["cls"] for r in fw_bw_classify(e_df, piv, 8).collect()}
+    assert got == expect

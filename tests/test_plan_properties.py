@@ -401,6 +401,7 @@ def test_no_unexpected_nested_loop_joins(spark, sf_oracle):
         "distinctive_terms_chi2",   # broadcast 1-row all-token total
         "tfidf_top_terms",          # broadcast 1-row doc count
         "unigram_xent_scores",      # broadcast 1-row total
+        "bigram_xent_scores",       # broadcast 1-row unigram total
         "vocab_coverage_curve",     # broadcast 1-row total
         "ab_value_ttest",           # 1-row x 1-row arm cross
         "value_drift_psi",          # broadcast 1-row midpoint + 10-row bucket spine
