@@ -150,6 +150,11 @@ HEADLINE = [
     "table_stats_mcv",
     "graph_scc_classify",
     "bigram_xent_scores",
+    "ann_binary_hamming_topk",
+    "ann_lsh_multiprobe_topk",
+    "t_closeness_audit",
+    "multitouch_attribution_credits",
+    "kcenter_coreset_select",
 ]
 
 

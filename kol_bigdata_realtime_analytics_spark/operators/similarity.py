@@ -1376,3 +1376,65 @@ def dequantize_mse(vec_col: Column, scale: Column, codes: Column) -> Column:
         n > 0,
         F.aggregate(sq, F.lit(0.0), lambda acc, v: acc + v) / n,
     ).otherwise(F.lit(0.0))
+
+
+def binary_code_cols(vec_col: Column, dim: int = 64) -> tuple[Column, Column]:
+    """1-bit (sign) binary quantization of a float vector into two packed
+    longs (lo = dims 0..31, hi = dims 32..63): bit i = (x_i > 0).
+
+    The most aggressive memory layout in the ANN ladder (float32 -> int8 ->
+    PQ -> 1 bit): 16 bytes/vector means a 100 TB float index becomes a
+    ~3 TB bit index that whole-stage-codegen scans with xor+popcount —
+    no float math on the hot path at all. Hamming distance on sign bits
+    approximates angular distance (Charikar 2002: P[bit match] =
+    1 - theta/pi, the same guarantee hyperplane LSH relies on, with the
+    data's own axes as planes).
+
+    Two 32-bit halves rather than one 64-bit word: bit 63 would need
+    2^63, which overflows SIGNED long. All-native aggregate() fold in the
+    scan projection — no UDF, no shuffle."""
+    v = as_double_vec(vec_col)
+    halves = []
+    for lo in (0, dim // 2):
+        halves.append(
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(dim // 2 - 1)),
+                F.lit(0).cast("long"),
+                lambda acc, i: acc
+                + F.when(
+                    F.element_at(v, (i + F.lit(lo + 1)).cast("int")) > 0,
+                    # F.shiftleft only takes a literal bit count — the SQL
+                    # function itself accepts a column, so call it directly
+                    F.call_function(
+                        "shiftleft", F.lit(1).cast("long"), i.cast("int")
+                    ),
+                ).otherwise(F.lit(0).cast("long")),
+            )
+        )
+    return halves[0], halves[1]
+
+
+def hamming64(lo_a: Column, hi_a: Column, lo_b: Column, hi_b: Column) -> Column:
+    """Hamming distance between two 64-bit binary codes stored as (lo, hi)
+    long pairs: popcount of the xor, pure integer — bit-identical on any
+    engine."""
+    return (
+        F.bit_count(lo_a.bitwiseXOR(lo_b)) + F.bit_count(hi_a.bitwiseXOR(hi_b))
+    ).cast("long")
+
+
+def binary_code_sql(vec_expr: str, dim: int = 64) -> tuple[str, str]:
+    """DuckDB expressions computing the SAME (lo, hi) packed sign-bit codes
+    as binary_code_cols: both engines evaluate the identical widened-double
+    `> 0` test per dimension, and bit packing is integer — codes match
+    bit-for-bit, which keeps the Hamming top-k oracle hash-exact."""
+    out = []
+    for lo in (0, dim // 2):
+        out.append(
+            "CAST(list_sum(list_transform(range(1, {n}), i -> "
+            "CASE WHEN ({v})[i + {lo}] > 0 THEN (1::BIGINT << (i - 1)) "
+            "ELSE 0::BIGINT END)) AS BIGINT)".format(
+                n=dim // 2 + 1, v=vec_expr, lo=lo
+            )
+        )
+    return out[0], out[1]

@@ -845,3 +845,247 @@ def compaction_bin_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("day").cast("long").alias("last_day"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# t-closeness audit (Li/Li/Venkatasubramanian, ICDE 2007) — completes the
+# release-gate privacy family: k_anonymity_audit bounds class SIZE,
+# l_diversity_audit bounds sensitive-value VARIETY, this bounds the
+# sensitive-value DISTRIBUTION: a class whose balance-band histogram sits
+# far from the global one leaks the band even when it is large and
+# diverse. For an ORDERED sensitive attribute the Earth Mover's Distance
+# reduces to mean |cumulative difference| (the paper's ordered-distance
+# form), which is exact integer arithmetic until one final division.
+# ---------------------------------------------------------------------------
+
+_T_CLOSENESS_T = 0.15  # non-vacuous: violated at sf0.001/0.01, clean at sf0.1
+
+_T_CLOSENESS_ORACLE = f"""
+WITH c AS (SELECT c_mktsegment AS seg, c_nationkey AS nat,
+                  CAST(floor(CAST(c_acctbal AS DOUBLE) / 1000) AS BIGINT) AS band
+           FROM customer),
+bands AS (SELECT DISTINCT band FROM c),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m_bands FROM bands),
+gl AS (SELECT band, COUNT(*) AS g FROM c GROUP BY band),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM c),
+cls AS (SELECT seg, nat, COUNT(*) AS class_size FROM c GROUP BY seg, nat),
+cb AS (SELECT seg, nat, band, COUNT(*) AS k FROM c GROUP BY seg, nat, band),
+grid AS (
+  SELECT cls.seg, cls.nat, cls.class_size, b.band, COALESCE(cb.k, 0) AS k, gl.g
+  FROM cls CROSS JOIN bands b
+    JOIN gl ON gl.band = b.band
+    LEFT JOIN cb ON cb.seg = cls.seg AND cb.nat = cls.nat AND cb.band = b.band
+),
+cum AS (
+  SELECT seg, nat, class_size,
+         SUM(k) OVER (PARTITION BY seg, nat ORDER BY band) AS ck,
+         SUM(g) OVER (PARTITION BY seg, nat ORDER BY band) AS cg
+  FROM grid
+),
+emd AS (
+  SELECT seg, nat, class_size,
+         CAST(SUM(ABS(ck * tot.n - cg * class_size)) AS BIGINT) AS num
+  FROM cum, tot GROUP BY seg, nat, class_size
+)
+SELECT seg, nat, CAST(class_size AS BIGINT) AS class_size, emd_t6,
+       emd_t6 > {_T_CLOSENESS_T} AS violates_t
+FROM (
+  SELECT seg, nat, class_size,
+         floor(CAST(num AS DOUBLE)
+               / ((m.m_bands - 1) * class_size * tot.n) * 1000000) / 1000000
+           AS emd_t6
+  FROM emd, m, tot
+)
+ORDER BY emd_t6 DESC, seg ASC, nat ASC
+LIMIT 10
+""".strip()
+
+
+@register("t_closeness_audit", oracle=_T_CLOSENESS_ORACLE)
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Worst-10 quasi-identifier classes (segment, nation) by ordered-EMD
+    between the class's balance-band distribution and the global one, with
+    the t=0.15 release-gate flag. EMD for ordered attributes =
+    (1/(m-1)) * sum_i |cum_class_i - cum_global_i|; every cumulative term
+    is kept as an exact integer cross-product (ck*N - cg*size) and only
+    the final normalization divides — one float op, trunc6'd, so the
+    driver hash covers the distances themselves.
+
+    Scale shape: two narrow aggregations over the table (class x band,
+    global band), then everything runs on the CLASS GRID (|classes| x
+    |bands| ~ 1.6k rows here; QI-cardinality-bounded, never row-bounded,
+    at any corpus size) — windows are partitioned by class, the band spine
+    and the two scalar frames broadcast. The overflow bound ck*N < 2^63
+    holds to ~3e9 rows; past that lift the cross-products to
+    DECIMAL(38,0) (same exactness, the pricing_summary discipline)."""
+    from kol_bigdata_realtime_analytics_spark.plans.domain import trunc6
+
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").alias("nat"),
+        F.floor(F.col("c_acctbal").cast("double") / 1000).cast("long").alias("band"),
+    )
+    bands = c.select("band").distinct()
+    m = bands.agg(F.count("*").cast("long").alias("m_bands"))
+    gl = c.groupBy("band").agg(F.count("*").alias("g"))
+    tot = c.agg(F.count("*").cast("long").alias("n"))
+    cls = c.groupBy("seg", "nat").agg(F.count("*").alias("class_size"))
+    cb = c.groupBy("seg", "nat", "band").agg(F.count("*").alias("k"))
+    grid = (
+        cls.crossJoin(F.broadcast(bands))
+        .join(F.broadcast(gl), "band")
+        .join(cb, ["seg", "nat", "band"], "left")
+        .select(
+            "seg", "nat", "class_size", "band",
+            F.coalesce("k", F.lit(0)).alias("k"), "g",
+        )
+    )
+    w = (
+        Window.partitionBy("seg", "nat")
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.select(
+        "seg", "nat", "class_size",
+        F.sum("k").over(w).alias("ck"),
+        F.sum("g").over(w).alias("cg"),
+    )
+    emd = (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("seg", "nat", "class_size")
+        .agg(
+            F.sum(
+                F.abs(F.col("ck") * F.col("n") - F.col("cg") * F.col("class_size"))
+            ).cast("long").alias("num"),
+            F.first("n").alias("n"),
+        )
+    )
+    return (
+        emd.crossJoin(F.broadcast(m))
+        .select(
+            "seg",
+            "nat",
+            F.col("class_size").cast("long").alias("class_size"),
+            trunc6(
+                F.col("num").cast("double")
+                / ((F.col("m_bands") - 1) * F.col("class_size") * F.col("n"))
+            ).alias("emd_t6"),
+        )
+        .withColumn("violates_t", F.col("emd_t6") > F.lit(_T_CLOSENESS_T))
+        .orderBy(F.col("emd_t6").desc(), F.col("seg").asc(), F.col("nat").asc())
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Equi-height histogram + selectivity estimation check — the other half of
+# the ANALYZE/CBO story next to table_stats_mcv (NDV + MCVs estimate
+# EQUALITY predicates; height-balanced histograms estimate RANGE
+# predicates — the same split Spark's own CBO makes). Build the 8-bucket
+# histogram, estimate three literal range predicates with intra-bucket
+# uniform interpolation, and hash-certify estimate AND truth side by side.
+# ---------------------------------------------------------------------------
+
+_EQH_BUCKETS = 8
+_EQH_PREDS = [50000.0, 150000.0, 400000.0]  # span low/mid/high selectivity
+
+_EQH_ORACLE = f"""
+WITH b AS (
+  SELECT o_totalprice AS v,
+         ntile({_EQH_BUCKETS}) OVER (ORDER BY o_totalprice, o_orderkey) AS bkt
+  FROM orders
+),
+hist AS (
+  SELECT bkt, MIN(v) AS lo, MAX(v) AS hi, COUNT(*) AS cnt FROM b GROUP BY bkt
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM b),
+preds AS (SELECT unnest([{", ".join(repr(p) for p in _EQH_PREDS)}]::DOUBLE[]) AS p),
+est AS (
+  SELECT p.p,
+         CAST(SUM(CAST(CASE WHEN h.hi <= p.p THEN CAST(h.cnt AS DOUBLE)
+                   WHEN h.lo > p.p OR h.hi = h.lo THEN 0.0
+                   ELSE h.cnt * (p.p - h.lo) / (h.hi - h.lo) END
+              AS DECIMAL(28,12))) AS DOUBLE) AS est_rows
+  FROM preds p CROSS JOIN hist h GROUP BY p.p
+),
+act AS (
+  SELECT p.p, CAST(COUNT_IF(b.v <= p.p) AS BIGINT) AS act_rows
+  FROM preds p CROSS JOIN b GROUP BY p.p
+)
+SELECT est.p AS price_le,
+       floor(est.est_rows / tot.n * 1000000) / 1000000 AS predicted_sel,
+       floor(CAST(act.act_rows AS DOUBLE) / tot.n * 1000000) / 1000000
+         AS actual_sel,
+       floor(ABS(est.est_rows - act.act_rows) / tot.n * 1000000) / 1000000
+         AS abs_err
+FROM est JOIN act ON est.p = act.p, tot
+ORDER BY price_le
+""".strip()
+
+
+@register("equiheight_histogram_check", oracle=_EQH_ORACLE)
+def equiheight_histogram_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-bucket height-balanced histogram on o_totalprice and its range-
+    predicate selectivity estimates vs ground truth for three literal
+    predicates — predicted = full buckets below the literal + uniform
+    interpolation inside the straddling bucket. The driver hash covers the
+    estimate AND the truth, so a histogram-build or interpolation
+    regression flips a value. Determinism: ntile orders on (value,
+    orderkey) — total order; interpolation fractions are IEEE ops on
+    identical widened doubles; 8 decimal terms sum order-free.
+
+    Scale shape: the build is the textbook exact form (one global ntile
+    pass — the ntile_acctbal_quartiles shape, fine at dim-table size; at
+    fact scale ANALYZE builds histograms from a deterministic sample, the
+    hash_sample pattern, and this check's full-scan 'actual' leg is
+    exactly the audit you run once after); estimation itself touches only
+    the 8-row histogram x 3 predicates."""
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("v"), "o_orderkey"
+    )
+    b = o.select(
+        "v",
+        F.ntile(_EQH_BUCKETS)
+        .over(Window.orderBy("v", "o_orderkey"))
+        .alias("bkt"),
+    )
+    hist = b.groupBy("bkt").agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi"), F.count("*").alias("cnt")
+    )
+    tot = b.agg(F.count("*").cast("long").alias("n"))
+    preds = F.array(*[F.lit(p) for p in _EQH_PREDS])
+    pr = o.sparkSession.range(1).select(F.explode(preds).alias("p"))
+    contrib = (
+        F.when(F.col("hi") <= F.col("p"), F.col("cnt").cast("double"))
+        .when((F.col("lo") > F.col("p")) | (F.col("hi") == F.col("lo")), F.lit(0.0))
+        .otherwise(
+            F.col("cnt") * (F.col("p") - F.col("lo")) / (F.col("hi") - F.col("lo"))
+        )
+    )
+    est = (
+        hist.crossJoin(F.broadcast(pr))
+        .groupBy("p")
+        .agg(F.sum(contrib.cast("decimal(28,12)")).cast("double").alias("est_rows"))
+    )
+    act = (
+        b.crossJoin(F.broadcast(pr))
+        .groupBy("p")
+        .agg(
+            F.sum(F.when(F.col("v") <= F.col("p"), 1).otherwise(0))
+            .cast("long")
+            .alias("act_rows")
+        )
+    )
+    return (
+        est.join(act, "p")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("p").alias("price_le"),
+            F.floor(F.col("est_rows") / F.col("n") * 1e6) / 1e6,
+            F.floor(F.col("act_rows").cast("double") / F.col("n") * 1e6) / 1e6,
+            F.floor(F.abs(F.col("est_rows") - F.col("act_rows")) / F.col("n") * 1e6)
+            / 1e6,
+        )
+        .toDF("price_le", "predicted_sel", "actual_sel", "abs_err")
+        .orderBy("price_le")
+    )

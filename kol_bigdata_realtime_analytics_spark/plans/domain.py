@@ -649,3 +649,115 @@ def success_scores_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
         trunc6(eng_rate).alias("eng_rate"),
         trunc6(est_ctr).alias("est_ctr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-touch attribution — U-shaped (position-based) credit assignment,
+# the standard marketing-analytics model between last-touch (what
+# stream_stream_click_attribution implements) and data-driven Shapley:
+# for each conversion, the first and last preceding touch get 40% each
+# and the middle touches split the remaining 20%.
+# ---------------------------------------------------------------------------
+
+_MTA_ORACLE = """
+WITH conv AS (
+  SELECT event_id AS conv_id, user_id, ts AS conv_ts
+  FROM events WHERE event_type = 'purchase'
+),
+touch AS (
+  SELECT c.conv_id, e.event_id, e.event_type AS touch_type, e.ts
+  FROM conv c JOIN events e ON e.user_id = c.user_id
+  WHERE e.event_type IN ('view', 'click')
+    AND e.ts < c.conv_ts AND e.ts >= c.conv_ts - INTERVAL 7 DAY
+),
+ranked AS (
+  SELECT conv_id, event_id, touch_type,
+         ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY conv_id) AS k
+  FROM touch
+),
+credited AS (
+  SELECT touch_type,
+         CASE WHEN rn = 1 THEN 'first'
+              WHEN rn = k THEN 'last'
+              ELSE 'middle' END AS position,
+         CASE WHEN k = 1 THEN 1.0
+              WHEN k = 2 THEN 0.5
+              WHEN rn = 1 OR rn = k THEN 0.4
+              ELSE 0.2 / (k - 2) END AS credit
+  FROM ranked
+)
+SELECT touch_type, position,
+       CAST(COUNT(*) AS BIGINT) AS n_touches,
+       floor(CAST(SUM(CAST(credit AS DECIMAL(28,12))) AS DOUBLE) * 1000000)
+         / 1000000 AS credit_t6
+FROM credited
+GROUP BY touch_type, position
+ORDER BY touch_type, position
+""".strip()
+
+
+@register("multitouch_attribution_credits", oracle=_MTA_ORACLE)
+def multitouch_attribution_credits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped multi-touch attribution over the event log: every purchase
+    distributes 1.0 credit across its view/click touches in the preceding
+    7 days — 40% to the first touch, 40% to the last, 20% split across the
+    middle (k=1 takes all, k=2 splits 50/50). Output: credit mass and
+    touch counts per (touch type, position) — the report that decides
+    channel budgets. A single-touch conversion (~10% here) and k up to 17
+    keep all three position classes live at every sf.
+
+    Determinism: positions rank on (ts, event_id) — a total order; credits
+    are IEEE-exact divisions of identical integers in both engines, summed
+    in DECIMAL(28,12) (order-proof), trunc6 at the end.
+
+    Scale shape: one equi-join touches⋈conversions on user_id (both sides
+    pre-filtered by event type in the scan, pushed down) with the 7-day
+    range as a post-join filter — per-user fan-out is bounded by user
+    activity, the same shape as range_join_order_events; then one window
+    over conv_id (conversion-sized partitions, ~5 touches each) and a
+    6-group rollup. No broadcast needed: both sides are corpus-derived and
+    shuffle on the same user_id key."""
+    ev = table(spark, sf_dir, "events")
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("conv_ts"),
+    )
+    touch = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id", "event_id", F.col("event_type").alias("touch_type"), "ts"
+    )
+    j = touch.join(conv, touch["user_id"] == conv["c_user"]).filter(
+        (F.col("ts") < F.col("conv_ts"))
+        & (F.col("ts") >= F.col("conv_ts") - F.expr("INTERVAL 7 DAYS"))
+    )
+    w_rn = Window.partitionBy("conv_id").orderBy("ts", "event_id")
+    w_k = Window.partitionBy("conv_id")
+    ranked = j.select(
+        "conv_id",
+        "touch_type",
+        F.row_number().over(w_rn).alias("rn"),
+        F.count("*").over(w_k).alias("k"),
+    )
+    credited = ranked.select(
+        "touch_type",
+        F.when(F.col("rn") == 1, F.lit("first"))
+        .when(F.col("rn") == F.col("k"), F.lit("last"))
+        .otherwise(F.lit("middle"))
+        .alias("position"),
+        F.when(F.col("k") == 1, F.lit(1.0))
+        .when(F.col("k") == 2, F.lit(0.5))
+        .when((F.col("rn") == 1) | (F.col("rn") == F.col("k")), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("k") - 2))
+        .alias("credit"),
+    )
+    return (
+        credited.groupBy("touch_type", "position")
+        .agg(
+            F.count("*").cast("long").alias("n_touches"),
+            trunc6(
+                F.sum(F.col("credit").cast("decimal(28,12)")).cast("double")
+            ).alias("credit_t6"),
+        )
+        .orderBy("touch_type", "position")
+    )

@@ -4581,3 +4581,474 @@ def bigram_xent_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("xent_nats"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# 1-bit binary quantization ANN — the most aggressive rung of the memory
+# ladder (float32 -> int8 -> PQ -> sign bits): 64 dims pack into two longs
+# and candidate generation is xor+popcount, fully integer, so unlike every
+# other approximate scorer in the family the top-k itself is hash-exact
+# against the oracle (both engines compute identical codes bit-for-bit —
+# operators/similarity.binary_code_sql).
+# ---------------------------------------------------------------------------
+
+
+def _binary_base_sql() -> str:
+    from kol_bigdata_realtime_analytics_spark.operators.similarity import (
+        binary_code_sql,
+    )
+
+    lo, hi = binary_code_sql("embedding::DOUBLE[]")
+    return f"""
+base AS (SELECT vec_id, embedding::DOUBLE[] AS vec, {lo} AS lo, {hi} AS hi
+         FROM embeddings),
+q AS (SELECT vec_id AS q_id, vec AS q_vec, lo AS q_lo, hi AS q_hi
+      FROM base WHERE vec_id < 5),
+ham AS (
+  SELECT q.q_id, b.vec_id AS c_id,
+         CAST(bit_count(xor(q.q_lo, b.lo)) + bit_count(xor(q.q_hi, b.hi))
+              AS BIGINT) AS hamming
+  FROM base b, q WHERE b.vec_id != q.q_id
+),
+btop AS (
+  SELECT q_id, c_id, hamming, rank FROM (
+    SELECT q_id, c_id, hamming,
+           CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                                   ORDER BY hamming ASC, c_id ASC) AS BIGINT)
+             AS rank
+    FROM ham) WHERE rank <= 3
+)"""
+
+
+def _binary_hamming_scored(spark: SparkSession, sf_dir: str):
+    from kol_bigdata_realtime_analytics_spark.operators.similarity import (
+        binary_code_cols,
+        hamming64,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    lo, hi = binary_code_cols(F.col("embedding"))
+    coded = emb.select("vec_id", lo.alias("lo"), hi.alias("hi"))
+    q = coded.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("lo").alias("q_lo"),
+        F.col("hi").alias("q_hi"),
+    )
+    scored = coded.join(F.broadcast(q), F.col("vec_id") != F.col("q_id")).select(
+        "q_id",
+        F.col("vec_id").alias("c_id"),
+        hamming64(F.col("q_lo"), F.col("q_hi"), F.col("lo"), F.col("hi")).alias(
+            "hamming"
+        ),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("hamming").asc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("q_id", "c_id", "hamming", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+@register(
+    "ann_binary_hamming_topk",
+    oracle=f"""
+    WITH {_binary_base_sql().lstrip()}
+    SELECT q_id, c_id, hamming, rank FROM btop
+    """,
+)
+def ann_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming top-3 per query (vec_id < 5) over 1-bit sign-quantized
+    embeddings: bit i = (x_i > 0), 64 dims in two packed longs, distance =
+    popcount(xor) — Charikar 2002 sign-bit angular approximation.
+
+    Scale shape: quantization happens in the scan projection (native
+    aggregate() fold, no UDF), the 5-row query code frame broadcasts into
+    the corpus scan, and the hot path is two xors + two popcounts per
+    (query, candidate) — a 100 TB float32 index becomes ~3 TB of codes
+    scanned entirely inside whole-stage codegen with zero float math.
+    Integer distances + integer tie-break make this the one approximate
+    scorer whose top-k is itself HASH-exact cross-engine."""
+    return _binary_hamming_scored(spark, sf_dir)
+
+
+@register(
+    "ann_binary_recall_check",
+    oracle=f"""
+    WITH {_binary_base_sql().lstrip()},
+    exact AS (
+      SELECT q_id, c_id FROM (
+        SELECT q.q_id, c.vec_id AS c_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.q_id
+                 ORDER BY ROUND(list_dot_product(q.q_vec, c.vec)
+                       / (sqrt(list_dot_product(q.q_vec, q.q_vec))
+                          * sqrt(list_dot_product(c.vec, c.vec))), 6) DESC,
+                   c.vec_id ASC) AS rn
+        FROM base c, q WHERE c.vec_id != q.q_id
+      ) WHERE rn <= 3
+    )
+    SELECT CAST((SELECT COUNT(*) FROM q) AS BIGINT) AS n_queries,
+           CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_exact,
+           CAST((SELECT COUNT(*) FROM exact e JOIN btop b
+                 ON e.q_id = b.q_id AND e.c_id = b.c_id) AS BIGINT)
+             AS binary_hits,
+           floor(((SELECT COUNT(*) FROM exact e JOIN btop b
+                   ON e.q_id = b.q_id AND e.c_id = b.c_id) * 1.0
+                  / (SELECT COUNT(*) FROM exact)) * 1000000) / 1000000
+             AS recall_at_3
+    """,
+)
+def ann_binary_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the 1-bit Hamming scorer vs brute-force cosine — the
+    quality half of the binary-quantization contract. Both scorers are
+    deterministic (integer Hamming / round6 cosine, id tie-breaks), so the
+    recall VALUE itself is hash-certified, not just bounded."""
+    from kol_bigdata_realtime_analytics_spark.operators.similarity import (
+        brute_force_topk,
+    )
+    from kol_bigdata_realtime_analytics_spark.plans.domain import trunc6
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, queries, k=3).select("q_id", "c_id")
+    btop = _binary_hamming_scored(spark, sf_dir).select(
+        "q_id", "c_id", F.lit(1).alias("m")
+    )
+    j = exact.join(btop, ["q_id", "c_id"], "left")
+    return j.agg(
+        F.countDistinct("q_id").cast("long").alias("n_queries"),
+        F.count("*").cast("long").alias("n_exact"),
+        F.coalesce(F.sum("m"), F.lit(0)).cast("long").alias("binary_hits"),
+        trunc6(
+            F.coalesce(F.sum("m"), F.lit(0)) * F.lit(1.0) / F.count("*")
+        ).alias("recall_at_3"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-probe LSH (Lv et al., VLDB 2007) — recover the recall that tighter
+# buckets cost by ALSO probing the buckets at Hamming distance 1 from the
+# query's bucket, instead of widening buckets (fewer planes = exponentially
+# more candidates) or adding tables (each one re-hashes the corpus).
+# ---------------------------------------------------------------------------
+
+_MP_PLANES = 6  # 64 buckets; probing 1+6 of them scans ~11% of the corpus
+
+
+def _mp_probe_literals(qb: str) -> list[str]:
+    return [qb] + [f"xor({qb}, {1 << i})" for i in range(_MP_PLANES)]
+
+
+def _mp_oracle_sql() -> str:
+    from kol_bigdata_realtime_analytics_spark.operators.similarity import (
+        lsh_bucket_sql,
+    )
+
+    bucket = lsh_bucket_sql("vec", dim=64, n_planes=_MP_PLANES, seed=42)
+    probes = ", ".join(_mp_probe_literals("q_bkt"))
+    return f"""
+base0 AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+base AS (SELECT vec_id, vec, {bucket} AS bkt FROM base0),
+q0 AS (SELECT vec_id AS q_id, vec AS q_vec, bkt AS q_bkt FROM base WHERE vec_id < 5),
+qp AS (SELECT q_id, q_vec, unnest([{probes}]) AS probe FROM q0),
+mtop AS (
+  SELECT q_id, c_id, cosine, rank FROM (
+    SELECT qp.q_id, b.vec_id AS c_id,
+           ROUND(list_dot_product(qp.q_vec, b.vec)
+                 / (sqrt(list_dot_product(qp.q_vec, qp.q_vec))
+                    * sqrt(list_dot_product(b.vec, b.vec))), 6) AS cosine,
+           CAST(ROW_NUMBER() OVER (PARTITION BY qp.q_id ORDER BY
+             ROUND(list_dot_product(qp.q_vec, b.vec)
+                   / (sqrt(list_dot_product(qp.q_vec, qp.q_vec))
+                      * sqrt(list_dot_product(b.vec, b.vec))), 6) DESC,
+             b.vec_id ASC) AS BIGINT) AS rank
+    FROM base b JOIN qp ON b.bkt = qp.probe WHERE b.vec_id != qp.q_id
+  ) WHERE rank <= 3
+)"""
+
+
+def _mp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kol_bigdata_realtime_analytics_spark.operators.similarity import (
+        as_double_vec,
+        cosine,
+        lsh_bucket_id,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        as_double_vec(F.col("embedding")).alias("vec"),
+        lsh_bucket_id(F.col("embedding"), dim=64, n_planes=_MP_PLANES).alias("bkt"),
+    )
+    q0 = base.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("vec").alias("q_vec"),
+        F.col("bkt").alias("q_bkt"),
+    )
+    probes = F.array(
+        F.col("q_bkt"),
+        *[
+            F.col("q_bkt").bitwiseXOR(F.lit(1 << i).cast("long"))
+            for i in range(_MP_PLANES)
+        ],
+    )
+    qp = q0.select("q_id", "q_vec", F.explode(probes).alias("probe"))
+    # equi-join on the probe bucket — multi-probe stays on the hash-join
+    # path (an OR-of-buckets condition would fall off to a nested loop)
+    cand = base.join(
+        F.broadcast(qp), (F.col("bkt") == F.col("probe")) & (F.col("vec_id") != F.col("q_id"))
+    ).select(
+        "q_id",
+        F.col("vec_id").alias("c_id"),
+        F.round(cosine(F.col("q_vec"), F.col("vec")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("q_id", "c_id", "cosine", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+@register(
+    "ann_lsh_multiprobe_topk",
+    oracle=f"""
+    WITH {_mp_oracle_sql().lstrip()}
+    SELECT q_id, c_id, cosine, rank FROM mtop
+    """,
+)
+def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-3 (Lv et al. 2007): candidates come from the
+    query's 6-plane bucket PLUS the 6 buckets at Hamming distance 1
+    (flip one sign bit), exact-cosine reranked. ~7/64 of the corpus is
+    scored per query — the recall of a coarser index at the cost profile
+    of a fine one, without re-hashing the corpus into extra tables.
+
+    Unlike the multi-table `ann_lsh_topk` (engine-hashed, rows-only),
+    buckets here are literal-plane derived in BOTH engines
+    (lsh_bucket_sql), so this approximate top-k is fully HASH-certified.
+
+    Scale shape: probe expansion is 7 rows per query exploded on the
+    QUERY side (the corpus is hashed once, in the scan projection), and
+    candidate generation is an equi-join corpus.bkt == probe — the
+    hash-join path; an OR-of-7-buckets predicate would plan a nested
+    loop over the corpus."""
+    return _mp_topk(spark, sf_dir)
+
+
+@register(
+    "ann_lsh_multiprobe_recall_check",
+    oracle=f"""
+    WITH {_mp_oracle_sql().lstrip()},
+    exact AS (
+      SELECT q_id, c_id FROM (
+        SELECT q0.q_id, b.vec_id AS c_id,
+               ROW_NUMBER() OVER (PARTITION BY q0.q_id ORDER BY
+                 ROUND(list_dot_product(q0.q_vec, b.vec)
+                       / (sqrt(list_dot_product(q0.q_vec, q0.q_vec))
+                          * sqrt(list_dot_product(b.vec, b.vec))), 6) DESC,
+                 b.vec_id ASC) AS rn
+        FROM base b, q0 WHERE b.vec_id != q0.q_id
+      ) WHERE rn <= 3
+    ),
+    single AS (
+      SELECT q_id, c_id FROM (
+        SELECT q0.q_id, b.vec_id AS c_id,
+               ROW_NUMBER() OVER (PARTITION BY q0.q_id ORDER BY
+                 ROUND(list_dot_product(q0.q_vec, b.vec)
+                       / (sqrt(list_dot_product(q0.q_vec, q0.q_vec))
+                          * sqrt(list_dot_product(b.vec, b.vec))), 6) DESC,
+                 b.vec_id ASC) AS rn
+        FROM base b JOIN q0 ON b.bkt = q0.q_bkt WHERE b.vec_id != q0.q_id
+      ) WHERE rn <= 3
+    )
+    SELECT CAST((SELECT COUNT(*) FROM q0) AS BIGINT) AS n_queries,
+           CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_exact,
+           CAST((SELECT COUNT(*) FROM exact e JOIN single s
+                 ON e.q_id = s.q_id AND e.c_id = s.c_id) AS BIGINT)
+             AS single_probe_hits,
+           CAST((SELECT COUNT(*) FROM exact e JOIN mtop m
+                 ON e.q_id = m.q_id AND e.c_id = m.c_id) AS BIGINT)
+             AS multi_probe_hits,
+           ((SELECT COUNT(*) FROM exact e JOIN mtop m
+             ON e.q_id = m.q_id AND e.c_id = m.c_id)
+            > (SELECT COUNT(*) FROM exact e JOIN single s
+               ON e.q_id = s.q_id AND e.c_id = s.c_id)) AS multi_beats_single
+    """,
+)
+def ann_lsh_multiprobe_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-certifies that Hamming-1 probing strictly beats single-bucket
+    probing at the same plane count (measured: hits 0 -> 2 at sf0.001,
+    0 -> 4 at sf0.01/0.1 out of 15) — the quality contract behind
+    ann_lsh_multiprobe_topk. All three scorers (exact / single / multi)
+    run in-engine and deterministically, so the recall VALUES are under
+    the driver hash, not just a bound."""
+    from kol_bigdata_realtime_analytics_spark.operators.similarity import (
+        as_double_vec,
+        brute_force_topk,
+        cosine,
+        lsh_bucket_id,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, queries, k=3).select("q_id", "c_id")
+
+    base = emb.select(
+        "vec_id",
+        as_double_vec(F.col("embedding")).alias("vec"),
+        lsh_bucket_id(F.col("embedding"), dim=64, n_planes=_MP_PLANES).alias("bkt"),
+    )
+    q0 = base.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("vec").alias("q_vec"),
+        F.col("bkt").alias("q_bkt"),
+    )
+    sing = base.join(
+        F.broadcast(q0),
+        (F.col("bkt") == F.col("q_bkt")) & (F.col("vec_id") != F.col("q_id")),
+    ).select(
+        "q_id",
+        F.col("vec_id").alias("c_id"),
+        F.round(cosine(F.col("q_vec"), F.col("vec")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
+    single = (
+        sing.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("q_id", "c_id")
+    )
+    multi = _mp_topk(spark, sf_dir).select("q_id", "c_id")
+
+    s_hits = exact.join(
+        single.withColumn("m", F.lit(1)), ["q_id", "c_id"], "left"
+    ).agg(F.coalesce(F.sum("m"), F.lit(0)).cast("long").alias("h"))
+    m_hits = exact.join(
+        multi.withColumn("m", F.lit(1)), ["q_id", "c_id"], "left"
+    ).agg(F.coalesce(F.sum("m"), F.lit(0)).cast("long").alias("h"))
+    meta = exact.agg(
+        F.countDistinct("q_id").cast("long").alias("n_queries"),
+        F.count("*").cast("long").alias("n_exact"),
+    )
+    return (
+        meta.crossJoin(F.broadcast(s_hits.select(F.col("h").alias("single_probe_hits"))))
+        .crossJoin(F.broadcast(m_hits.select(F.col("h").alias("multi_probe_hits"))))
+        .select(
+            "n_queries",
+            "n_exact",
+            "single_probe_hits",
+            "multi_probe_hits",
+            (F.col("multi_probe_hits") > F.col("single_probe_hits")).alias(
+                "multi_beats_single"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Greedy k-center coreset selection (Gonzalez 1985; the "diversity
+# selection" in modern data-pruning pipelines, e.g. coreset-based training
+# subset selection): iteratively pick the point FARTHEST from everything
+# selected so far. The selected ids + their selection-time distances are
+# deterministic (round6 distance, id tie-break), so the whole trajectory
+# is driver-hashable against an unrolled oracle.
+# ---------------------------------------------------------------------------
+
+_KCENTER_K = 8
+
+
+def _kcenter_oracle_sql(k: int) -> str:
+    parts = [
+        "WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),",
+        "s0 AS (SELECT MIN(vec_id) AS vec_id, 0.0 AS dmin FROM base)",
+    ]
+    sel = ["s0"]
+    for t in range(1, k):
+        prev = " UNION ALL ".join(f"SELECT vec_id FROM {s}" for s in sel)
+        parts.append(f""",
+d{t} AS MATERIALIZED (
+  SELECT b.vec_id,
+         MIN(ROUND(list_dot_product(b.v, b.v) - 2*list_dot_product(b.v, s.v)
+             + list_dot_product(s.v, s.v), 6)) AS dmin
+  FROM base b JOIN base s ON s.vec_id IN ({prev})
+  WHERE b.vec_id NOT IN ({prev})
+  GROUP BY b.vec_id
+),
+s{t} AS MATERIALIZED (SELECT vec_id, dmin FROM d{t} ORDER BY dmin DESC, vec_id ASC LIMIT 1)""")
+        sel.append(f"s{t}")
+    union = " UNION ALL ".join(
+        f"SELECT {i} AS round, vec_id, dmin FROM s{i}" for i in range(k)
+    )
+    parts.append(f"""
+SELECT CAST(round AS BIGINT) AS round, CAST(vec_id AS BIGINT) AS vec_id,
+       dmin AS dist_to_set
+FROM ({union}) ORDER BY round""")
+    return "".join(parts).strip()
+
+
+@register("kcenter_coreset_select", oracle=_kcenter_oracle_sql(_KCENTER_K))
+def kcenter_coreset_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center selection of 8 maximally-diverse embedding vectors:
+    seed = min vec_id, then 7 rounds of "farthest point from the selected
+    set" (squared L2 expanded to three left-to-right dot folds so both
+    engines see identical IEEE doubles; round6 + id tie-break make every
+    argmax total). Output: the selection trajectory (round, vec_id,
+    distance-to-set at selection time).
+
+    This is the diversity-sampling half of data pruning (the other half,
+    importance weighting, is dsir_importance_weights): the selected
+    coreset maximizes coverage radius, and the round-t distance column is
+    the coverage-radius curve a pruning pipeline reads the elbow off.
+
+    Scale shape: the selected set lives on the DRIVER (k rows — the
+    embedding_kmeans_lloyd discipline) and each round is ONE corpus scan
+    computing min-distance-to-k-literals (k<=8 codegen dot folds, no
+    join, no shuffle except the 1-row argmax TakeOrdered) — k scans
+    total. The O(n*k) work is inherent to exact greedy k-center; at
+    100 TB you run it on the IVF-bucketed sample like every other fit."""
+    from kol_bigdata_realtime_analytics_spark.operators.similarity import (
+        as_double_vec,
+        dot,
+    )
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_vec(F.col("embedding")).alias("v")
+    )
+    seed = emb.agg(F.min("vec_id")).collect()[0][0]
+    sel_rows = [(0, int(seed), 0.0)]
+    sel_vecs = {
+        int(r["vec_id"]): r["v"]
+        for r in emb.filter(F.col("vec_id") == seed).collect()
+    }
+    # dot(s,s) must fold IDENTICALLY to the engines' left-to-right
+    # aggregate; Python's running sum is that fold
+    def _ss(vec):
+        acc = 0.0
+        for x in vec:
+            acc += x * x
+        return acc
+
+    for t in range(1, _KCENTER_K):
+        ids = list(sel_vecs.keys())
+        dists = [
+            F.round(
+                dot(F.col("v"), F.col("v"))
+                - 2 * dot(F.col("v"), F.array(*[F.lit(x) for x in sel_vecs[i]]))
+                + F.lit(_ss(sel_vecs[i])),
+                6,
+            ).alias(f"d{i}")
+            for i in ids
+        ]
+        dmin = dists[0] if len(dists) == 1 else F.least(*dists)
+        top = (
+            emb.filter(~F.col("vec_id").isin(ids))
+            .select("vec_id", "v", dmin.alias("dmin"))
+            .orderBy(F.col("dmin").desc(), F.col("vec_id").asc())
+            .limit(1)
+            .collect()[0]
+        )
+        sel_rows.append((t, int(top["vec_id"]), float(top["dmin"])))
+        sel_vecs[int(top["vec_id"])] = top["v"]
+    return spark.createDataFrame(
+        sel_rows, "round long, vec_id long, dist_to_set double"
+    )

@@ -925,3 +925,77 @@ def ab_value_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         t6(mean_b).alias("mean_b"),
         t6(t).alias("t_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pareto frontier (skyline) — "cheapest part at every size class or
+# better": the classic multi-criteria operator (Borzsony/Kossmann/Stocker
+# ICDE 2001). The Spark side runs the SORT-based linear algorithm; the
+# oracle states the DEFINITION (no dominating row exists) — two
+# independent formulations agreeing under the hash is the certificate.
+# ---------------------------------------------------------------------------
+
+_PARETO_ORACLE = """
+WITH base AS (
+  SELECT p_partkey, CAST(p_retailprice AS DOUBLE) AS price, p_size
+  FROM part
+)
+SELECT a.p_partkey, a.price, CAST(a.p_size AS BIGINT) AS p_size
+FROM base a
+WHERE NOT EXISTS (
+  SELECT 1 FROM base b
+  WHERE b.price <= a.price AND b.p_size >= a.p_size
+    AND (b.price < a.price OR b.p_size > a.p_size)
+)
+ORDER BY a.price, a.p_partkey
+""".strip()
+
+
+@register("pareto_frontier_parts", oracle=_PARETO_ORACLE)
+def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline of the part catalog under (minimize retailprice, maximize
+    size): a part survives iff nothing is both cheaper-or-equal AND
+    bigger-or-equal with one strict. Equal (price, size) rows do not
+    dominate each other — all kept, matching the definition.
+
+    The plan is the sort-based skyline: one pass in price order keeping
+    rows whose size strictly exceeds the running max over all STRICTLY
+    cheaper rows (a range frame on integer cents ending at -1), plus a
+    same-price max to drop rows dominated within their own price point —
+    O(n log n) vs the oracle's O(n^2) NOT EXISTS definition. Two
+    independent formulations hashing identically is the correctness
+    certificate. Prices quantized to integer cents for the range frame
+    (2-decimal domain; exact in both engines after the double widening).
+
+    Scale shape: dim-table sized here (the global-order window is the
+    ntile_acctbal_quartiles precedent); at fact scale the standard
+    distributed skyline is local-skyline-per-partition then skyline of
+    the union — the same two-phase shape as TakeOrderedAndProject, with
+    the local pass pruning all but a sliver."""
+    p = table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_retailprice").cast("double").alias("price"),
+        F.col("p_size").cast("long").alias("p_size"),
+    )
+    base = p.withColumn(
+        "cents", F.round(F.col("price") * 100).cast("long")
+    )
+    w_before = (
+        Window.orderBy("cents").rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_same = Window.partitionBy("cents")
+    return (
+        base.select(
+            "p_partkey",
+            "price",
+            "p_size",
+            F.max("p_size").over(w_before).alias("mx_before"),
+            F.max("p_size").over(w_same).alias("mx_same"),
+        )
+        .filter(
+            (F.col("p_size") == F.col("mx_same"))
+            & (F.col("mx_before").isNull() | (F.col("p_size") > F.col("mx_before")))
+        )
+        .select("p_partkey", "price", "p_size")
+        .orderBy("price", "p_partkey")
+    )

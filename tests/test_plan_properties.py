@@ -402,6 +402,11 @@ def test_no_unexpected_nested_loop_joins(spark, sf_oracle):
         "tfidf_top_terms",          # broadcast 1-row doc count
         "unigram_xent_scores",      # broadcast 1-row total
         "bigram_xent_scores",       # broadcast 1-row unigram total
+        "ann_binary_hamming_topk",  # broadcast 5 query codes x corpus (16B/row scan)
+        "ann_binary_recall_check",  # brute-force reference + the 5-code broadcast
+        "ann_lsh_multiprobe_recall_check",  # brute-force reference + 1-row hit totals
+        "t_closeness_audit",        # class grid cross: 125 classes x ~13-band spine + scalar totals
+        "equiheight_histogram_check",  # broadcast 3 predicate literals x scan (truth leg) + 8-row histogram
         "vocab_coverage_curve",     # broadcast 1-row total
         "ab_value_ttest",           # 1-row x 1-row arm cross
         "value_drift_psi",          # broadcast 1-row midpoint + 10-row bucket spine
