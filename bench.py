@@ -155,6 +155,7 @@ HEADLINE = [
     "t_closeness_audit",
     "multitouch_attribution_credits",
     "kcenter_coreset_select",
+    "unigram_lm_em_round",
 ]
 
 

@@ -1,0 +1,95 @@
+"""Pin the distributed unigram-LM EM round against an INDEPENDENT
+pure-Python model (Kudo 2018, one-round fidelity). The DuckDB oracle
+replays the same unrolled DP shape as the Spark loop, so a common-mode
+bug in the DP formulation (off-by-one substring bounds, wrong tie-break,
+wrong cost scale) could pass both engines — this model implements Viterbi
+as a classic dense per-word DP sharing nothing with either."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import duckdb
+
+from kol_bigdata_realtime_analytics_spark.plans.unigram_lm import (
+    _MAX_PIECE,
+    unigram_lm_em_round,
+    unigram_lm_segmentation_stats,
+)
+
+
+def _python_model(sf_dir: str):
+    con = duckdb.connect()
+    words = con.execute(
+        f"""
+        SELECT w, COUNT(*) AS c FROM (
+          SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+          FROM '{sf_dir}/documents.parquet'
+          WHERE trim(COALESCE(text, '')) != '') GROUP BY w
+        """
+    ).fetchall()
+    con.close()
+    vocab = dict(words)
+
+    pieces: Counter = Counter()
+    for w, c in vocab.items():
+        for s in range(len(w)):
+            for l in range(1, _MAX_PIECE + 1):
+                if s + l <= len(w):
+                    pieces[w[s : s + l]] += c
+    tot = sum(pieces.values())
+    cost = {p: math.floor(1e6 * math.log(tot / cnt)) for p, cnt in pieces.items()}
+
+    est: Counter = Counter()
+    n_pieces_after = 0
+    for w, c in vocab.items():
+        best = [None] * (len(w) + 1)
+        back = [None] * (len(w) + 1)
+        best[0] = 0
+        for i in range(1, len(w) + 1):
+            for j in range(max(0, i - _MAX_PIECE), i):
+                if best[j] is None:
+                    continue
+                cand = best[j] + cost[w[j:i]]
+                # tie-break: smallest j wins (j ascends, strict < replaces)
+                if best[i] is None or cand < best[i]:
+                    best[i], back[i] = cand, j
+        # walk back
+        segs = []
+        i = len(w)
+        while i > 0:
+            j = back[i]
+            segs.append(w[j:i])
+            i = j
+        segs.reverse()
+        n_pieces_after += c * len(segs)
+        for p in segs:
+            est[p] += c
+    top = sorted(est.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    stats = (
+        len(vocab),
+        sum(vocab.values()),
+        n_pieces_after,
+        sum(len(w) * c for w, c in vocab.items()),
+    )
+    return top, stats
+
+
+def test_unigram_em_round_matches_python_model(spark, sf_small):
+    top, _ = _python_model(sf_small)
+    got = unigram_lm_em_round(spark, sf_small).collect()
+    assert [(r["piece"], r["est_cnt"], r["rank"]) for r in got] == [
+        (p, c, i + 1) for i, (p, c) in enumerate(top)
+    ]
+
+
+def test_unigram_segmentation_stats_match_python_model(spark, sf_small):
+    _, stats = _python_model(sf_small)
+    row = unigram_lm_segmentation_stats(spark, sf_small).collect()[0]
+    assert (
+        row["n_words"],
+        row["corpus_tokens"],
+        row["corpus_pieces_after"],
+        row["corpus_chars"],
+    ) == stats
