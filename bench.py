@@ -156,6 +156,8 @@ HEADLINE = [
     "multitouch_attribution_credits",
     "kcenter_coreset_select",
     "unigram_lm_em_round",
+    "entity_resolution_golden",
+    "distributed_kth_element",
 ]
 
 

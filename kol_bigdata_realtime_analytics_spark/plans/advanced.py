@@ -3601,3 +3601,195 @@ def graph_scc_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cls")
     )
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution end-to-end: fuzzy candidate links -> transitive
+# closure -> GOLDEN RECORD per entity. fuzzy_name_links stops at pairs;
+# near-identity is not transitive (A~B, B~C with dist(A,C)=4 must still
+# merge as ONE entity), so the production ER pipeline closes the pairs
+# into components and elects one surviving spelling — the same
+# pairs->clusters->canonical arc the dedup family walks
+# (operators/dedup.duplicate_clusters), re-used here on the name graph.
+# ---------------------------------------------------------------------------
+
+_ER_GOLDEN_ORACLE = """
+WITH RECURSIVE names AS (
+  SELECT p_name, CAST(COUNT(*) AS BIGINT) AS n_records,
+         CAST(MIN(p_partkey) AS BIGINT) AS nid,
+         split_part(p_name, ' ', 2) AS noun
+  FROM part GROUP BY p_name
+),
+pair AS (
+  SELECT a.nid AS id_a, b.nid AS id_b
+  FROM names a JOIN names b ON a.noun = b.noun AND a.p_name < b.p_name
+  WHERE levenshtein(a.p_name, b.p_name) <= 2
+),
+edge AS (
+  SELECT id_a AS src, id_b AS dst FROM pair
+  UNION ALL SELECT id_b, id_a FROM pair
+),
+comp(node, lab) AS (
+  SELECT nid, nid FROM names
+  UNION
+  SELECT e.dst, c.lab FROM comp c JOIN edge e ON e.src = c.node
+),
+final AS (SELECT node, MIN(lab) AS entity_id FROM comp GROUP BY node),
+members AS (
+  SELECT f.entity_id, n.p_name, n.n_records
+  FROM final f JOIN names n ON n.nid = f.node
+),
+golden AS (
+  SELECT entity_id, p_name AS golden_name FROM (
+    SELECT entity_id, p_name,
+           ROW_NUMBER() OVER (PARTITION BY entity_id
+                              ORDER BY n_records DESC, p_name ASC) AS rn
+    FROM members) WHERE rn = 1
+)
+SELECT g.golden_name,
+       CAST(COUNT(*) AS BIGINT) AS n_variants,
+       CAST(SUM(m.n_records) AS BIGINT) AS total_records
+FROM members m JOIN golden g ON m.entity_id = g.entity_id
+GROUP BY g.golden_name
+HAVING COUNT(*) >= 2
+ORDER BY total_records DESC, golden_name ASC
+""".strip()
+
+
+@register("entity_resolution_golden", oracle=_ER_GOLDEN_ORACLE)
+def entity_resolution_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record election over fuzzy name entities: head-noun-blocked
+    levenshtein<=2 links on the DISTINCT name vocabulary (the
+    fuzzy_name_links derivation), transitively closed into entities by
+    min-label propagation with pointer doubling
+    (operators/dedup.duplicate_clusters — O(log diameter) rounds), then
+    one spelling elected per entity (most records, name tie-break).
+    Output: multi-variant entities with their variant and record mass —
+    the merge worklist an MDM pipeline executes.
+
+    Scale shape: everything after the first aggregation runs on the name
+    VOCABULARY (64 names here, ~1e5-1e6 in real catalogs), never the row
+    space; the closure is the same edge-touched-nodes-only iteration the
+    dedup family runs. The oracle closes the identical graph with a
+    recursive CTE — independent fixpoint formulations under one hash."""
+    from kol_bigdata_realtime_analytics_spark.operators.dedup import (
+        duplicate_clusters,
+    )
+
+    p = table(spark, sf_dir, "part")
+    names = p.groupBy("p_name").agg(
+        F.count("*").cast("long").alias("n_records"),
+        F.min("p_partkey").cast("long").alias("nid"),
+    ).withColumn("noun", F.split(F.col("p_name"), " ").getItem(1))
+    names = names.localCheckpoint(eager=True)  # feeds edges + members
+    a, b = names.alias("a"), names.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.noun") == F.col("b.noun"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .filter(F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 2)
+        .select(F.col("a.nid").alias("id_a"), F.col("b.nid").alias("id_b"))
+    )
+    clusters = duplicate_clusters(
+        names.select(F.col("nid").alias("doc_id")), edges, id_col="doc_id"
+    ).select(F.col("doc_id").alias("nid"), F.col("cluster_id").alias("entity_id"))
+    members = clusters.join(names.select("nid", "p_name", "n_records"), "nid")
+    w = Window.partitionBy("entity_id").orderBy(
+        F.col("n_records").desc(), F.col("p_name").asc()
+    )
+    golden = (
+        members.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("entity_id", F.col("p_name").alias("golden_name"))
+    )
+    return (
+        members.join(golden, "entity_id")
+        .groupBy("golden_name")
+        .agg(
+            F.count("*").cast("long").alias("n_variants"),
+            F.sum("n_records").cast("long").alias("total_records"),
+        )
+        .filter(F.col("n_variants") >= 2)
+        .orderBy(F.col("total_records").desc(), F.col("golden_name").asc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed selection (k-th element / exact median) by iterative
+# histogram refinement — the classic MPP algorithm for an EXACT order
+# statistic without a global sort: each round one scan builds a 256-bin
+# histogram of the surviving value range, the driver descends into the bin
+# containing the k-th element, and the range shrinks 256x. Exactness in
+# ceil(log256(range)) scans where approx_percentile gives bounded error
+# and ORDER BY would shuffle the corpus.
+# ---------------------------------------------------------------------------
+
+_KTH_BINS = 256
+
+
+@register(
+    "distributed_kth_element",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(ROUND(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT)
+               AS cents
+      FROM lineitem
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM v)
+    SELECT n.n_rows,
+           CAST((n.n_rows + 1) / 2 AS BIGINT) AS k,
+           (SELECT cents FROM v ORDER BY cents
+            LIMIT 1 OFFSET (SELECT CAST((n_rows + 1) / 2 AS BIGINT) - 1
+                            FROM n)) AS kth_cents
+    FROM n
+    """,
+)
+def distributed_kth_element(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT median (k = ceil(n/2)-th element) of l_extendedprice in
+    integer cents via iterative histogram refinement: ceil(log256(range))
+    rounds (2-3 here; <= 8 for any int64 domain), each ONE corpus scan
+    aggregating 256 bin counts over the surviving range; the driver
+    descends into the k-th bin and rescales until the range is a single
+    value. The oracle states the definition (global ORDER BY ... OFFSET
+    k-1) — algorithm vs definition under one hash.
+
+    Scale shape: no global sort ever happens; each round is a map-side-
+    combined 256-group aggregation (256 longs to the driver), and the
+    surviving-range filter pushes down so every round's scan prunes
+    harder. This is how exact order statistics are computed at 100 TB
+    (approx_percentile trades exactness for one scan; ORDER BY pays a
+    corpus shuffle)."""
+    v = table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice").cast("double") * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    v = v.localCheckpoint(eager=False)  # scanned once per round
+    n_rows, lo, hi = v.agg(
+        F.count("*"), F.min("cents"), F.max("cents")
+    ).collect()[0]
+    k = (n_rows + 1) // 2
+    kk = k
+    while lo < hi:
+        span = hi - lo + 1
+        width = max(1, (span + _KTH_BINS - 1) // _KTH_BINS)
+        hist = dict(
+            v.filter((F.col("cents") >= lo) & (F.col("cents") <= hi))
+            .select(((F.col("cents") - lo) / width).cast("long").alias("b"))
+            .groupBy("b")
+            .agg(F.count("*").alias("c"))
+            .collect()
+        )
+        cum = 0
+        for b in range(_KTH_BINS + 1):
+            c = hist.get(b, 0)
+            if cum + c >= kk:
+                lo, hi = lo + b * width, min(hi, lo + (b + 1) * width - 1)
+                kk -= cum
+                break
+            cum += c
+    return spark.createDataFrame(
+        [(int(n_rows), int(k), int(lo))], "n_rows long, k long, kth_cents long"
+    )
