@@ -158,6 +158,7 @@ HEADLINE = [
     "unigram_lm_em_round",
     "entity_resolution_golden",
     "distributed_kth_element",
+    "streaming_approx_distinct",
 ]
 
 

@@ -684,3 +684,66 @@ def test_streaming_mg_merge_guarantees_any_chunking(keys, n_chunks, k):
             assert u in counters, f"heavy key {u} (count {c}/{n}) evicted"
     for u, w in counters.items():
         assert w <= true_counts[u], "MG weight must lower-bound the true count"
+
+
+@settings(max_examples=80, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=10**7), min_size=1, max_size=300),
+    n_chunks=st.integers(min_value=1, max_value=6),
+)
+def test_streaming_approx_distinct_chunking_invariance(keys, n_chunks):
+    """The streaming HLL state's pure core (max-fold of the deterministic
+    hash) is bit-identical under ARBITRARY chunk boundaries AND arbitrary
+    duplication — the property that makes streaming_approx_distinct
+    hash-oracle-able where the MG candidate set is rows-only. Also pins
+    that the one-shot fold over the distinct key set (the oracle's
+    formulation) yields the same registers."""
+    from kol_bigdata_realtime_analytics_spark.streaming.approx_distinct import (
+        M_REGISTERS,
+        _reg_rho_py,
+    )
+
+    def fold(regs, ks):
+        for u in ks:
+            reg, rho = _reg_rho_py(int(u))
+            if rho > regs[reg]:
+                regs[reg] = rho
+        return regs
+
+    bounds = sorted(
+        {0, len(keys)} | set(range(0, len(keys), max(1, len(keys) // n_chunks)))
+    )
+    chunks = [keys[a:b] for a, b in zip(bounds, bounds[1:]) if b > a]
+    chunked = [0] * M_REGISTERS
+    for ch in chunks:
+        chunked = fold(chunked, ch)
+    oneshot = fold([0] * M_REGISTERS, sorted(set(keys)))
+    assert chunked == oneshot
+    assert all(0 <= r <= 29 for r in chunked)
+
+
+def test_approx_distinct_hash_three_way_parity(spark):
+    """The 32-bit hash/register/rho triple computed by the Python state fn,
+    the native Spark exprs, and the DuckDB SQL must agree bit-for-bit —
+    this is what lets the STREAMING query carry a full hash oracle."""
+    import duckdb
+
+    from kol_bigdata_realtime_analytics_spark.streaming.approx_distinct import (
+        _reg_rho_py,
+        hash_sql,
+        reg_rho_cols,
+    )
+    from pyspark.sql import functions as F
+
+    ids = [0, 1, 2, 7, 15, 16, 255, 9999, 123456, 10**7, 2**31 - 1]
+    py = [(u, *_reg_rho_py(u)) for u in ids]
+    reg_sql, rho_sql = hash_sql("u")
+    con = duckdb.connect()
+    duck = con.execute(
+        f"SELECT u, {reg_sql}, {rho_sql} FROM (SELECT unnest({ids}) AS u)"
+    ).fetchall()
+    assert py == [tuple(r) for r in duck]
+    df = spark.createDataFrame([(u,) for u in ids], "u long")
+    reg_c, rho_c = reg_rho_cols(F.col("u"))
+    sp = [tuple(r) for r in df.select("u", reg_c, rho_c).orderBy("u").collect()]
+    assert py == sp
