@@ -159,6 +159,7 @@ HEADLINE = [
     "entity_resolution_golden",
     "distributed_kth_element",
     "streaming_approx_distinct",
+    "shapley_attribution",
 ]
 
 

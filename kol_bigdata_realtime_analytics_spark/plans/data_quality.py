@@ -1089,3 +1089,82 @@ def equiheight_histogram_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .toDF("price_le", "predicted_sel", "actual_sel", "abs_err")
         .orderBy("price_le")
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford's-law first-digit audit — the classic forensic-accounting DQ
+# check: natural multi-scale monetary data follows P(d) = log10(1 + 1/d);
+# fabricated or truncated data doesn't. Emits the observed vs expected
+# first-digit distribution of order totals with per-digit chi-square
+# contributions (TPC-H's uniform price generator deliberately FAILS the
+# law — the audit's alarm branch is the live one here, which is exactly
+# what makes the check non-vacuous).
+# ---------------------------------------------------------------------------
+
+_BENFORD_ORACLE = """
+WITH v AS (
+  SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders WHERE o_totalprice > 0
+),
+d AS (
+  SELECT CAST(floor(x / power(10, floor(log10(x)))) AS BIGINT) AS digit FROM v
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+obs AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS cnt FROM d GROUP BY digit),
+digits AS (SELECT unnest(range(1, 10)) AS digit)
+SELECT CAST(digits.digit AS BIGINT) AS digit,
+       COALESCE(obs.cnt, 0) AS observed,
+       floor(COALESCE(obs.cnt, 0) / CAST(n.n AS DOUBLE) * 1000000) / 1000000
+         AS observed_frac,
+       floor(log10(1 + 1.0 / digits.digit) * 1000000) / 1000000
+         AS benford_frac,
+       floor(power(COALESCE(obs.cnt, 0) - n.n * log10(1 + 1.0 / digits.digit), 2)
+             / (n.n * log10(1 + 1.0 / digits.digit)) * 1000000) / 1000000
+         AS chi2_term
+FROM digits LEFT JOIN obs ON obs.digit = digits.digit, n
+ORDER BY digit
+""".strip()
+
+
+@register("benford_digit_audit", oracle=_BENFORD_ORACLE)
+def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observed vs Benford-expected first-significant-digit distribution of
+    order totals, with per-digit chi-square contributions. First digit via
+    floor(x / 10^floor(log10 x)) — pure float math on identical widened
+    doubles, no string formatting (float->string repr differs between
+    engines). One narrow scan + 9-row grid; corpus-size-free after the
+    digit rollup."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    d = o.select(
+        F.floor(
+            F.col("o_totalprice").cast("double")
+            / F.pow(F.lit(10.0), F.floor(F.log10(F.col("o_totalprice").cast("double"))))
+        ).cast("long").alias("digit")
+    )
+    n = d.agg(F.count("*").cast("long").alias("n"))
+    obs = d.groupBy("digit").agg(F.count("*").cast("long").alias("cnt"))
+    digits = o.sparkSession.range(1, 10).select(F.col("id").alias("digit"))
+    bf = F.log10(F.lit(1) + F.lit(1.0) / F.col("digit"))
+    return (
+        digits.join(F.broadcast(obs), "digit", "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("digit").cast("long").alias("digit"),
+            F.coalesce("cnt", F.lit(0)).cast("long").alias("observed"),
+            (
+                F.floor(
+                    F.coalesce("cnt", F.lit(0)) / F.col("n").cast("double") * 1e6
+                )
+                / 1e6
+            ).alias("observed_frac"),
+            (F.floor(bf * 1e6) / 1e6).alias("benford_frac"),
+            (
+                F.floor(
+                    F.pow(F.coalesce("cnt", F.lit(0)) - F.col("n") * bf, F.lit(2))
+                    / (F.col("n") * bf)
+                    * 1e6
+                )
+                / 1e6
+            ).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )

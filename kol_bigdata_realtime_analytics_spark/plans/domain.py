@@ -761,3 +761,178 @@ def multitouch_attribution_credits(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("touch_type", "position")
     )
+
+
+# ---------------------------------------------------------------------------
+# Shapley-value data-driven attribution — the game-theoretic upgrade over
+# position rules (multitouch_attribution_credits): channels are players,
+# a (user, day) journey's exposure set is a coalition, v(S) = conversion
+# rate of journeys exposed to exactly S, and each channel's credit is its
+# Shapley value over the 2^4 subset lattice. Exact combinatorial weights,
+# set statistics from one aggregation — the computation after the rollup
+# touches 16 lattice rows, never the corpus.
+# ---------------------------------------------------------------------------
+
+_SHAP_CHANNELS = ["click", "error", "signup", "view"]
+
+
+def _shap_lattice() -> list[tuple[str, str, str, int, int]]:
+    """(channel, set_with, set_without, w_num, w_den) for every channel c
+    and S subset of N\\{c}: weight = |S|! (n-|S|-1)! / n! as an exact
+    fraction. Canonical set id = comma-joined sorted channel names."""
+    import itertools
+    import math
+
+    n = len(_SHAP_CHANNELS)
+    rows = []
+    for c in _SHAP_CHANNELS:
+        rest = [x for x in _SHAP_CHANNELS if x != c]
+        for r in range(len(rest) + 1):
+            for s in itertools.combinations(rest, r):
+                with_c = ",".join(sorted(s + (c,)))
+                without = ",".join(sorted(s))
+                rows.append(
+                    (c, with_c, without, math.factorial(r) * math.factorial(n - r - 1), math.factorial(n))
+                )
+    return rows
+
+
+_SHAP_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, event_type, ts,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+  FROM events
+),
+conv AS (
+  SELECT user_id, day, MIN(ts) AS conv_ts FROM ev
+  WHERE event_type = 'purchase' GROUP BY user_id, day
+),
+j AS (
+  SELECT e.user_id, e.day,
+         MAX(CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END) AS converted,
+         list_aggr(list_sort(list_distinct(list(e.event_type))), 'string_agg', ',')
+           AS chset
+  FROM ev e LEFT JOIN conv c ON e.user_id = c.user_id AND e.day = c.day
+  WHERE e.event_type IN ('view', 'click', 'signup', 'error')
+    AND (c.conv_ts IS NULL OR e.ts < c.conv_ts)
+  GROUP BY e.user_id, e.day
+),
+stats AS (
+  SELECT chset, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(converted) AS BIGINT) AS conv
+  FROM j GROUP BY chset
+),
+lattice(channel, set_with, set_without, w_num, w_den) AS (
+  VALUES {{values}}
+),
+terms AS (
+  SELECT l.channel,
+         (CAST(l.w_num AS DOUBLE) / l.w_den)
+         * (COALESCE(CAST(sw.conv AS DOUBLE) / sw.n, 0.0)
+            - COALESCE(CAST(so.conv AS DOUBLE) / so.n, 0.0)) AS term
+  FROM lattice l
+    LEFT JOIN stats sw ON sw.chset = l.set_with
+    LEFT JOIN stats so ON so.chset = l.set_without
+)
+SELECT channel,
+       floor(CAST(SUM(CAST(term AS DECIMAL(28,12))) AS DOUBLE) * 1000000)
+         / 1000000 AS shapley_t6
+FROM terms GROUP BY channel ORDER BY channel
+""".strip()
+
+
+def _shap_oracle_sql() -> str:
+    vals = ", ".join(
+        f"('{c}', '{w}', '{wo}', {num}, {den})"
+        for c, w, wo, num, den in _shap_lattice()
+    )
+    return _SHAP_ORACLE.format(values=vals)
+
+
+@register("shapley_attribution", oracle=_shap_oracle_sql())
+def shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapley-value attribution over (user, day) journeys: v(S) = the
+    conversion rate of journeys whose pre-conversion exposure set is
+    exactly S (v of unobserved sets and the empty set = 0), credit per
+    channel = the exact Shapley sum over the 16-subset lattice with
+    s!(n-s-1)!/n! weights as exact fractions. On this corpus singles
+    convert ~0.32 and larger coalitions ~0.15-0.20, so marginals are
+    NEGATIVE for most additions — exactly the cannibalization signal
+    position-based rules (multitouch_attribution_credits) cannot see.
+
+    Determinism: v values are IEEE divisions of exact integers, weights
+    are literal integer fractions, the 8 terms per channel sum in
+    DECIMAL(28,12), trunc6 at the end.
+
+    Scale shape: ONE corpus aggregation builds the per-(user,day) journey
+    frame (equi-join to the same-keyed conversion frame), one rollup to
+    <= 2^4 set-statistics rows; everything after is a 32-row literal
+    lattice join. Channel count is the only exponential knob (2^n lattice)
+    — at n ~ 15+ channels real systems switch to sampled-permutation
+    Shapley, the documented escape."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "day")
+        .agg(F.min("ts").alias("conv_ts"))
+    )
+    j = (
+        ev.filter(F.col("event_type").isin(_SHAP_CHANNELS))
+        .join(conv, ["user_id", "day"], "left")
+        .filter(F.col("conv_ts").isNull() | (F.col("ts") < F.col("conv_ts")))
+        .groupBy("user_id", "day")
+        .agg(
+            F.max(
+                F.when(F.col("conv_ts").isNotNull(), 1).otherwise(0)
+            ).alias("converted"),
+            F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias(
+                "chset"
+            ),
+        )
+    )
+    stats = j.groupBy("chset").agg(
+        F.count("*").alias("n"), F.sum("converted").alias("conv")
+    )
+    lattice = ev.sparkSession.createDataFrame(
+        _shap_lattice(),
+        "channel string, set_with string, set_without string, w_num long, w_den long",
+    )
+    sw = stats.select(
+        F.col("chset").alias("set_with"),
+        (F.col("conv").cast("double") / F.col("n")).alias("v_with"),
+    )
+    so = stats.select(
+        F.col("chset").alias("set_without"),
+        (F.col("conv").cast("double") / F.col("n")).alias("v_without"),
+    )
+    terms = (
+        lattice.join(F.broadcast(sw), "set_with", "left")
+        .join(F.broadcast(so), "set_without", "left")
+        .select(
+            "channel",
+            (
+                (F.col("w_num").cast("double") / F.col("w_den"))
+                * (
+                    F.coalesce("v_with", F.lit(0.0))
+                    - F.coalesce("v_without", F.lit(0.0))
+                )
+            ).alias("term"),
+        )
+    )
+    return (
+        terms.groupBy("channel")
+        .agg(
+            (
+                F.floor(
+                    F.sum(F.col("term").cast("decimal(28,12)")).cast("double")
+                    * 1e6
+                )
+                / 1e6
+            ).alias("shapley_t6")
+        )
+        .orderBy("channel")
+    )

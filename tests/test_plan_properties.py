@@ -408,6 +408,7 @@ def test_no_unexpected_nested_loop_joins(spark, sf_oracle):
         "t_closeness_audit",        # class grid cross: 125 classes x ~13-band spine + scalar totals
         "equiheight_histogram_check",  # broadcast 3 predicate literals x scan (truth leg) + 8-row histogram
         "streaming_approx_distinct_check",  # broadcast 1-row exact-distinct total
+        "benford_digit_audit",      # broadcast 1-row total x 9-digit grid
         "vocab_coverage_curve",     # broadcast 1-row total
         "ab_value_ttest",           # 1-row x 1-row arm cross
         "value_drift_psi",          # broadcast 1-row midpoint + 10-row bucket spine
