@@ -1168,3 +1168,61 @@ def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+# ---------------------------------------------------------------------------
+# Right-to-be-forgotten residual audit — the operational end of the
+# privacy family (k-anonymity / l-diversity / t-closeness gate a RELEASE;
+# this gates a DELETION): given a forget set of subject keys, enumerate
+# every table still holding rows keyed to them. The output IS the delete
+# worklist a GDPR erasure job executes (and re-running it after the
+# deletes must return zero rows — the verification half).
+# ---------------------------------------------------------------------------
+
+_FORGET_ORACLE = """
+WITH forget AS (
+  SELECT DISTINCT user_id AS k FROM events WHERE user_id % 29 = 0
+)
+SELECT tbl, CAST(residual_rows AS BIGINT) AS residual_rows,
+       CAST(distinct_keys AS BIGINT) AS distinct_keys
+FROM (
+  SELECT 'events' AS tbl, COUNT(*) AS residual_rows,
+         COUNT(DISTINCT user_id) AS distinct_keys
+  FROM events WHERE user_id IN (SELECT k FROM forget)
+  UNION ALL
+  SELECT 'customer', COUNT(*), COUNT(DISTINCT c_custkey)
+  FROM customer WHERE c_custkey IN (SELECT k FROM forget)
+  UNION ALL
+  SELECT 'orders', COUNT(*), COUNT(DISTINCT o_custkey)
+  FROM orders WHERE o_custkey IN (SELECT k FROM forget)
+) ORDER BY tbl
+""".strip()
+
+
+@register("forget_set_removal_audit", oracle=_FORGET_ORACLE)
+def forget_set_removal_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual-data audit for a deletion request: the forget set (stand-in
+    rule: user_id % 29 == 0 — in production an explicit request table) is
+    left-semi-joined against every subject-keyed table; output = rows and
+    distinct keys still present per table.
+
+    Scale shape: the forget set is broadcast into each table's scan (a
+    semi-join against a request-table-sized frame), so the audit costs one
+    filtered scan per table with no shuffle — the same plan a DELETE WHERE
+    would drive, which is the point: audit and erasure share pruning."""
+    f = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 29 == 0)
+        .select(F.col("user_id").alias("k"))
+        .distinct()
+    )
+    def residual(df, tbl, key):
+        return df.join(F.broadcast(f), df[key] == F.col("k"), "left_semi").agg(
+            F.lit(tbl).alias("tbl"),
+            F.count("*").cast("long").alias("residual_rows"),
+            F.countDistinct(key).cast("long").alias("distinct_keys"),
+        )
+    ev = residual(table(spark, sf_dir, "events"), "events", "user_id")
+    cu = residual(table(spark, sf_dir, "customer"), "customer", "c_custkey")
+    od = residual(table(spark, sf_dir, "orders"), "orders", "o_custkey")
+    return ev.unionByName(cu).unionByName(od).orderBy("tbl")

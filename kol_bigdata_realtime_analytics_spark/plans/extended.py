@@ -1525,3 +1525,67 @@ def sql_parameterized_page(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"status": "F", "min_price": 100000.0, "page_size": 25},
     )
+
+
+_WARCISH_N = 20000
+
+_WARCISH_ORACLE = f"""
+WITH r AS (SELECT unnest(range(0, {_WARCISH_N})) AS rid),
+t AS (
+  SELECT rid,
+         CAST((rid % 13) + 1 AS BIGINT) AS n_tok,
+         CAST(CASE WHEN rid % 5 = 0 THEN 404 ELSE 200 END AS INT) AS status,
+         CASE WHEN rid % 3 = 0 THEN 'text/plain' ELSE 'text/html' END
+           AS content_type,
+         CAST(list_sum(list_transform(range(0, (rid % 13) + 1),
+                i -> 4 + CASE WHEN (rid * 31 + i) % 11 = 10 THEN 1 ELSE 0 END))
+              + (rid % 13) AS BIGINT) AS content_length
+  FROM r
+)
+SELECT status, content_type,
+       CAST(COUNT(*) AS BIGINT) AS n_records,
+       CAST(SUM(content_length) AS BIGINT) AS total_bytes,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+FROM t GROUP BY status, content_type
+ORDER BY status, content_type
+""".strip()
+
+
+@register("warcish_crawl_scan", oracle=_WARCISH_ORACLE)
+def warcish_crawl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-ingest rollup over the WARC-like Python DataSource
+    (sources/pydatasource.WarcishDataSource): 20k records are serialized
+    into the header-block + blank-line + payload wire form and REALLY
+    parsed back (header field extraction, Content-Length vs payload
+    verification that raises on mismatch — ingest fails loudly), then
+    rolled up per (status, content type). Record content is a pure
+    function of the record id, so the oracle re-derives every parsed
+    field from range arithmetic — certifying the synthesize -> serialize
+    -> parse chain end to end, the detrange discipline applied to a wire
+    format.
+
+    Scale shape: partition-parallel record iteration (8 offset-range
+    splits — exactly how a real WARC reader splits by byte offsets),
+    Arrow-batched rows, one 4-group rollup. A production variant swaps
+    the synthesizer for file handles; the parse/verify/rollup plan is
+    unchanged."""
+    from kol_bigdata_realtime_analytics_spark.sources.pydatasource import (
+        register_warcish,
+    )
+
+    register_warcish(spark)
+    src = (
+        spark.read.format("warcish")
+        .option("n", str(_WARCISH_N))
+        .option("partitions", "8")
+        .load()
+    )
+    return (
+        src.groupBy("status", "content_type")
+        .agg(
+            F.count("*").cast("long").alias("n_records"),
+            F.sum("content_length").cast("long").alias("total_bytes"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .orderBy("status", "content_type")
+    )

@@ -318,3 +318,97 @@ except ImportError:  # pragma: no cover
 
     def register_jsondir(spark) -> None:  # type: ignore[misc]
         raise NotImplementedError(_WMSG)
+
+
+# ---------------------------------------------------------------------------
+# WARC-like crawl-record reader — the record format every web-scale LLM
+# corpus ingest starts from (header block + blank line + payload,
+# one record per request). The reader does REAL record parsing
+# (bytes -> header fields -> typed columns); record content is a
+# deterministic pure function of the global record id, so a SQL oracle
+# can re-derive every parsed field from range arithmetic and certify the
+# synthesis -> serialize -> parse chain end to end (the detrange
+# discipline, applied to a wire format instead of a row).
+# ---------------------------------------------------------------------------
+
+
+def _warcish_record_bytes(rid: int) -> bytes:
+    """Serialize record `rid` into the WARC-like wire form. Payload tokens
+    are tok{(rid*31+i) % 11} for i < (rid % 13) + 1, space-joined."""
+    n_tok = (rid % 13) + 1
+    payload = " ".join(f"tok{(rid * 31 + i) % 11}" for i in range(n_tok)).encode()
+    status = 404 if rid % 5 == 0 else 200
+    headers = (
+        f"WARC/1.0\r\n"
+        f"WARC-Record-ID: <urn:rec:{rid}>\r\n"
+        f"WARC-Target-URI: https://site{rid % 7}.example/page/{rid}\r\n"
+        f"WARC-Status: {status}\r\n"
+        f"Content-Type: text/{'html' if rid % 3 else 'plain'}\r\n"
+        f"Content-Length: {len(payload)}\r\n"
+    ).encode()
+    return headers + b"\r\n" + payload
+
+
+def _parse_warcish(raw: bytes):
+    """Parse one record's bytes into typed fields — the real logic under
+    test. Raises on malformed records (ingest must fail loudly)."""
+    head, _, payload = raw.partition(b"\r\n\r\n")
+    fields = {}
+    for line in head.decode().split("\r\n")[1:]:  # [0] is the version line
+        if not line:
+            continue
+        k, _, v = line.partition(": ")
+        fields[k] = v
+    declared = int(fields["Content-Length"])
+    if declared != len(payload):
+        raise ValueError(
+            f"Content-Length {declared} != payload {len(payload)} "
+            f"for {fields.get('WARC-Record-ID')}"
+        )
+    rid = int(fields["WARC-Record-ID"].split(":")[-1].rstrip(">"))
+    return (
+        rid,
+        fields["WARC-Target-URI"],
+        int(fields["WARC-Status"]),
+        fields["Content-Type"],
+        declared,
+        len(payload.split(b" ")),
+    )
+
+
+class WarcishReader(DataSourceReader):
+    def __init__(self, options):
+        self.n = int(options.get("n", "1000"))
+        self.n_partitions = int(options.get("partitions", "4"))
+
+    def partitions(self):
+        step = (self.n + self.n_partitions - 1) // self.n_partitions
+        return [
+            _RangePartition(lo, min(lo + step, self.n))
+            for lo in range(0, self.n, step)
+        ]
+
+    def read(self, partition):
+        for rid in range(partition.start, partition.end):
+            yield _parse_warcish(_warcish_record_bytes(rid))
+
+
+class WarcishDataSource(DataSource):
+    """format("warcish"): parsed crawl records."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "warcish"
+
+    def schema(self) -> str:
+        return (
+            "rec_id bigint, url string, status int, content_type string, "
+            "content_length bigint, n_tokens bigint"
+        )
+
+    def reader(self, schema):
+        return WarcishReader(self.options)
+
+
+def register_warcish(spark) -> None:
+    spark.dataSource.register(WarcishDataSource)

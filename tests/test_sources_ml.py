@@ -353,3 +353,29 @@ def test_compact_partitions_reduces_file_count(spark, tmp_path):
     n_files_after = after.select(F.input_file_name()).distinct().count()
     assert n_files_after < n_files_before / 4
     assert {(r.id, str(r.dt)) for r in after.collect()} == rows_before
+
+
+def test_warcish_parser_roundtrip_and_loud_failure():
+    """The WARC-like record parser: exact roundtrip on synthesized records,
+    and a LOUD ValueError on a Content-Length/payload mismatch (silent
+    truncation is how crawl corpora rot)."""
+    import pytest as _pytest
+
+    from kol_bigdata_realtime_analytics_spark.sources.pydatasource import (
+        _parse_warcish,
+        _warcish_record_bytes,
+    )
+
+    for rid in (0, 1, 4, 5, 12, 13, 999, 123456):
+        rec_id, url, status, ctype, clen, n_tok = _parse_warcish(
+            _warcish_record_bytes(rid)
+        )
+        assert rec_id == rid
+        assert url == f"https://site{rid % 7}.example/page/{rid}"
+        assert status == (404 if rid % 5 == 0 else 200)
+        assert ctype == ("text/plain" if rid % 3 == 0 else "text/html")
+        assert n_tok == (rid % 13) + 1
+
+    truncated = _warcish_record_bytes(42)[:-2]  # chop payload bytes
+    with _pytest.raises(ValueError, match="Content-Length"):
+        _parse_warcish(truncated)
