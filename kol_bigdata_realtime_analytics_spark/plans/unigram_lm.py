@@ -71,7 +71,7 @@ def _pieces(vocab: DataFrame) -> DataFrame:
 
 
 def _viterbi_segments(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, costs_fn=None
 ) -> tuple[DataFrame, DataFrame]:
     """Viterbi-segment every vocabulary word under fixed-point costs.
 
@@ -85,9 +85,17 @@ def _viterbi_segments(
     comparison is exact. The loop runs max(len(w)) rounds (data-derived
     scalar), each round ONE equi-join of the vocab-sized state frame
     against the piece-cost table plus one argmin window partitioned by
-    word — no corpus data inside the loop."""
+    word — no corpus data inside the loop.
+
+    `costs_fn`, when given, maps the seed (piece, cnt) inventory to the
+    (piece, cnt) table to actually train on — the pruning hook (EM round
+    2 restricts to the surviving inventory; missing pieces simply drop
+    out of the DP join, and single characters are always retained so
+    every word stays segmentable)."""
     vocab = _vocab(spark, sf_dir).localCheckpoint(eager=True)
     pieces = _pieces(vocab)
+    if costs_fn is not None:
+        pieces = costs_fn(pieces)
     tot = pieces.agg(F.sum("cnt").alias("tot"))
     costs = (
         pieces.crossJoin(F.broadcast(tot))
@@ -101,7 +109,15 @@ def _viterbi_segments(
         .localCheckpoint(eager=True)
     )
     max_len = vocab.agg(F.max(F.length("w"))).collect()[0][0]
+    segments = _viterbi_dp(vocab, costs, int(max_len))
+    return segments, vocab
 
+
+def _viterbi_dp(vocab: DataFrame, costs: DataFrame, max_len: int) -> DataFrame:
+    """The DP loop itself, shared by the seed round and the pruned
+    retrain round: (w, c, path) per vocabulary word under the given
+    (piece, cost) table. Pieces absent from `costs` drop out of the
+    candidate join — pruning needs no special casing here."""
     # state: best cost + path per (word, position); position 0 = empty
     state = vocab.select(
         "w",
@@ -153,8 +169,7 @@ def _viterbi_segments(
             )
         )
         state = state.unionByName(nxt).localCheckpoint(eager=True)
-    segments = state.filter(F.col("pos") == F.length("w")).select("w", "c", "path")
-    return segments, vocab
+    return state.filter(F.col("pos") == F.length("w")).select("w", "c", "path")
 
 
 def _unigram_oracle_sql(sf_dir: str) -> str:
@@ -200,13 +215,23 @@ b0 AS MATERIALIZED (
   SELECT w, c, 0 AS pos, CAST(0 AS BIGINT) AS best, '' AS path FROM vocab
 )"""
     parts = [head]
-    prev_states = ["b0"]
-    for i in range(1, int(max_len) + 1):
+    parts.append(_dp_chain_sql("b", "costs", "segs", int(max_len)))
+    return "".join(parts).strip()
+
+
+def _dp_chain_sql(prefix: str, costs_tbl: str, segs_name: str, max_len: int) -> str:
+    """Generate the unrolled Viterbi CTE chain {prefix}1..{prefix}L reading
+    piece costs from `costs_tbl`, ending in `{segs_name}` — shared by the
+    seed round (b*, costs) and the pruned retrain round (p*, costs2).
+    The {prefix}0 base state CTE must already exist."""
+    parts = []
+    prev_states = [f"{prefix}0"]
+    for i in range(1, max_len + 1):
         prev_union = " UNION ALL ".join(
             f"SELECT * FROM {s}" for s in prev_states[-_MAX_PIECE:]
         )
         parts.append(f""",
-b{i} AS MATERIALIZED (
+{prefix}{i} AS MATERIALIZED (
   SELECT w, c, {i} AS pos, nbest AS best, npath AS path FROM (
     SELECT st.w, st.c,
            st.best + co.cost AS nbest,
@@ -216,16 +241,16 @@ b{i} AS MATERIALIZED (
     FROM (SELECT *, substr(w, pos + 1, {i} - pos) AS pc
           FROM ({prev_union}) p
           WHERE pos >= {i - _MAX_PIECE} AND pos <= {i - 1} AND len(w) >= {i}) st
-    JOIN costs co ON co.piece = st.pc
+    JOIN {costs_tbl} co ON co.piece = st.pc
   ) WHERE rn = 1
 )""")
-        prev_states.append(f"b{i}")
+        prev_states.append(f"{prefix}{i}")
     all_states = " UNION ALL ".join(f"SELECT * FROM {s}" for s in prev_states)
     parts.append(f""",
-segs AS MATERIALIZED (
+{segs_name} AS MATERIALIZED (
   SELECT w, c, path FROM ({all_states}) s WHERE pos = len(w)
 )""")
-    return "".join(parts).strip()
+    return "".join(parts)
 
 
 def _em_counts_tail_sql() -> str:
@@ -298,4 +323,131 @@ def unigram_lm_segmentation_stats(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("c") * (F.size(F.split("path", r"\|")))
         ).cast("long").alias("corpus_pieces_after"),
         F.sum(F.length("w") * F.col("c")).cast("long").alias("corpus_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Prune + retrain — the loop step sentencepiece actually iterates: keep
+# the top-V multi-character pieces by EM-estimated count (plus every
+# single character, so any word stays segmentable), re-normalize costs
+# from the M-step counts, and re-run the Viterbi E-step on the pruned
+# inventory. Output: the inventory/compression tradeoff the prune bought.
+# ---------------------------------------------------------------------------
+
+_PRUNE_V = 20
+
+
+def _unigram_prune_oracle(sf_dir: str) -> str:
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    max_len = con.execute(
+        """
+        SELECT MAX(len(w)) FROM (
+          SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+          FROM documents WHERE trim(COALESCE(text, '')) != '')
+        """
+    ).fetchone()[0]
+    con.close()
+    return (
+        _unigram_oracle_sql(sf_dir)
+        + f""",
+mstep AS MATERIALIZED (
+  SELECT piece, CAST(SUM(c) AS BIGINT) AS est
+  FROM (SELECT c, unnest(string_split(path, '|')) AS piece FROM segs) x
+  GROUP BY piece
+),
+chars AS (SELECT DISTINCT piece FROM pieces WHERE len(piece) = 1),
+kept_multi AS MATERIALIZED (
+  SELECT piece, est FROM mstep WHERE len(piece) > 1
+  ORDER BY est DESC, piece ASC LIMIT {_PRUNE_V}
+),
+kept AS MATERIALIZED (
+  SELECT ch.piece, COALESCE(m.est, 1) AS cnt
+  FROM chars ch LEFT JOIN mstep m ON m.piece = ch.piece
+  UNION ALL
+  SELECT piece, est FROM kept_multi
+),
+tot2 AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM kept),
+costs2 AS MATERIALIZED (
+  SELECT piece,
+         CAST(floor(1e6 * ln(CAST(tot2.t AS DOUBLE) / cnt)) AS BIGINT) AS cost
+  FROM kept, tot2
+),
+p0 AS MATERIALIZED (
+  SELECT w, c, 0 AS pos, CAST(0 AS BIGINT) AS best, '' AS path FROM vocab
+)"""
+        + _dp_chain_sql("p", "costs2", "segs2", int(max_len))
+        + """
+SELECT CAST((SELECT COUNT(*) FROM pieces) AS BIGINT) AS inventory_seed,
+       CAST((SELECT COUNT(*) FROM kept) AS BIGINT) AS inventory_kept,
+       CAST((SELECT SUM(c * (len(path) - len(replace(path, '|', '')) + 1))
+             FROM segs) AS BIGINT) AS corpus_pieces_round1,
+       CAST((SELECT SUM(c * (len(path) - len(replace(path, '|', '')) + 1))
+             FROM segs2) AS BIGINT) AS corpus_pieces_pruned
+"""
+    )
+
+
+@register("unigram_lm_prune_round", oracle=_unigram_prune_oracle)
+def unigram_lm_prune_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prune-retrain step of unigram-LM training: EM round 1 estimates
+    piece counts, the inventory shrinks to the top-{V} multi-character
+    pieces (plus every single character with a count floor of 1 — any
+    word stays segmentable), costs re-normalize from the M-step counts,
+    and the Viterbi re-runs on the pruned inventory. Output: inventory
+    sizes and corpus segmentation length before/after — the
+    compression-vs-vocabulary tradeoff the prune bought, the curve a
+    tokenizer train reads its stopping point off.
+
+    Fully hash-certified: the oracle unrolls BOTH Viterbi chains (seed
+    costs, then pruned costs2) as MATERIALIZED CTEs."""
+    seg1, vocab = _viterbi_segments(spark, sf_dir)
+    seg1 = seg1.localCheckpoint(eager=True)  # feeds mstep + round-1 stats
+    mstep = (
+        seg1.select("c", F.explode(F.split("path", r"\|")).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("c").alias("est"))
+        .localCheckpoint(eager=True)
+    )
+    chars = _pieces(vocab).filter(F.length("piece") == 1).select("piece")
+    kept_multi = (
+        mstep.filter(F.length("piece") > 1)
+        .orderBy(F.col("est").desc(), F.col("piece").asc())
+        .limit(_PRUNE_V)
+    )
+    kept = (
+        chars.join(mstep, "piece", "left")
+        .select("piece", F.coalesce("est", F.lit(1)).alias("cnt"))
+        .unionByName(kept_multi.select("piece", F.col("est").alias("cnt")))
+    )
+    tot2 = kept.agg(F.sum("cnt").alias("t"))
+    costs2 = (
+        kept.crossJoin(F.broadcast(tot2))
+        .select(
+            "piece",
+            F.floor(
+                F.lit(1e6)
+                * F.log(F.col("t").cast("double") / F.col("cnt").cast("double"))
+            ).cast("long").alias("cost"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    max_len = vocab.agg(F.max(F.length("w"))).collect()[0][0]
+    seg2 = _viterbi_dp(vocab, costs2, int(max_len))
+
+    n_pieces = lambda seg: F.sum(  # noqa: E731 — local reducer alias
+        F.col("c") * F.size(F.split("path", r"\|"))
+    ).cast("long")
+    inv_seed = _pieces(vocab).agg(F.count("*").cast("long").alias("inventory_seed"))
+    inv_kept = kept.agg(F.count("*").cast("long").alias("inventory_kept"))
+    r1 = seg1.agg(n_pieces(seg1).alias("corpus_pieces_round1"))
+    r2 = seg2.agg(n_pieces(seg2).alias("corpus_pieces_pruned"))
+    return (
+        inv_seed.crossJoin(F.broadcast(inv_kept))
+        .crossJoin(F.broadcast(r1))
+        .crossJoin(F.broadcast(r2))
     )

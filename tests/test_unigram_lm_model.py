@@ -93,3 +93,45 @@ def test_unigram_segmentation_stats_match_python_model(spark, sf_small):
         row["corpus_pieces_after"],
         row["corpus_chars"],
     ) == stats
+
+
+def test_viterbi_dp_formulation_is_optimal():
+    """The bounded-lookback DP both engines implement (best[i] = min over
+    j in [i-4, i-1]) must find the TRUE minimum-cost segmentation: compare
+    against exhaustive enumeration of every segmentation into pieces of
+    length <= _MAX_PIECE, over adversarial cost tables (pure Python — this
+    pins the shared FORMULATION, independent of either engine)."""
+    import random
+
+    rng = random.Random(42)
+    alphabet = "abc"
+    for trial in range(200):
+        w = "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 9)))
+        pieces = {
+            w[s : s + l]
+            for s in range(len(w))
+            for l in range(1, _MAX_PIECE + 1)
+            if s + l <= len(w)
+        }
+        cost = {p: rng.randint(0, 50) for p in pieces}
+
+        # the DP under test (the formulation shared by Spark and the oracle)
+        best = [None] * (len(w) + 1)
+        best[0] = 0
+        for i in range(1, len(w) + 1):
+            for j in range(max(0, i - _MAX_PIECE), i):
+                if best[j] is not None:
+                    c = best[j] + cost[w[j:i]]
+                    if best[i] is None or c < best[i]:
+                        best[i] = c
+
+        # exhaustive: every composition of len(w) into parts <= _MAX_PIECE
+        def seg_costs(rem_start):
+            if rem_start == len(w):
+                yield 0
+                return
+            for l in range(1, min(_MAX_PIECE, len(w) - rem_start) + 1):
+                for tail in seg_costs(rem_start + l):
+                    yield cost[w[rem_start : rem_start + l]] + tail
+
+        assert best[len(w)] == min(seg_costs(0)), (w, trial)
