@@ -160,6 +160,7 @@ HEADLINE = [
     "distributed_kth_element",
     "streaming_approx_distinct",
     "shapley_attribution",
+    "skipgram_training_pairs",
 ]
 
 

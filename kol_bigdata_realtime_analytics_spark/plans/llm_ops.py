@@ -5052,3 +5052,117 @@ def kcenter_coreset_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         sel_rows, "round long, vec_id long, dist_to_set double"
     )
+
+
+# ---------------------------------------------------------------------------
+# Skip-gram training-pair generation (word2vec / embedding pretraining
+# data prep): (center, context) co-occurrence pairs within a +/-2 token
+# window, downweighted by Mikolov frequency subsampling. The stochastic
+# drop of the original is replaced by its EXPECTATION — each pair carries
+# weight w(center)*w(context), w(f) = min(1, sqrt(t/f)) — which is the
+# deterministic quantity the sampled pipeline converges to, and the form
+# a weighted-negative-sampling trainer consumes directly.
+# ---------------------------------------------------------------------------
+
+_SG_WINDOW = 2
+_SG_T = 1e-3  # the standard word2vec subsampling threshold
+_SG_TOP = 30
+
+_SKIPGRAM_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts
+  FROM documents WHERE trim(COALESCE(text, '')) != ''
+),
+tok AS (
+  SELECT doc_id, unnest(ts) AS t, generate_subscripts(ts, 1) AS i FROM toks
+),
+freq AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM freq),
+w AS (
+  SELECT t, LEAST(1.0, sqrt({_SG_T} / (CAST(c AS DOUBLE) / tot.n))) AS sw
+  FROM freq, tot
+),
+pairs AS (
+  SELECT a.t AS center, b.t AS context
+  FROM tok a JOIN tok b
+    ON a.doc_id = b.doc_id
+   AND b.i BETWEEN a.i - {_SG_WINDOW} AND a.i + {_SG_WINDOW}
+   AND b.i != a.i
+)
+SELECT center, context,
+       CAST(COUNT(*) AS BIGINT) AS n_raw,
+       floor(CAST(SUM(CAST(wc.sw * wx.sw AS DECIMAL(28,12))) AS DOUBLE)
+             * 1000000) / 1000000 AS weighted_t6
+FROM pairs
+  JOIN w wc ON wc.t = pairs.center
+  JOIN w wx ON wx.t = pairs.context
+GROUP BY center, context
+ORDER BY weighted_t6 DESC, center ASC, context ASC
+LIMIT {_SG_TOP}
+""".strip()
+
+
+@register("skipgram_training_pairs", oracle=_SKIPGRAM_ORACLE)
+def skipgram_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{N} skip-gram (center, context) pairs within a +/-{W} window,
+    weighted by expected Mikolov subsampling (w(f) = min(1, sqrt(t/f)),
+    t = 1e-3) — the training-pair table an embedding pretrain consumes.
+    Subsampling is applied as its expectation rather than a coin flip:
+    deterministic, and exactly what the sampled stream converges to.
+
+    Scale shape: pair extraction is a zero-shuffle flatten of per-token
+    window offsets (the bigram_xent_scores idiom generalized to +/-2 —
+    the oracle's positional self-join shape would shuffle the token
+    stream twice); the weight join keys on the vocabulary; weighted
+    counts sum in DECIMAL(28,12). Window size fixed -> fan-out bounded
+    at 2W rows per token."""
+    from kol_bigdata_realtime_analytics_spark.functions.text import tokens
+    from kol_bigdata_realtime_analytics_spark.plans.domain import trunc6
+
+    docs = table(spark, sf_dir, "documents").filter(
+        F.trim(F.coalesce("text", F.lit(""))) != ""
+    )
+    ts = docs.select("doc_id", tokens("text").alias("ts"))
+    tok = docs.select(F.explode(tokens("text")).alias("t"))
+    freq = tok.groupBy("t").agg(F.count("*").alias("c"))
+    tot = freq.agg(F.sum("c").alias("n"))
+    w = freq.crossJoin(F.broadcast(tot)).select(
+        "t",
+        F.least(
+            F.lit(1.0),
+            F.sqrt(F.lit(_SG_T) / (F.col("c").cast("double") / F.col("n"))),
+        ).alias("sw"),
+    )
+    # window offsets as a generator over the token array: for position i,
+    # contexts at i+d for d in [-W..W]\{0} with bounds checks — no self-join
+    offs = [d for d in range(-_SG_WINDOW, _SG_WINDOW + 1) if d != 0]
+    pair_structs = ", ".join(
+        f"IF(i + ({d}) >= 0 AND i + ({d}) < size(ts),"
+        f" struct(w AS center, ts[i + ({d})] AS context), NULL)"
+        for d in offs
+    )
+    pairs = ts.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ts, (w, i) ->"
+                f" filter(array({pair_structs}), p -> p IS NOT NULL)))"
+            )
+        ).alias("p")
+    ).select("p.center", "p.context")
+    wc = w.select(F.col("t").alias("center"), F.col("sw").alias("sw_c"))
+    wx = w.select(F.col("t").alias("context"), F.col("sw").alias("sw_x"))
+    return (
+        pairs.join(F.broadcast(wc), "center")
+        .join(F.broadcast(wx), "context")
+        .groupBy("center", "context")
+        .agg(
+            F.count("*").cast("long").alias("n_raw"),
+            trunc6(
+                F.sum(
+                    (F.col("sw_c") * F.col("sw_x")).cast("decimal(28,12)")
+                ).cast("double")
+            ).alias("weighted_t6"),
+        )
+        .orderBy(F.col("weighted_t6").desc(), F.col("center").asc(), F.col("context").asc())
+        .limit(_SG_TOP)
+    )

@@ -410,6 +410,7 @@ def test_no_unexpected_nested_loop_joins(spark, sf_oracle):
         "streaming_approx_distinct_check",  # broadcast 1-row exact-distinct total
         "benford_digit_audit",      # broadcast 1-row total x 9-digit grid
         "unigram_lm_prune_round",   # broadcast 1-row stat frames (inventory/round counts) + piece-total cross
+        "skipgram_training_pairs",  # broadcast 1-row token total into the vocab-sized weight table
         "vocab_coverage_curve",     # broadcast 1-row total
         "ab_value_ttest",           # 1-row x 1-row arm cross
         "value_drift_psi",          # broadcast 1-row midpoint + 10-row bucket spine
