@@ -161,6 +161,8 @@ HEADLINE = [
     "streaming_approx_distinct",
     "shapley_attribution",
     "skipgram_training_pairs",
+    "knn_graph_build",
+    "graph_fixpoint_budget_check",
 ]
 
 

@@ -4946,6 +4946,275 @@ def ann_lsh_multiprobe_recall_check(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 # ---------------------------------------------------------------------------
+# Approximate k-NN GRAPH construction (r8 verdict ask #3) — the substrate
+# NN-descent, offline HNSW builds, and graph-based SemDeDup all start
+# from: EVERY vector gets its top-k cosine neighbors, candidates drawn
+# from the union of its own LSH bucket and the Hamming-1 multi-probe
+# buckets. Unlike the query-side ANN ops (5 probe vectors), this is a
+# corpus x corpus operator, so the plane count SCALES with the corpus:
+# n_planes = log2(n / target_bucket), keeping bucket size ~constant
+# (~125) — candidate work stays O(n * bucket * probes) = O(n) at any
+# scale, never O(n^2).
+# ---------------------------------------------------------------------------
+
+_KNN_K = 3
+_KNN_TARGET_BUCKET = 125  # ~bucket rows at any sf; 800 -> 3 planes, 80k -> 10
+_KNN_PROBE_BITS = 3  # probe own bucket + flips of planes 0..2 (4 buckets)
+
+
+def _knn_planes(n: int) -> int:
+    import math
+
+    return max(3, math.ceil(math.log2(max(2.0, n / _KNN_TARGET_BUCKET))))
+
+
+def _knn_scored(
+    spark: SparkSession, sf_dir: str, probe_bits: int, max_q: int | None = None
+) -> DataFrame:
+    """(vec_id, neighbor_id, cosine, rank) top-{_KNN_K} per vector, ranked
+    over the union of `1 + probe_bits` probed buckets. Norms are computed
+    once per ROW before the pair join (O(n*dim), not O(pairs*dim)).
+    `max_q` restricts the QUERY side (vec_id < max_q) before the join —
+    the per-q_id window makes the restricted result identical to filtering
+    the full graph, at a fraction of the pair volume."""
+    from kol_bigdata_realtime_analytics_spark.operators.similarity import (
+        as_double_vec,
+        dot,
+        lsh_bucket_id,
+        norm,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    planes = _knn_planes(n)
+    base = (
+        emb.select("vec_id", as_double_vec(F.col("embedding")).alias("vec"))
+        .withColumn("nrm", norm(F.col("vec")))
+        .withColumn("bkt", lsh_bucket_id(F.col("vec"), dim=64, n_planes=planes))
+        .localCheckpoint(eager=False)
+    )
+    probes = F.array(
+        F.col("bkt"),
+        *[
+            F.col("bkt").bitwiseXOR(F.lit(1 << i).cast("long"))
+            for i in range(probe_bits)
+        ],
+    )
+    # fresh projections per side: the self-join reads one checkpointed scan
+    q_src = base if max_q is None else base.filter(F.col("vec_id") < max_q)
+    q = q_src.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("vec").alias("q_vec"),
+        F.col("nrm").alias("q_nrm"),
+        F.explode(probes).alias("probe"),
+    )
+    c = base.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("vec").alias("c_vec"),
+        F.col("nrm").alias("c_nrm"),
+        F.col("bkt").alias("c_bkt"),
+    )
+    # shuffle equi-join on the bucket id — both sides co-partition on it;
+    # probes are distinct buckets, so each (q, c) pair matches at most once
+    # and needs no dedup
+    scored = c.join(
+        q, (F.col("c_bkt") == F.col("probe")) & (F.col("c_id") != F.col("q_id"))
+    ).select(
+        "q_id",
+        "c_id",
+        F.round(
+            dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_nrm") * F.col("c_nrm")),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _KNN_K)
+        .select(
+            F.col("q_id").alias("vec_id"),
+            F.col("c_id").alias("neighbor_id"),
+            "cosine",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def _knn_oracle_base_sql(sf_dir: str, probe_bits: int) -> str:
+    """Shared CTE head re-deriving the scaled plane count and buckets from
+    the same literal LCG constants — bucket ids match Spark bit-for-bit
+    (lsh_bucket_sql), so the approximate graph itself is hash-exact."""
+    import duckdb
+
+    from kol_bigdata_realtime_analytics_spark.operators.similarity import (
+        lsh_bucket_sql,
+    )
+
+    n = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{sf_dir}/embeddings.parquet'"
+    ).fetchone()[0]
+    planes = _knn_planes(int(n))
+    bucket = lsh_bucket_sql("vec", dim=64, n_planes=planes)
+    probe_list = ", ".join(
+        ["bkt"] + [f"xor(bkt, {1 << i})" for i in range(probe_bits)]
+    )
+    return f"""
+base0 AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+base AS MATERIALIZED (
+  SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS nrm,
+         {bucket} AS bkt
+  FROM base0),
+qp AS (SELECT vec_id AS q_id, vec AS q_vec, nrm AS q_nrm,
+              unnest([{probe_list}]) AS probe FROM base{{q_where}}),
+knn AS (
+  SELECT q_id, c_id, cosine, rank FROM (
+    SELECT s.q_id, s.c_id, s.cosine,
+           CAST(ROW_NUMBER() OVER (PARTITION BY s.q_id
+                 ORDER BY s.cosine DESC, s.c_id ASC) AS BIGINT) AS rank
+    FROM (
+      SELECT qp.q_id, b.vec_id AS c_id,
+             ROUND(list_dot_product(qp.q_vec, b.vec) / (qp.q_nrm * b.nrm), 6)
+               AS cosine
+      FROM base b JOIN qp ON b.bkt = qp.probe AND b.vec_id <> qp.q_id) s
+  ) WHERE rank <= {_KNN_K}
+)"""
+
+
+def _knn_graph_oracle(sf_dir: str) -> str:
+    head = _knn_oracle_base_sql(sf_dir, _KNN_PROBE_BITS).format(q_where="")
+    return f"""
+    WITH {head.lstrip()}
+    SELECT q_id AS vec_id, c_id AS neighbor_id, cosine, rank FROM knn
+    """
+
+
+@register("knn_graph_build", oracle=_knn_graph_oracle)
+def knn_graph_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate k-NN graph over the whole embedding corpus: per vector,
+    its top-3 cosine neighbors among the vectors sharing its LSH bucket or
+    one of the 3 Hamming-1 probe buckets. Long form
+    (vec_id, neighbor_id, cosine, rank) — the input every graph-based
+    vector algorithm (NN-descent refinement, offline HNSW layering,
+    SemDeDup-on-graph, connected-component dedup) consumes.
+
+    Buckets are literal-plane derived in BOTH engines (lsh_bucket_sql), so
+    even the approximate graph is fully HASH-certified; the oracle
+    re-derives the scaled plane count from the same corpus-size formula.
+
+    Scale shape: plane count grows as log2(n / 125), pinning bucket size
+    ~125 at ANY corpus size, so candidate volume is O(n * 125 * 4) — a
+    corpus-LINEAR pair join, never O(n^2). The join is a bucket-id
+    equi-join (hash-join path, both sides co-partitioned on the bucket);
+    per-row norms are computed once before the join; the hashed corpus is
+    localCheckpoint-pinned so the probe and candidate sides read one scan.
+    At 100 TB the same plan holds with planes ~= 33 — bucket size is the
+    knob, not the corpus."""
+    return _knn_scored(spark, sf_dir, _KNN_PROBE_BITS)
+
+
+def _knn_recall_oracle(sf_dir: str) -> str:
+    head = _knn_oracle_base_sql(sf_dir, _KNN_PROBE_BITS).format(
+        q_where=" WHERE vec_id < 5"
+    )
+    return f"""
+    WITH {head.lstrip()},
+    q0 AS (SELECT vec_id AS q_id, vec AS q_vec FROM base0 WHERE vec_id < 5),
+    exact AS (
+      SELECT q_id, c_id FROM (
+        SELECT q0.q_id, b.vec_id AS c_id,
+               ROW_NUMBER() OVER (PARTITION BY q0.q_id ORDER BY
+                 ROUND(list_dot_product(q0.q_vec, b.vec)
+                       / (sqrt(list_dot_product(q0.q_vec, q0.q_vec))
+                          * sqrt(list_dot_product(b.vec, b.vec))), 6) DESC,
+                 b.vec_id ASC) AS rn
+        FROM base0 b, q0 WHERE b.vec_id != q0.q_id
+      ) WHERE rn <= {_KNN_K}
+    ),
+    own AS (
+      SELECT q_id, c_id FROM (
+        SELECT s.q_id, s.c_id,
+               ROW_NUMBER() OVER (PARTITION BY s.q_id
+                 ORDER BY s.cosine DESC, s.c_id ASC) AS rn
+        FROM (
+          SELECT q.vec_id AS q_id, b.vec_id AS c_id,
+                 ROUND(list_dot_product(q.vec, b.vec) / (q.nrm * b.nrm), 6)
+                   AS cosine
+          FROM base b JOIN base q ON b.bkt = q.bkt AND b.vec_id <> q.vec_id
+          WHERE q.vec_id < 5) s
+      ) WHERE rn <= {_KNN_K}
+    ),
+    gsub AS (SELECT q_id, c_id FROM knn)
+    SELECT CAST((SELECT COUNT(*) FROM q0) AS BIGINT) AS n_queries,
+           CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_exact,
+           CAST((SELECT COUNT(*) FROM exact e JOIN own o
+                 ON e.q_id = o.q_id AND e.c_id = o.c_id) AS BIGINT)
+             AS own_bucket_hits,
+           CAST((SELECT COUNT(*) FROM exact e JOIN gsub g
+                 ON e.q_id = g.q_id AND e.c_id = g.c_id) AS BIGINT)
+             AS graph_hits,
+           floor(((SELECT COUNT(*) FROM exact e JOIN gsub g
+                   ON e.q_id = g.q_id AND e.c_id = g.c_id) * 1.0
+                  / (SELECT COUNT(*) FROM exact)) * 1000000) / 1000000
+             AS recall_at_3,
+           ((SELECT COUNT(*) FROM exact e JOIN gsub g
+             ON e.q_id = g.q_id AND e.c_id = g.c_id)
+            >= (SELECT COUNT(*) FROM exact e JOIN own o
+                ON e.q_id = o.q_id AND e.c_id = o.c_id)) AS probe_not_worse
+    """
+
+
+@register("knn_graph_recall_check", oracle=_knn_recall_oracle)
+def knn_graph_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 certificate for knn_graph_build on a 5-query sample: the
+    graph's neighbor lists vs brute-force cosine top-3 over the whole
+    corpus, plus the own-bucket-only baseline — certifying the Hamming-1
+    probes never lose recall (probe_not_worse; candidate supersets can
+    only improve a top-k). All three scorers run deterministically in
+    both engines, so the recall VALUES are under the driver hash, not
+    just a bound."""
+    from kol_bigdata_realtime_analytics_spark.operators.similarity import (
+        brute_force_topk,
+    )
+    from kol_bigdata_realtime_analytics_spark.plans.domain import trunc6
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, queries, k=_KNN_K).select("q_id", "c_id")
+    own = _knn_scored(spark, sf_dir, 0, max_q=5).select(
+        F.col("vec_id").alias("q_id"), F.col("neighbor_id").alias("c_id")
+    )
+    graph = _knn_scored(spark, sf_dir, _KNN_PROBE_BITS, max_q=5).select(
+        F.col("vec_id").alias("q_id"), F.col("neighbor_id").alias("c_id")
+    )
+    o_hits = exact.join(
+        own.withColumn("m", F.lit(1)), ["q_id", "c_id"], "left"
+    ).agg(F.coalesce(F.sum("m"), F.lit(0)).cast("long").alias("h"))
+    g_hits = exact.join(
+        graph.withColumn("m", F.lit(1)), ["q_id", "c_id"], "left"
+    ).agg(F.coalesce(F.sum("m"), F.lit(0)).cast("long").alias("h"))
+    meta = exact.agg(
+        F.countDistinct("q_id").cast("long").alias("n_queries"),
+        F.count("*").cast("long").alias("n_exact"),
+    )
+    return (
+        meta.crossJoin(F.broadcast(o_hits.select(F.col("h").alias("own_bucket_hits"))))
+        .crossJoin(F.broadcast(g_hits.select(F.col("h").alias("graph_hits"))))
+        .select(
+            "n_queries",
+            "n_exact",
+            "own_bucket_hits",
+            "graph_hits",
+            trunc6(F.col("graph_hits") * F.lit(1.0) / F.col("n_exact")).alias(
+                "recall_at_3"
+            ),
+            (F.col("graph_hits") >= F.col("own_bucket_hits")).alias(
+                "probe_not_worse"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Greedy k-center coreset selection (Gonzalez 1985; the "diversity
 # selection" in modern data-pruning pipelines, e.g. coreset-based training
 # subset selection): iteratively pick the point FARTHEST from everything

@@ -44,6 +44,11 @@ def _vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         docs.select(F.explode(tokens("text")).alias("w"))
+        # Paths are '|'-joined and re-split in the M-step; a vocabulary
+        # word containing the separator would silently fragment pieces in
+        # BOTH engines (hash-green but wrong), so such words are excluded
+        # here and in the oracle's vocab CTE.
+        .filter(~F.col("w").contains("|"))
         .groupBy("w")
         .agg(F.count("*").alias("c"))
     )
@@ -196,7 +201,8 @@ WITH tok AS (
   SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
   FROM documents WHERE trim(COALESCE(text, '')) != ''
 ),
-vocab AS MATERIALIZED (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+vocab AS MATERIALIZED (
+  SELECT w, COUNT(*) AS c FROM tok WHERE w NOT LIKE '%|%' GROUP BY w),
 pieces AS MATERIALIZED (
   SELECT substr(w, s, l) AS piece, CAST(SUM(c) AS BIGINT) AS cnt
   FROM vocab,

@@ -24,6 +24,11 @@ import os
 
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
+#: janitor grace window (seconds): another job's `_staging-*` dir / stale
+#: commit lock is only swept when older than this. Module-scope so tests
+#: assert against the product constant instead of a duplicated literal.
+JANITOR_GRACE_SEC = 3600.0
+
 
 class _RangePartition(InputPartition):
     def __init__(self, start: int, end: int):
@@ -213,7 +218,7 @@ try:
         #: the unconditional sweep made two concurrent appends to one path
         #: mutually fatal). An aborted job's leftover is inert and gets
         #: collected once it ages out.
-        _JANITOR_GRACE_SEC = 3600.0
+        _JANITOR_GRACE_SEC = JANITOR_GRACE_SEC
 
         def commit(self, messages):
             import glob

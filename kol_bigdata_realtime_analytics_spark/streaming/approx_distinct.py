@@ -72,8 +72,9 @@ def reg_rho_cols(key: Column) -> tuple[Column, Column]:
     return reg.cast("long"), rho.cast("long")
 
 
-def hash_sql(key_expr: str) -> str:
-    """DuckDB SQL computing the identical hash/register/rho triple."""
+def hash_sql(key_expr: str) -> tuple[str, str]:
+    """(register-index SQL, rho SQL) DuckDB expressions matching
+    reg_rho_cols bit-for-bit."""
     h0 = f"(({key_expr}) * {_KNUTH}) % {1 << 32}"
     h = f"(xor({h0}, ({h0}) >> 16) % {1 << 32})"
     reg = f"({h} & {M_REGISTERS - 1})"

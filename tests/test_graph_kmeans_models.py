@@ -236,3 +236,73 @@ def test_fw_bw_classify_matches_python_model(spark):
     piv = spark.createDataFrame([(pivot,)], "node long")
     got = {r["node"]: r["cls"] for r in fw_bw_classify(e_df, piv, 8).collect()}
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# Fixpoint-budget tracked loops (r9): each returns the first NO-OP round on
+# planted graphs with hand-derivable convergence depths, and -1 when the
+# budget is too small to observe one — the property the
+# graph_fixpoint_budget_check certificate rests on.
+# ---------------------------------------------------------------------------
+
+
+def test_bfs_first_noop_path_graph(spark):
+    from kol_bigdata_realtime_analytics_spark.operators.graph import bfs_first_noop
+
+    und = [(0, 1), (1, 2), (2, 3)]
+    edges = und + [(b, a) for a, b in und]
+    e_df = spark.createDataFrame(edges, "src long, dst long")
+    seed = spark.createDataFrame([(0,)], "node long")
+    # layers 1..3 each non-empty; hop 4 is the first empty frontier
+    assert bfs_first_noop(e_df, seed, 5) == 4
+    assert bfs_first_noop(e_df, seed, 3) == -1  # budget too small to observe
+
+
+def test_kcore_first_noop_chain_peels_one_layer_per_round(spark):
+    from kol_bigdata_realtime_analytics_spark.operators.graph import (
+        kcore_first_noop,
+    )
+
+    und = [(0, 1), (1, 2), (2, 3)]
+    edges = und + [(b, a) for a, b in und]
+    e_df = spark.createDataFrame(edges, "src long, dst long")
+    # k=2 chain: r1 keeps {1,2}, r2 empties, r3 is the first no-op
+    assert kcore_first_noop(e_df, 2, 4) == 3
+    assert kcore_first_noop(e_df, 2, 2) == -1
+    # triangle is already a 2-core: round 1 changes nothing
+    tri = [(0, 1), (1, 2), (0, 2)]
+    tri_df = spark.createDataFrame(
+        tri + [(b, a) for a, b in tri], "src long, dst long"
+    )
+    assert kcore_first_noop(tri_df, 2, 2) == 1
+
+
+def test_lpa_first_noop_detects_period2_cycle_on_bipartite(spark):
+    from kol_bigdata_realtime_analytics_spark.operators.graph import lpa_first_noop
+
+    # 4-cycle (bipartite): synchronous LPA enters the period-2 limit cycle
+    # at round 3 (l3 == l1), never a fixpoint
+    und = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    e_df = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    assert lpa_first_noop(e_df, 5) == 3
+    assert lpa_first_noop(e_df, 2) == -1
+    # triangle: true fixpoint — all labels collapse to 0 by round 2, so the
+    # first no-op (l3 == l2) lands at round 3
+    tri = [(0, 1), (1, 2), (0, 2)]
+    tri_df = spark.createDataFrame(
+        tri + [(b, a) for a, b in tri], "src long, dst long"
+    )
+    assert lpa_first_noop(tri_df, 5) == 3
+
+
+def test_fwbw_first_noop_directed_cycle(spark):
+    from kol_bigdata_realtime_analytics_spark.operators.graph import fwbw_first_noop
+
+    edges = [(0, 1), (1, 2), (2, 0)]
+    e_df = spark.createDataFrame(edges, "src long, dst long")
+    piv = spark.createDataFrame([(0,)], "node long")
+    # both cones add one node per hop and stall at hop 3
+    assert fwbw_first_noop(e_df, piv, 5) == 3
+    assert fwbw_first_noop(e_df, piv, 2) == -1

@@ -394,8 +394,12 @@ def test_jsondir_writer_abort_leaves_committed_data(spark, tmp_path):
     # the grace window so a later janitor pass sweeps it.
     assert live in left
     assert stale not in left
+    from kol_bigdata_realtime_analytics_spark.sources.pydatasource import (
+        JANITOR_GRACE_SEC,
+    )
+
     for extra in left - {live}:
-        assert time.time() - os.path.getmtime(extra) < 3600, (
+        assert time.time() - os.path.getmtime(extra) < JANITOR_GRACE_SEC, (
             f"aged leftover {extra} survived the sweep"
         )
     assert spark.read.json(out + "/part-*.jsonl").count() == 6
