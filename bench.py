@@ -163,6 +163,7 @@ HEADLINE = [
     "skipgram_training_pairs",
     "knn_graph_build",
     "graph_fixpoint_budget_check",
+    "markov_removal_attribution",
 ]
 
 

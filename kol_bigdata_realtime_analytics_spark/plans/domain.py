@@ -936,3 +936,315 @@ def shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov removal-effect attribution (Anderl et al. 2014) — the third
+# standard attribution model after position rules and Shapley: journeys
+# are paths through a first-order Markov chain over channel states with
+# absorbing 'conv'/'noconv' ends, and a channel's credit is proportional
+# to how much the absorption probability into 'conv' DROPS when the
+# channel's state is removed (transitions into it diverted to 'noconv').
+# Unlike Shapley (set-based, order-blind), the chain sees touch ORDER.
+# ---------------------------------------------------------------------------
+
+_MK_CHANNELS = ["click", "error", "signup", "view"]
+#: log2 matrix squarings: horizon 2^6 = 64 steps. Per-step absorption on
+#: this grid leaves residual transient mass (1 - conv - noconv from
+#: 'start') ~(0.7)^64 < 1e-9 — below trunc6 visibility, emitted as
+#: residual_t6 so the horizon sufficiency is part of the hashed output.
+_MK_SQUARINGS = 6
+
+
+def _mk_transition_sql() -> str:
+    """Shared CTE head: per-(user, day) pre-conversion journeys ordered by
+    (ts, event_id), lead-derived transitions, integer count grid with
+    per-source totals, the 5 variant grids (base + one per removed
+    channel), and absorbing self-loops."""
+    chans = ", ".join(f"'{c}'" for c in _MK_CHANNELS)
+    removal_selects = []
+    for c in _MK_CHANNELS:
+        removal_selects.append(f"""
+  SELECT '{c}' AS variant, src,
+         CASE WHEN dst = '{c}' THEN 'noconv' ELSE dst END AS dst,
+         CAST(SUM(cnt) AS BIGINT) AS cnt, MAX(tot) AS tot
+  FROM grid WHERE src <> '{c}' GROUP BY 1, 2, 3""")
+    variants = " UNION ALL ".join(
+        ["SELECT 'base' AS variant, src, dst, cnt, tot FROM grid"]
+        + removal_selects
+    )
+    loops = " UNION ALL ".join(
+        f"SELECT '{v}', '{s}', '{s}', CAST(1 AS BIGINT), CAST(1 AS BIGINT)"
+        for v in ["base"] + _MK_CHANNELS
+        for s in ("conv", "noconv")
+    )
+    return f"""
+ev AS (
+  SELECT user_id, event_type, ts, event_id,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+  FROM events
+),
+cv AS (
+  SELECT user_id, day, MIN(ts) AS conv_ts FROM ev
+  WHERE event_type = 'purchase' GROUP BY user_id, day
+),
+touch AS (
+  SELECT e.user_id, e.day, e.event_type, e.ts, e.event_id,
+         CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END AS converted
+  FROM ev e LEFT JOIN cv c ON e.user_id = c.user_id AND e.day = c.day
+  WHERE e.event_type IN ({chans})
+    AND (c.conv_ts IS NULL OR e.ts < c.conv_ts)
+),
+seq AS (
+  SELECT user_id, day, event_type, converted,
+         ROW_NUMBER() OVER (PARTITION BY user_id, day
+                            ORDER BY ts, event_id) AS rn,
+         lead(event_type) OVER (PARTITION BY user_id, day
+                                ORDER BY ts, event_id) AS nxt
+  FROM touch
+),
+trans AS (
+  SELECT 'start' AS src, event_type AS dst FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT event_type, nxt FROM seq WHERE nxt IS NOT NULL
+  UNION ALL
+  SELECT event_type, CASE WHEN converted = 1 THEN 'conv' ELSE 'noconv' END
+  FROM seq WHERE nxt IS NULL
+),
+counts AS (
+  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS cnt FROM trans GROUP BY 1, 2
+),
+grid AS MATERIALIZED (
+  SELECT src, dst, cnt,
+         CAST(SUM(cnt) OVER (PARTITION BY src) AS BIGINT) AS tot
+  FROM counts
+),
+vgrid AS MATERIALIZED (
+  SELECT * FROM ({variants} UNION ALL {loops}) t(variant, src, dst, cnt, tot)
+),
+m0 AS MATERIALIZED (
+  SELECT variant, src, dst, CAST(cnt AS DOUBLE) / tot AS p FROM vgrid
+)"""
+
+
+def _mk_oracle_sql() -> str:
+    parts = ["WITH " + _mk_transition_sql().lstrip()]
+    for k in range(1, _MK_SQUARINGS + 1):
+        parts.append(f""",
+m{k} AS MATERIALIZED (
+  SELECT a.variant, a.src, b.dst,
+         CAST(SUM(CAST(a.p * b.p AS DECIMAL(28,12))) AS DOUBLE) AS p
+  FROM m{k - 1} a JOIN m{k - 1} b
+    ON a.variant = b.variant AND a.dst = b.src
+  GROUP BY 1, 2, 3
+)""")
+    mm = f"m{_MK_SQUARINGS}"
+    parts.append(f""",
+absorb AS (
+  SELECT variant,
+         COALESCE(MAX(CASE WHEN dst = 'conv' THEN p END), 0.0) AS p_conv,
+         COALESCE(MAX(CASE WHEN dst = 'noconv' THEN p END), 0.0) AS p_null
+  FROM {mm} WHERE src = 'start' GROUP BY variant
+),
+base AS (SELECT p_conv AS pb FROM absorb WHERE variant = 'base'),
+eff AS (
+  SELECT a.variant AS channel, a.p_conv, a.p_null, base.pb,
+         1.0 - a.p_conv / base.pb AS effect
+  FROM absorb a, base WHERE a.variant <> 'base'
+),
+tot_eff AS (
+  SELECT CAST(SUM(CAST(effect AS DECIMAL(28,12))) AS DOUBLE) AS te FROM eff
+)
+SELECT channel,
+       floor(pb * 1000000) / 1000000 AS p_conv_base_t6,
+       floor(p_conv * 1000000) / 1000000 AS p_conv_removed_t6,
+       floor(effect * 1000000) / 1000000 AS removal_effect_t6,
+       floor(effect / te * 1000000) / 1000000 AS credit_t6,
+       floor((1.0 - p_conv - p_null) * 1000000) / 1000000 AS residual_t6
+FROM eff, tot_eff
+ORDER BY channel""")
+    return "".join(parts).strip()
+
+
+@register("markov_removal_attribution", oracle=_mk_oracle_sql())
+def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution: first-order chain over channel
+    states ('start' -> touches ordered by (ts, event_id) -> absorbing
+    'conv'/'noconv'), transition probabilities = exact integer count
+    ratios from ONE corpus pass. Per channel, the chain is re-run with
+    that state removed (in-edges diverted to 'noconv', out-edges dropped)
+    and credit is proportional to 1 - P_removed(conv)/P(conv). Absorption
+    probabilities come from 6 matrix SQUARINGS (horizon 2^6 = 64 steps;
+    the transient residual mass is emitted as residual_t6, hashing the
+    horizon-sufficiency evidence). Order-sensitivity is what this model
+    adds over shapley_attribution's set-based view: at sf0.01 the two
+    models' normalized credit shares differ by >5 points on several
+    channels (Shapley concentrates on error/click, the chain is
+    near-uniform), and removal effects are nonnegative by construction
+    where Shapley marginals can go negative — both pinned in pytest
+    (test_markov_credits_diverge_from_shapley).
+
+    Determinism: grid entries are exact integer (cnt, tot) pairs until
+    ONE IEEE division; every squaring sums its products in
+    DECIMAL(28,12) (order-proof); outputs trunc6.
+
+    Scale shape: one corpus window pass (lead over (user, day) journeys)
+    + one grid aggregation; everything after runs on a <=49-cells-per-
+    variant literal-sized grid x 5 variants — the Shapley 32-row-lattice
+    discipline. Channel count bounds the grid quadratically (~(n+3)^2
+    cells), not the corpus; squaring count grows log2(horizon)."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+    )
+    cv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "day")
+        .agg(F.min("ts").alias("conv_ts"))
+    )
+    touch = (
+        ev.filter(F.col("event_type").isin(_MK_CHANNELS))
+        .join(cv, ["user_id", "day"], "left")
+        .filter(F.col("conv_ts").isNull() | (F.col("ts") < F.col("conv_ts")))
+        .select(
+            "user_id",
+            "day",
+            "event_type",
+            "ts",
+            "event_id",
+            F.when(F.col("conv_ts").isNotNull(), 1).otherwise(0).alias("converted"),
+        )
+    )
+    w = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    seq = touch.select(
+        "event_type",
+        "converted",
+        F.row_number().over(w).alias("rn"),
+        F.lead("event_type").over(w).alias("nxt"),
+    )
+    trans = (
+        seq.filter(F.col("rn") == 1)
+        .select(F.lit("start").alias("src"), F.col("event_type").alias("dst"))
+        .unionByName(
+            seq.filter(F.col("nxt").isNotNull()).select(
+                F.col("event_type").alias("src"), F.col("nxt").alias("dst")
+            )
+        )
+        .unionByName(
+            seq.filter(F.col("nxt").isNull()).select(
+                F.col("event_type").alias("src"),
+                F.when(F.col("converted") == 1, F.lit("conv"))
+                .otherwise(F.lit("noconv"))
+                .alias("dst"),
+            )
+        )
+    )
+    counts = trans.groupBy("src", "dst").agg(F.count("*").alias("cnt"))
+    grid = counts.select(
+        "src",
+        "dst",
+        "cnt",
+        F.sum("cnt").over(Window.partitionBy("src")).alias("tot"),
+    ).localCheckpoint(eager=True)
+    spark_ = grid.sparkSession
+    frames = [grid.select(F.lit("base").alias("variant"), "src", "dst", "cnt", "tot")]
+    for c in _MK_CHANNELS:
+        frames.append(
+            grid.filter(F.col("src") != c)
+            .select(
+                F.lit(c).alias("variant"),
+                "src",
+                F.when(F.col("dst") == c, F.lit("noconv"))
+                .otherwise(F.col("dst"))
+                .alias("dst"),
+                "cnt",
+                "tot",
+            )
+            .groupBy("variant", "src", "dst")
+            .agg(F.sum("cnt").alias("cnt"), F.max("tot").alias("tot"))
+        )
+    loops = spark_.createDataFrame(
+        [
+            (v, s, s, 1, 1)
+            for v in ["base"] + _MK_CHANNELS
+            for s in ("conv", "noconv")
+        ],
+        "variant string, src string, dst string, cnt long, tot long",
+    )
+    vgrid = frames[0]
+    for f_ in frames[1:]:
+        vgrid = vgrid.unionByName(f_)
+    vgrid = vgrid.unionByName(loops)
+    m = vgrid.select(
+        "variant", "src", "dst", (F.col("cnt").cast("double") / F.col("tot")).alias("p")
+    ).localCheckpoint(eager=True)
+    for _ in range(_MK_SQUARINGS):
+        a = m.select(
+            F.col("variant").alias("v"), F.col("src").alias("a_src"),
+            F.col("dst").alias("mid"), F.col("p").alias("pa"),
+        )
+        b = m.select(
+            F.col("variant").alias("v"), F.col("src").alias("mid"),
+            F.col("dst").alias("b_dst"), F.col("p").alias("pb"),
+        )
+        m = (
+            a.join(b, ["v", "mid"])
+            .groupBy(
+                F.col("v").alias("variant"),
+                F.col("a_src").alias("src"),
+                F.col("b_dst").alias("dst"),
+            )
+            .agg(
+                F.sum((F.col("pa") * F.col("pb")).cast("decimal(28,12)"))
+                .cast("double")
+                .alias("p")
+            )
+            .localCheckpoint(eager=True)
+        )
+    absorb = (
+        m.filter(F.col("src") == "start")
+        .groupBy("variant")
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("dst") == "conv", F.col("p"))), F.lit(0.0)
+            ).alias("p_conv"),
+            F.coalesce(
+                F.max(F.when(F.col("dst") == "noconv", F.col("p"))), F.lit(0.0)
+            ).alias("p_null"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    base = absorb.filter(F.col("variant") == "base").select(
+        F.col("p_conv").alias("pb")
+    )
+    eff = (
+        absorb.filter(F.col("variant") != "base")
+        .crossJoin(F.broadcast(base))
+        .select(
+            F.col("variant").alias("channel"),
+            "p_conv",
+            "p_null",
+            "pb",
+            (F.lit(1.0) - F.col("p_conv") / F.col("pb")).alias("effect"),
+        )
+    )
+    tot_eff = eff.agg(
+        F.sum(F.col("effect").cast("decimal(28,12)")).cast("double").alias("te")
+    )
+    return (
+        eff.crossJoin(F.broadcast(tot_eff))
+        .select(
+            "channel",
+            trunc6(F.col("pb")).alias("p_conv_base_t6"),
+            trunc6(F.col("p_conv")).alias("p_conv_removed_t6"),
+            trunc6(F.col("effect")).alias("removal_effect_t6"),
+            trunc6(F.col("effect") / F.col("te")).alias("credit_t6"),
+            trunc6(F.lit(1.0) - F.col("p_conv") - F.col("p_null")).alias(
+                "residual_t6"
+            ),
+        )
+        .orderBy("channel")
+    )
