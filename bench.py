@@ -164,6 +164,9 @@ HEADLINE = [
     "knn_graph_build",
     "graph_fixpoint_budget_check",
     "markov_removal_attribution",
+    "kneser_ney_xent_scores",
+    "url_canonical_dedup",
+    "streaming_quantile_sketch",
 ]
 
 

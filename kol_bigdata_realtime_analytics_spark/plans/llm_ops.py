@@ -4584,6 +4584,359 @@ def bigram_xent_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Kneser-Ney smoothed bigram LM cross-entropy — the canonical rung above
+# Jelinek-Mercer for perplexity filtering (Kneser & Ney 1995; Chen &
+# Goodman 1999 found interpolated KN best-in-class among classic n-gram
+# smoothers): absolute discounting of observed bigram mass, redistributed
+# via CONTINUATION counts — p_cont(w) ∝ how many distinct predecessors w
+# follows, not how often w occurs, which is what distinguishes a genuinely
+# versatile token from one frequent in a single collocation.
+# ---------------------------------------------------------------------------
+
+#: absolute discount; the standard literal (Chen & Goodman's fixed-D
+#: variant), binary-exact so c - D is one IEEE subtract in both engines.
+_KN_D = 0.75
+
+_KN_XENT_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts
+  FROM documents WHERE trim(COALESCE(text, '')) != ''
+),
+tok AS (
+  SELECT doc_id, unnest(ts) AS t, generate_subscripts(ts, 1) AS i FROM toks
+),
+big AS (
+  SELECT a.doc_id, a.t AS w1, b.t AS w2
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+),
+cb AS MATERIALIZED (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM big GROUP BY w1, w2),
+cw AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS n1 FROM cb GROUP BY w1),
+fw AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS nf FROM cb GROUP BY w1),
+bw AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS nb FROM cb GROUP BY w2),
+nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM cb),
+db AS (SELECT doc_id, w1, w2, COUNT(*) AS k FROM big GROUP BY doc_id, w1, w2)
+SELECT db.doc_id,
+       CAST(SUM(db.k) AS BIGINT) AS n_bigrams,
+       floor((CAST(SUM(CAST(db.k * -ln(
+                 GREATEST(CAST(cb.c AS DOUBLE) - 0.75, 0.0) / cw.n1
+               + ((0.75 * CAST(fw.nf AS DOUBLE)) / cw.n1)
+                 * (CAST(bw.nb AS DOUBLE) / nt.nt))
+               AS DECIMAL(28,12))) AS DOUBLE)
+              / SUM(db.k)) * 1000000) / 1000000 AS xent_nats
+FROM db
+  JOIN cb ON db.w1 = cb.w1 AND db.w2 = cb.w2
+  JOIN cw ON db.w1 = cw.w1
+  JOIN fw ON db.w1 = fw.w1
+  JOIN bw ON db.w2 = bw.w2, nt
+GROUP BY db.doc_id
+""".strip()
+
+
+@register("kneser_ney_xent_scores", oracle=_KN_XENT_ORACLE)
+def kneser_ney_xent_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean -ln p_KN(w_i | w_{i-1}) per document under an interpolated
+    Kneser-Ney bigram model (absolute discount D=0.75) trained on the
+    corpus in the same plan:
+
+      p_KN(w2|w1) = max(c(w1,w2) - D, 0)/c(w1.)
+                  + (D * N1+(w1.)/c(w1.)) * (N1+(.w2) / N1+(..))
+
+    The continuation distribution N1+(.w2)/N1+(..) — distinct-predecessor
+    counts, not token frequencies — is what JM's unigram fallback lacks:
+    a token frequent only inside one collocation ("Francisco") gets a LOW
+    continuation probability however high its unigram count, so KN ranks
+    singleton-transition-heavy documents differently from
+    bigram_xent_scores (pinned in pytest on a planted two-doc corpus
+    where the KN and JM orderings INVERT).
+
+    Determinism: all model quantities are exact integer counts widened to
+    double, D is binary-exact, the discount/backoff expression is written
+    with identical association in both engines, per-event -ln terms sum
+    in DECIMAL(28,12), mean trunc6'd — the bigram_xent discipline.
+
+    Scale shape: identical to bigram_xent_scores — zero-shuffle
+    transform/slice bigram extraction, model frames keyed by VOCABULARY
+    (cb/cw/fw/bw aggregations), one scoring join stream; the two extra
+    model frames (forward/backward type counts) are vocabulary-sized
+    rollups of cb, adding no corpus-keyed work."""
+    from kol_bigdata_realtime_analytics_spark.functions.text import tokens
+    from kol_bigdata_realtime_analytics_spark.plans.domain import trunc6
+
+    docs = table(spark, sf_dir, "documents").filter(
+        F.trim(F.coalesce("text", F.lit(""))) != ""
+    )
+    big = docs.select("doc_id", tokens("text").alias("ts")).filter(
+        F.size("ts") >= 2
+    ).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(ts, 1, size(ts) - 1),"
+                " (w, i) -> struct(w AS w1, ts[i + 1] AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    cb = big.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    cb = cb.localCheckpoint(eager=False)  # feeds cw/fw/bw + the scoring join
+    cw = cb.groupBy("w1").agg(F.sum("c").alias("n1"))
+    fw = cb.groupBy("w1").agg(F.count("*").alias("nf"))
+    bw = cb.groupBy("w2").agg(F.count("*").alias("nb"))
+    nt = cb.agg(F.count("*").alias("nt"))
+    db = big.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("k"))
+    d = _KN_D
+    p = F.greatest(F.col("c").cast("double") - F.lit(d), F.lit(0.0)) / F.col(
+        "n1"
+    ) + ((F.lit(d) * F.col("nf").cast("double")) / F.col("n1")) * (
+        F.col("nb").cast("double") / F.col("nt")
+    )
+    return (
+        db.join(cb, ["w1", "w2"])
+        .join(cw, "w1")
+        .join(fw, "w1")
+        .join(bw, "w2")
+        .crossJoin(F.broadcast(nt))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("long").alias("n_bigrams"),
+            trunc6(
+                F.sum((F.col("k") * -F.log(p)).cast("decimal(28,12)")).cast(
+                    "double"
+                )
+                / F.sum("k")
+            ).alias("xent_nats"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + host-level crawl dedup — the first operator every
+# web-scale ingest runs (pairs with the WarcishDataSource): normalize
+# scheme/host case, strip default ports and trailing slashes, sort query
+# params — ONE native expression chain, no UDF — then per-host page
+# counts, alias collapse, cross-host mirrored paths, and cross-host
+# exact-content duplicates. The corpus has no URL column, so messy URLs
+# are SYNTHESIZED deterministically per doc (the warcish/detrange
+# discipline: both engines derive identical inputs, so the canonicalizer
+# is exercised end-to-end on planted alias variants and the hash
+# certifies they collapse).
+# ---------------------------------------------------------------------------
+
+_URL_SYNTH_SQL = """
+  (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END) || '://'
+  || (CASE WHEN doc_id % 3 = 0
+           THEN upper('www.' || source || '.example')
+           ELSE 'www.' || source || '.example' END)
+  || (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END)
+  || '/docs/' || CAST(doc_id // 40 AS VARCHAR)
+  || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+  || (CASE WHEN doc_id % 2 = 0 THEN '?b=2&a=1' ELSE '?a=1&b=2' END)
+""".strip()
+
+_URL_DEDUP_ORACLE = f"""
+WITH raw AS (
+  SELECT doc_id, {DOC_FINGERPRINT_ORACLE_SQL.format(col="text")} AS fp,
+         {_URL_SYNTH_SQL} AS url
+  FROM documents WHERE trim(COALESCE(text, '')) != ''
+),
+c1 AS (
+  SELECT doc_id, fp,
+         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1))
+           AS scheme,
+         regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://', '') AS rest
+  FROM raw
+),
+c2 AS (
+  SELECT *, lower(regexp_extract(rest, '^([^/?#]*)', 1)) AS hostport,
+         regexp_replace(rest, '^[^/?#]*', '') AS tail
+  FROM c1
+),
+c3 AS (
+  SELECT doc_id, fp, scheme,
+         CASE WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+              WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+              ELSE hostport END AS host,
+         regexp_extract(tail, '^([^?#]*)', 1) AS path,
+         regexp_extract(tail, '\\?([^#]*)', 1) AS q
+  FROM c2
+),
+c4 AS (
+  SELECT doc_id, fp, host,
+         CASE WHEN path = '' THEN '/'
+              ELSE COALESCE(NULLIF(regexp_replace(path, '/+$', ''), ''), '/')
+              END
+         || CASE WHEN q = '' THEN ''
+                 ELSE '?' || list_aggr(list_sort(string_split(q, '&')),
+                                       'string_agg', '&') END AS pq,
+         scheme AS sch
+  FROM c3
+),
+pages AS MATERIALIZED (
+  SELECT doc_id, fp, host, sch || '://' || host || pq AS curl, pq FROM c4
+),
+mirror AS (
+  SELECT pq FROM (
+    SELECT pq, COUNT(DISTINCT host) AS nh FROM pages GROUP BY pq
+  ) WHERE nh > 1
+),
+xdup AS (
+  SELECT fp FROM (
+    SELECT fp, COUNT(DISTINCT host) AS nh FROM pages GROUP BY fp
+  ) WHERE nh > 1
+)
+SELECT p.host,
+       CAST(COUNT(*) AS BIGINT) AS n_pages,
+       CAST(COUNT(DISTINCT p.curl) AS BIGINT) AS n_canonical,
+       CAST(COUNT(*) - COUNT(DISTINCT p.curl) AS BIGINT)
+         AS n_aliases_collapsed,
+       CAST(COUNT(DISTINCT CASE WHEN m.pq IS NOT NULL THEN p.pq END)
+            AS BIGINT) AS n_mirrored_paths,
+       CAST(SUM(CASE WHEN x.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_xdup_docs
+FROM pages p
+  LEFT JOIN mirror m ON p.pq = m.pq
+  LEFT JOIN xdup x ON p.fp = x.fp
+GROUP BY p.host
+ORDER BY p.host
+""".strip()
+
+
+@register("url_canonical_dedup", oracle=_URL_DEDUP_ORACLE)
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalize one messy URL per document — scheme/host lowercased,
+    default :443/:80 stripped, trailing slashes collapsed (root '/'
+    preserved), query params sorted — with ONE chain of native
+    regexp/split/sort expressions (no UDF), then the crawl-frontier
+    rollup: per canonical host, raw page count, distinct canonical URLs,
+    aliases collapsed (planted case/port/slash/param-order variants — the
+    hash certifies they merge), paths mirrored on other hosts (the
+    mirror-site signal; same /docs/{g} path lands on several source
+    hosts by construction, non-vacuous at every sf), and docs whose exact
+    content fingerprint appears on another host (non-vacuous at sf0.1,
+    where the corpus plants cross-source exact duplicates; 0 below).
+
+    URLs are synthesized deterministically from (doc_id, source) in BOTH
+    engines — the corpus ships no URL column — so the canonicalizer, not
+    the synthesis, is what the oracle certifies: the SQL re-derives the
+    same messy strings and re-canonicalizes them with DuckDB's own
+    regexp/list functions.
+
+    Scale shape: synthesis and canonicalization live in the scan
+    projection (zero shuffles); the rollup is one groupBy(host) plus two
+    key-grouped marker frames (mirrored paths, duplicated fingerprints)
+    equi-joined back — every stage keyed, nothing pairwise. Reference
+    analog: the scrapers' ad-hoc URL handling
+    (ingestion/sources/kol_scraper.py)."""
+    from kol_bigdata_realtime_analytics_spark.functions.text import (
+        doc_fingerprint_md5,
+    )
+
+    docs = table(spark, sf_dir, "documents").filter(
+        F.trim(F.coalesce("text", F.lit(""))) != ""
+    )
+    base_host = F.concat(F.lit("www."), F.col("source"), F.lit(".example"))
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("HTTPS")).otherwise(
+            F.lit("https")
+        ),
+        F.lit("://"),
+        F.when(F.col("doc_id") % 3 == 0, F.upper(base_host)).otherwise(
+            base_host
+        ),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/docs/"),
+        F.expr("cast(doc_id div 40 as string)"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("?b=2&a=1")).otherwise(
+            F.lit("?a=1&b=2")
+        ),
+    )
+    raw = docs.select(
+        "doc_id", doc_fingerprint_md5(F.col("text")).alias("fp"), url.alias("url")
+    )
+    c1 = raw.select(
+        "doc_id",
+        "fp",
+        F.lower(
+            F.regexp_extract("url", r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1)
+        ).alias("scheme"),
+        F.regexp_replace("url", r"^[A-Za-z][A-Za-z0-9+.\-]*://", "").alias(
+            "rest"
+        ),
+    )
+    c2 = c1.select(
+        "doc_id",
+        "fp",
+        "scheme",
+        F.lower(F.regexp_extract("rest", r"^([^/?#]*)", 1)).alias("hostport"),
+        F.regexp_replace("rest", r"^[^/?#]*", "").alias("tail"),
+    )
+    c3 = c2.select(
+        "doc_id",
+        "fp",
+        "scheme",
+        F.when(
+            F.col("scheme") == "https",
+            F.regexp_replace("hostport", r":443$", ""),
+        )
+        .when(F.col("scheme") == "http", F.regexp_replace("hostport", r":80$", ""))
+        .otherwise(F.col("hostport"))
+        .alias("host"),
+        F.regexp_extract("tail", r"^([^?#]*)", 1).alias("path"),
+        F.regexp_extract("tail", r"\?([^#]*)", 1).alias("q"),
+    )
+    path_norm = F.when(F.col("path") == "", F.lit("/")).otherwise(
+        F.coalesce(
+            F.nullif(F.regexp_replace("path", r"/+$", ""), F.lit("")),
+            F.lit("/"),
+        )
+    )
+    q_norm = F.when(F.col("q") == "", F.lit("")).otherwise(
+        F.concat(F.lit("?"), F.array_join(F.array_sort(F.split("q", "&")), "&"))
+    )
+    pages = c3.select(
+        "doc_id",
+        "fp",
+        "host",
+        F.concat(path_norm, q_norm).alias("pq"),
+        F.concat(F.col("scheme"), F.lit("://"), F.col("host"), path_norm, q_norm)
+        .alias("curl"),
+    ).localCheckpoint(eager=False)  # feeds the rollup + two marker frames
+    mirror = (
+        pages.groupBy("pq")
+        .agg(F.countDistinct("host").alias("nh"))
+        .filter(F.col("nh") > 1)
+        .select("pq", F.lit(1).alias("mirrored"))
+    )
+    xdup = (
+        pages.groupBy("fp")
+        .agg(F.countDistinct("host").alias("nh"))
+        .filter(F.col("nh") > 1)
+        .select("fp", F.lit(1).alias("dup"))
+    )
+    return (
+        pages.join(mirror, "pq", "left")
+        .join(xdup, "fp", "left")
+        .groupBy("host")
+        .agg(
+            F.count("*").cast("long").alias("n_pages"),
+            F.countDistinct("curl").cast("long").alias("n_canonical"),
+            (F.count("*") - F.countDistinct("curl"))
+            .cast("long")
+            .alias("n_aliases_collapsed"),
+            F.countDistinct(
+                F.when(F.col("mirrored").isNotNull(), F.col("pq"))
+            )
+            .cast("long")
+            .alias("n_mirrored_paths"),
+            F.sum(F.when(F.col("dup").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_xdup_docs"),
+        )
+        .orderBy("host")
+    )
+
+
+# ---------------------------------------------------------------------------
 # 1-bit binary quantization ANN — the most aggressive rung of the memory
 # ladder (float32 -> int8 -> PQ -> sign bits): 64 dims pack into two longs
 # and candidate generation is xor+popcount, fully integer, so unlike every

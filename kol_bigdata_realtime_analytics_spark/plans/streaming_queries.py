@@ -1001,3 +1001,197 @@ def streaming_approx_distinct_check(spark: SparkSession, sf_dir: str) -> DataFra
             ).alias("rel_err_t6"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming quantiles with bounded state — fixed 256-bin histogram per
+# event_type in applyInPandasWithState (streaming/quantiles.py). The fold
+# is pure integer addition (associative, commutative), so like the HLL
+# registers — and unlike the Misra-Gries candidate set — the streamed
+# state is bit-identical under any chunking and the STREAMING query gets
+# a FULL hash oracle: DuckDB re-derives the identical bin counts.
+# ---------------------------------------------------------------------------
+
+
+def _sq_oracle_hist() -> str:
+    from kol_bigdata_realtime_analytics_spark.streaming.quantiles import bin_sql
+
+    return f"""
+hist AS MATERIALIZED (
+  SELECT event_type, {bin_sql("value")} AS bin_idx,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+)"""
+
+
+def _sq_run(spark: SparkSession, sf_dir: str, mem_name: str) -> DataFrame:
+    from kol_bigdata_realtime_analytics_spark.streaming.quantiles import (
+        bin_col,
+        quantile_stream,
+    )
+
+    _require_single_file_replay(sf_dir, "streaming_quantile_sketch")
+    binned = events_stream_source(spark, sf_dir).select(
+        "event_type", bin_col(F.col("value")).alias("bin_idx")
+    )
+    _run_to_memory(quantile_stream(binned), mem_name, output_mode="update")
+    return spark.table(mem_name)
+
+
+@register(
+    "streaming_quantile_sketch",
+    oracle=f"""
+    WITH {_sq_oracle_hist().lstrip()}
+    SELECT event_type, bin_idx, cnt FROM hist ORDER BY event_type, bin_idx
+    """,
+)
+def streaming_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL bounded-state streaming quantile sketch: per event_type, the
+    nonzero cells of the fixed 256-bin value histogram the
+    applyInPandasWithState operator holds (state O(256) longs per key at
+    ANY stream length; literal [0, $1024) domain in integer cents —
+    adaptive bounds would make state order-dependent). Integer count
+    folding is chunking-invariant (Hypothesis-pinned), so this STREAMING
+    query is hash-green directly against a DuckDB oracle that re-derives
+    the same bins via the ROUND(x*100) cents idiom
+    distributed_kth_element certified."""
+    return _sq_run(spark, sf_dir, "sq_mem").orderBy("event_type", "bin_idx")
+
+
+#: (label, numerator, denominator): discrete quantile k = ceil(q * n),
+#: computed as exact integer (q_num*n + q_den - 1) // q_den
+_SQ_QUANTILES = [("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)]
+
+
+def _sq_check_oracle() -> str:
+    from kol_bigdata_realtime_analytics_spark.streaming.quantiles import (
+        BIN_WIDTH,
+        LO_CENTS,
+    )
+
+    q_rows = ", ".join(f"('{lb}', {n}, {d})" for lb, n, d in _SQ_QUANTILES)
+    return f"""
+    WITH {_sq_oracle_hist().lstrip()},
+    qs(q_label, q_num, q_den) AS (VALUES {q_rows}),
+    n AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n FROM hist GROUP BY 1),
+    ks AS (
+      SELECT n.event_type, qs.q_label, n.n,
+             (qs.q_num * n.n + qs.q_den - 1) // qs.q_den AS k
+      FROM n, qs
+    ),
+    cum AS (
+      SELECT event_type, bin_idx,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin_idx) AS cum
+      FROM hist
+    ),
+    est AS (
+      SELECT ks.event_type, ks.q_label, ks.n, ks.k,
+             {LO_CENTS} + MIN(cum.bin_idx) * {BIN_WIDTH} AS est_cents
+      FROM ks JOIN cum ON cum.event_type = ks.event_type AND cum.cum >= ks.k
+      GROUP BY 1, 2, 3, 4
+    ),
+    vals AS (
+      SELECT event_type,
+             CAST(ROUND(CAST(value AS DOUBLE) * 100) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY CAST(ROUND(CAST(value AS DOUBLE) * 100)
+                                              AS BIGINT)) AS rn
+      FROM events
+    ),
+    exact AS (
+      SELECT e.event_type, e.q_label, e.n, e.k, e.est_cents,
+             v.cents AS exact_cents
+      FROM est e JOIN vals v ON v.event_type = e.event_type AND v.rn = e.k
+    )
+    SELECT event_type, q_label, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+           CAST(est_cents AS BIGINT) AS est_cents,
+           exact_cents,
+           CAST({BIN_WIDTH} AS BIGINT) AS bin_width_cents,
+           (exact_cents >= est_cents AND exact_cents < est_cents + {BIN_WIDTH})
+             AS within_bound
+    FROM exact ORDER BY event_type, q_label
+    """
+
+
+@register("streaming_quantile_check", oracle=_sq_check_oracle())
+def streaming_quantile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-bound certificate for the streaming quantile sketch: per
+    (event_type, quantile in {p50, p90, p99}), the histogram estimate
+    (lower edge of the bin where the cumulative count crosses k =
+    ceil(q*n), exact integer k) AND the exact k-th smallest value, under
+    one hash — with within_bound certifying the defining histogram
+    guarantee est <= exact < est + bin_width (the k-th element lies in
+    the bin the estimate names). Every quantity is integer cents; the
+    exact leg is the definitional ORDER BY/row_number form, fine at this
+    harness scale — at 100 TB the exact leg is what
+    distributed_kth_element replaces with histogram refinement."""
+    from kol_bigdata_realtime_analytics_spark.streaming.quantiles import (
+        BIN_WIDTH,
+        LO_CENTS,
+    )
+    from pyspark.sql import Window
+
+    hist = _sq_run(spark, sf_dir, "sq_check_mem").localCheckpoint(eager=True)
+    qs = spark.createDataFrame(
+        _SQ_QUANTILES, "q_label string, q_num long, q_den long"
+    )
+    n = hist.groupBy("event_type").agg(F.sum("cnt").cast("long").alias("n"))
+    ks = n.crossJoin(F.broadcast(qs)).select(
+        "event_type",
+        "q_label",
+        "n",
+        (
+            (F.col("q_num") * F.col("n") + F.col("q_den") - 1) / F.col("q_den")
+        )
+        .cast("long")
+        .alias("k"),
+    )
+    cum = hist.select(
+        "event_type",
+        "bin_idx",
+        F.sum("cnt")
+        .over(Window.partitionBy("event_type").orderBy("bin_idx"))
+        .alias("cum"),
+    )
+    est = (
+        ks.join(cum, "event_type")
+        .filter(F.col("cum") >= F.col("k"))
+        .groupBy("event_type", "q_label", "n", "k")
+        .agg(
+            (F.lit(LO_CENTS) + F.min("bin_idx") * F.lit(BIN_WIDTH)).alias(
+                "est_cents"
+            )
+        )
+    )
+    vals = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value").cast("double") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("event_type").orderBy("cents")
+    ranked = vals.select(
+        "event_type", "cents", F.row_number().over(w).alias("rn")
+    )
+    exact = est.join(
+        ranked,
+        (est["event_type"] == ranked["event_type"]) & (F.col("rn") == F.col("k")),
+    ).select(
+        est["event_type"],
+        "q_label",
+        "n",
+        "k",
+        "est_cents",
+        F.col("cents").alias("exact_cents"),
+    )
+    return exact.select(
+        "event_type",
+        "q_label",
+        "n",
+        "k",
+        F.col("est_cents").cast("long").alias("est_cents"),
+        "exact_cents",
+        F.lit(BIN_WIDTH).cast("long").alias("bin_width_cents"),
+        (
+            (F.col("exact_cents") >= F.col("est_cents"))
+            & (F.col("exact_cents") < F.col("est_cents") + F.lit(BIN_WIDTH))
+        ).alias("within_bound"),
+    ).orderBy("event_type", "q_label")

@@ -1612,3 +1612,37 @@ def test_markov_credits_diverge_from_shapley(spark):
     assert mk_tot > 0 and sh_tot != 0
     max_gap = max(abs(mk[c] / mk_tot - sh[c] / sh_tot) for c in mk)
     assert max_gap > 0.01, (mk, sh)
+
+
+def test_kneser_ney_ranks_unlike_jelinek_mercer(spark, tmp_path):
+    """The continuation-count signal KN exists for, on a planted corpus:
+    doc A's singleton transition lands on 'francisco' (HIGH unigram count
+    from the 'san francisco' collocation, but only 2 distinct
+    predecessors), doc B's lands on 'the' (lower unigram count, 21
+    distinct predecessors). JM's unigram fallback scores A better; KN's
+    continuation distribution scores B better — the orderings INVERT."""
+    import pandas as pd
+
+    from kol_bigdata_realtime_analytics_spark.plans import REGISTRY
+
+    rows = [(1, "of francisco"), (2, "of the")]
+    rows += [(100, " ".join(["san francisco"] * 50))]
+    rows += [(200 + i, f"aa{i} the") for i in range(20)]
+    rows += [(300 + i, f"of xx{i}") for i in range(20)]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+        f"{sf_dir}/documents.parquet"
+    )
+    jm = {
+        r["doc_id"]: r["xent_nats"]
+        for r in REGISTRY["bigram_xent_scores"].fn(spark, sf_dir).collect()
+    }
+    kn = {
+        r["doc_id"]: r["xent_nats"]
+        for r in REGISTRY["kneser_ney_xent_scores"].fn(spark, sf_dir).collect()
+    }
+    # JM: A (rare transition onto a frequent token) beats B
+    assert jm[1] < jm[2], jm
+    # KN: B (transition onto a VERSATILE token) beats A — inverted
+    assert kn[2] < kn[1], kn

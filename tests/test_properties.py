@@ -747,3 +747,35 @@ def test_approx_distinct_hash_three_way_parity(spark):
     reg_c, rho_c = reg_rho_cols(F.col("u"))
     sp = [tuple(r) for r in df.select("u", reg_c, rho_c).orderBy("u").collect()]
     assert py == sp
+
+
+@settings(max_examples=80, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    bins=st.lists(st.integers(min_value=0, max_value=255), min_size=1, max_size=400),
+    n_chunks=st.integers(min_value=1, max_value=6),
+    seed=st.integers(min_value=0, max_value=10**6),
+)
+def test_streaming_quantile_histogram_chunking_invariance(bins, n_chunks, seed):
+    """The streaming quantile state's pure core (per-bin integer count
+    fold) is bit-identical under ARBITRARY chunk boundaries AND arbitrary
+    within-stream permutation — addition is associative and commutative —
+    so streaming_quantile_sketch's full hash oracle is sound whatever the
+    micro-batch/Arrow chunking. Also pins the state bound: exactly N_BINS
+    counters whatever the stream length."""
+    import random
+
+    from kol_bigdata_realtime_analytics_spark.streaming.quantiles import (
+        N_BINS,
+        fold_bins,
+    )
+
+    whole = fold_bins([bins])
+    bounds = sorted(
+        {0, len(bins)} | set(range(0, len(bins), max(1, len(bins) // n_chunks)))
+    )
+    shuffled = list(bins)
+    random.Random(seed).shuffle(shuffled)
+    chunks = [shuffled[a:b] for a, b in zip(bounds, bounds[1:]) if b > a]
+    assert fold_bins(chunks) == whole
+    assert len(whole) == N_BINS
+    assert sum(whole) == len(bins)
