@@ -167,6 +167,7 @@ HEADLINE = [
     "kneser_ney_xent_scores",
     "url_canonical_dedup",
     "streaming_quantile_sketch",
+    "nn_descent_round",
 ]
 
 

@@ -407,6 +407,9 @@ def test_no_unexpected_nested_loop_joins(spark, sf_oracle):
         "ann_lsh_multiprobe_recall_check",  # brute-force reference + 1-row hit totals
         "knn_graph_recall_check",   # brute-force reference (5-query broadcast x corpus) + 1-row hit-total crosses
         "markov_removal_attribution",  # broadcast 1-row base-P(conv) + 1-row effect-total crosses into the 4-row credit frame
+        "nn_descent_gain_check",    # brute-force reference (5-query broadcast x corpus) + 1-row sum/hit-total crosses
+        "kneser_ney_xent_scores",   # broadcast 1-row bigram-type total (nt) into the scoring stream
+        "streaming_quantile_check",  # broadcast 3-row quantile spine x 5-row per-key count frame
         "t_closeness_audit",        # class grid cross: 125 classes x ~13-band spine + scalar totals
         "equiheight_histogram_check",  # broadcast 3 predicate literals x scan (truth leg) + 8-row histogram
         "streaming_approx_distinct_check",  # broadcast 1-row exact-distinct total
