@@ -5579,13 +5579,23 @@ def knn_graph_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _nn_descent_cand_sql(head: str) -> str:
     """CTE chain from the knn graph to the reranked refined graph."""
+    # set-ops live INSIDE subqueries, never CTE-top-level: under the WITH
+    # RECURSIVE prefix semdedup_graph_clusters needs, DuckDB reinterprets
+    # a top-level `q1 UNION q2` CTE body through recursive-union rules
+    # even when the CTE never references itself (measured: cand 7498 ->
+    # 15756 rows), silently changing the result
     return f"""{head},
 g AS MATERIALIZED (SELECT q_id AS a, c_id AS b FROM knn),
-u AS MATERIALIZED (SELECT a, b FROM g UNION SELECT b, a FROM g),
+u AS MATERIALIZED (
+  SELECT DISTINCT a, b FROM (
+    SELECT a, b FROM g UNION ALL SELECT b, a FROM g) t
+),
 cand AS MATERIALIZED (
-  SELECT a, b FROM g
-  UNION
-  SELECT u1.a, u2.b FROM u u1 JOIN u u2 ON u1.b = u2.a WHERE u2.b <> u1.a
+  SELECT DISTINCT a, b FROM (
+    SELECT a, b FROM g
+    UNION ALL
+    SELECT u1.a, u2.b FROM u u1 JOIN u u2 ON u1.b = u2.a WHERE u2.b <> u1.a
+  ) t
 ),
 resc AS (
   SELECT cand.a AS q_id, cand.b AS c_id,
@@ -5809,6 +5819,104 @@ def nn_descent_gain_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             "init_hits",
             "refined_hits",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Graph-based SemDeDup — the third consumer of the k-NN graph stack
+# (after the recall check and NN-descent): threshold the refined graph's
+# edges at the corpus' near-dup cosine, close them into components
+# (pointer-doubling CC), and report the duplicate-cluster size histogram
+# — the numbers a dedup run reads before deleting. Complements
+# semantic_dedup_survivors (k-means-cluster-blocked SemDeDup): the graph
+# variant needs no cluster count hyperparameter and inherits the
+# LSH-seeded graph's linear candidate generation.
+# ---------------------------------------------------------------------------
+
+#: near-dup cosine threshold; this corpus' planted embedding near-dups
+#: sit just above 0.35 and nothing exceeds 0.5 (measured — same literal
+#: as embedding_neardup_pairs), so 0.35 is the non-vacuous choice at
+#: every sf.
+_SEMG_T = 0.35
+
+
+def _semg_oracle(sf_dir: str) -> str:
+    head = _knn_oracle_base_sql(sf_dir, _KNN_PROBE_BITS).format(q_where="")
+    return f"""
+    WITH RECURSIVE {_nn_descent_cand_sql(head.lstrip()).lstrip()},
+    sd_edges AS MATERIALIZED (
+      SELECT q_id AS a, c_id AS b FROM rtop
+      WHERE cosine >= {_SEMG_T} AND q_id < c_id
+      GROUP BY 1, 2
+    ),
+    sedge AS (
+      SELECT src, dst FROM (
+        SELECT a AS src, b AS dst FROM sd_edges
+        UNION ALL SELECT b, a FROM sd_edges) t
+    ),
+    comp(node, lab) AS (
+      SELECT vec_id, vec_id FROM base0
+      UNION
+      SELECT e.dst, c.lab FROM comp c JOIN sedge e ON e.src = c.node
+    ),
+    final AS (SELECT node, MIN(lab) AS cluster_id FROM comp GROUP BY node),
+    sizes AS (
+      SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM final GROUP BY cluster_id
+    )
+    SELECT cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(cluster_size) AS BIGINT) AS n_vectors,
+           CAST(SUM(cluster_size) - COUNT(*) AS BIGINT) AS n_removed
+    FROM sizes GROUP BY cluster_size ORDER BY cluster_size
+    """
+
+
+@register("semdedup_graph_clusters", oracle=_semg_oracle)
+def semdedup_graph_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-based SemDeDup decision table: edges of the NN-descent-
+    refined k-NN graph at cosine >= 0.35 (the corpus' planted near-dup
+    band — nothing exceeds 0.5 on these vectors, so the literal is
+    non-vacuous at every sf), closed into duplicate components with the
+    pointer-doubling CC operator, reported as the cluster-size histogram
+    with survivor (one per cluster) and removal counts. The oracle
+    closes the same thresholded edges with a recursive CTE — independent
+    fixpoint formulations under one hash, the entity_resolution_golden
+    pattern.
+
+    Scale shape: candidate generation is the k-NN graph stack's linear
+    pipeline (never all-pairs); CC runs on EDGE-TOUCHED nodes only in
+    O(log diameter) pointer-doubling rounds (operators/dedup.
+    duplicate_clusters); the histogram is a two-level rollup of the
+    O(nodes) label frame."""
+    from kol_bigdata_realtime_analytics_spark.operators.dedup import (
+        duplicate_clusters,
+    )
+
+    refined = _nn_descent_refined(spark, sf_dir)
+    edges = (
+        refined.filter(
+            (F.col("cosine") >= _SEMG_T)
+            & (F.col("vec_id") < F.col("neighbor_id"))
+        )
+        .select(F.col("vec_id").alias("id_a"), F.col("neighbor_id").alias("id_b"))
+        .distinct()
+    )
+    nodes = table(spark, sf_dir, "embeddings").select("vec_id")
+    clusters = duplicate_clusters(nodes, edges, id_col="vec_id")
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(
+            F.count("*").cast("long").alias("n_clusters"),
+            F.sum("cluster_size").cast("long").alias("n_vectors"),
+            (F.sum("cluster_size") - F.count("*"))
+            .cast("long")
+            .alias("n_removed"),
+        )
+        .orderBy("cluster_size")
     )
 
 
