@@ -5921,6 +5921,298 @@ def semdedup_graph_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Deterministic stratified sampling — the subsampling step every corpus
+# mix runs: per (lang, source) stratum, keep exactly min(quota, |stratum|)
+# documents, selection by a seeded content-independent hash order so the
+# sample is (a) reproducible across runs/engines/cluster sizes, (b)
+# uniform within the stratum, and (c) STABLE under corpus growth (a doc's
+# hash priority never changes, so re-running on an extended corpus keeps
+# the previously sampled docs that still make the cut — the property
+# random() sampling lacks and the reason hash-order sampling is the
+# production standard for train-set freezes).
+# ---------------------------------------------------------------------------
+
+_STRAT_QUOTA = 8
+_STRAT_SEED = "r9"  # salt folded into the hash so new seeds redraw
+
+
+def _strat_oracle() -> str:
+    from kol_bigdata_realtime_analytics_spark.plans.registry import sql_hash52
+
+    pri = sql_hash52(f"'{_STRAT_SEED}|' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH ranked AS (
+  SELECT lang, source, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY lang, source
+                            ORDER BY {pri} ASC, doc_id ASC) AS rn
+  FROM documents WHERE trim(COALESCE(text, '')) != ''
+)
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_ids
+FROM ranked WHERE rn <= {_STRAT_QUOTA}
+GROUP BY lang, source ORDER BY lang, source
+""".strip()
+
+
+@register("stratified_sample_quota", oracle=_strat_oracle())
+def stratified_sample_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota stratified sample: per (lang, source) stratum the
+    {_STRAT_QUOTA} documents with the smallest seeded hash52 priority
+    (md5 over seed|doc_id — uniform, content-independent, engine-exact),
+    rolled up to per-stratum sample counts + id aggregates so the whole
+    selected SET is under the driver hash. Every stratum fills its quota
+    exactly (or its full size when smaller); changing the seed literal
+    redraws the sample; extending the corpus never evicts a sampled doc
+    whose priority still clears the quota — the reproducible-freeze
+    property production samplers need.
+
+    Scale shape: one scan computing the codegen'd md5 priority in the
+    projection, one window partitioned by the stratum key (shuffle on
+    (lang, source) only), quota filter before any rollup. No RAND(), no
+    driver-side sampling, no second pass."""
+    from kol_bigdata_realtime_analytics_spark.plans.registry import hash52
+
+    docs = table(spark, sf_dir, "documents").filter(
+        F.trim(F.coalesce("text", F.lit(""))) != ""
+    )
+    pri = hash52(
+        F.concat(F.lit(_STRAT_SEED + "|"), F.col("doc_id").cast("string"))
+    )
+    w = Window.partitionBy("lang", "source").orderBy(
+        F.col("pri").asc(), F.col("doc_id").asc()
+    )
+    ranked = docs.select("lang", "source", "doc_id", pri.alias("pri")).withColumn(
+        "rn", F.row_number().over(w)
+    )
+    return (
+        ranked.filter(F.col("rn") <= _STRAT_QUOTA)
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_sampled"),
+            F.min("doc_id").cast("long").alias("min_doc_id"),
+            F.sum("doc_id").cast("long").alias("sum_doc_ids"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# HNSW offline layer assignment (Malkov & Yashunin 2016) — the third
+# build primitive the k-NN-graph stack feeds: every vector draws a
+# geometric level (P(level >= k) = 4^-k here, i.e. the standard
+# exponential-decay layer populations with M=4), the top layers form the
+# coarse routing graph and layer 0 holds everyone. Offline builders
+# assign levels FIRST (it fixes each node's layer memberships and the
+# entry point), then run the knn/NN-descent machinery once per layer
+# population — this operator is that assignment plus the layer census.
+# Levels come from trailing zeros of the seeded hash52 (exact integers,
+# the HLL rho trick), not floor(-ln(u)*mL) floats — same geometric law,
+# zero float risk.
+# ---------------------------------------------------------------------------
+
+_HNSW_MAX_LEVEL = 8
+_HNSW_SEED = "hnsw-r9"
+
+
+def _hnsw_oracle() -> str:
+    from kol_bigdata_realtime_analytics_spark.plans.registry import sql_hash52
+
+    h = sql_hash52(f"'{_HNSW_SEED}|' || CAST(vec_id AS VARCHAR)")
+    return f"""
+WITH lv AS (
+  SELECT vec_id,
+         LEAST(CASE WHEN {h} = 0 THEN {_HNSW_MAX_LEVEL}
+                    ELSE bit_count((({h}) & -({h})) - 1) // 2 END,
+               {_HNSW_MAX_LEVEL}) AS level
+  FROM embeddings
+),
+per AS (
+  SELECT level, CAST(COUNT(*) AS BIGINT) AS n_at_level,
+         CAST(MIN(vec_id) AS BIGINT) AS min_vec_id,
+         CAST(SUM(vec_id) AS BIGINT) AS sum_vec_ids
+  FROM lv GROUP BY level
+)
+SELECT level, n_at_level,
+       CAST(SUM(n_at_level) OVER (ORDER BY level DESC) AS BIGINT)
+         AS n_in_layer,
+       min_vec_id, sum_vec_ids
+FROM per ORDER BY level
+""".strip()
+
+
+@register("hnsw_layer_assign", oracle=_hnsw_oracle())
+def hnsw_layer_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HNSW level assignment + layer census: per level, how many vectors
+    top out there (n_at_level), the LAYER population (n_in_layer = nodes
+    with level >= this one — the set a per-layer graph build runs over),
+    and id aggregates putting the exact assignment under the driver
+    hash. Levels are geometric with ratio 1/4 via trailing-zero pairs of
+    a seeded hash52 — deterministic, content-independent, identical in
+    both engines; the top row's min_vec_id is the entry point an HNSW
+    search starts from.
+
+    Scale shape: one scan with a codegen'd md5 + bit arithmetic
+    projection and one level-keyed rollup — layer assignment at 100 TB
+    is exactly this embarrassingly parallel pass, which is why offline
+    HNSW builds assign levels before any graph work. The per-layer
+    graphs themselves are knn_graph_build/nn_descent_round runs over
+    each n_in_layer population."""
+    from kol_bigdata_realtime_analytics_spark.plans.registry import hash52
+
+    h = hash52(
+        F.concat(F.lit(_HNSW_SEED + "|"), F.col("vec_id").cast("string"))
+    )
+    tz = F.bit_count(h.bitwiseAND(-h) - 1)
+    level = F.least(
+        F.when(h == 0, F.lit(_HNSW_MAX_LEVEL)).otherwise(
+            (tz / 2).cast("long")
+        ),
+        F.lit(_HNSW_MAX_LEVEL).cast("long"),
+    )
+    lv = table(spark, sf_dir, "embeddings").select(
+        "vec_id", level.alias("level")
+    )
+    per = lv.groupBy("level").agg(
+        F.count("*").cast("long").alias("n_at_level"),
+        F.min("vec_id").cast("long").alias("min_vec_id"),
+        F.sum("vec_id").cast("long").alias("sum_vec_ids"),
+    ).localCheckpoint(eager=True)  # <=9 rows, feeds both sides below
+    # layer population via a <=9x9 self range-join — a global desc-ordered
+    # window would plan single-partition WindowExec (the WARN class the
+    # bench tail is kept free of)
+    above = per.select(
+        F.col("level").alias("b_level"), F.col("n_at_level").alias("b_n")
+    )
+    cum = (
+        per.select("level")
+        .join(above, F.col("b_level") >= F.col("level"))
+        .groupBy("level")
+        .agg(F.sum("b_n").cast("long").alias("n_in_layer"))
+    )
+    return (
+        per.join(cum, "level")
+        .select("level", "n_at_level", "n_in_layer", "min_vec_id", "sum_vec_ids")
+        .orderBy("level")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Domain-level quality rollup — the RefinedWeb/CCNet host-reputation step
+# that runs AFTER URL canonicalization: documents inherit their canonical
+# host, and filtering decisions move from per-document to per-DOMAIN
+# (a host whose corpus-wide mean quality sits below the corpus mean is a
+# candidate for the blocklist however good its individual best pages
+# look). Pairs with url_canonical_dedup: same host derivation, next
+# pipeline stage.
+# ---------------------------------------------------------------------------
+
+_DQR_LOW_Q = 0.25  # low-quality doc threshold; ~40% of docs sit below it
+
+
+@register(
+    "domain_quality_rollup",
+    oracle=f"""
+    WITH m AS (
+      SELECT 'www.' || source || '.example' AS host,
+             CAST({TOKEN_COUNT_ORACLE_SQL.format(col="text")} AS DOUBLE)
+               AS n_tokens,
+             {PUNCT_RATIO_ORACLE_SQL.format(col="text")} AS pr,
+             {STOPWORD_RATIO_ORACLE_SQL.format(col="text")} AS sr
+      FROM documents WHERE trim(COALESCE(text, '')) != ''
+    ),
+    q AS (
+      SELECT host, n_tokens,
+             floor(LEAST(n_tokens / 100.0, 1.0)
+                   * (1.0 - LEAST(pr, 0.5))
+                   * (0.5 + LEAST(sr, 0.5)) * 1000000) / 1000000 AS quality
+      FROM m
+    ),
+    per AS (
+      SELECT host,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             floor(CAST(SUM(CAST(quality AS DECIMAL(28,12))) AS DOUBLE)
+                   / COUNT(*) * 1000000) / 1000000 AS mean_quality_t6,
+             floor(CAST(SUM(CAST(n_tokens AS DECIMAL(28,12))) AS DOUBLE)
+                   / COUNT(*) * 1000000) / 1000000 AS mean_tokens_t6,
+             CAST(COUNT(*) FILTER (quality < {_DQR_LOW_Q}) AS BIGINT)
+               AS n_low_quality
+      FROM q GROUP BY host
+    ),
+    g AS (
+      SELECT floor(CAST(SUM(CAST(quality AS DECIMAL(28,12))) AS DOUBLE)
+                   / COUNT(*) * 1000000) / 1000000 AS corpus_mean
+      FROM q
+    )
+    SELECT per.host, per.n_docs, per.mean_quality_t6, per.mean_tokens_t6,
+           per.n_low_quality,
+           (per.mean_quality_t6 < g.corpus_mean) AS below_corpus_mean
+    FROM per, g ORDER BY per.host
+    """,
+)
+def domain_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-canonical-host quality census: doc count, mean quality score
+    and mean token count (decimal-summed, trunc6), low-quality doc count
+    (quality < 0.25 — ~40% of this corpus, non-vacuous everywhere), and
+    the blocklist signal below_corpus_mean comparing the host's mean to
+    the corpus mean at the same truncation. Domain-level filtering is
+    how production web pipelines spend their quality budget — one
+    reputation decision covers millions of pages that per-doc scoring
+    would re-litigate individually.
+
+    Scale shape: per-doc metrics run in the scan projection, ONE
+    groupBy(host) rollup, and the corpus mean is a broadcast 1-row
+    frame; everything is host-cardinality after the single pass."""
+    from kol_bigdata_realtime_analytics_spark.plans.domain import trunc6
+
+    docs = table(spark, sf_dir, "documents").filter(
+        F.trim(F.coalesce("text", F.lit(""))) != ""
+    )
+    q = docs.select(
+        F.concat(F.lit("www."), F.col("source"), F.lit(".example")).alias(
+            "host"
+        ),
+        token_count("text").cast("double").alias("n_tokens"),
+        trunc6(quality_score("text")).alias("quality"),
+    ).localCheckpoint(eager=False)  # feeds the host rollup + corpus mean
+    per = q.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        trunc6(
+            F.sum(F.col("quality").cast("decimal(28,12)")).cast("double")
+            / F.count("*")
+        ).alias("mean_quality_t6"),
+        trunc6(
+            F.sum(F.col("n_tokens").cast("decimal(28,12)")).cast("double")
+            / F.count("*")
+        ).alias("mean_tokens_t6"),
+        F.sum(F.when(F.col("quality") < _DQR_LOW_Q, 1).otherwise(0))
+        .cast("long")
+        .alias("n_low_quality"),
+    )
+    g = q.agg(
+        trunc6(
+            F.sum(F.col("quality").cast("decimal(28,12)")).cast("double")
+            / F.count("*")
+        ).alias("corpus_mean")
+    )
+    return (
+        per.crossJoin(F.broadcast(g))
+        .select(
+            "host",
+            "n_docs",
+            "mean_quality_t6",
+            "mean_tokens_t6",
+            "n_low_quality",
+            (F.col("mean_quality_t6") < F.col("corpus_mean")).alias(
+                "below_corpus_mean"
+            ),
+        )
+        .orderBy("host")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Greedy k-center coreset selection (Gonzalez 1985; the "diversity
 # selection" in modern data-pruning pipelines, e.g. coreset-based training
 # subset selection): iteratively pick the point FARTHEST from everything

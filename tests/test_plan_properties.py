@@ -410,6 +410,8 @@ def test_no_unexpected_nested_loop_joins(spark, sf_oracle):
         "nn_descent_gain_check",    # brute-force reference (5-query broadcast x corpus) + 1-row sum/hit-total crosses
         "kneser_ney_xent_scores",   # broadcast 1-row bigram-type total (nt) into the scoring stream
         "streaming_quantile_check",  # broadcast 3-row quantile spine x 5-row per-key count frame
+        "hnsw_layer_assign",        # <=9x9 level-census self range-join (layer population)
+        "domain_quality_rollup",    # broadcast 1-row corpus-mean cross into the 20-row host frame
         "t_closeness_audit",        # class grid cross: 125 classes x ~13-band spine + scalar totals
         "equiheight_histogram_check",  # broadcast 3 predicate literals x scan (truth leg) + 8-row histogram
         "streaming_approx_distinct_check",  # broadcast 1-row exact-distinct total
