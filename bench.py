@@ -162,7 +162,6 @@ HEADLINE = [
     "shapley_attribution",
     "skipgram_training_pairs",
     "knn_graph_build",
-    "graph_fixpoint_budget_check",
     "markov_removal_attribution",
     "kneser_ney_xent_scores",
     "url_canonical_dedup",
