@@ -184,6 +184,20 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     # warm up JVM / parquet footer caches outside the timed region
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # machine-speed calibration probe (r9 verdict ask #1): a fixed
+    # data-independent kernel, timed AFTER warm-up, recorded in
+    # BENCH_DETAIL.json so every detail file carries a fingerprint of the
+    # machine it ran on — judges normalize cross-round comparisons with it
+    # instead of adjudicating "was the box slower that day" from narrative.
+    # 5 samples: min ~= unloaded machine speed, median ~= speed under the
+    # run's ambient load, spread = contention during the probe itself.
+    calibration: list[float] = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        spark.range(50_000_000).selectExpr(
+            "sum(id * 3 + 1)", "count(distinct id % 1000)"
+        ).collect()
+        calibration.append(round(time.perf_counter() - t0, 4))
 
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
@@ -238,6 +252,7 @@ def main() -> None:
                 {
                     "sf": sf,
                     "cpus": os.environ.get("SPARK_GRAFT_CPUS", ""),
+                    "calibration_sec": calibration,
                     "runs_sec": runs,
                     "loadavg_1_5_15": loads,
                     "started_epoch": started,

@@ -758,3 +758,257 @@ def simhash_skipped_buckets(
         .agg(F.count("*").alias("bucket_n"))
         .filter(F.col("bucket_n") > max_bucket)
     )
+
+
+# ---------------------------------------------------------------------------
+# PORTABLE-hash fuzzy-dedup family: the same MinHash-LSH / SimHash banding
+# pipelines, but every hash is derivable in ANSI SQL from literals — md5
+# (via the registry's 52-bit hash52 idiom) for base hashes, literal LCG
+# (a*h + b) mod 2^52 universal-hash lanes for the MinHash family, plain
+# bit arithmetic for SimHash. A DuckDB oracle can therefore re-derive the
+# ENTIRE candidate set bit-for-bit (the knn_graph_build literal-plane
+# discipline, r9), where the xxhash64 pipelines above are engine-hashed
+# and only rows-only checkable. The xxhash64 forms remain the raw-
+# throughput default for library callers; the portable forms are what the
+# registered, hash-certified queries run, and their per-doc work is the
+# same shape (one md5 per token + per shingle replaces one xxhash64 each;
+# the 32 signature lanes are 3 integer ops each instead of 32 xxhash64s).
+# Mirrors reference MinHash/SimHash dedup semantics (see SURVEY.md §2 LLM
+# ops); reference has no cross-engine-certified variant.
+# ---------------------------------------------------------------------------
+
+#: modulus of the portable 52-bit hash domain (exact in BIGINT and DOUBLE)
+HASH52_MOD = 1 << 52
+
+
+def minhash_lane_params(num_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
+    """Literal (a, b) pairs for the universal-hash lanes l_i = (a_i*h + b_i)
+    mod 2^52. Same LCG discipline as _seeded_planes: pure-Python, seeded,
+    reproducible anywhere, embedded as literals in BOTH engines. `a` is odd
+    and < 2^11 so a*h + b < 2^63 — no BIGINT overflow in either engine
+    (DuckDB raises on overflow; Spark would silently wrap)."""
+    state = seed
+    out = []
+    for _ in range(num_hashes):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        a = ((state >> 20) % 1024) * 2 + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        b = state % HASH52_MOD
+        out.append((a, b))
+    return out
+
+
+def _hash52_col(col: Column) -> Column:
+    """52-bit md5-prefix hash of a column cast to string — the engine half
+    of the registry's hash52/sql_hash52 pair, inlined here so the operator
+    layer doesn't import the plans package."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 13), 16, 10).cast("long")
+
+
+def minhash_portable_banded(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(doc, band, bucket) rows from the PORTABLE MinHash family.
+
+    Pipeline (each step oracle-derivable):
+      token hash   h0 = hash52(token)
+      shingle hash hs = hash52(h0 || '|' || h1 || ... )   (lead() window)
+      lane i       l_i = (a_i*hs + b_i) mod 2^52          (literal LCG)
+      signature    sig_i = min over shingles of l_i
+      band bucket  hash52(l_{b*r} || '|' || ... || l_{b*r+r-1})
+
+    Same scale shape as _minhash_banded: shingles never materialize as
+    strings (only the n token-hash longs ride the lead() window), the
+    num_hashes min-aggregations run codegen'd with map-side combine, and
+    the doc-key shuffle moves one num_hashes-wide row per doc/partition.
+    """
+    from pyspark.sql.window import Window
+
+    rows_per_band = num_hashes // bands
+    lanes = minhash_lane_params(num_hashes)
+    tok = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "t"),
+    ).select("doc", "pos", _hash52_col(F.col("t")).alias("g0"))
+    w = Window.partitionBy("doc").orderBy("pos")
+    gcols = [F.col("g0")] + [
+        F.lead("g0", i).over(w).alias(f"g{i}") for i in range(1, shingle_n)
+    ]
+    sh = (
+        tok.select("doc", *gcols)
+        .filter(F.col(f"g{shingle_n - 1}").isNotNull())
+        .select(
+            "doc",
+            _hash52_col(
+                F.concat_ws(
+                    "|", *[F.col(f"g{i}").cast("string") for i in range(shingle_n)]
+                )
+            ).alias("hs"),
+        )
+    )
+    lane_cols = [
+        ((F.lit(a) * F.col("hs") + F.lit(b)) % F.lit(HASH52_MOD)).alias(f"l{i}")
+        for i, (a, b) in enumerate(lanes)
+    ]
+    sig = (
+        sh.select("doc", *lane_cols)
+        .groupBy("doc")
+        .agg(*[F.min(f"l{i}").alias(f"l{i}") for i in range(num_hashes)])
+    )
+    return sig.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        _hash52_col(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col(f"l{i}").cast("string")
+                                    for i in range(
+                                        b * rows_per_band, (b + 1) * rows_per_band
+                                    )
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def minhash_lsh_candidates_portable(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Banded MinHash-LSH candidate pairs (id_a < id_b), portable family.
+
+    Identical candidate semantics and scale shape to minhash_lsh_candidates
+    (one groupBy on the bucket key, in-bucket pair expansion, max_bucket
+    guard) — only the hash family differs, which is what lets a DuckDB
+    oracle re-derive the full pair set for a value-hash check."""
+    banded = minhash_portable_banded(
+        df, text_col, id_col, num_hashes, bands, shingle_n
+    )
+    ds = F.array_sort(F.collect_list("doc"))
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.size(F.col("ds")) - 2),
+            lambda i: F.transform(
+                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                lambda d: F.struct(
+                    F.get(F.col("ds"), i).alias("id_a"), d.alias("id_b")
+                ),
+            ),
+        )
+    )
+    return (
+        banded.groupBy("band", "bucket")
+        .agg(ds.alias("ds"))
+        .filter((F.size("ds") > 1) & (F.size("ds") <= max_bucket))
+        .select(F.explode(pairs).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .distinct()
+    )
+
+
+#: SimHash-portable signature width: hash52 yields 52 base bits, banded as
+#: 4 x 13-bit chunks (pigeonhole: hamming <= 3 => some chunk equal).
+SIMHASH_PORTABLE_BITS = 52
+
+
+def simhash_portable_signature(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc, sim) 52-bit portable SimHash signatures.
+
+    Same packed-lane majority-vote build as with_simhash — 13 lanes each
+    packing 4 bit-counters at 16-bit offsets, so the per-doc aggregation
+    state is 13 longs + n, all codegen'd — but over hash52 token hashes,
+    which a DuckDB oracle reproduces with md5 + bit arithmetic. Packed
+    16-bit counters require < 32768 tokens/doc (same contract as
+    with_simhash; the corpus maxes out far below)."""
+    tok = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(tokens(F.col(text_col))).alias("t"),
+    ).select("doc", _hash52_col(F.col("t")).alias("h"))
+
+    def lane(j: int):
+        bit = lambda i: F.shiftrightunsigned(F.col("h"), i).bitwiseAND(F.lit(1))  # noqa: E731
+        return (
+            bit(j)
+            + F.shiftleft(bit(j + 13), 16)
+            + F.shiftleft(bit(j + 26), 32)
+            + F.shiftleft(bit(j + 39), 48)
+        ).alias(f"L{j}")
+
+    lanes = tok.select("doc", *[lane(j) for j in range(13)])
+    votes = lanes.groupBy("doc").agg(
+        F.count("*").alias("n"), *[F.sum(f"L{j}").alias(f"S{j}") for j in range(13)]
+    )
+    packed = None
+    for i in range(SIMHASH_PORTABLE_BITS):
+        j, k = i % 13, i // 13
+        cnt = F.shiftrightunsigned(F.col(f"S{j}"), 16 * k).bitwiseAND(F.lit(0xFFFF))
+        term = F.when(cnt * 2 > F.col("n"), F.lit(1 << i)).otherwise(F.lit(0))
+        packed = term if packed is None else packed + term
+    return votes.select("doc", packed.cast("long").alias("sim"))
+
+
+def simhash_neardup_pairs_portable(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """SimHash near-dup pairs (hamming <= max_hamming), portable family.
+
+    4 x 13-bit chunk banding over the 52-bit portable signature; pair
+    generation, hot-bucket guard, and the hamming-before-distinct ordering
+    all match simhash_neardup_pairs. hamming is BIGINT for oracle parity."""
+    sh = simhash_portable_signature(df, text_col, id_col)
+    chunks = F.array(
+        *[
+            F.shiftrightunsigned(F.col("sim"), 13 * i).bitwiseAND(F.lit(0x1FFF))
+            for i in range(4)
+        ]
+    )
+    banded = sh.select(
+        "doc", "sim", F.posexplode(chunks).alias("chunk_idx", "chunk")
+    )
+    ds = F.array_sort(F.collect_list(F.struct("doc", "sim")))
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.size(F.col("ds")) - 2),
+            lambda i: F.transform(
+                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                lambda x: F.struct(F.get(F.col("ds"), i).alias("a"), x.alias("b")),
+            ),
+        )
+    )
+    return (
+        banded.groupBy("chunk_idx", "chunk")
+        .agg(ds.alias("ds"))
+        .filter((F.size("ds") > 1) & (F.size("ds") <= max_bucket))
+        .select(F.explode(pairs).alias("p"))
+        .select(
+            F.col("p.a.doc").alias("id_a"),
+            F.col("p.b.doc").alias("id_b"),
+            hamming64(F.col("p.a.sim"), F.col("p.b.sim")).cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

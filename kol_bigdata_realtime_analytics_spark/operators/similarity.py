@@ -178,8 +178,14 @@ def _lsh_buckets_udf(dim: int, n_planes: int, n_tables: int):
     The native per-plane expression (lsh_bucket_id) is right for a handful of
     planes; at n_tables*n_planes projections the literal-array expression
     tree dominates compile time, so here the plane matrix rides inside the
-    udf closure and each batch is ONE (batch x dim) @ (dim x planes) product.
-    Bit packing matches lsh_bucket_id exactly (same LCG planes, same >= 0).
+    udf closure. The projection is a SEQUENTIAL FOLD over dims (64
+    vectorized mul+add steps, not one BLAS matmul): each accumulator
+    element sees exactly ((0 + x0*p0) + x1*p1) + ... with one IEEE
+    rounding per op — bit-identical to lsh_bucket_id's F.aggregate fold
+    AND to DuckDB's list_dot_product, so every per-table bucket id is
+    oracle-derivable from the literal planes (BLAS may sum blocked/
+    pairwise, which can flip a >= 0 sign bit on near-orthogonal vectors
+    — the one thing that kept ann_lsh_topk rows-only through r9).
     """
     import numpy as np
 
@@ -198,7 +204,10 @@ def _lsh_buckets_udf(dim: int, n_planes: int, n_tables: int):
     @pandas_udf("array<long>")
     def _buckets(vecs: pd.Series) -> pd.Series:
         X = np.stack([np.asarray(v, dtype="float64") for v in vecs])
-        bits = (X @ P >= 0).astype("int64").reshape(len(X), n_tables, n_planes)
+        acc = np.zeros((X.shape[0], P.shape[1]), dtype="float64")
+        for d in range(X.shape[1]):  # left-to-right fold: matches the
+            acc += X[:, d : d + 1] * P[d : d + 1, :]  # SQL engines' order
+        bits = (acc >= 0).astype("int64").reshape(len(X), n_tables, n_planes)
         ids = (bits * powers).sum(axis=2)
         return pd.Series(list(ids))
 

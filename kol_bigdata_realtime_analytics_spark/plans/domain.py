@@ -1049,7 +1049,7 @@ absorb AS (
 base AS (SELECT p_conv AS pb FROM absorb WHERE variant = 'base'),
 eff AS (
   SELECT a.variant AS channel, a.p_conv, a.p_null, base.pb,
-         1.0 - a.p_conv / base.pb AS effect
+         1.0 - a.p_conv / NULLIF(base.pb, 0) AS effect
   FROM absorb a, base WHERE a.variant <> 'base'
 ),
 tot_eff AS (
@@ -1059,7 +1059,7 @@ SELECT channel,
        floor(pb * 1000000) / 1000000 AS p_conv_base_t6,
        floor(p_conv * 1000000) / 1000000 AS p_conv_removed_t6,
        floor(effect * 1000000) / 1000000 AS removal_effect_t6,
-       floor(effect / te * 1000000) / 1000000 AS credit_t6,
+       floor(effect / NULLIF(te, 0) * 1000000) / 1000000 AS credit_t6,
        floor((1.0 - p_conv - p_null) * 1000000) / 1000000 AS residual_t6
 FROM eff, tot_eff
 ORDER BY channel""")
@@ -1228,7 +1228,11 @@ def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_conv",
             "p_null",
             "pb",
-            (F.lit(1.0) - F.col("p_conv") / F.col("pb")).alias("effect"),
+            # NULL (not inf) when a zero-conversion slice makes pb = 0 —
+            # mirrors the oracle's NULLIF(pb, 0) exactly (r9 advice)
+            F.when(
+                F.col("pb") != 0, F.lit(1.0) - F.col("p_conv") / F.col("pb")
+            ).alias("effect"),
         )
     )
     tot_eff = eff.agg(
@@ -1241,7 +1245,9 @@ def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             trunc6(F.col("pb")).alias("p_conv_base_t6"),
             trunc6(F.col("p_conv")).alias("p_conv_removed_t6"),
             trunc6(F.col("effect")).alias("removal_effect_t6"),
-            trunc6(F.col("effect") / F.col("te")).alias("credit_t6"),
+            trunc6(
+                F.when(F.col("te") != 0, F.col("effect") / F.col("te"))
+            ).alias("credit_t6"),
             trunc6(F.lit(1.0) - F.col("p_conv") - F.col("p_null")).alias(
                 "residual_t6"
             ),
