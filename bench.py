@@ -167,6 +167,10 @@ HEADLINE = [
     "url_canonical_dedup",
     "streaming_quantile_sketch",
     "nn_descent_round",
+    "hnsw_layer_graphs",
+    "dedup_incremental_batch",
+    "boilerplate_span_removal",
+    "pps_systematic_sample",
 ]
 
 

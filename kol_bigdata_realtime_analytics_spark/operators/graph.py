@@ -152,28 +152,94 @@ def pagerank_fixedpoint(
     base_fp = ((damping_den - damping_num) * PAGERANK_SCALE) // (damping_den * n)
     ranks = nodes.select("node", F.lit(PAGERANK_SCALE // n).cast("long").alias("rank_fp"))
     for _ in range(n_iter):
-        contribs = norm.join(
-            bc(ranks), norm["src"] == ranks["node"]
-        ).select(
-            F.col("dst").alias("node"),
-            F.expr("(rank_fp * weight) div out_w").alias("c"),
+        ranks = _pr_round(norm, nodes, ranks, base_fp, damping_num, damping_den, bc)
+    return ranks
+
+
+def _pr_round(norm, nodes, ranks, base_fp, damping_num, damping_den, bc):
+    """One exact-integer PageRank round (the pagerank_fixedpoint body),
+    checkpointed — shared with the residual certificate so the replayed
+    dynamics can never drift from the shipped operator's."""
+    contribs = norm.join(
+        bc(ranks), norm["src"] == ranks["node"]
+    ).select(
+        F.col("dst").alias("node"),
+        F.expr("(rank_fp * weight) div out_w").alias("c"),
+    )
+    return (
+        nodes.join(
+            bc(contribs.groupBy("node").agg(F.sum("c").alias("c"))),
+            "node",
+            "left",
         )
-        ranks = (
-            nodes.join(
-                bc(contribs.groupBy("node").agg(F.sum("c").alias("c"))),
-                "node",
-                "left",
+        .select(
+            "node",
+            (
+                F.lit(base_fp)
+                + F.expr(f"({damping_num} * coalesce(c, 0L)) div {damping_den}")
+            ).cast("long").alias("rank_fp"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+def pagerank_fixedpoint_residuals(
+    edges: DataFrame,
+    damping_num: int = 17,
+    damping_den: int = 20,
+    n_iter: int = 10,
+    broadcast_ranks: bool | None = None,
+    broadcast_node_limit: int = 5_000_000,
+) -> DataFrame:
+    """(round, l1_delta_units, converged) per round: replays EXACTLY the
+    pagerank_fixedpoint loop (shared _pr_round body) and emits each
+    round's total integer rank movement sum(|r_k - r_{k-1}|) — exact long
+    sums of longs, so the whole convergence trajectory is hashable.
+    converged = (l1_delta_units = 0): integer dynamics make the fixpoint
+    a literal no-op, not a tolerance."""
+    e = edges.select(
+        F.col("src").cast("long"), F.col("dst").cast("long"), F.col("weight").cast("long")
+    )
+    out_w = e.groupBy("src").agg(F.sum("weight").alias("out_w"))
+    norm = e.join(out_w, "src").localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if broadcast_ranks is None:
+        broadcast_ranks = n <= broadcast_node_limit
+    bc = F.broadcast if broadcast_ranks else (lambda df: df)
+    base_fp = ((damping_den - damping_num) * PAGERANK_SCALE) // (damping_den * n)
+    ranks = nodes.select(
+        "node", F.lit(PAGERANK_SCALE // n).cast("long").alias("rank_fp")
+    ).localCheckpoint(eager=True)
+    out = None
+    for r in range(1, n_iter + 1):
+        nxt = _pr_round(norm, nodes, ranks, base_fp, damping_num, damping_den, bc)
+        delta = (
+            nxt.join(
+                ranks.select(
+                    F.col("node").alias("p_node"), F.col("rank_fp").alias("p_fp")
+                ),
+                nxt["node"] == F.col("p_node"),
+            )
+            .agg(
+                F.sum(F.abs(F.col("rank_fp") - F.col("p_fp")))
+                .cast("long")
+                .alias("l1")
             )
             .select(
-                "node",
-                (
-                    F.lit(base_fp)
-                    + F.expr(f"({damping_num} * coalesce(c, 0L)) div {damping_den}")
-                ).cast("long").alias("rank_fp"),
+                F.lit(r).cast("long").alias("round"),
+                F.col("l1").alias("l1_delta_units"),
+                (F.col("l1") == 0).alias("converged"),
             )
-            .localCheckpoint(eager=True)
         )
-    return ranks
+        out = delta if out is None else out.unionByName(delta)
+        ranks = nxt
+    return out
 
 
 def _basket_counts(

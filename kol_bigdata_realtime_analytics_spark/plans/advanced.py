@@ -1215,6 +1215,68 @@ def supplier_influence_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagerank_fixpoint_oracle() -> str:
+    """Per-round integer residuals for supplier_influence_pagerank: the
+    same unrolled w0..w10 CTEs, final select = each round's exact L1 rank
+    movement. Reuses _pagerank_oracle_sql's chain verbatim (split at its
+    final SELECT) so the certified dynamics and the certified query can
+    never diverge."""
+    full = _pagerank_oracle_sql(10)
+    head = full[: full.rindex("SELECT node - 10000000")]
+    # MATERIALIZED each round CTE: 20 scalar subqueries over a 10-deep
+    # inlined chain re-expand exponentially in DuckDB (the BFS-oracle
+    # lesson, PERF.md) — the base query's single final SELECT never hits
+    # this, so only the certificate's copy gets the hint
+    for k in range(11):
+        head = head.replace(f"w{k} AS (", f"w{k} AS MATERIALIZED (")
+    rows = "\n    UNION ALL\n    ".join(
+        f"SELECT CAST({r} AS BIGINT) AS round,"
+        f" (SELECT CAST(SUM(ABS(a.rank_fp - b.rank_fp)) AS BIGINT)"
+        f"  FROM w{r} a JOIN w{r - 1} b ON a.node = b.node) AS l1_delta_units,"
+        f" (SELECT SUM(ABS(a.rank_fp - b.rank_fp))"
+        f"  FROM w{r} a JOIN w{r - 1} b ON a.node = b.node) = 0 AS converged"
+        for r in range(1, 11)
+    )
+    return head + rows
+
+
+@register("pagerank_fixpoint_check", oracle=_pagerank_fixpoint_oracle())
+def pagerank_fixpoint_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Convergence certificate for supplier_influence_pagerank (the r9
+    shallow-budget sweep, applied to the one remaining fixed-iteration
+    graph op): per round 1..10, the EXACT integer L1 rank movement
+    sum(|r_k - r_{k-1}|) and a converged flag — all ten rows under the
+    driver hash. On this bipartite customer->supplier graph the integer
+    dynamics reach a LITERAL fixpoint at round 2 (customers have no
+    in-edges, so their rank is constant after round 1; suppliers have no
+    out-edges, so theirs is a fixed function of customer ranks): rounds
+    3..10 are certified no-ops (l1 = 0) at every sf, proving the
+    registered 10-round budget exceeds convergence depth — not a
+    depth-limited snapshot. A cyclic graph would show geometric decay
+    and converged=false rows instead; the certificate fails honestly.
+
+    Scale shape: replays the shipped _pr_round body (shared code), one
+    scalar L1 agg per round riding the same checkpoint job — the
+    graph_fixpoint_budget_check discipline."""
+    from kol_bigdata_realtime_analytics_spark.operators.graph import (
+        pagerank_fixedpoint_residuals,
+    )
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(10_000_000)).alias("dst"),
+        )
+        .agg(F.count("*").alias("weight"))
+    )
+    return pagerank_fixedpoint_residuals(
+        edges, damping_num=17, damping_den=20, n_iter=10
+    ).orderBy("round")
+
+
 # ---------------------------------------------------------------------------
 # Product analytics — cohort retention and ordered conversion funnel.
 # ---------------------------------------------------------------------------
