@@ -1337,8 +1337,11 @@ def opq_topk(
         candidates, id_col=id_col, vec_col=vec_col, m=m,
         sample_size=sample_size, sample=X, cache_key=cache_key,
     )
-    dim = len(R)
-    rot = pca_project_udf([0.0] * dim, R)
+    # fold rotation (r10): sequential over-dims product instead of a BLAS
+    # matmul, so every rotated float is oracle-derivable bit-for-bit (the
+    # _lsh_buckets_udf discipline); the codebook-fit sample below MUST use
+    # the same fold or the fitted books drift in the last ulp
+    rot = rotation_fold_udf(R)
     rc = candidates.select(
         F.col(id_col), rot(as_double_vec(F.col(vec_col))).alias(vec_col)
     )
@@ -1348,7 +1351,7 @@ def opq_topk(
     return pq_adc_topk(
         rc, rq, id_col=id_col, vec_col=vec_col, k=k, m=m, ksub=ksub,
         sample_size=sample_size, cache_key=cache_key,
-        sample=X @ np.array(R, dtype="float64").T,
+        sample=fold_project(X, np.array(R, dtype="float64").T),
     )
 
 
@@ -1447,3 +1450,97 @@ def binary_code_sql(vec_expr: str, dim: int = 64) -> tuple[str, str]:
             )
         )
     return out[0], out[1]
+
+
+# ---------------------------------------------------------------------------
+# Offline (Spark-free) twin of hash_sample — lets an ORACLE GENERATOR refit
+# the exact model artifact (k-means centroids, PQ codebooks) the engine
+# fits, so artifact-literal oracles can hash-certify quantizer queries.
+# ---------------------------------------------------------------------------
+
+_XXH_M = (1 << 64) - 1
+_XXH_P1 = 11400714785074694791
+_XXH_P2 = 14029467366897019727
+_XXH_P3 = 1609587929392839161
+_XXH_P4 = 9650029242287828579
+_XXH_P5 = 2870177450012600261
+
+
+def xxh64_long(v: int, seed: int = 42) -> int:
+    """XXH64 of one 8-byte little-endian long with Spark XxHash64's exact
+    semantics (seed 42, result as SIGNED long) — validated bit-for-bit
+    against F.xxhash64 in tests/test_r10_certificates.py. Pure Python so
+    oracle generators can reproduce hash_sample's ordering without a
+    SparkSession."""
+    v &= _XXH_M
+    h = (seed + _XXH_P5 + 8) & _XXH_M
+    k = (v * _XXH_P2) & _XXH_M
+    k = ((k << 31) | (k >> 33)) & _XXH_M
+    k = (k * _XXH_P1) & _XXH_M
+    h ^= k
+    h = ((((h << 27) | (h >> 37)) & _XXH_M) * _XXH_P1 + _XXH_P4) & _XXH_M
+    h ^= h >> 33
+    h = (h * _XXH_P2) & _XXH_M
+    h ^= h >> 29
+    h = (h * _XXH_P3) & _XXH_M
+    h ^= h >> 32
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def hash_sample_offline(sf_dir: str, sample_size: int = 4096):
+    """numpy twin of hash_sample(table(embeddings), ...): same rows, same
+    order (ascending signed xxhash64(vec_id), then vec_id), same float64
+    widening — read via DuckDB, no Spark. Memoized under the same fit
+    cache so one process fits each artifact once."""
+    import os
+
+    import duckdb
+    import numpy as np
+
+    memo = ("sample_offline", data_identity(sf_dir), sample_size)
+    if memo in _FIT_CACHE:
+        return _FIT_CACHE[memo]
+    path = f"{sf_dir}/embeddings.parquet"
+    if os.path.isdir(path):
+        path = f"{path}/**/*.parquet"
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding::DOUBLE[] FROM '{path}'"
+    ).fetchall()
+    rows.sort(key=lambda r: (xxh64_long(int(r[0])), int(r[0])))
+    X = np.array([r[1] for r in rows[:sample_size]], dtype="float64")
+    X.setflags(write=False)
+    _FIT_CACHE[memo] = X
+    return X
+
+
+def fold_project(X, P):
+    """(n, dim) x (dim, k) product as a LEFT-TO-RIGHT fold over dim — one
+    IEEE mul+add per element per step, matching DuckDB's list_dot_product
+    exactly (BLAS dgemm may sum blocked/pairwise, which wobbles the last
+    ulp and breaks value-hash oracles). Shared by rotation_fold_udf and
+    the offline oracle artifacts so engine and oracle derive identical
+    rotated floats."""
+    import numpy as np
+
+    acc = np.zeros((X.shape[0], P.shape[1]), dtype="float64")
+    for d in range(X.shape[1]):
+        acc += X[:, d : d + 1] * P[d : d + 1, :]
+    return acc
+
+
+def rotation_fold_udf(R: list[list[float]]):
+    """Arrow-batched pure rotation z = R @ x computed via fold_project —
+    oracle-derivable (each output dim equals a sequential
+    list_dot_product against R's row literals)."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.array(R, dtype="float64").T  # (dim, dim)
+
+    @pandas_udf("array<double>")
+    def _rotate(vecs: pd.Series) -> pd.Series:
+        X = np.stack([np.asarray(v, dtype="float64") for v in vecs])
+        return pd.Series(list(fold_project(X, P)))
+
+    return _rotate

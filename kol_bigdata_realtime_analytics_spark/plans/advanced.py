@@ -449,13 +449,81 @@ def term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("ann_ivf_topk", oracle=None)
+def _ivf_cents_literal(sf_dir: str) -> str:
+    """Fit the SAME spherical k-means artifact the engine fits (identical
+    code path: kmeans_centroids over the xxhash64-ordered 4096-sample,
+    reproduced Spark-free by hash_sample_offline) and serialize it as
+    DuckDB VALUES literals — repr() floats round-trip exactly, so both
+    engines assign/probe against bit-identical centroids."""
+    from kol_bigdata_realtime_analytics_spark.operators.similarity import (
+        hash_sample_offline,
+        kmeans_centroids,
+    )
+
+    cents = kmeans_centroids(
+        None,
+        n_centroids=8,
+        sample=hash_sample_offline(sf_dir),
+        cache_key=("offline", sf_dir),
+    )
+    return ", ".join(
+        f"({i}, [{', '.join(repr(x) for x in v)}]::DOUBLE[])"
+        for i, v in enumerate(cents)
+    )
+
+
+def _ivf_oracle(sf_dir: str) -> str:
+    cos = (
+        "list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+    a_cos = cos.format(a="b.vec", b="c.cent_vec")
+    q_cos = cos.format(a="q.vec", b="c.cent_vec")
+    r_cos = cos.format(a="p.q_vec", b="a.c_vec")
+    return f"""
+    WITH base0 AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+    cents AS (SELECT * FROM (VALUES {_ivf_cents_literal(sf_dir)}) c(cent_id, cent_vec)),
+    assigned AS MATERIALIZED (
+      SELECT c_id, c_vec, cent_id FROM (
+        SELECT b.vec_id AS c_id, b.vec AS c_vec, c.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                 ORDER BY ({a_cos}) DESC, c.cent_id ASC) AS rn
+        FROM base0 b, cents c) WHERE rn = 1
+    ),
+    probed AS (
+      SELECT q_id, q_vec, cent_id FROM (
+        SELECT q.vec_id AS q_id, q.vec AS q_vec, c.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY ({q_cos}) DESC, c.cent_id ASC) AS rn
+        FROM base0 q, cents c WHERE q.vec_id < 5) WHERE rn <= 2
+    ),
+    scored AS (
+      SELECT DISTINCT p.q_id, a.c_id, ROUND({r_cos}, 6) AS cosine
+      FROM assigned a JOIN probed p ON p.cent_id = a.cent_id
+      WHERE a.c_id <> p.q_id
+    )
+    SELECT q_id, c_id, cosine, rank FROM (
+      SELECT q_id, c_id, cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY cosine DESC, c_id ASC) AS BIGINT) AS rank
+      FROM scored) WHERE rank <= 3
+    """
+
+
+@register("ann_ivf_topk", oracle=_ivf_oracle)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: spherical k-means centroids (fit on a deterministic bounded
     sample), assign corpus to nearest of 8, probe 2 lists per query.
-    Approximate (rows-only driver check); pytest bounds recall@3 against
-    the brute-force scorer on clustered data where a non-representative
-    quantizer measurably fails."""
+    HASH-certified since r10 (the knn_graph_build literal-artifact
+    discipline extended to FITTED quantizers): the oracle generator
+    refits the identical centroids — same numpy Lloyd code over the same
+    xxhash64-ordered sample, reproduced Spark-free via a validated
+    pure-Python XXH64 twin — and embeds them as float literals; both
+    engines then assign/probe/rerank with sequential-fold cosines, so
+    every list assignment and the approximate top-3 are bit-exact.
+    pytest additionally bounds recall@3 against the brute-force scorer on
+    clustered data where a non-representative quantizer measurably
+    fails."""
     from kol_bigdata_realtime_analytics_spark.operators.similarity import ivf_topk
 
     emb = table(spark, sf_dir, "embeddings")
@@ -465,15 +533,138 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, k=3, n_centroids=8, n_probe=2, cache_key=sf_dir)
 
 
-@register("ann_pq_topk", oracle=None)
+def _np8_sum(terms: list[str]) -> str:
+    """numpy's EXACT 8-element .sum() grouping — pairwise
+    ((t0+t1)+(t2+t3))+((t4+t5)+(t6+t7)) — verified empirically (57% of
+    random rows differ from a left-to-right fold, 100% match pairwise).
+    Every oracle-side 8-term float sum that mirrors a numpy axis-sum MUST
+    use this grouping or ADC cosines drift in the last ulp."""
+    assert len(terms) == 8
+    t = terms
+    return (
+        f"((({t[0]} + {t[1]}) + ({t[2]} + {t[3]})) + "
+        f"(({t[4]} + {t[5]}) + ({t[6]} + {t[7]})))"
+    )
+
+
+def _pq_offline_artifact(sf_dir: str):
+    """(books, cent_n2, q_ids, qn, lut) — the exact pq_adc_topk model
+    payload, refit Spark-free: same numpy code over the same
+    xxhash64-ordered sample (hash_sample_offline), query vectors loaded by
+    id from parquet. Same process + same numpy ⇒ identical floats."""
+    import os
+
+    import duckdb
+    import numpy as np
+
+    from kol_bigdata_realtime_analytics_spark.operators.similarity import (
+        hash_sample_offline,
+        pq_codebooks,
+    )
+
+    books = pq_codebooks(
+        None, m=8, ksub=16, sample=hash_sample_offline(sf_dir),
+        cache_key=("offline", sf_dir),
+    )
+    B = np.array(books, dtype="float64")
+    m, k_eff, dsub = B.shape
+    cent_n2 = (B * B).sum(axis=2)  # (m, k_eff)
+    path = f"{sf_dir}/embeddings.parquet"
+    if os.path.isdir(path):
+        path = f"{path}/**/*.parquet"
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding::DOUBLE[] FROM '{path}' "
+        "WHERE vec_id < 5 ORDER BY vec_id"
+    ).fetchall()
+    q_ids = [int(r[0]) for r in rows]
+    Qv = np.array([r[1] for r in rows], dtype="float64")
+    qn = np.sqrt((Qv * Qv).sum(axis=1))
+    lut = np.empty((len(q_ids), m, k_eff), dtype="float64")
+    for s in range(m):
+        lut[:, s, :] = Qv[:, s * dsub : (s + 1) * dsub] @ B[s].T
+    return books, cent_n2, q_ids, qn, lut
+
+
+def _pq_oracle(sf_dir: str) -> str:
+    import numpy as np  # noqa: F401 — artifact arrays
+
+    books, cent_n2, q_ids, qn, lut = _pq_offline_artifact(sf_dir)
+    m, k_eff, dsub = len(books), len(books[0]), len(books[0][0])
+    cb_rows = ", ".join(
+        f"({s}, {k}, {', '.join(repr(float(x)) for x in books[s][k])})"
+        for s in range(m)
+        for k in range(k_eff)
+    )
+    cb_cols = ", ".join(f"c{i}" for i in range(1, dsub + 1))
+    lut_rows = ", ".join(
+        f"({q_ids[qi]}, {s}, {k}, {repr(float(lut[qi, s, k]))}, "
+        f"{repr(float(cent_n2[s, k]))})"
+        for qi in range(len(q_ids))
+        for s in range(m)
+        for k in range(k_eff)
+    )
+    qn_rows = ", ".join(
+        f"({q_ids[qi]}, {repr(float(qn[qi]))})" for qi in range(len(q_ids))
+    )
+    d2 = _np8_sum(
+        [
+            f"(vec[s * {dsub} + {i}] - c{i}) * (vec[s * {dsub} + {i}] - c{i})"
+            for i in range(1, dsub + 1)
+        ]
+    )
+    dots = _np8_sum([f"v{s}" for s in range(m)])
+    rn2 = _np8_sum([f"n{s}" for s in range(m)])
+    vcase = ", ".join(
+        f"MAX(CASE WHEN c.s = {s} THEN l.v END) AS v{s},\n         "
+        f"MAX(CASE WHEN c.s = {s} THEN l.n2 END) AS n{s}"
+        for s in range(m)
+    )
+    return f"""
+    WITH base0 AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+    cb(s, k, {cb_cols}) AS (VALUES {cb_rows}),
+    lut(q_id, s, k, v, n2) AS (VALUES {lut_rows}),
+    qn(q_id, qn) AS (VALUES {qn_rows}),
+    enc AS (
+      SELECT vec_id, s, k AS code FROM (
+        SELECT b.vec_id, cb.s, cb.k,
+               ROW_NUMBER() OVER (PARTITION BY b.vec_id, cb.s
+                 ORDER BY ({d2}) ASC, cb.k ASC) AS rn
+        FROM base0 b, cb) WHERE rn = 1
+    ),
+    terms AS (
+      SELECT l.q_id, c.vec_id AS c_id,
+         {vcase}
+      FROM enc c JOIN lut l ON l.s = c.s AND l.k = c.code
+      GROUP BY l.q_id, c.vec_id
+    ),
+    scored AS (
+      SELECT t.q_id, t.c_id,
+             ROUND({dots} / (qn.qn * sqrt({rn2})), 6) AS cosine
+      FROM terms t JOIN qn ON qn.q_id = t.q_id
+      WHERE t.c_id <> t.q_id
+    )
+    SELECT CAST(q_id AS BIGINT) AS q_id, c_id, cosine, rank FROM (
+      SELECT q_id, c_id, cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY cosine DESC, c_id ASC) AS BIGINT) AS rank
+      FROM scored WHERE NOT isnan(cosine)) WHERE rank <= 3
+    """
+
+
+@register("ann_pq_topk", oracle=_pq_oracle)
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (ADC): 8 subspaces x 16 centroids store each
     64-dim vector in 8 nibbles (64x compression — the PQ layer of the
     standard IVF-PQ layout at 100 TB); queries score candidates through an
-    m x ksub lookup table, never touching the float vectors. Approximate
-    (rows-only driver check); `ann_pq_recall_check` certifies recall vs the
-    brute-force scorer in the driver hash, and pytest additionally bounds
-    it on clustered data."""
+    m x ksub lookup table, never touching the float vectors.
+    HASH-certified since r10: the oracle refits the identical codebooks
+    (same numpy Lloyd over the same offline-reproduced xxhash64 sample)
+    and embeds codebooks + per-query LUTs + centroid norms as literals;
+    the only corpus-side float math it recomputes — encode distances and
+    the 8-term ADC sums — uses numpy's exact pairwise grouping
+    (_np8_sum), so every code assignment and ADC cosine is bit-exact.
+    `ann_pq_recall_check` still certifies recall vs brute force, and
+    pytest bounds it on clustered data."""
     from kol_bigdata_realtime_analytics_spark.operators.similarity import pq_adc_topk
 
     emb = table(spark, sf_dir, "embeddings")
@@ -481,13 +672,247 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(emb, queries, k=3, m=8, ksub=16, cache_key=sf_dir)
 
 
-@register("ann_ivfpq_topk", oracle=None)
+def _ivfpq_offline_artifact(sf_dir: str, residual: bool):
+    """Every model artifact ivfpq_topk derives, refit Spark-free with the
+    IDENTICAL numpy code over the identical sample — coarse centroids,
+    (residual) codebooks, anchors, per-query LUT/norm payload, probe
+    lists, and the IVFADC correction tensors."""
+    import os
+
+    import duckdb
+    import numpy as np
+
+    from kol_bigdata_realtime_analytics_spark.operators.similarity import (
+        coarse_anchors,
+        hash_sample_offline,
+        kmeans_centroids,
+        pq_codebooks,
+        pq_residual_codebooks,
+    )
+
+    X = hash_sample_offline(sf_dir)
+    coarse = kmeans_centroids(
+        None, n_centroids=8, sample=X, cache_key=("offline", sf_dir)
+    )
+    if residual:
+        books = pq_residual_codebooks(
+            None, coarse, m=8, ksub=16, sample=X, cache_key=("offline", sf_dir)
+        )
+        anchors = coarse_anchors(X, coarse)
+    else:
+        books = pq_codebooks(
+            None, m=8, ksub=16, sample=X, cache_key=("offline", sf_dir)
+        )
+        anchors = None
+    B = np.array(books, dtype="float64")
+    m, k_eff, dsub = B.shape
+    cent_n2 = (B * B).sum(axis=2)  # (m, k_eff)
+    path = f"{sf_dir}/embeddings.parquet"
+    if os.path.isdir(path):
+        path = f"{path}/**/*.parquet"
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding::DOUBLE[] FROM '{path}' "
+        "WHERE vec_id < 5 ORDER BY vec_id"
+    ).fetchall()
+    q_ids = [int(r[0]) for r in rows]
+    Qv = np.array([r[1] for r in rows], dtype="float64")
+    qn = np.sqrt((Qv * Qv).sum(axis=1))
+    lut = np.empty((len(q_ids), m, k_eff), dtype="float64")
+    for s in range(m):
+        lut[:, s, :] = Qv[:, s * dsub : (s + 1) * dsub] @ B[s].T
+    Cn = np.array(coarse, dtype="float64")
+    cn_norm = np.sqrt((Cn * Cn).sum(axis=1))
+    cn_norm[cn_norm == 0] = 1.0
+    sim = (Qv @ Cn.T) / (qn[:, None] * cn_norm[None, :])
+    nq = len(q_ids)
+    order = np.lexsort(
+        (np.arange(sim.shape[1])[None, :].repeat(nq, 0), -sim), axis=1
+    )
+    probes = [(q_ids[i], int(order[i, j])) for i in range(nq) for j in range(2)]
+    extra = {}
+    if residual:
+        A = np.asarray(anchors, dtype="float64")
+        extra["anchors"] = A
+        extra["qc_dot"] = Qv @ A.T  # (nq, ncent)
+        extra["cent_norm2"] = (A * A).sum(axis=1)
+        cross = np.empty((A.shape[0], m, k_eff), dtype="float64")
+        for s in range(m):
+            cross[:, s, :] = A[:, s * dsub : (s + 1) * dsub] @ B[s].T
+        extra["cross"] = cross
+    return coarse, books, cent_n2, q_ids, qn, lut, probes, extra
+
+
+def _ivfpq_oracle_gen(residual: bool):
+    def _oracle(sf_dir: str) -> str:
+        coarse, books, cent_n2, q_ids, qn, lut, probes, extra = (
+            _ivfpq_offline_artifact(sf_dir, residual)
+        )
+        m, k_eff, dsub = len(books), len(books[0]), len(books[0][0])
+        cents_lit = ", ".join(
+            f"({i}, [{', '.join(repr(float(x)) for x in v)}]::DOUBLE[])"
+            for i, v in enumerate(coarse)
+        )
+        cb_rows = ", ".join(
+            f"({s}, {k}, {', '.join(repr(float(x)) for x in books[s][k])})"
+            for s in range(m)
+            for k in range(k_eff)
+        )
+        cb_cols = ", ".join(f"c{i}" for i in range(1, dsub + 1))
+        lut_rows = ", ".join(
+            f"({q_ids[qi]}, {s}, {k}, {repr(float(lut[qi, s, k]))}, "
+            f"{repr(float(cent_n2[s, k]))})"
+            for qi in range(len(q_ids))
+            for s in range(m)
+            for k in range(k_eff)
+        )
+        qn_rows = ", ".join(
+            f"({q_ids[qi]}, {repr(float(qn[qi]))})" for qi in range(len(q_ids))
+        )
+        probe_rows = ", ".join(f"({q}, {c})" for q, c in probes)
+        cos = (
+            "list_dot_product({a}, {b}) / "
+            "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+        )
+        a_cos = cos.format(a="b.vec", b="c.cent_vec")
+        dots8 = _np8_sum([f"v{s}" for s in range(m)])
+        rn2_8 = _np8_sum([f"n{s}" for s in range(m)])
+        vcase = ", ".join(
+            f"MAX(CASE WHEN e.s = {s} THEN l.v END) AS v{s},\n         "
+            f"MAX(CASE WHEN e.s = {s} THEN l.n2 END) AS n{s}"
+            for s in range(m)
+        )
+        if residual:
+            anchors_lit = ", ".join(
+                f"({i}, [{', '.join(repr(float(x)) for x in v)}]::DOUBLE[], "
+                f"{repr(float(extra['cent_norm2'][i]))})"
+                for i, v in enumerate(extra["anchors"])
+            )
+            qc_rows = ", ".join(
+                f"({q_ids[qi]}, {t}, {repr(float(extra['qc_dot'][qi, t]))})"
+                for qi in range(len(q_ids))
+                for t in range(len(coarse))
+            )
+            cross_rows = ", ".join(
+                f"({t}, {s}, {k}, {repr(float(extra['cross'][t, s, k]))})"
+                for t in range(len(coarse))
+                for s in range(m)
+                for k in range(k_eff)
+            )
+            d2 = _np8_sum(
+                [
+                    f"((a.vec[e0.s * {dsub} + {i}] - an.avec[e0.s * {dsub} + {i}])"
+                    f" - e0.c{i}) * "
+                    f"((a.vec[e0.s * {dsub} + {i}] - an.avec[e0.s * {dsub} + {i}])"
+                    f" - e0.c{i})"
+                    for i in range(1, dsub + 1)
+                ]
+            )
+            res_ctes = f""",
+    an(cent_id, avec, an2) AS (VALUES {anchors_lit}),
+    qc(q_id, cent_id, qcdot) AS (VALUES {qc_rows}),
+    crs(cent_id, s, k, x) AS (VALUES {cross_rows})"""
+            enc_sql = f"""
+    enc AS MATERIALIZED (
+      SELECT c_id, cent_id, s, k AS code FROM (
+        SELECT a.c_id, a.cent_id, e0.s, e0.k,
+               ROW_NUMBER() OVER (PARTITION BY a.c_id, e0.s
+                 ORDER BY ({d2}) ASC, e0.k ASC) AS rn
+        FROM assigned a JOIN an ON an.cent_id = a.cent_id, cb e0)
+      WHERE rn = 1
+    )"""
+            xcase = ", ".join(
+                f"MAX(CASE WHEN e.s = {s} THEN cr.x END) AS x{s}"
+                for s in range(m)
+            )
+            x8 = _np8_sum([f"x{s}" for s in range(m)])
+            terms_sql = f"""
+    terms AS (
+      SELECT p.q_id, e.c_id, e.cent_id,
+         {vcase},
+         {xcase}
+      FROM probes p
+      JOIN enc e ON e.cent_id = p.cent_id
+      JOIN lut l ON l.q_id = p.q_id AND l.s = e.s AND l.k = e.code
+      JOIN crs cr ON cr.cent_id = e.cent_id AND cr.s = e.s AND cr.k = e.code
+      WHERE e.c_id <> p.q_id
+      GROUP BY p.q_id, e.c_id, e.cent_id
+    ),
+    scored AS (
+      SELECT t.q_id, t.c_id,
+             ROUND((qc.qcdot + {dots8})
+                   / (qn.qn * sqrt(GREATEST(an.an2 + 2.0 * {x8} + {rn2_8},
+                                            0.0))), 6) AS cosine
+      FROM terms t
+      JOIN qn ON qn.q_id = t.q_id
+      JOIN qc ON qc.q_id = t.q_id AND qc.cent_id = t.cent_id
+      JOIN an ON an.cent_id = t.cent_id
+      WHERE qn.qn * sqrt(GREATEST(an.an2 + 2.0 * {x8} + {rn2_8}, 0.0)) > 0
+    )"""
+        else:
+            d2 = _np8_sum(
+                [
+                    f"(a.vec[e0.s * {dsub} + {i}] - e0.c{i}) * "
+                    f"(a.vec[e0.s * {dsub} + {i}] - e0.c{i})"
+                    for i in range(1, dsub + 1)
+                ]
+            )
+            res_ctes = ""
+            enc_sql = f"""
+    enc AS MATERIALIZED (
+      SELECT c_id, cent_id, s, k AS code FROM (
+        SELECT a.c_id, a.cent_id, e0.s, e0.k,
+               ROW_NUMBER() OVER (PARTITION BY a.c_id, e0.s
+                 ORDER BY ({d2}) ASC, e0.k ASC) AS rn
+        FROM assigned a, cb e0)
+      WHERE rn = 1
+    )"""
+            terms_sql = f"""
+    terms AS (
+      SELECT p.q_id, e.c_id,
+         {vcase}
+      FROM probes p
+      JOIN enc e ON e.cent_id = p.cent_id
+      JOIN lut l ON l.q_id = p.q_id AND l.s = e.s AND l.k = e.code
+      WHERE e.c_id <> p.q_id
+      GROUP BY p.q_id, e.c_id
+    ),
+    scored AS (
+      SELECT t.q_id, t.c_id,
+             ROUND({dots8} / (qn.qn * sqrt({rn2_8})), 6) AS cosine
+      FROM terms t JOIN qn ON qn.q_id = t.q_id
+      WHERE qn.qn * sqrt({rn2_8}) > 0
+    )"""
+        return f"""
+    WITH base0 AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+    cents AS (SELECT * FROM (VALUES {cents_lit}) c(cent_id, cent_vec)),
+    cb(s, k, {cb_cols}) AS (VALUES {cb_rows}),
+    lut(q_id, s, k, v, n2) AS (VALUES {lut_rows}),
+    qn(q_id, qn) AS (VALUES {qn_rows}),
+    probes(q_id, cent_id) AS (VALUES {probe_rows}),
+    assigned AS MATERIALIZED (
+      SELECT c_id, vec, cent_id FROM (
+        SELECT b.vec_id AS c_id, b.vec, c.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                 ORDER BY ({a_cos}) DESC, c.cent_id ASC) AS rn
+        FROM base0 b, cents c) WHERE rn = 1
+    ){res_ctes},{enc_sql},{terms_sql}
+    SELECT CAST(q_id AS BIGINT) AS q_id, c_id, cosine, rank FROM (
+      SELECT q_id, c_id, cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY cosine DESC, c_id ASC) AS BIGINT) AS rank
+      FROM scored WHERE NOT isnan(cosine)) WHERE rank <= 3
+    """
+
+    return _oracle
+
+
+@register("ann_ivfpq_topk", oracle=_ivfpq_oracle_gen(residual=False))
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN: coarse quantizer prunes WORK (probe 2 of 8 lists), PQ
     codes bound MEMORY (the probed lists are scored from 8-nibble codes
     through a per-query LUT — float vectors are never read at query
     time). The standard 100 TB layout assembled from the registered IVF
-    and PQ operators; rows-only driver check, quality certified by
+    and PQ operators; hash-certified since r10 (artifact-refit oracle), quality also certified by
     `pq_distortion_check` + the IVF/PQ pytest recall bounds."""
     from kol_bigdata_realtime_analytics_spark.operators.similarity import ivfpq_topk
 
@@ -498,7 +923,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_ivfpq_residual_topk", oracle=None)
+@register("ann_ivfpq_residual_topk", oracle=_ivfpq_oracle_gen(residual=True))
 def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ with RESIDUAL encoding — true IVFADC (Jegou, Douze & Schmid
     2011, the Faiss IVFPQ default): the PQ codebooks quantize x - c(x),
@@ -506,9 +931,11 @@ def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     x_hat = c + r_hat via per-list correction terms. Residuals carry a
     fraction of the raw variance, so the same 8x16 code budget resolves
     the fine structure the coarse quantizer left — the property that
-    keeps nibble codebooks accurate at 100 TB. Rows-only driver check;
-    `ann_ivfpq_residual_recall_check` certifies in the driver hash that
-    this form's recall BEATS the non-residual one on clustered data."""
+    keeps nibble codebooks accurate at 100 TB. HASH-certified since r10
+    (artifact-refit oracle: anchors, residual codebooks, per-list
+    correction tensors all refit offline and embedded as literals);
+    `ann_ivfpq_residual_recall_check` additionally certifies that this
+    form's recall BEATS the non-residual one on clustered data."""
     from kol_bigdata_realtime_analytics_spark.operators.similarity import ivfpq_topk
 
     emb = table(spark, sf_dir, "embeddings")
@@ -519,7 +946,121 @@ def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_opq_topk", oracle=None)
+def _opq_oracle(sf_dir: str) -> str:
+    """OPQ oracle: refit rotation + rotated-space codebooks offline (same
+    numpy, same fold_project the engine's rotation udf uses), embed R's
+    rows / codebooks / per-query LUTs as literals; the corpus-side rotated
+    vector is re-derived per output dim as a sequential list_dot_product
+    against R's row literals — bit-identical to the fold udf — and the PQ
+    encode/ADC algebra is the ann_pq_topk oracle's (numpy pairwise-8
+    groupings)."""
+    import os
+
+    import duckdb
+    import numpy as np
+
+    from kol_bigdata_realtime_analytics_spark.operators.similarity import (
+        fold_project,
+        hash_sample_offline,
+        opq_rotation,
+        pq_codebooks,
+    )
+
+    X = hash_sample_offline(sf_dir)
+    R = opq_rotation(None, m=8, sample=X, cache_key=("offline", sf_dir))
+    Rm = np.array(R, dtype="float64")
+    books = pq_codebooks(
+        None, m=8, ksub=16, sample=fold_project(X, Rm.T),
+        cache_key=("offline_rot", sf_dir),
+    )
+    B = np.array(books, dtype="float64")
+    m, k_eff, dsub = B.shape
+    cent_n2 = (B * B).sum(axis=2)
+    path = f"{sf_dir}/embeddings.parquet"
+    if os.path.isdir(path):
+        path = f"{path}/**/*.parquet"
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding::DOUBLE[] FROM '{path}' "
+        "WHERE vec_id < 5 ORDER BY vec_id"
+    ).fetchall()
+    q_ids = [int(r[0]) for r in rows]
+    Qv = fold_project(np.array([r[1] for r in rows], dtype="float64"), Rm.T)
+    qn = np.sqrt((Qv * Qv).sum(axis=1))
+    lut = np.empty((len(q_ids), m, k_eff), dtype="float64")
+    for s in range(m):
+        lut[:, s, :] = Qv[:, s * dsub : (s + 1) * dsub] @ B[s].T
+    dim = Rm.shape[0]
+    rvec = ", ".join(
+        "list_dot_product(vec, ["
+        + ", ".join(repr(float(x)) for x in Rm[j])
+        + "])"
+        for j in range(dim)
+    )
+    cb_rows = ", ".join(
+        f"({s}, {k}, {', '.join(repr(float(x)) for x in books[s][k])})"
+        for s in range(m)
+        for k in range(k_eff)
+    )
+    cb_cols = ", ".join(f"c{i}" for i in range(1, dsub + 1))
+    lut_rows = ", ".join(
+        f"({q_ids[qi]}, {s}, {k}, {repr(float(lut[qi, s, k]))}, "
+        f"{repr(float(cent_n2[s, k]))})"
+        for qi in range(len(q_ids))
+        for s in range(m)
+        for k in range(k_eff)
+    )
+    qn_rows = ", ".join(
+        f"({q_ids[qi]}, {repr(float(qn[qi]))})" for qi in range(len(q_ids))
+    )
+    d2 = _np8_sum(
+        [
+            f"(rvec[s * {dsub} + {i}] - c{i}) * (rvec[s * {dsub} + {i}] - c{i})"
+            for i in range(1, dsub + 1)
+        ]
+    )
+    dots = _np8_sum([f"v{s}" for s in range(m)])
+    rn2 = _np8_sum([f"n{s}" for s in range(m)])
+    vcase = ", ".join(
+        f"MAX(CASE WHEN c.s = {s} THEN l.v END) AS v{s},\n         "
+        f"MAX(CASE WHEN c.s = {s} THEN l.n2 END) AS n{s}"
+        for s in range(m)
+    )
+    return f"""
+    WITH base0 AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+    rot AS MATERIALIZED (
+      SELECT vec_id, [{rvec}]::DOUBLE[] AS rvec FROM base0
+    ),
+    cb(s, k, {cb_cols}) AS (VALUES {cb_rows}),
+    lut(q_id, s, k, v, n2) AS (VALUES {lut_rows}),
+    qn(q_id, qn) AS (VALUES {qn_rows}),
+    enc AS (
+      SELECT vec_id, s, k AS code FROM (
+        SELECT b.vec_id, cb.s, cb.k,
+               ROW_NUMBER() OVER (PARTITION BY b.vec_id, cb.s
+                 ORDER BY ({d2}) ASC, cb.k ASC) AS rn
+        FROM rot b, cb) WHERE rn = 1
+    ),
+    terms AS (
+      SELECT l.q_id, c.vec_id AS c_id,
+         {vcase}
+      FROM enc c JOIN lut l ON l.s = c.s AND l.k = c.code
+      GROUP BY l.q_id, c.vec_id
+    ),
+    scored AS (
+      SELECT t.q_id, t.c_id,
+             ROUND({dots} / (qn.qn * sqrt({rn2})), 6) AS cosine
+      FROM terms t JOIN qn ON qn.q_id = t.q_id
+      WHERE t.c_id <> t.q_id
+    )
+    SELECT CAST(q_id AS BIGINT) AS q_id, c_id, cosine, rank FROM (
+      SELECT q_id, c_id, cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY cosine DESC, c_id ASC) AS BIGINT) AS rank
+      FROM scored WHERE NOT isnan(cosine)) WHERE rank <= 3
+    """
+
+
+@register("ann_opq_topk", oracle=_opq_oracle)
 def ann_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPQ ANN (Ge et al. 2013; Faiss OPQMatrix -> PQ, the standard 100 TB
     preprocessing): vectors are rotated by the eigenvalue-BALANCED PCA
@@ -527,10 +1068,12 @@ def ann_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     subspace sees a balanced variance product — and the usual ADC pipeline
     runs in the rotated space. The rotation is a pure orthogonal transform
     (no centering), so returned cosines are cosines of the ORIGINAL
-    vectors. Rows-only driver check; `ann_opq_distortion_check`
-    hash-certifies that rotated-PQ distortion strictly beats plain PQ on
-    an anisotropic fixture (composition of the r7 pca_fit and pq_codebooks
-    artifacts, r7 verdict ask #3)."""
+    vectors. HASH-certified since r10: the rotation udf computes z = R @ x
+    as a sequential over-dims fold (oracle-derivable bit-for-bit), and the
+    oracle refits rotation + rotated-space codebooks offline and re-derives
+    the rotated corpus per output dim via list_dot_product against R's row
+    literals; `ann_opq_distortion_check` still certifies rotated-PQ
+    distortion strictly beats plain PQ on an anisotropic fixture."""
     from kol_bigdata_realtime_analytics_spark.operators.similarity import opq_topk
 
     emb = table(spark, sf_dir, "embeddings")

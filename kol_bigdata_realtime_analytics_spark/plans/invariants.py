@@ -1,4 +1,4 @@
-"""Driver-hashable invariant companions for the rows-only queries.
+"""Driver-hashable invariant companions for approximate queries.
 
 The sketch/ANN/LSH operators are engine-specific, so their raw outputs have
 no DuckDB oracle (rows-only driver check). These companions move their
@@ -126,7 +126,7 @@ def _recall_check(spark: SparkSession, sf_dir: str, approx_fn, bound: float) -> 
 def ann_lsh_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH recall@3 vs brute-force cosine >= 0.4 (measured 0.667 at every sf).
 
-    Companion to the rows-only `ann_lsh_topk`: both the approximate and the
+    Companion to `ann_lsh_topk` (hash-certified since r10): both the approximate and the
     exact scorer run in-engine; the driver hash now certifies the recall
     bound instead of only a row count.
     """
@@ -142,7 +142,7 @@ def ann_lsh_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_ivf_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (probe 2 of 8) recall@3 vs brute force >= 0.25 (measured 0.47-0.53).
 
-    Companion to the rows-only `ann_ivf_topk` — near-random TESTDATA vectors
+    Companion to `ann_ivf_topk` (hash-certified since r10) — near-random TESTDATA vectors
     cap achievable recall at ~n_probe/n_centroids-ish; the bound certifies
     the quantizer isn't degenerate (a corner-collapsed quantizer measures
     ~0.1, see tests/test_operators.py clustered-data case).
@@ -300,7 +300,7 @@ def ann_ivfpq_residual_recall_check(spark: SparkSession, sf_dir: str) -> DataFra
 def pq_distortion_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ (8x16) relative reconstruction error: mean <= 0.75, max <= 0.9.
 
-    Companion to the rows-only `ann_pq_topk`. Rank-based recall is the
+    Companion to `ann_pq_topk` (hash-certified since r10). Rank-based recall is the
     wrong invariant for PQ on TESTDATA: the vectors are near-random, so
     exact top-3 margins are at quantization-noise level and recall@3
     measures 0.07-0.4 across sfs (pytest bounds recall on CLUSTERED data
@@ -447,7 +447,7 @@ WHERE {TOKEN_COUNT_ORACLE_SQL.format(col='d1.text')} >= 3
 def minhash_estimate_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """|signature-estimated Jaccard - exact shingle Jaccard| <= 0.4 per pair.
 
-    Companion to the rows-only `minhash_lsh_candidates`: for every
+    Companion to `minhash_lsh_candidates` (hash-certified since r10): for every
     consecutive-id doc pair (both docs long enough to shingle), the 32-hash
     MinHash estimate must track the EXACT 3-gram Jaccard computed from
     distinct shingle-hash rows. 32 hashes bound the estimator std at ~0.09,
@@ -682,7 +682,7 @@ def simhash_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded doc slice UNIONED WITH A PLANTED COPY of itself (hamming-0
     pairs by construction, so the check can never pass vacuously at any
     sf). An anti-join of exact pairs against the banded candidates must
-    be empty. Companion to the rows-only `simhash_neardups`.
+    be empty. Companion to `simhash_neardups` (hash-certified since r10).
     """
     from kol_bigdata_realtime_analytics_spark.operators.dedup import (
         hamming64,

@@ -6005,7 +6005,7 @@ def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored per query — the recall of a coarser index at the cost profile
     of a fine one, without re-hashing the corpus into extra tables.
 
-    Unlike the multi-table `ann_lsh_topk` (engine-hashed, rows-only),
+    Like the multi-table `ann_lsh_topk` (also hash-certified since r10),
     buckets here are literal-plane derived in BOTH engines
     (lsh_bucket_sql), so this approximate top-k is fully HASH-certified.
 
@@ -6149,15 +6149,43 @@ def _knn_planes(n: int) -> int:
     return max(3, math.ceil(math.log2(max(2.0, n / _KNN_TARGET_BUCKET))))
 
 
+#: session-scoped materialized kNN graphs, keyed by (applicationId,
+#: sf_dir, probe_bits). The graph is an INDEX ARTIFACT — at 100 TB it is
+#: built once and persisted beside the corpus, then consumed by every
+#: downstream job (NN-descent, SemDeDup, HNSW, recall certificates) — so
+#: the five registered consumers sharing one localCheckpoint per session
+#: is the honest small-scale analogue (the _FIT_CACHE discipline, r5
+#: verdict ask #3, applied to a frame artifact). Keyed by applicationId:
+#: a new session rebuilds; checkpoints die with the context.
+_KNN_GRAPH_CACHE: dict = {}
+
+
 def _knn_scored(
     spark: SparkSession, sf_dir: str, probe_bits: int, max_q: int | None = None
 ) -> DataFrame:
     """(vec_id, neighbor_id, cosine, rank) top-{_KNN_K} per vector, ranked
     over the union of `1 + probe_bits` probed buckets. Norms are computed
     once per ROW before the pair join (O(n*dim), not O(pairs*dim)).
-    `max_q` restricts the QUERY side (vec_id < max_q) before the join —
-    the per-q_id window makes the restricted result identical to filtering
-    the full graph, at a fraction of the pair volume."""
+    `max_q` restricts the QUERY side (vec_id < max_q) — the per-q_id
+    window makes the restricted result identical to filtering the full
+    graph, which is exactly what the cached path does."""
+    key = (spark.sparkContext.applicationId, sf_dir, probe_bits)
+    cached = _KNN_GRAPH_CACHE.get(key)
+    if cached is not None:
+        return (
+            cached if max_q is None else cached.filter(F.col("vec_id") < max_q)
+        )
+    full = _knn_scored_build(spark, sf_dir, probe_bits, None).localCheckpoint(
+        eager=True
+    )
+    _KNN_GRAPH_CACHE[key] = full
+    return full if max_q is None else full.filter(F.col("vec_id") < max_q)
+
+
+def _knn_scored_build(
+    spark: SparkSession, sf_dir: str, probe_bits: int, max_q: int | None = None
+) -> DataFrame:
+    """The uncached kNN-graph build (see _knn_scored)."""
     from kol_bigdata_realtime_analytics_spark.operators.similarity import (
         as_double_vec,
         dot,
@@ -7126,6 +7154,13 @@ def _hnsw_pop_layers(counts: dict[int, int]) -> list[tuple[int, int]]:
     return out
 
 
+#: session-scoped HNSW build artifacts (base scan, census, layer graphs)
+#: — the same index-artifact reuse rationale as _KNN_GRAPH_CACHE: the
+#: layered graph is built once per corpus and consumed by the build query
+#: AND the descent certificate.
+_HNSW_BUILD_CACHE: dict = {}
+
+
 def _hnsw_build(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, dict[int, int], DataFrame]:
@@ -7133,7 +7168,11 @@ def _hnsw_build(
     scan, the bounded layer census, and the long-form layered neighbor
     lists (level, vec_id, neighbor_id, cosine, rank) — one scan feeds
     every layer; per layer a bucket projection with layer-scaled planes
-    + the knn probe join + top-k."""
+    + the knn probe join + top-k. Session-cached (see _HNSW_BUILD_CACHE)."""
+    ck = (spark.sparkContext.applicationId, sf_dir)
+    hit = _HNSW_BUILD_CACHE.get(ck)
+    if hit is not None:
+        return hit
     from kol_bigdata_realtime_analytics_spark.operators.similarity import (
         as_double_vec,
         dot,
@@ -7203,6 +7242,8 @@ def _hnsw_build(
             )
         )
         out = layer if out is None else out.unionByName(layer)
+    out = out.localCheckpoint(eager=True)
+    _HNSW_BUILD_CACHE[ck] = (base, counts, out)
     return base, counts, out
 
 
@@ -7384,8 +7425,7 @@ def hnsw_descent_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-sized (the beam side broadcasts); the brute-force truth side
     is one probes-x-corpus scan, the same bounded shape as
     knn_graph_recall_check's sample."""
-    base, counts, graph = _hnsw_build(spark, sf_dir)
-    graph = graph.localCheckpoint(eager=True)
+    base, counts, graph = _hnsw_build(spark, sf_dir)  # graph pre-checkpointed
     layers = _hnsw_pop_layers(counts)
     pr = base.filter(F.col("vec_id") < _HNSW_PROBES).select(
         F.col("vec_id").alias("q_id"),

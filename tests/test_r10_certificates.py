@@ -124,3 +124,39 @@ def test_portable_minhash_and_simhash_detect_duplicates(spark):
         for r in simhash_neardup_pairs_portable(df, "text", "doc_id").collect()
     }
     assert sh.get((1, 2)) == 0 and (1, 3) not in sh
+
+
+def test_xxh64_long_matches_spark(spark):
+    """The offline sampler's pure-Python XXH64 must equal F.xxhash64 for
+    longs bit-for-bit — the artifact-refit oracles depend on it."""
+    from kol_bigdata_realtime_analytics_spark.operators.similarity import (
+        xxh64_long,
+    )
+
+    rows = (
+        spark.range(0, 500)
+        .selectExpr("id", "xxhash64(id) AS h", "xxhash64(id * -7919) AS h2",
+                    "id * -7919 AS neg")
+        .collect()
+    )
+    for r in rows:
+        assert r["h"] == xxh64_long(r["id"])
+        assert r["h2"] == xxh64_long(r["neg"])
+
+
+def test_hash_sample_offline_matches_spark(spark):
+    """Offline (DuckDB + python xxh64) sample must equal hash_sample's
+    rows AND order exactly — centroid/codebook refits inherit equality."""
+    import numpy as np
+
+    from kol_bigdata_realtime_analytics_spark.operators.similarity import (
+        hash_sample,
+        hash_sample_offline,
+    )
+    from kol_bigdata_realtime_analytics_spark.plans.registry import table
+
+    emb = table(spark, SF, "embeddings")
+    X_spark = hash_sample(emb, sample_size=4096)
+    X_off = hash_sample_offline(SF, sample_size=4096)
+    assert X_spark.shape == X_off.shape
+    assert np.array_equal(X_spark, X_off)
