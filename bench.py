@@ -171,6 +171,7 @@ HEADLINE = [
     "dedup_incremental_batch",
     "boilerplate_span_removal",
     "pps_systematic_sample",
+    "hnsw_insert_batch",
 ]
 
 

@@ -7325,6 +7325,193 @@ def hnsw_layer_graphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph
 
 
+# ---------------------------------------------------------------------------
+# HNSW incremental insert (r10) — the index-MAINTENANCE rung after the
+# offline build: a NEW batch of vectors (vec_id % 10 = 0, the
+# dedup_incremental_batch split) is appended to a FROZEN layered index —
+# levels from the same seeded hash52, per-layer plane counts pinned to
+# the CORPUS-ONLY layer populations (a live index does not re-derive its
+# hash family per insert) — and each new node gets its per-layer M=16
+# neighbor list from bucket-matched candidates among corpus + earlier-
+# visible batch nodes. Probe work is BATCH-sized: the corpus is bucketed
+# once (the persisted index) and never pair-joined against itself.
+# ---------------------------------------------------------------------------
+
+
+def _hnsw_split_counts(sf_dir: str) -> tuple[dict[int, int], dict[int, int]]:
+    """({level: corpus_n}, {level: batch_n}) via DuckDB — oracle twin of
+    the engine's bounded census."""
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT {_hnsw_level_sql()} AS lvl, vec_id % 10 = 0 AS b, COUNT(*) "
+        f"FROM (SELECT vec_id FROM '{sf_dir}/embeddings.parquet') GROUP BY 1, 2"
+    ).fetchall()
+    corpus: dict[int, int] = {}
+    batch: dict[int, int] = {}
+    for l, b, n in rows:
+        (batch if b else corpus)[int(l)] = int(n)
+    return corpus, batch
+
+
+def _hnsw_insert_layers(
+    corpus: dict[int, int], batch: dict[int, int]
+) -> list[tuple[int, int]]:
+    """(level, frozen_planes) for every level with >= 1 batch node to
+    insert and >= 1 corpus node frozen-indexed there. planes come from
+    the CORPUS-ONLY layer population — the frozen index's hash family."""
+    out = []
+    lmax = max(list(corpus) + list(batch))
+    for l in range(lmax + 1):
+        cn = sum(n for k, n in corpus.items() if k >= l)
+        bn = sum(n for k, n in batch.items() if k >= l)
+        if cn >= 1 and bn >= 1:
+            out.append((l, _knn_planes(cn)))
+    return out
+
+
+def _hnsw_insert_cte_sql(l: int, planes: int) -> str:
+    from kol_bigdata_realtime_analytics_spark.operators.similarity import (
+        lsh_bucket_sql,
+    )
+
+    bucket = lsh_bucket_sql("vec", dim=64, n_planes=planes)
+    probe_list = ", ".join(
+        ["bkt"] + [f"xor(bkt, {1 << i})" for i in range(_KNN_PROBE_BITS)]
+    )
+    return f""",
+il{l} AS MATERIALIZED (
+  SELECT vec_id, vec, nrm, {bucket} AS bkt FROM hbase WHERE level >= {l}),
+iq{l} AS (SELECT vec_id AS q_id, vec AS q_vec, nrm AS q_nrm,
+              unnest([{probe_list}]) AS probe FROM il{l}
+          WHERE vec_id % 10 = 0),
+ik{l} AS (
+  SELECT q_id, c_id, cosine, rank FROM (
+    SELECT s.q_id, s.c_id, s.cosine,
+           CAST(ROW_NUMBER() OVER (PARTITION BY s.q_id
+                 ORDER BY s.cosine DESC, s.c_id ASC) AS BIGINT) AS rank
+    FROM (
+      SELECT qp.q_id, b.vec_id AS c_id,
+             ROUND(list_dot_product(qp.q_vec, b.vec) / (qp.q_nrm * b.nrm), 6)
+               AS cosine
+      FROM il{l} b JOIN iq{l} qp
+        ON b.bkt = qp.probe AND b.vec_id <> qp.q_id) s
+  ) WHERE rank <= {_HNSW_M}
+)"""
+
+
+def _hnsw_insert_oracle(sf_dir: str) -> str:
+    layers = _hnsw_insert_layers(*_hnsw_split_counts(sf_dir))
+    ctes = "".join(_hnsw_insert_cte_sql(l, p) for l, p in layers)
+    body = "\n    UNION ALL\n    ".join(
+        f"SELECT CAST({l} AS BIGINT) AS level, q_id AS vec_id, "
+        f"c_id AS neighbor_id, cosine, rank FROM ik{l}"
+        for l, _ in layers
+    )
+    head = _HNSW_BASE_SQL.format(level=_hnsw_level_sql())
+    return f"""
+    WITH {head.lstrip()}{ctes}
+    {body}
+    """
+
+
+@register("hnsw_insert_batch", oracle=_hnsw_insert_oracle)
+def hnsw_insert_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental HNSW insert: per new-batch vector (vec_id % 10 = 0)
+    and per layer it joins (level >= l, levels from the same seeded
+    hash52 as the build), the M=16 neighbor list drawn from bucket-
+    matched candidates in the FROZEN index — plane counts pinned to the
+    corpus-only layer populations, exactly what a live index does (its
+    hash family does not drift per insert; at today's SFs the frozen and
+    full-population plane counts happen to coincide, so the semantics is
+    dormant — documented, not hidden). Long form (level, vec_id,
+    neighbor_id, cosine, rank), all hash-exact via the literal-plane
+    discipline.
+
+    Scale shape: the corpus side is bucketed ONCE per layer (in
+    production that bucket column is the persisted index partition key)
+    and the probe join's pair volume is BATCH-sized — ~500 candidates
+    per new vector at any corpus size, the property that makes insert
+    cost independent of index size. Bidirectional repair (corpus nodes
+    whose lists should now include new neighbors) is the same
+    bucket-join shape with sides swapped."""
+    from kol_bigdata_realtime_analytics_spark.operators.similarity import (
+        as_double_vec,
+        dot,
+        lsh_bucket_id,
+        norm,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    base = (
+        emb.select("vec_id", as_double_vec(F.col("embedding")).alias("vec"))
+        .withColumn("nrm", norm(F.col("vec")))
+        .withColumn("level", _hnsw_level_expr())
+        .localCheckpoint(eager=True)
+    )
+    census = {
+        (int(r["level"]), bool(r["b"])): int(r["n"])
+        for r in base.groupBy(
+            "level", (F.col("vec_id") % 10 == 0).alias("b")
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }  # bounded: <= 2 * (_HNSW_MAX_LEVEL + 1) rows
+    corpus = {l: n for (l, b), n in census.items() if not b}
+    batch = {l: n for (l, b), n in census.items() if b}
+    out = None
+    for l, planes_l in _hnsw_insert_layers(corpus, batch):
+        pop = base.filter(F.col("level") >= l).withColumn(
+            "bkt", lsh_bucket_id(F.col("vec"), dim=64, n_planes=planes_l)
+        )
+        probes = F.array(
+            F.col("bkt"),
+            *[
+                F.col("bkt").bitwiseXOR(F.lit(1 << i).cast("long"))
+                for i in range(_KNN_PROBE_BITS)
+            ],
+        )
+        q = pop.filter(F.col("vec_id") % 10 == 0).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("vec").alias("q_vec"),
+            F.col("nrm").alias("q_nrm"),
+            F.explode(probes).alias("probe"),
+        )
+        c = pop.select(
+            F.col("vec_id").alias("c_id"),
+            F.col("vec").alias("c_vec"),
+            F.col("nrm").alias("c_nrm"),
+            F.col("bkt").alias("c_bkt"),
+        )
+        scored = c.join(
+            q, (F.col("c_bkt") == F.col("probe")) & (F.col("c_id") != F.col("q_id"))
+        ).select(
+            "q_id",
+            "c_id",
+            F.round(
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_nrm") * F.col("c_nrm")),
+                6,
+            ).alias("cosine"),
+        )
+        w = Window.partitionBy("q_id").orderBy(
+            F.col("cosine").desc(), F.col("c_id").asc()
+        )
+        layer = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= _HNSW_M)
+            .select(
+                F.lit(l).cast("long").alias("level"),
+                F.col("q_id").alias("vec_id"),
+                F.col("c_id").alias("neighbor_id"),
+                "cosine",
+                F.col("rank").cast("long").alias("rank"),
+            )
+        )
+        out = layer if out is None else out.unionByName(layer)
+    return out
+
+
 def _hnsw_descent_oracle(sf_dir: str) -> str:
     counts = _hnsw_layer_counts(sf_dir)
     layers = _hnsw_pop_layers(counts)
