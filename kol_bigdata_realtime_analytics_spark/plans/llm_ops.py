@@ -1245,6 +1245,199 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Corpus-statistics diagnostics (r10): Zipf rank-frequency fit and
+# per-language tokenizer fertility — the two summary numbers a corpus
+# health dashboard leads with (a Zipf slope far from -1 flags synthetic /
+# boilerplate-dominated text; fertility quantifies how many BPE-ish
+# pieces the tokenizer spends per word, the SentencePiece efficiency
+# metric that drives per-language token budgets).
+# ---------------------------------------------------------------------------
+
+_ZIPF_ORACLE = """
+WITH toks AS (
+  SELECT regexp_split_to_array(trim(text), '\\s+') AS ts
+  FROM documents WHERE trim(COALESCE(text, '')) != ''
+),
+tf AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT unnest(ts) AS t FROM toks) GROUP BY t
+),
+hist AS MATERIALIZED (
+  SELECT c, CAST(COUNT(*) AS BIGINT) AS n_terms FROM tf GROUP BY c
+),
+above AS (
+  SELECT h.c, CAST(COALESCE(SUM(g.n_terms), 0) AS BIGINT) AS n_above
+  FROM hist h LEFT JOIN hist g ON g.c > h.c GROUP BY h.c
+),
+ranked AS (
+  SELECT tf.c,
+         a.n_above
+           + ROW_NUMBER() OVER (PARTITION BY tf.c ORDER BY tf.t ASC) AS r
+  FROM tf JOIN above a ON a.c = tf.c
+),
+pts AS (SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y
+        FROM ranked),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * y AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(y * y AS DECIMAL(28,12))) AS DOUBLE) AS syy
+  FROM pts
+)
+SELECT n AS n_terms,
+       floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1000000) / 1000000
+         AS zipf_slope_t6,
+       floor((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+             * 1000000) / 1000000 AS intercept_t6,
+       floor((n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+             * 1000000) / 1000000 AS r2_t6
+FROM s
+""".strip()
+
+
+@register("zipf_law_fit", oracle=_ZIPF_ORACLE)
+def zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit over the whole-corpus term distribution:
+    least-squares slope/intercept/r^2 of ln(freq) on ln(rank). Ranks are
+    derived WITHOUT a global single-partition window: terms with a higher
+    frequency are counted from the (freq -> n_terms) HISTOGRAM (a tiny
+    range self-join over distinct frequency VALUES), and ties order by
+    term within a freq-PARTITIONED window — every step stays parallel at
+    any vocabulary size (the pps_systematic_sample discipline applied to
+    ranking). Regression sums run per-term ln doubles through
+    DECIMAL(28,12) (order-proof); outputs trunc6.
+
+    Scale shape: one tokenize pass + one term aggregation (the vocab
+    shuffle), a histogram two orders smaller than the vocab, and a 6-sum
+    single-row reduce. The slope is the corpus-health headline: natural
+    text sits near -1 (this synthetic word-soup corpus fits ~-0.3 with
+    low r^2 — exactly what the diagnostic is supposed to expose)."""
+    from kol_bigdata_realtime_analytics_spark.plans.domain import trunc6
+
+    docs = table(spark, sf_dir, "documents").filter(
+        F.trim(F.coalesce("text", F.lit(""))) != ""
+    )
+    tf = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)  # feeds the histogram AND the rank join
+    )
+    hist = tf.groupBy("c").agg(F.count("*").alias("n_terms")).localCheckpoint(
+        eager=True
+    )  # tiny: distinct frequency values
+    above = (
+        hist.select(F.col("c").alias("hc"))
+        .join(
+            hist.select(F.col("c").alias("gc"), F.col("n_terms").alias("gn")),
+            F.col("gc") > F.col("hc"),
+            "left",
+        )
+        .groupBy(F.col("hc").alias("c"))
+        .agg(F.coalesce(F.sum("gn"), F.lit(0)).alias("n_above"))
+    )
+    wt = Window.partitionBy("c").orderBy(F.col("t").asc())
+    ranked = (
+        tf.join(F.broadcast(above), "c")
+        .select("c", (F.col("n_above") + F.row_number().over(wt)).alias("r"))
+    )
+    pts = ranked.select(
+        F.log(F.col("r").cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    dsum = lambda col: F.sum(col.cast("decimal(28,12)")).cast("double")  # noqa: E731
+    s = pts.agg(
+        F.count("*").cast("long").alias("n"),
+        dsum(F.col("x")).alias("sx"),
+        dsum(F.col("y")).alias("sy"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+        dsum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").alias("n_terms"),
+        trunc6(slope).alias("zipf_slope_t6"),
+        trunc6((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias(
+            "intercept_t6"
+        ),
+        trunc6(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            * (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            )
+        ).alias("r2_t6"),
+    )
+
+
+_FERTILITY_ORACLE = f"""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM({TOKEN_COUNT_ORACLE_SQL.format(col='text')}) AS BIGINT)
+         AS ws_tokens,
+       CAST(SUM(len(regexp_extract_all(COALESCE(text, ''), '{_BPE_RE}')))
+         AS BIGINT) AS bpe_tokens,
+       CAST(SUM(length(COALESCE(text, ''))) AS BIGINT) AS chars,
+       floor(CAST(SUM(len(regexp_extract_all(COALESCE(text, ''), '{_BPE_RE}')))
+                  AS DOUBLE)
+             / SUM({TOKEN_COUNT_ORACLE_SQL.format(col='text')})
+             * 1000000) / 1000000 AS fertility_t6,
+       floor(CAST(SUM(length(COALESCE(text, ''))) AS DOUBLE)
+             / SUM(len(regexp_extract_all(COALESCE(text, ''), '{_BPE_RE}')))
+             * 1000000) / 1000000 AS chars_per_token_t6
+FROM documents WHERE trim(COALESCE(text, '')) != ''
+GROUP BY lang
+""".strip()
+
+
+@register("tokenizer_fertility_stats", oracle=_FERTILITY_ORACLE)
+def tokenizer_fertility_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility: BPE-ish pieces per whitespace
+    word and characters per piece — the SentencePiece efficiency metrics
+    that set per-language token budgets (a language whose fertility runs
+    2x another's pays 2x the context length for the same words). Exact
+    integer sums (counts only — division is the single float op,
+    trunc6'd); one scan, one lang-keyed rollup."""
+    from kol_bigdata_realtime_analytics_spark.plans.domain import trunc6
+
+    docs = table(spark, sf_dir, "documents").filter(
+        F.trim(F.coalesce("text", F.lit(""))) != ""
+    )
+    per = docs.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(token_count("text")).cast("long").alias("ws_tokens"),
+        F.sum(
+            F.regexp_count(F.coalesce(F.col("text"), F.lit("")), F.lit(_BPE_RE))
+        )
+        .cast("long")
+        .alias("bpe_tokens"),
+        F.sum(F.length(F.coalesce(F.col("text"), F.lit(""))))
+        .cast("long")
+        .alias("chars"),
+    )
+    return per.select(
+        "lang",
+        "n_docs",
+        "ws_tokens",
+        "bpe_tokens",
+        "chars",
+        trunc6(F.col("bpe_tokens").cast("double") / F.col("ws_tokens")).alias(
+            "fertility_t6"
+        ),
+        trunc6(F.col("chars").cast("double") / F.col("bpe_tokens")).alias(
+            "chars_per_token_t6"
+        ),
+    )
+
+
 @register(
     "quality_scores",
     oracle=f"""

@@ -408,6 +408,7 @@ def test_no_unexpected_nested_loop_joins(spark, sf_oracle):
         "knn_graph_recall_check",   # brute-force reference (5-query broadcast x corpus) + 1-row hit-total crosses
         "hnsw_descent_check",       # broadcast 1-row entry node (beam seed + entry_id attach) + brute-force truth leg (3-probe broadcast x corpus)
         "pps_systematic_sample",    # broadcast 1-row total-tokens cross + bucket-offset range join over the n/64-row bucket-sum frame
+        "zipf_law_fit",             # rank-offset range join over the (freq -> n_terms) HISTOGRAM (distinct frequency values — two orders smaller than the vocab)
         "markov_removal_attribution",  # broadcast 1-row base-P(conv) + 1-row effect-total crosses into the 4-row credit frame
         "nn_descent_gain_check",    # brute-force reference (5-query broadcast x corpus) + 1-row sum/hit-total crosses
         "kneser_ney_xent_scores",   # broadcast 1-row bigram-type total (nt) into the scoring stream
