@@ -180,6 +180,42 @@ HEADLINE = [
 #: round-over-round comparison the most (r5 verdict ask #2).
 _HEAVY_SEC = 1.0
 
+#: Queries whose plans consult session-scoped index-artifact caches
+#: (_KNN_GRAPH_CACHE / _HNSW_BUILD_CACHE / similarity._FIT_CACHE). Their
+#: first run is forced COLD — the relevant caches are cleared — so the
+#: detail file carries BOTH the from-scratch build wall (cold_sec = run 1)
+#: and the steady-state wall (warm = min of the later runs). r10 verdict
+#: ask #1: min-of-runs alone billed knn_graph_build at 0.016 s while its
+#: cold build cost 7.5 s; cold/warm are now separate first-class numbers
+#: (headline_cold_sec / headline_warm_sec in the contract line).
+_FORCED_COLD = {
+    "knn_graph_build",
+    "nn_descent_round",
+    "hnsw_layer_graphs",
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
+    "ann_ivfpq_residual_topk",
+    "ann_opq_topk",
+    "ann_index_delta_append",
+    "embedding_pca_project",
+    "kcenter_coreset_select",
+}
+
+#: warm/cold ratio above which run 1 is recorded as a cold build even for
+#: queries outside _FORCED_COLD (a cache-hit pattern announcing itself)
+_COLD_RATIO = 10.0
+
+
+def _clear_index_caches() -> None:
+    """Drop every session-scoped index-artifact cache so the next build
+    genuinely starts from the parquet scan (cold-billing support)."""
+    from kol_bigdata_realtime_analytics_spark.operators import similarity
+    from kol_bigdata_realtime_analytics_spark.plans import llm_ops
+
+    llm_ops._KNN_GRAPH_CACHE.clear()
+    llm_ops._HNSW_BUILD_CACHE.clear()
+    similarity._FIT_CACHE.clear()
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -205,6 +241,7 @@ def main() -> None:
         calibration.append(round(time.perf_counter() - t0, 4))
 
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
     loads: dict[str, list[float]] = {}
     started: dict[str, float] = {}
@@ -222,8 +259,14 @@ def main() -> None:
             loads[name] = [round(x, 2) for x in os.getloadavg()]
         except OSError:
             loads[name] = []
+        forced_cold = name in _FORCED_COLD
+        if forced_cold:
+            _clear_index_caches()
         try:
-            n_runs = 2
+            # forced-cold queries always get 3 runs: run 1 is the cold
+            # build, runs 2-3 the warm steady state (two warm samples so
+            # the warm min keeps its jitter protection)
+            n_runs = 3 if forced_cold else 2
             i = 0
             while i < n_runs:
                 t0 = time.perf_counter()
@@ -233,13 +276,18 @@ def main() -> None:
                 i += 1
                 # heavyweight → one extra run so a single load spike can't
                 # masquerade as a regression (machine-load adjudication, r5)
-                if i == 2 and min(measured) > _HEAVY_SEC:
+                if i == n_runs == 2 and min(measured) > _HEAVY_SEC:
                     n_runs = 3
         except Exception as exc:  # noqa: BLE001 — any failure becomes data
             errors[name] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:300]}"
         if measured:
             runs[name] = measured  # per-run spread: lets a judge separate
-            timings[name] = min(measured)  # jitter from regression from the artifact
+            # warm = steady state: for forced-cold queries run 1 is a
+            # different regime (from-scratch build) and never enters the min
+            warm_pool = measured[1:] if forced_cold and len(measured) > 1 else measured
+            timings[name] = min(warm_pool)  # jitter vs regression, per artifact
+            if forced_cold or measured[0] / max(min(measured), 1e-9) > _COLD_RATIO:
+                cold[name] = measured[0]
 
     # Full per-query spread + load context goes to a repo file, NOT stdout.
     # The driver's tail-capture window is ~2 KB (measured: BENCH_r04.json
@@ -258,6 +306,7 @@ def main() -> None:
                     "sf": sf,
                     "cpus": os.environ.get("SPARK_GRAFT_CPUS", ""),
                     "calibration_sec": calibration,
+                    "cold_sec": cold,
                     "runs_sec": runs,
                     "loadavg_1_5_15": loads,
                     "started_epoch": started,
@@ -268,11 +317,15 @@ def main() -> None:
             )
     except OSError:
         pass  # detail is best-effort; the stdout contract line is the signal
-    print(contract_line(timings, errors, len(HEADLINE), sf))
+    print(contract_line(timings, errors, len(HEADLINE), sf, cold=cold))
 
 
 def contract_line(
-    timings: dict[str, float], errors: dict[str, str], n_headline: int, sf: float
+    timings: dict[str, float],
+    errors: dict[str, str],
+    n_headline: int,
+    sf: float,
+    cold: dict[str, float] | None = None,
 ) -> str:
     """The final stdout line — THE artifact the round driver parses. Its
     tail-capture window is ~2 KB (measured from BENCH_r04/r05.json), and
@@ -284,14 +337,23 @@ def contract_line(
         k: int(round(v * 1000))
         for k, v in sorted(timings.items(), key=lambda kv: -kv[1])[:10]
     }
+    cold = cold or {}
+    warm_total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total_wall_sec",
-        "value": round(sum(timings.values()), 3),
+        "value": warm_total,
         "unit": "sec",
         "n_timed": len(timings),
         "n_headline": n_headline,
         "n_errors": len(errors),
         "sf": sf,
+        # warm = steady-state min per query (same number as `value`);
+        # cold = the same sum with each cache-backed query billed at its
+        # from-scratch run-1 build instead of its warm min (r10 ask #1)
+        "headline_warm_sec": warm_total,
+        "headline_cold_sec": round(
+            sum(cold.get(n, v) for n, v in timings.items()), 3
+        ),
         "slowest_ms": slowest,
         "detail": "BENCH_DETAIL.json",
     }
