@@ -172,6 +172,7 @@ HEADLINE = [
     "boilerplate_span_removal",
     "pps_systematic_sample",
     "hnsw_insert_batch",
+    "ann_hnsw_topk",
 ]
 
 
@@ -192,6 +193,7 @@ _FORCED_COLD = {
     "knn_graph_build",
     "nn_descent_round",
     "hnsw_layer_graphs",
+    "ann_hnsw_topk",
     "ann_pq_topk",
     "ann_ivfpq_topk",
     "ann_ivfpq_residual_topk",
@@ -210,10 +212,11 @@ def _clear_index_caches() -> None:
     """Drop every session-scoped index-artifact cache so the next build
     genuinely starts from the parquet scan (cold-billing support)."""
     from kol_bigdata_realtime_analytics_spark.operators import similarity
-    from kol_bigdata_realtime_analytics_spark.plans import llm_ops
+    from kol_bigdata_realtime_analytics_spark.plans import hnsw_search, llm_ops
 
     llm_ops._KNN_GRAPH_CACHE.clear()
     llm_ops._HNSW_BUILD_CACHE.clear()
+    hnsw_search._DESCEND_CACHE.clear()
     similarity._FIT_CACHE.clear()
 
 

