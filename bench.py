@@ -173,6 +173,7 @@ HEADLINE = [
     "pps_systematic_sample",
     "hnsw_insert_batch",
     "ann_hnsw_topk",
+    "index_persistence_roundtrip_check",
 ]
 
 
@@ -201,6 +202,7 @@ _FORCED_COLD = {
     "ann_index_delta_append",
     "embedding_pca_project",
     "kcenter_coreset_select",
+    "index_persistence_roundtrip_check",
 }
 
 #: warm/cold ratio above which run 1 is recorded as a cold build even for

@@ -1059,6 +1059,16 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch slice of a from-scratch run (pinned in pytest), which is
     the property that lets continuous ingest dedup without quadratic
     re-scans."""
+    return _dedup_incremental_core(spark, sf_dir, None, None)
+
+
+def _dedup_corpus_index(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The corpus's persistable dedup-index artifacts: (distinct exact md5
+    fingerprints, distinct portable-MinHash band buckets). One corpus pass
+    each — shared by dedup_incremental_batch (in-plan build) and
+    operators/index_store.persist_index_artifacts (parquet write)."""
     from kol_bigdata_realtime_analytics_spark.functions.text import (
         doc_fingerprint_md5,
     )
@@ -1066,12 +1076,11 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_portable_banded,
     )
 
-    docs = table(spark, sf_dir, "documents").filter(
-        F.trim(F.coalesce("text", F.lit(""))) != ""
+    corpus = (
+        table(spark, sf_dir, "documents")
+        .filter(F.trim(F.coalesce("text", F.lit(""))) != "")
+        .filter(F.col("doc_id") % 10 != 0)
     )
-    corpus = docs.filter(F.col("doc_id") % 10 != 0)
-    batch = docs.filter(F.col("doc_id") % 10 == 0)
-    # persisted-index artifacts (one corpus pass each, amortized in prod)
     cfp = (
         corpus.select(doc_fingerprint_md5(F.col("text")).alias("fp"))
         .distinct()
@@ -1083,6 +1092,37 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=False)
     )
+    return cfp, cbk
+
+
+def _dedup_incremental_core(
+    spark: SparkSession,
+    sf_dir: str,
+    cfp: DataFrame | None,
+    cbk: DataFrame | None,
+) -> DataFrame:
+    """dedup_incremental_batch's probe path against explicit corpus-index
+    artifacts: `cfp` (distinct fp) and `cbk` (distinct band, bucket).
+    None (the registered query) builds them from the corpus scan;
+    index_persistence_roundtrip_check feeds the SAME frames LOADED from
+    the persisted parquet artifacts, certifying the stored index drives
+    identical batch decisions."""
+    from kol_bigdata_realtime_analytics_spark.functions.text import (
+        doc_fingerprint_md5,
+    )
+    from kol_bigdata_realtime_analytics_spark.operators.dedup import (
+        minhash_portable_banded,
+    )
+
+    docs = table(spark, sf_dir, "documents").filter(
+        F.trim(F.coalesce("text", F.lit(""))) != ""
+    )
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    # persisted-index artifacts (one corpus pass each, amortized in prod)
+    if cfp is None or cbk is None:
+        bcfp, bcbk = _dedup_corpus_index(spark, sf_dir)
+        cfp = bcfp if cfp is None else cfp
+        cbk = bcbk if cbk is None else cbk
     bfp = batch.select("doc_id", doc_fingerprint_md5(F.col("text")).alias("fp"))
     bband = minhash_portable_banded(batch, "text", "doc_id").localCheckpoint(
         eager=True
@@ -7630,8 +7670,6 @@ def hnsw_insert_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket-join shape with sides swapped."""
     from kol_bigdata_realtime_analytics_spark.operators.similarity import (
         as_double_vec,
-        dot,
-        lsh_bucket_id,
         norm,
     )
 
@@ -7642,6 +7680,20 @@ def hnsw_insert_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("level", _hnsw_level_expr())
         .localCheckpoint(eager=True)
     )
+    return _hnsw_insert_from_base(spark, base)
+
+
+def _hnsw_insert_from_base(spark: SparkSession, base: DataFrame) -> DataFrame:
+    """hnsw_insert_batch's core against an explicit frozen-index base
+    frame (vec_id, vec, nrm, level) — the registered query builds it from
+    the corpus scan; index_persistence_roundtrip_check feeds the SAME
+    frame LOADED from the persisted parquet artifact, certifying the
+    stored index drives an identical insert."""
+    from kol_bigdata_realtime_analytics_spark.operators.similarity import (
+        dot,
+        lsh_bucket_id,
+    )
+
     census = {
         (int(r["level"]), bool(r["b"])): int(r["n"])
         for r in base.groupBy(

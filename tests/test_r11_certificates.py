@@ -40,6 +40,56 @@ def test_hnsw_topk_is_page_shaped(spark):
         assert sorted(ranks) == [1, 2, 3], (q, ranks)
 
 
+def test_index_persistence_survives_a_fresh_session():
+    """The cross-process leg of the round-trip certificate: one subprocess
+    session PERSISTS the index artifacts; a second, completely fresh bare
+    SparkSession (new JVM, no factory configs, empty caches) LOADS them
+    and must get maintenance results identical to its own from-scratch
+    build — the 'persisted beside the corpus' claim, executed across a
+    session boundary rather than within one."""
+    import subprocess
+    import sys
+
+    writer = (
+        "import sys; sys.path.insert(0, '/root/repo')\n"
+        "from pyspark.sql import SparkSession\n"
+        "from kol_bigdata_realtime_analytics_spark.operators.index_store import "
+        "persist_index_artifacts\n"
+        "s = SparkSession.builder.master('local[8]').getOrCreate()\n"
+        f"persist_index_artifacts(s, {SF!r})\n"
+        "print('PERSISTED')\n"
+    )
+    r1 = subprocess.run(
+        [sys.executable, "-c", writer], capture_output=True, text=True, timeout=600
+    )
+    assert "PERSISTED" in r1.stdout, r1.stderr[-2000:]
+    reader = (
+        "import sys; sys.path.insert(0, '/root/repo')\n"
+        "from pyspark.sql import SparkSession\n"
+        "from kol_bigdata_realtime_analytics_spark.operators.index_store import "
+        "load_artifact\n"
+        "from kol_bigdata_realtime_analytics_spark.plans.llm_ops import "
+        "_dedup_incremental_core, _hnsw_insert_from_base\n"
+        "from kol_bigdata_realtime_analytics_spark.plans import REGISTRY\n"
+        "s = SparkSession.builder.master('local[8]').getOrCreate()\n"
+        f"sf = {SF!r}\n"
+        "lbase = load_artifact(s, sf, 'hnsw_base').localCheckpoint(eager=True)\n"
+        "a = sorted(map(tuple, _hnsw_insert_from_base(s, lbase).collect()))\n"
+        "b = sorted(map(tuple, REGISTRY['hnsw_insert_batch'].fn(s, sf).collect()))\n"
+        "assert a == b and len(a) > 0, (len(a), len(b))\n"
+        "c = sorted(map(tuple, _dedup_incremental_core(s, sf, "
+        "load_artifact(s, sf, 'dedup_fp'), "
+        "load_artifact(s, sf, 'dedup_bands')).collect()))\n"
+        "d = sorted(map(tuple, REGISTRY['dedup_incremental_batch'].fn(s, sf).collect()))\n"
+        "assert c == d and len(c) > 0, (len(c), len(d))\n"
+        "print('ROUNDTRIP_OK', len(a), len(c))\n"
+    )
+    r2 = subprocess.run(
+        [sys.executable, "-c", reader], capture_output=True, text=True, timeout=600
+    )
+    assert "ROUNDTRIP_OK" in r2.stdout, r2.stderr[-2000:]
+
+
 def test_hnsw_topk_matches_descent_semantics(spark):
     """The top-1 of the 32-query page must agree with hnsw_descent_check's
     found_id on the 3 probes the two queries share — same walk, same
