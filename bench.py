@@ -174,6 +174,7 @@ HEADLINE = [
     "hnsw_insert_batch",
     "ann_hnsw_topk",
     "index_persistence_roundtrip_check",
+    "ann_index_forget_check",
 ]
 
 
@@ -203,6 +204,7 @@ _FORCED_COLD = {
     "embedding_pca_project",
     "kcenter_coreset_select",
     "index_persistence_roundtrip_check",
+    "ann_index_forget_check",
 }
 
 #: warm/cold ratio above which run 1 is recorded as a cold build even for

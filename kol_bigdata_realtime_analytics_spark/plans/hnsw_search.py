@@ -336,3 +336,265 @@ def ann_hnsw_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("t_c") == F.col("b_c")).alias("top1_reached"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# RTBF -> index maintenance (r10 verdict ask #5): apply a forget set to
+# the FROZEN layered HNSW index as tombstone deletes + per-list repair,
+# and certify (a) the repaired index equals a from-scratch rebuild on
+# the surviving corpus (same frozen hash family), (b) no deleted id is
+# reachable afterwards. Connects the privacy family
+# (forget_set_removal_audit) to the ANN family with the
+# incremental==full-run discipline of dedup_incremental_batch, applied
+# to deletion.
+# ---------------------------------------------------------------------------
+
+#: deterministic forget set: vec_id % 101 == 7 (~1% of the corpus — the
+#: realistic RTBF batch scale; with M=16 lists this still touches
+#: ~1-(1-0.01)^16 ~ 15% of lists, so repair is non-vacuous at every sf)
+_FORGET_MOD = 101
+_FORGET_RES = 7
+
+
+def _forget_rebuild_cte_sql(l: int, planes: int) -> str:
+    """Survivor rebuild for one layer with the FROZEN plane family (the
+    live index's hash family does not drift on delete)."""
+    from kol_bigdata_realtime_analytics_spark.operators.similarity import (
+        lsh_bucket_sql,
+    )
+    from kol_bigdata_realtime_analytics_spark.plans.llm_ops import (
+        _HNSW_M,
+        _KNN_PROBE_BITS,
+    )
+
+    bucket = lsh_bucket_sql("vec", dim=64, n_planes=planes)
+    probe_list = ", ".join(
+        ["bkt"] + [f"xor(bkt, {1 << i})" for i in range(_KNN_PROBE_BITS)]
+    )
+    return f""",
+rbl{l} AS MATERIALIZED (
+  SELECT vec_id, vec, nrm, {bucket} AS bkt FROM hbase
+  WHERE level >= {l} AND vec_id % {_FORGET_MOD} <> {_FORGET_RES}),
+rbq{l} AS (SELECT vec_id AS q_id, vec AS q_vec, nrm AS q_nrm,
+              unnest([{probe_list}]) AS probe FROM rbl{l}),
+rb{l} AS MATERIALIZED (
+  SELECT q_id, c_id, cosine, rank FROM (
+    SELECT s.q_id, s.c_id, s.cosine,
+           CAST(ROW_NUMBER() OVER (PARTITION BY s.q_id
+                 ORDER BY s.cosine DESC, s.c_id ASC) AS BIGINT) AS rank
+    FROM (
+      SELECT qp.q_id, b.vec_id AS c_id,
+             ROUND(list_dot_product(qp.q_vec, b.vec) / (qp.q_nrm * b.nrm), 6)
+               AS cosine
+      FROM rbl{l} b JOIN rbq{l} qp
+        ON b.bkt = qp.probe AND b.vec_id <> qp.q_id) s
+  ) WHERE rank <= {_HNSW_M}
+),
+aff{l} AS MATERIALIZED (
+  SELECT DISTINCT q_id FROM knn{l}
+  WHERE q_id % {_FORGET_MOD} <> {_FORGET_RES}
+    AND c_id % {_FORGET_MOD} = {_FORGET_RES})"""
+
+
+def _forget_oracle(sf_dir: str) -> str:
+    from kol_bigdata_realtime_analytics_spark.plans.llm_ops import (
+        _hnsw_layer_cte_sql,
+    )
+    from kol_bigdata_realtime_analytics_spark.plans.llm_ops import _knn_planes
+    from kol_bigdata_realtime_analytics_spark.plans.registry import sql_hash52
+
+    layers = _hnsw_pop_layers(_hnsw_layer_counts(sf_dir))
+    ctes = "".join(
+        _hnsw_layer_cte_sql(l, n) + _forget_rebuild_cte_sql(l, _knn_planes(n))
+        for l, n in layers
+    )
+    h = sql_hash52(
+        f"CAST({{l}} AS VARCHAR) || '|' || CAST(q_id AS VARCHAR) || '|' || "
+        "CAST(c_id AS VARCHAR) || '|' || CAST(rank AS VARCHAR)"
+    )
+    body = "\n    UNION ALL\n    ".join(
+        f"""SELECT CAST({l} AS BIGINT) AS level,
+      (SELECT CAST(COUNT(DISTINCT q_id) AS BIGINT) FROM knn{l})
+        AS n_frozen_lists,
+      (SELECT CAST(COUNT(DISTINCT q_id) AS BIGINT) FROM knn{l}
+       WHERE q_id % {_FORGET_MOD} = {_FORGET_RES}) AS n_tombstoned_lists,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM aff{l}) AS n_affected_lists,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM knn{l} k
+       WHERE k.q_id % {_FORGET_MOD} <> {_FORGET_RES}
+         AND k.q_id NOT IN (SELECT q_id FROM aff{l})) AS n_kept_rows,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM rb{l} r
+       WHERE r.q_id IN (SELECT q_id FROM aff{l})) AS n_repaired_rows,
+      (SELECT CAST(COALESCE(bit_xor({h.format(l=l)}), 0) AS BIGINT)
+       FROM rb{l}) AS id_checksum,
+      (SELECT CAST(COALESCE(SUM(CAST(floor(cosine * 1000000) AS BIGINT)), 0)
+                   AS BIGINT) FROM rb{l}) AS val_checksum,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM rb{l}
+       WHERE c_id % {_FORGET_MOD} = {_FORGET_RES}) AS n_deleted_refs"""
+        for l, _ in layers
+    )
+    head = _HNSW_BASE_SQL.format(level=_hnsw_level_sql()).lstrip()
+    return f"""
+    WITH {head}{ctes}
+    {body}
+    """
+
+
+@register("ann_index_forget_check", oracle=_forget_oracle)
+def ann_index_forget_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RTBF applied to the frozen layered HNSW index, certified: delete
+    the forget set (vec_id % 101 == 7) as tombstones — their lists drop
+    wholesale — then repair ONLY the affected surviving lists (those
+    referencing a deleted neighbor) by re-ranking their frozen-plane
+    bucket candidates over survivors. Per layer the row reports the
+    frozen/tombstoned/affected census, kept vs repaired row counts, the
+    repaired index's content checksums, and n_deleted_refs (deleted ids
+    still referenced — 0 by construction AND certified). The ORACLE
+    computes a from-scratch rebuild over survivors with the same frozen
+    hash family, so hash-green == tombstone+targeted-repair is exactly
+    equivalent to rebuilding the index without the forgotten users —
+    the incremental==full-run discipline applied to deletion.
+
+    Scale shape: tombstoning is two id-keyed anti/semi joins on the
+    persisted graph; repair work is proportional to AFFECTED lists
+    (~15% here, ~M x forget-fraction in general), each repaired from its
+    ~125-row frozen bucket — never a corpus rebuild. The from-scratch
+    comparison side lives only in the oracle."""
+    from kol_bigdata_realtime_analytics_spark.operators.similarity import (
+        dot,
+        lsh_bucket_id,
+    )
+    from kol_bigdata_realtime_analytics_spark.plans.llm_ops import (
+        _HNSW_M,
+        _KNN_PROBE_BITS,
+        _knn_planes,
+    )
+
+    base, counts, graph = _hnsw_build(spark, sf_dir)
+    qdel = F.col("vec_id") % _FORGET_MOD == _FORGET_RES
+    ndel = F.col("neighbor_id") % _FORGET_MOD == _FORGET_RES
+    # tombstone census over the frozen graph (one artifact scan)
+    frozen = graph.groupBy("level").agg(
+        F.countDistinct("vec_id").cast("long").alias("n_frozen_lists")
+    )
+    tomb = (
+        graph.filter(qdel)
+        .groupBy("level")
+        .agg(F.countDistinct("vec_id").cast("long").alias("n_tombstoned_lists"))
+    )
+    aff = (
+        graph.filter(~qdel & ndel)
+        .select("level", "vec_id")
+        .distinct()
+        .localCheckpoint(eager=True)  # affected lists: ~M x forget-fraction
+    )
+    aff_n = aff.groupBy("level").agg(
+        F.count("*").cast("long").alias("n_affected_lists")
+    )
+    kept = graph.filter(~qdel).join(aff, ["level", "vec_id"], "left_anti")
+    kept_n = kept.groupBy("level").agg(
+        F.count("*").cast("long").alias("n_kept_rows")
+    )
+    # targeted repair: per layer, re-rank the affected lists' frozen-plane
+    # bucket candidates over survivors only
+    repaired = None
+    for l, n_l in _hnsw_pop_layers(counts):
+        planes_l = _knn_planes(n_l)
+        surv = base.filter((F.col("level") >= l) & ~qdel).withColumn(
+            "bkt", lsh_bucket_id(F.col("vec"), dim=64, n_planes=planes_l)
+        )
+        probes = F.array(
+            F.col("bkt"),
+            *[
+                F.col("bkt").bitwiseXOR(F.lit(1 << i).cast("long"))
+                for i in range(_KNN_PROBE_BITS)
+            ],
+        )
+        q = (
+            surv.join(
+                aff.filter(F.col("level") == l).select("vec_id"),
+                "vec_id",
+                "left_semi",
+            )
+            .select(
+                F.col("vec_id").alias("q_id"),
+                F.col("vec").alias("q_vec"),
+                F.col("nrm").alias("q_nrm"),
+                F.explode(probes).alias("probe"),
+            )
+        )
+        c = surv.select(
+            F.col("vec_id").alias("c_id"),
+            F.col("vec").alias("c_vec"),
+            F.col("nrm").alias("c_nrm"),
+            F.col("bkt").alias("c_bkt"),
+        )
+        scored = c.join(
+            q, (F.col("c_bkt") == F.col("probe")) & (F.col("c_id") != F.col("q_id"))
+        ).select(
+            "q_id",
+            "c_id",
+            F.round(
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_nrm") * F.col("c_nrm")),
+                6,
+            ).alias("cosine"),
+        )
+        w = Window.partitionBy("q_id").orderBy(
+            F.col("cosine").desc(), F.col("c_id").asc()
+        )
+        layer = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= _HNSW_M)
+            .select(
+                F.lit(l).cast("long").alias("level"),
+                F.col("q_id").alias("vec_id"),
+                F.col("c_id").alias("neighbor_id"),
+                "cosine",
+                F.col("rank").cast("long").alias("rank"),
+            )
+        )
+        repaired = layer if repaired is None else repaired.unionByName(layer)
+    rep_n = repaired.groupBy("level").agg(
+        F.count("*").cast("long").alias("n_repaired_rows")
+    )
+    final = kept.unionByName(repaired).localCheckpoint(eager=True)
+    from kol_bigdata_realtime_analytics_spark.plans.registry import hash52
+
+    key = F.concat_ws(
+        "|", F.col("level"), F.col("vec_id"), F.col("neighbor_id"), F.col("rank")
+    )
+    checks = (
+        final.select(
+            "level",
+            hash52(key).alias("k"),
+            F.floor(F.col("cosine") * 1000000).cast("long").alias("v"),
+        )
+        .groupBy("level")
+        .agg(
+            F.expr("bit_xor(k)").cast("long").alias("id_checksum"),
+            F.sum("v").cast("long").alias("val_checksum"),
+        )
+    )
+    del_refs = final.filter(ndel).groupBy("level").agg(
+        F.count("*").cast("long").alias("n_deleted_refs")
+    )
+    out = (
+        frozen.join(tomb, "level", "left")
+        .join(aff_n, "level", "left")
+        .join(kept_n, "level", "left")
+        .join(rep_n, "level", "left")
+        .join(checks, "level", "left")
+        .join(del_refs, "level", "left")
+    )
+    zero = F.lit(0).cast("long")
+    return out.select(
+        F.col("level").cast("long").alias("level"),
+        "n_frozen_lists",
+        F.coalesce("n_tombstoned_lists", zero).alias("n_tombstoned_lists"),
+        F.coalesce("n_affected_lists", zero).alias("n_affected_lists"),
+        F.coalesce("n_kept_rows", zero).alias("n_kept_rows"),
+        F.coalesce("n_repaired_rows", zero).alias("n_repaired_rows"),
+        F.coalesce("id_checksum", zero).alias("id_checksum"),
+        F.coalesce("val_checksum", zero).alias("val_checksum"),
+        F.coalesce("n_deleted_refs", zero).alias("n_deleted_refs"),
+    )

@@ -90,6 +90,25 @@ def test_index_persistence_survives_a_fresh_session():
     assert "ROUNDTRIP_OK" in r2.stdout, r2.stderr[-2000:]
 
 
+def test_forget_check_is_nonvacuous_and_clean(spark):
+    """The RTBF certificate must exercise a real deletion (tombstoned and
+    affected lists > 0 somewhere) and leave no deleted id referenced
+    anywhere in the repaired index. Equality with the from-scratch
+    survivor rebuild is certified by the driver hash (the oracle IS the
+    rebuild); this pin guards the non-vacuousness the hash can't."""
+    rows = REGISTRY["ann_index_forget_check"].fn(spark, SF).collect()
+    assert rows
+    assert sum(r["n_tombstoned_lists"] for r in rows) > 0
+    assert sum(r["n_affected_lists"] for r in rows) > 0
+    assert sum(r["n_repaired_rows"] for r in rows) > 0
+    assert all(r["n_deleted_refs"] == 0 for r in rows)
+    # repair is targeted: affected lists are a strict minority of frozen
+    # lists (the scale claim — repair work is NOT a rebuild)
+    assert sum(r["n_affected_lists"] for r in rows) < 0.5 * sum(
+        r["n_frozen_lists"] for r in rows
+    )
+
+
 def test_hnsw_topk_matches_descent_semantics(spark):
     """The top-1 of the 32-query page must agree with hnsw_descent_check's
     found_id on the 3 probes the two queries share — same walk, same
