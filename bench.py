@@ -175,6 +175,8 @@ HEADLINE = [
     "ann_hnsw_topk",
     "index_persistence_roundtrip_check",
     "ann_index_forget_check",
+    "quality_classifier_train",
+    "quality_classifier_score",
 ]
 
 
@@ -205,6 +207,7 @@ _FORCED_COLD = {
     "kcenter_coreset_select",
     "index_persistence_roundtrip_check",
     "ann_index_forget_check",
+    "quality_classifier_train",
 }
 
 #: warm/cold ratio above which run 1 is recorded as a cold build even for
@@ -222,6 +225,9 @@ def _clear_index_caches() -> None:
     llm_ops._HNSW_BUILD_CACHE.clear()
     hnsw_search._DESCEND_CACHE.clear()
     similarity._FIT_CACHE.clear()
+    from kol_bigdata_realtime_analytics_spark.plans import quality_model
+
+    quality_model._QC_CACHE.clear()
 
 
 def main() -> None:

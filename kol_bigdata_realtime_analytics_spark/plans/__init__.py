@@ -16,5 +16,6 @@ from kol_bigdata_realtime_analytics_spark.plans import invariants  # noqa: F401
 from kol_bigdata_realtime_analytics_spark.plans import unigram_lm  # noqa: F401
 from kol_bigdata_realtime_analytics_spark.plans import hnsw_search  # noqa: F401
 from kol_bigdata_realtime_analytics_spark.plans import index_persistence  # noqa: F401
+from kol_bigdata_realtime_analytics_spark.plans import quality_model  # noqa: F401
 
 __all__ = ["REGISTRY", "get_queries", "get_oracles"]

@@ -408,6 +408,7 @@ def test_no_unexpected_nested_loop_joins(spark, sf_oracle):
         "knn_graph_recall_check",   # brute-force reference (5-query broadcast x corpus) + 1-row hit-total crosses
         "hnsw_descent_check",       # broadcast 1-row entry node (beam seed + entry_id attach) + brute-force truth leg (3-probe broadcast x corpus)
         "ann_hnsw_topk",            # broadcast 1-row entry node seeding the 32-query beam descent
+        "quality_classifier_train",  # broadcast 1-row per-round loss frame crossed onto the 65-row weight table
         "ann_hnsw_recall_check",    # inherits the descent's 1-row entry cross + brute-force truth leg (32-probe broadcast x corpus)
         "pps_systematic_sample",    # broadcast 1-row total-tokens cross + bucket-offset range join over the n/64-row bucket-sum frame
         "zipf_law_fit",             # rank-offset range join over the (freq -> n_terms) HISTOGRAM (distinct frequency values — two orders smaller than the vocab)
