@@ -118,14 +118,41 @@ def cosine_neardup_pairs(
         *( [F.col(block_col).alias("blk")] if block_col else [] ),
         as_double_vec(F.col(vec_col)).alias("vec"),
     )
-    # per-ROW norm before the join (not per pair): O(n·dim) instead of
-    # O(pairs·dim); with dim known the pair-side dot is codegen'd too
+    # per-ROW norm before the pairing (not per pair): O(n·dim) instead of
+    # O(pairs·dim)
     base = base.withColumn("nrm", norm(F.col("vec"), dim))
+    if block_col and dim is None:
+        # blocked + fold-order dot: ONE cogrouped Arrow pass scores each
+        # block's pair matrix vectorized (bucket_pair_scores) — each vector
+        # crosses the Python boundary once per block membership instead of
+        # once per pair, bit-identical to the equi-join + interpreted HOF
+        # fold it replaces (r11 opt, guide §4.2). NULL blocks pair with
+        # nothing under the old join's equality semantics; the cogroup
+        # groups NULL keys together, so drop them up front to match.
+        nn = base.filter(F.col("blk").isNotNull())
+        q = nn.select(
+            F.col("vid").alias("q_id"),
+            F.col("vec").alias("q_vec"),
+            F.col("nrm").alias("q_nrm"),
+            F.col("blk").alias("bkt"),
+        )
+        c = nn.select(
+            F.col("vid").alias("c_id"),
+            F.col("vec").alias("c_vec"),
+            F.col("nrm").alias("c_nrm"),
+            F.col("blk").alias("c_bkt"),
+        )
+        return (
+            bucket_pair_scores(q, c, keys=[("bkt", "c_bkt")], pair_filter="lt")
+            .select(
+                F.col("q_id").alias("id_a"),
+                F.col("c_id").alias("id_b"),
+                "cosine",
+            )
+            .filter(F.col("cosine") >= threshold)
+        )
     a = base.alias("a")
     b = base.alias("b")
-    cond = F.col("a.vid") < F.col("b.vid")
-    if block_col:
-        cond = cond & (F.col("a.blk") == F.col("b.blk"))
     join_on = (F.col("a.blk") == F.col("b.blk")) if block_col else F.lit(True)
     return (
         a.join(b, join_on)
