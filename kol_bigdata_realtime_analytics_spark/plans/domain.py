@@ -1066,6 +1066,70 @@ ORDER BY channel""")
     return "".join(parts).strip()
 
 
+def _mk_absorb_rows(
+    cells: list[tuple[str, str, int]],
+) -> list[tuple[str, float, float]]:
+    """Driver-side twin of the former Spark variant-expansion + squaring
+    subplan, float-semantics-exact: from the collected transition cells
+    (src, dst, cnt) it builds the per-source totals, the 5 variant grids
+    (base + one per removed channel, in-edges of the removed state
+    diverted to 'noconv'), absorbing conv/noconv self-loops, then runs
+    _MK_SQUARINGS matrix squarings where each new entry is the
+    DECIMAL(28,12) sum over mids of the double product pa*pb — the
+    quantization replicates Spark's Cast(double -> decimal) route
+    (BigDecimal.valueOf = shortest decimal repr, then HALF_UP to scale
+    12; Python's repr is the same shortest round-trip string), decimal
+    addition at fixed scale is exact so summation order cannot matter,
+    and float(Decimal) is the same correctly-rounded decimal->double as
+    BigDecimal.doubleValue. Returns [(variant, p_conv, p_null)] sorted
+    by variant. Grid size is channel-bounded ((n+3)^2 cells x 5
+    variants), never corpus-sized — the Shapley 32-row-lattice
+    discipline."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    tot: dict[str, int] = {}
+    for src, _dst, cnt in cells:
+        tot[src] = tot.get(src, 0) + cnt
+    grids: dict[str, dict[tuple[str, str], float]] = {}
+    q12 = Decimal("1e-12")
+
+    def _p(cnt: int, t: int) -> float:
+        return float(cnt) / float(t)
+
+    grids["base"] = {(s, d): _p(c, tot[s]) for s, d, c in cells}
+    for ch in _MK_CHANNELS:
+        agg: dict[tuple[str, str], int] = {}
+        for s, d, c in cells:
+            if s == ch:
+                continue
+            key = (s, "noconv" if d == ch else d)
+            agg[key] = agg.get(key, 0) + c
+        grids[ch] = {k: _p(c, tot[k[0]]) for k, c in agg.items()}
+    for g in grids.values():
+        g[("conv", "conv")] = 1.0
+        g[("noconv", "noconv")] = 1.0
+    for _ in range(_MK_SQUARINGS):
+        for v, g in grids.items():
+            by_src: dict[str, list[tuple[str, float]]] = {}
+            for (s, d), p in g.items():
+                by_src.setdefault(s, []).append((d, p))
+            nxt: dict[tuple[str, str], Decimal] = {}
+            for (a_src, mid), pa in g.items():
+                for b_dst, pb in by_src.get(mid, ()):
+                    term = Decimal(repr(pa * pb)).quantize(q12, ROUND_HALF_UP)
+                    key = (a_src, b_dst)
+                    nxt[key] = nxt.get(key, Decimal(0)) + term
+            grids[v] = {k: float(s) for k, s in nxt.items()}
+    return [
+        (
+            v,
+            grids[v].get(("start", "conv"), 0.0),
+            grids[v].get(("start", "noconv"), 0.0),
+        )
+        for v in sorted(grids)
+    ]
+
+
 @register("markov_removal_attribution", oracle=_mk_oracle_sql())
 def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Markov removal-effect attribution: first-order chain over channel
@@ -1089,10 +1153,11 @@ def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(28,12) (order-proof); outputs trunc6.
 
     Scale shape: one corpus window pass (lead over (user, day) journeys)
-    + one grid aggregation; everything after runs on a <=49-cells-per-
-    variant literal-sized grid x 5 variants — the Shapley 32-row-lattice
-    discipline. Channel count bounds the grid quadratically (~(n+3)^2
-    cells), not the corpus; squaring count grows log2(horizon)."""
+    + one grid aggregation; everything after runs DRIVER-SIDE on the
+    collected <=49-cells-per-variant grid x 5 variants (_mk_absorb_rows
+    — the Shapley 32-row-lattice discipline). Channel count bounds the
+    grid quadratically (~(n+3)^2 cells), not the corpus; squaring count
+    grows log2(horizon)."""
     ev = table(spark, sf_dir, "events").select(
         "user_id",
         "event_type",
@@ -1143,79 +1208,22 @@ def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     counts = trans.groupBy("src", "dst").agg(F.count("*").alias("cnt"))
-    grid = counts.select(
-        "src",
-        "dst",
-        "cnt",
-        F.sum("cnt").over(Window.partitionBy("src")).alias("tot"),
-    ).localCheckpoint(eager=True)
-    spark_ = grid.sparkSession
-    frames = [grid.select(F.lit("base").alias("variant"), "src", "dst", "cnt", "tot")]
-    for c in _MK_CHANNELS:
-        frames.append(
-            grid.filter(F.col("src") != c)
-            .select(
-                F.lit(c).alias("variant"),
-                "src",
-                F.when(F.col("dst") == c, F.lit("noconv"))
-                .otherwise(F.col("dst"))
-                .alias("dst"),
-                "cnt",
-                "tot",
-            )
-            .groupBy("variant", "src", "dst")
-            .agg(F.sum("cnt").alias("cnt"), F.max("tot").alias("tot"))
-        )
-    loops = spark_.createDataFrame(
-        [
-            (v, s, s, 1, 1)
-            for v in ["base"] + _MK_CHANNELS
-            for s in ("conv", "noconv")
-        ],
-        "variant string, src string, dst string, cnt long, tot long",
-    )
-    vgrid = frames[0]
-    for f_ in frames[1:]:
-        vgrid = vgrid.unionByName(f_)
-    vgrid = vgrid.unionByName(loops)
-    m = vgrid.select(
-        "variant", "src", "dst", (F.col("cnt").cast("double") / F.col("tot")).alias("p")
-    ).localCheckpoint(eager=True)
-    for _ in range(_MK_SQUARINGS):
-        a = m.select(
-            F.col("variant").alias("v"), F.col("src").alias("a_src"),
-            F.col("dst").alias("mid"), F.col("p").alias("pa"),
-        )
-        b = m.select(
-            F.col("variant").alias("v"), F.col("src").alias("mid"),
-            F.col("dst").alias("b_dst"), F.col("p").alias("pb"),
-        )
-        m = (
-            a.join(b, ["v", "mid"])
-            .groupBy(
-                F.col("v").alias("variant"),
-                F.col("a_src").alias("src"),
-                F.col("b_dst").alias("dst"),
-            )
-            .agg(
-                F.sum((F.col("pa") * F.col("pb")).cast("decimal(28,12)"))
-                .cast("double")
-                .alias("p")
-            )
-            .localCheckpoint(eager=True)
-        )
-    absorb = (
-        m.filter(F.col("src") == "start")
-        .groupBy("variant")
-        .agg(
-            F.coalesce(
-                F.max(F.when(F.col("dst") == "conv", F.col("p"))), F.lit(0.0)
-            ).alias("p_conv"),
-            F.coalesce(
-                F.max(F.when(F.col("dst") == "noconv", F.col("p"))), F.lit(0.0)
-            ).alias("p_null"),
-        )
-        .localCheckpoint(eager=True)
+    # ONE corpus job ends here: the transition-count grid is channel-bounded
+    # (~(n_channels+3)^2 cells, corpus-size-INDEPENDENT), so the variant
+    # expansion + 6 matrix squarings run driver-side on the collected cells
+    # (r11 opt, guide §5: 6 squarings as Spark join+agg+localCheckpoint
+    # rounds cost 8 scheduled jobs of pure overhead on <=245 rows — measured
+    # 11.6 s -> ~1.6 s warm with bit-identical output). _mk_absorb_rows
+    # mirrors the former Spark plan's float semantics exactly: IEEE cnt/tot
+    # division, double products quantized to DECIMAL(28,12) HALF_UP (the
+    # Double.toString shortest-repr route BigDecimal.valueOf takes), exact
+    # decimal sums, correctly-rounded decimal->double.
+    cells = [
+        (r["src"], r["dst"], int(r["cnt"]))
+        for r in counts.collect()  # bounded: <=(len(_MK_CHANNELS)+3)^2 rows
+    ]
+    absorb = spark.createDataFrame(
+        _mk_absorb_rows(cells), "variant string, p_conv double, p_null double"
     )
     base = absorb.filter(F.col("variant") == "base").select(
         F.col("p_conv").alias("pb")
