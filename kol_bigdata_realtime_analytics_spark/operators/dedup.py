@@ -386,6 +386,62 @@ def duplicate_clusters(
         F.count("*").alias("n"),
     ).collect()[0]
     label_state = (row0["s"], row0["n"])
+    # Driver union-find short-circuit (r11 opt): when the SYMMETRIZED edge
+    # list fits the driver comfortably, the min-label fixpoint is computed
+    # with a union-find over the collected edges instead of iterated Spark
+    # rounds — each distributed round costs a join + groupBy + checkpoint +
+    # convergence collect of pure scheduler overhead on a near-dup edge set
+    # that is a tiny fraction of the corpus (64 name-vocab edges in entity
+    # resolution; a few hundred near-dup pairs at bench SFs). The fixpoint
+    # is the same mathematical object (min input-node id per connected
+    # component — unique, engine-independent), so results are identical.
+    # This is the production shape too: distributed CC finishes with a
+    # single-machine union-find once the edge worklist collapses below
+    # memory scale; a 100 TB corpus's edge set exceeds the bound and takes
+    # the distributed loop below. Bound parameterised via env; the default
+    # (1M symmetrized edge rows) stays far under driver memory.
+    import os as _os
+
+    cc_driver_max = int(_os.environ.get("SPARK_GRAFT_CC_DRIVER_MAX_EDGES", "1000000"))
+    n_sym = sym.count()  # one tiny job on the already-checkpointed frame
+    if n_sym + label_state[1] <= cc_driver_max:
+        parent: dict = {}
+
+        def _find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for e in sym.toLocalIterator():  # bounded by cc_driver_max
+            ra, rb = _find(e["src"]), _find(e["dst"])
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        comp: dict = {}
+        members: dict = {}
+        for r in labels.collect():  # touched INPUT nodes, <= cc_driver_max
+            node = r["node"]
+            root = _find(node)
+            comp[node] = root
+            members.setdefault(root, []).append(node)
+        rows = []
+        for node, root in comp.items():
+            mem = members[root]
+            cid = min(mem)
+            rows.append((node, cid, len(mem), int(node == cid)))
+        clustered = nodes.sparkSession.createDataFrame(
+            rows,
+            f"{id_col} long, cluster_id long, cluster_size long, is_canonical int",
+        )
+        singletons = all_nodes.join(touched, "node", "left_anti").select(
+            F.col("node").alias(id_col),
+            F.col("node").alias("cluster_id"),
+            F.lit(1).cast("long").alias("cluster_size"),
+            F.lit(1).cast("int").alias("is_canonical"),
+        )
+        return clustered.unionByName(singletons)
     for _ in range(max_iterations if label_state[0] is not None else 0):
         neighbor_labels = sym.join(
             labels, sym["src"] == labels["node"]
