@@ -93,11 +93,20 @@ def persist_index_artifacts(spark: SparkSession, sf_dir: str) -> dict[str, str]:
         "dedup_bands": cbk,
         "ivf_centroids": ivf_centroids_frame(spark, sf_dir),
     }
-    paths = {}
-    for name, df in frames.items():
+    # the six writes are independent jobs over already-materialized (or
+    # cheap) frames — submit them from a small thread pool so each job's
+    # straggler tail back-fills with the next write's tasks (guide §2.6);
+    # 3 in flight keeps the overlap without starving any single write
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _write(item: tuple[str, DataFrame]) -> tuple[str, str]:
+        name, df = item
         p = artifact_path(sf_dir, name)
         df.write.mode("overwrite").parquet(p)
-        paths[name] = p
+        return name, p
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        paths = dict(pool.map(_write, frames.items()))
     return paths
 
 
