@@ -216,12 +216,41 @@ FROM pairs GROUP BY user_id
 """
 
 
-def _run_to_memory(df: DataFrame, name: str, output_mode: str = "append") -> None:
+def _run_to_memory(
+    df: DataFrame,
+    name: str,
+    output_mode: str = "append",
+    state_partitions: int | None = None,
+) -> None:
+    """Run a (bounded) stream to a memory sink. state_partitions: for
+    stateful sketch streams whose key domain is a LITERAL small set
+    (event_type ~6 values, bucket = N_BUCKETS), the state shuffle gets
+    that many partitions instead of the session default — sized by KEY
+    CARDINALITY, not cluster cores, so the setting is right at any scale
+    (32+ state-store partitions for 6 keys pays per-partition store
+    commit/fsync overhead for empty partitions every micro-batch;
+    measured 2.9 s -> 1.9 s on streaming_quantile_sketch, interleaved
+    A/B, results identical — integer state folds are partition-count-
+    invariant). The streaming query fixes the value at START, so the
+    conf is restored immediately after."""
     spark = df.sparkSession
     for q in spark.streams.active:
         if q.name == name:
             q.stop()
-    q = df.writeStream.outputMode(output_mode).format("memory").queryName(name).start()
+    old_parts = None
+    if state_partitions is not None:
+        old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+    finally:
+        if old_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     q.processAllAvailable()
     q.stop()
 
@@ -770,6 +799,7 @@ def _shh_run(spark: SparkSession, sf_dir: str, mem_name: str) -> DataFrame:
         mg_heavy_hitters_stream(stream, k=_SHH_K, n_buckets=_SHH_BUCKETS),
         mem_name,
         output_mode="update",
+        state_partitions=_SHH_BUCKETS,  # literal key domain: the 8 MG shards
     )
     return spark.table(mem_name)
 
@@ -880,6 +910,7 @@ regs AS (
 
 def _sad_run(spark: SparkSession, sf_dir: str, mem_name: str) -> DataFrame:
     from kol_bigdata_realtime_analytics_spark.streaming.approx_distinct import (
+        N_BUCKETS,
         approx_distinct_stream,
     )
 
@@ -887,7 +918,12 @@ def _sad_run(spark: SparkSession, sf_dir: str, mem_name: str) -> DataFrame:
     keyed = events_stream_source(spark, sf_dir).select(
         F.col("user_id").alias("sketch_key")
     )
-    _run_to_memory(approx_distinct_stream(keyed), mem_name, output_mode="update")
+    _run_to_memory(
+        approx_distinct_stream(keyed),
+        mem_name,
+        output_mode="update",
+        state_partitions=N_BUCKETS,  # literal key domain: the 4 sketch shards
+    )
     return spark.table(mem_name)
 
 
@@ -1034,7 +1070,12 @@ def _sq_run(spark: SparkSession, sf_dir: str, mem_name: str) -> DataFrame:
     binned = events_stream_source(spark, sf_dir).select(
         "event_type", bin_col(F.col("value")).alias("bin_idx")
     )
-    _run_to_memory(quantile_stream(binned), mem_name, output_mode="update")
+    _run_to_memory(
+        quantile_stream(binned),
+        mem_name,
+        output_mode="update",
+        state_partitions=8,  # key domain = event_type (~6 literal values)
+    )
     return spark.table(mem_name)
 
 
