@@ -4020,12 +4020,106 @@ def _bpe_merges(
     return merges
 
 
-def bpe_train(words: DataFrame, n_merges: int) -> list[tuple]:
-    """The distributed Sennrich merge loop over a (w: string) word frame —
-    factored out of _bpe_merges so tests can pin it against an independent
-    pure-Python BPE model on arbitrary word lists (the DuckDB oracle shares
-    the wrapped-replace application strategy, so it cannot catch a
-    common-mode bug in that encoding; the tuple-level Python model can)."""
+def _bpe_train_driver(
+    vocab: list[tuple[str, int]], n_merges: int
+) -> list[tuple]:
+    """In-memory Sennrich trainer with incremental pair counts over the
+    collected (wrapped-sym, freq) vocabulary. Semantics-identical to the
+    distributed loop: pair counts are freq-weighted adjacent-symbol
+    counts; the best pair is (cnt DESC, a ASC, b ASC) (Python str
+    comparison is code-point order == Spark UTF8String binary order for
+    valid strings); application merges left-to-right non-overlapping —
+    after a merge at i the scan resumes at the symbol AFTER the merged
+    one, exactly the wrapped-string replace() semantics ("aaaa" + (a,a)
+    -> "aa","aa"). Each round updates counts only for words CONTAINING
+    the merged pair (delta = new pair multiset - old), the standard
+    trainer optimization; zero-count pairs are dropped so 'pair exists'
+    matches the recount-from-scratch view every round."""
+    syms_list: list[list[str]] = []
+    freqs: list[int] = []
+    for sym, freq in vocab:
+        # strip the outer C2..C3 and split on C3+C2 boundaries
+        syms_list.append(sym[1:-1].split(_BPE_C3 + _BPE_C2))
+        freqs.append(freq)
+    pair_counts: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    for wi, syms in enumerate(syms_list):
+        f = freqs[wi]
+        for p in zip(syms, syms[1:]):
+            pair_counts[p] = pair_counts.get(p, 0) + f
+            pair_words.setdefault(p, set()).add(wi)
+    merges: list[tuple] = []
+    for i in range(1, n_merges + 1):
+        if not pair_counts:
+            break  # pairs ran dry (degenerate corpus); oracle no-ops too
+        (a, b), cnt = min(
+            pair_counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((i, a, b, a + b, int(cnt)))
+        merged = a + b
+        for wi in sorted(pair_words.get((a, b), ())):
+            syms = syms_list[wi]
+            f = freqs[wi]
+            old_pairs = list(zip(syms, syms[1:]))
+            new_syms: list[str] = []
+            j = 0
+            n = len(syms)
+            while j < n:
+                if j < n - 1 and syms[j] == a and syms[j + 1] == b:
+                    new_syms.append(merged)
+                    j += 2
+                else:
+                    new_syms.append(syms[j])
+                    j += 1
+            syms_list[wi] = new_syms
+            delta: dict[tuple[str, str], int] = {}
+            for p in old_pairs:
+                delta[p] = delta.get(p, 0) - 1
+            for p in zip(new_syms, new_syms[1:]):
+                delta[p] = delta.get(p, 0) + 1
+            for p, d in delta.items():
+                if d == 0:
+                    continue
+                c = pair_counts.get(p, 0) + d * f
+                if c > 0:
+                    pair_counts[p] = c
+                    pair_words.setdefault(p, set()).add(wi)
+                else:
+                    pair_counts.pop(p, None)
+                    pair_words.pop(p, None)
+            # membership upkeep for pairs this word no longer contains
+            new_set = set(zip(new_syms, new_syms[1:]))
+            for p in set(old_pairs) - new_set:
+                ws = pair_words.get(p)
+                if ws is not None:
+                    ws.discard(wi)
+                    if not ws:
+                        pair_words.pop(p, None)
+    return merges
+
+
+def bpe_train(
+    words: DataFrame, n_merges: int, driver_max_words: int | None = None
+) -> list[tuple]:
+    """The Sennrich merge loop over a (w: string) word frame — factored out
+    of _bpe_merges so tests can pin it against an independent pure-Python
+    BPE model on arbitrary word lists (the DuckDB oracle shares the
+    wrapped-replace application strategy, so it cannot catch a common-mode
+    bug in that encoding; the tuple-level Python model can).
+
+    Two interchangeable executions of the SAME merge sequence (r11 opt):
+    when the distinct-word vocabulary fits the driver comfortably
+    (default 1M words; env SPARK_GRAFT_BPE_DRIVER_MAX_WORDS, tests pass
+    driver_max_words=0 to force the distributed loop), the loop runs as
+    the classic in-memory trainer with INCREMENTAL pair counts — exactly
+    how SentencePiece/HF tokenizers train after a distributed word count
+    — touching only the words that contain each merged pair instead of
+    paying 40 rounds of Spark jobs on a tiny frame (measured ~200 ms of
+    scheduler overhead per round at sf0.1). Above the bound the
+    distributed loop below runs unchanged (a 100 TB corpus's ~1e7-word
+    vocabulary takes that path). Both paths: greedy left-to-right
+    non-overlapping merge application, (cnt DESC, a, b) tie-break —
+    result equality is pinned in pytest."""
     vocab = (
         words.groupBy("w")
         .agg(F.count("*").cast("long").alias("freq"))
@@ -4048,6 +4142,16 @@ def bpe_train(words: DataFrame, n_merges: int) -> list[tuple]:
     # on 1 partition while a 100 TB vocab gets a handful. coalesce on the
     # checkpointed frame is narrow — no second materialization.
     n_words = vocab.count()
+    if driver_max_words is None:
+        import os as _os
+
+        driver_max_words = int(
+            _os.environ.get("SPARK_GRAFT_BPE_DRIVER_MAX_WORDS", "1000000")
+        )
+    if n_words <= driver_max_words:
+        return _bpe_train_driver(
+            [(r["sym"], int(r["freq"])) for r in vocab.collect()], n_merges
+        )
     parts = max(1, -(-int(n_words) // 2_000_000))
     if parts < vocab.rdd.getNumPartitions():
         vocab = vocab.coalesce(parts)

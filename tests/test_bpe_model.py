@@ -167,6 +167,27 @@ def test_bpe_byte_fallback_mixed_words(spark):
     assert got["π"] == 2
 
 
+def test_bpe_driver_and_distributed_paths_agree(spark):
+    """bpe_train has two interchangeable executions of the same merge
+    sequence: the in-memory incremental-pair-count trainer (default for
+    small vocabularies) and the distributed Spark loop (forced with
+    driver_max_words=0). Pin them equal — and equal to the independent
+    reference — on a corpus mixing runs, ties, multi-char re-merges and
+    multi-byte chars, so neither path can drift from the other."""
+    rng = random.Random(7)
+    words = (
+        ["aaaa", "abab", "café", "caféé"]
+        + ["".join(rng.choice("abc") for _ in range(rng.randint(2, 7))) for _ in range(40)]
+    )
+    wdf = spark.createDataFrame([(w,) for w in words], "w string").filter(
+        F.length("w") >= 2
+    )
+    driver = bpe_train(wdf, 10)
+    distributed = bpe_train(wdf, 10, driver_max_words=0)
+    assert driver == distributed, f"\ndriver: {driver}\ndist:   {distributed}"
+    assert driver == _bpe_train_ref(words, 10)
+
+
 def test_bpe_random_corpus_seeded(spark):
     """A seeded random corpus over a tiny alphabet maximizes run/overlap
     and tie cases per word; 8 merge rounds exercise deep multi-char
