@@ -1222,43 +1222,45 @@ def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r["src"], r["dst"], int(r["cnt"]))
         for r in counts.collect()  # bounded: <=(len(_MK_CHANNELS)+3)^2 rows
     ]
-    absorb = spark.createDataFrame(
-        _mk_absorb_rows(cells), "variant string, p_conv double, p_null double"
-    )
-    base = absorb.filter(F.col("variant") == "base").select(
-        F.col("p_conv").alias("pb")
-    )
-    eff = (
-        absorb.filter(F.col("variant") != "base")
-        .crossJoin(F.broadcast(base))
-        .select(
-            F.col("variant").alias("channel"),
-            "p_conv",
-            "p_null",
-            "pb",
-            # NULL (not inf) when a zero-conversion slice makes pb = 0 —
-            # mirrors the oracle's NULLIF(pb, 0) exactly (r9 advice)
-            F.when(
-                F.col("pb") != 0, F.lit(1.0) - F.col("p_conv") / F.col("pb")
-            ).alias("effect"),
+    # the lift/credit arithmetic is 4 rows of scalar float math — finished
+    # driver-side with the same float-semantics discipline (trunc6 is
+    # floor(x*1e6)/1e6 on doubles; the credit denominator is the exact
+    # DECIMAL(28,12) sum of the HALF_UP-quantized effects, matching the
+    # former Spark plan's decimal-sum cast bit-for-bit)
+    from decimal import ROUND_HALF_UP, Decimal
+    from math import floor as _floor
+
+    def _t6(x: float | None) -> float | None:
+        return None if x is None else _floor(x * 1000000) / 1000000
+
+    absorb = _mk_absorb_rows(cells)
+    pb = next(p_conv for v, p_conv, _ in absorb if v == "base")
+    chans = [(v, pc, pn) for v, pc, pn in absorb if v != "base"]
+    effects = {
+        v: (1.0 - pc / pb) if pb != 0 else None for v, pc, _ in chans
+    }
+    q12 = Decimal("1e-12")
+    terms = [
+        Decimal(repr(e)).quantize(q12, ROUND_HALF_UP)
+        for e in effects.values()
+        if e is not None
+    ]
+    te = float(sum(terms)) if terms else None
+    out_rows = [
+        (
+            v,
+            _t6(pb),
+            _t6(pc),
+            _t6(effects[v]),
+            _t6(effects[v] / te)
+            if te is not None and te != 0 and effects[v] is not None
+            else None,
+            _t6(1.0 - pc - pn),
         )
-    )
-    tot_eff = eff.agg(
-        F.sum(F.col("effect").cast("decimal(28,12)")).cast("double").alias("te")
-    )
-    return (
-        eff.crossJoin(F.broadcast(tot_eff))
-        .select(
-            "channel",
-            trunc6(F.col("pb")).alias("p_conv_base_t6"),
-            trunc6(F.col("p_conv")).alias("p_conv_removed_t6"),
-            trunc6(F.col("effect")).alias("removal_effect_t6"),
-            trunc6(
-                F.when(F.col("te") != 0, F.col("effect") / F.col("te"))
-            ).alias("credit_t6"),
-            trunc6(F.lit(1.0) - F.col("p_conv") - F.col("p_null")).alias(
-                "residual_t6"
-            ),
-        )
-        .orderBy("channel")
+        for v, pc, pn in sorted(chans)
+    ]
+    return spark.createDataFrame(
+        out_rows,
+        "channel string, p_conv_base_t6 double, p_conv_removed_t6 double, "
+        "removal_effect_t6 double, credit_t6 double, residual_t6 double",
     )
