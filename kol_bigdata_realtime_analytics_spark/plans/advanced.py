@@ -3763,27 +3763,37 @@ FROM af GROUP BY c ORDER BY c""")
 
 
 def _km_assign(pts: DataFrame, cents: list) -> DataFrame:
-    """Assignment pass under driver-resident centroids: d2 per cluster is a
-    zip_with/aggregate integer fold INSIDE one projection (no join, no
-    explode — the corpus is never inflated k times), argmin via least()
-    over (d2, c) structs so ties break on the lower cluster id."""
-    structs = []
-    for c, cv in enumerate(cents):
-        lit = F.array(*[F.lit(int(v)).cast("long") for v in cv])
-        d2 = F.aggregate(
-            F.zip_with(F.col("x"), lit, lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, e: acc + e,
+    """Assignment pass under driver-resident centroids, in ONE Arrow-batched
+    numpy pass (no join, no explode — the corpus is never inflated k
+    times). All arithmetic is int64 (differences, squares, sums — exact
+    in both numpy and the JVM; magnitudes bounded at ~1e14, far inside
+    int64), so the result is bit-identical to the zip_with/aggregate
+    integer fold it replaces (r11 opt, guide §4.2 — the HOF fold ran
+    interpreted per row per element). argmin ties break on the lower
+    cluster id: np.argmin returns the FIRST minimal index, exactly the
+    least()-over-(d2, c)-structs order."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(cents, dtype=np.int64)  # (k, dim) — driver-resident
+
+    @pandas_udf("struct<c: int, d2: long>")
+    def _assign(xs: pd.Series) -> pd.DataFrame:
+        X = np.stack(xs.to_numpy()).astype(np.int64)  # (n, dim)
+        diff = X[:, None, :] - C[None, :, :]
+        d2 = np.einsum("nkd,nkd->nk", diff, diff)  # exact int64 sums
+        c = d2.argmin(axis=1)
+        return pd.DataFrame(
+            {"c": c.astype("int32"), "d2": d2[np.arange(len(c)), c]}
         )
-        structs.append(
-            F.struct(d2.alias("d"), F.lit(c).cast("int").alias("c"))
-        )
-    best = F.least(*structs)
-    return pts.select(
+
+    a = F.col("_a")
+    return pts.withColumn("_a", _assign(F.col("x"))).select(
         "vec_id",
         "x",
-        best.getField("c").alias("c"),
-        best.getField("d").alias("d2"),
+        a.getField("c").alias("c"),
+        a.getField("d2").alias("d2"),
     )
 
 
@@ -3810,6 +3820,9 @@ def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     storage each round instead of re-scanning parquet. At 100 TB: 3 scans
     of cached points, zero shuffled joins, 260 longs over the wire per
     round."""
+    import numpy as np
+    import pandas as pd
+
     pts = (
         _kmeans_pts_frame(spark, sf_dir)
         .repartition(spark.sparkContext.defaultParallelism)
@@ -3817,21 +3830,48 @@ def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     init = pts.filter(F.col("vec_id") < _KM_K).orderBy("vec_id").collect()
     cents = [list(r["x"]) for r in init]
+
+    def _round_partials(cents: list) -> DataFrame:
+        """One fused assign+partial-aggregate Arrow pass (r11 opt, guide
+        §4.2/§2.2): each batch emits per-cluster (n, elementwise int64
+        sum) partials — <= k rows per batch, so the collect is bounded by
+        k x n_batches whatever the corpus size — and the driver folds
+        them with exact integer adds. Identical totals to the former
+        64-column F.sum aggregation: both are exact int64 sums, just
+        associated differently (integer addition is associative)."""
+        C = np.asarray(cents, dtype=np.int64)
+        k = len(C)
+
+        def gen(batches):
+            for pdf in batches:
+                X = np.stack(pdf["x"].to_numpy()).astype(np.int64)
+                diff = X[:, None, :] - C[None, :, :]
+                d2 = np.einsum("nkd,nkd->nk", diff, diff)
+                c = d2.argmin(axis=1)
+                rows = []
+                for ci in range(k):
+                    mask = c == ci
+                    n = int(mask.sum())
+                    if n:
+                        rows.append(
+                            (ci, n, X[mask].sum(axis=0).tolist())
+                        )
+                yield pd.DataFrame(rows, columns=["c", "n", "s"])
+
+        return pts.select("x").mapInPandas(gen, "c int, n long, s array<long>")
+
     for _ in range(_KM_ITERS):
-        rows = (
-            _km_assign(pts, cents)
-            .groupBy("c")
-            .agg(
-                F.count("*").alias("n"),
-                *[F.sum(F.col("x")[i]).alias(f"s{i}") for i in range(_KM_DIM)],
+        agg: dict[int, tuple[int, list[int]]] = {}
+        for r in _round_partials(cents).collect():  # bounded: k x n_batches
+            n0, s0 = agg.get(int(r["c"]), (0, [0] * _KM_DIM))
+            agg[int(r["c"])] = (
+                n0 + int(r["n"]),
+                [a + int(b) for a, b in zip(s0, r["s"])],
             )
-            .collect()
-        )
-        upd = {
-            int(r["c"]): [int(r[f"s{i}"]) // int(r["n"]) for i in range(_KM_DIM)]
-            for r in rows
-        }
-        cents = [upd.get(c, cents[c]) for c in range(_KM_K)]
+        cents = [
+            [s // agg[c][0] for s in agg[c][1]] if c in agg else cents[c]
+            for c in range(_KM_K)
+        ]
     final = _km_assign(pts, cents)
     return (
         final.groupBy("c")

@@ -11,6 +11,8 @@ remain the library fast path, bounded by pytest against exact variants.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — pandas_udf signature resolution
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -8262,20 +8264,44 @@ def kcenter_coreset_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             acc += x * x
         return acc
 
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
     for t in range(1, _KCENTER_K):
         ids = list(sel_vecs.keys())
-        dists = [
-            F.round(
-                dot(F.col("v"), F.col("v"))
-                - 2 * dot(F.col("v"), F.array(*[F.lit(x) for x in sel_vecs[i]]))
-                + F.lit(_ss(sel_vecs[i])),
-                6,
-            ).alias(f"d{i}")
-            for i in ids
-        ]
+        # r11 opt (guide §4.2): the per-selected dot folds ran interpreted
+        # per row per element; one Arrow pass computes the RAW distances to
+        # all t selected vectors with the identical IEEE sequence — the
+        # per-dimension left-to-right accumulation of the F.aggregate fold
+        # (the bucket_pair_scores discipline), and the same expression
+        # order (ss_v - 2*dot) + ss_s. round6 and least() stay Spark-side,
+        # exactly as before.
+        S = np.array([sel_vecs[i] for i in ids], dtype="float64")  # (t, 64)
+        ss_s = np.array([_ss(sel_vecs[i]) for i in ids], dtype="float64")
+
+        def _mk_draw(S, ss_s):
+            @pandas_udf("array<double>")
+            def _draw(vs: pd.Series) -> pd.Series:
+                V = np.stack(vs.to_numpy())  # (n, 64)
+                acc = np.zeros((len(V), len(S)), dtype="float64")
+                ssv = np.zeros(len(V), dtype="float64")
+                for d in range(V.shape[1]):  # sequential per-dim fold
+                    acc += V[:, d : d + 1] * S[None, :, d]
+                    ssv += V[:, d] * V[:, d]
+                D = (ssv[:, None] - 2.0 * acc) + ss_s[None, :]
+                return pd.Series(list(D))
+
+            return _draw
+
+        _draw = _mk_draw(S, ss_s)
+
+        arr = F.col("_draw")
+        dists = [F.round(arr[j], 6) for j in range(len(ids))]
         dmin = dists[0] if len(dists) == 1 else F.least(*dists)
         top = (
             emb.filter(~F.col("vec_id").isin(ids))
+            .withColumn("_draw", _draw(F.col("v")))
             .select("vec_id", "v", dmin.alias("dmin"))
             .orderBy(F.col("dmin").desc(), F.col("vec_id").asc())
             .limit(1)
