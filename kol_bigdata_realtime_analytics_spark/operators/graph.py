@@ -588,7 +588,9 @@ def k_core(edges: DataFrame, k: int, n_rounds: int) -> DataFrame:
     )
 
 
-def label_propagation(edges: DataFrame, n_rounds: int) -> DataFrame:
+def label_propagation(
+    edges: DataFrame, n_rounds: int, broadcast_node_limit: int = 5_000_000
+) -> DataFrame:
     """Deterministic label propagation over a DIRECTED edge list (src, dst):
     labels start as node ids; each round every node adopts the most
     frequent label among its in-neighbors (count desc, label asc
@@ -607,8 +609,6 @@ def label_propagation(edges: DataFrame, n_rounds: int) -> DataFrame:
     (source-only) keeps its own label instead of silently dropping out of
     the result after round 1 (r7 advisory). The node universe is
     src ∪ dst, so sink-only nodes are initialized too."""
-    from pyspark.sql import Window
-
     e = edges.select(
         F.col("src").cast("long").alias("src"),
         F.col("dst").cast("long").alias("dst"),
@@ -620,21 +620,31 @@ def label_propagation(edges: DataFrame, n_rounds: int) -> DataFrame:
         .select("node", F.col("node").alias("label"))
         .localCheckpoint(eager=True)
     )
-    w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("label").asc())
+    # labels are O(nodes): while they fit a broadcast (~16 bytes/node —
+    # the pagerank_fixedpoint threshold), ship them to the edge partitions
+    # so the edge list never shuffles inside the loop; above the limit the
+    # hint is dropped and both sides co-shuffle (r11 opt, guide §3.1)
+    bc = F.broadcast if labels.count() <= broadcast_node_limit else (lambda df: df)
     for _ in range(n_rounds):
         votes = (
-            e.join(labels, e["src"] == labels["node"])
+            e.join(bc(labels), e["src"] == labels["node"])
             .select(F.col("dst").alias("node"), "label")
             .groupBy("node", "label")
             .agg(F.count("*").alias("c"))
         )
-        argmax = (
-            votes.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("node", F.col("label").alias("new_label"))
+        # argmax via max_by over the struct order (c DESC, label ASC) ==
+        # maximize (c, -label): a hash aggregation instead of a
+        # row_number window — same shuffle key, no per-partition sort
+        # (r11 opt, guide §2.2). Labels are node ids >= 0, so -label
+        # cannot overflow. The ordering key is unique per (node, label),
+        # so the argmax is total — identical to the window form.
+        argmax = votes.groupBy("node").agg(
+            F.max_by(
+                "label", F.struct(F.col("c"), (-F.col("label")).alias("nl"))
+            ).alias("new_label")
         )
         labels = (
-            labels.join(argmax, "node", "left")
+            labels.join(bc(argmax), "node", "left")
             .select(
                 "node",
                 F.coalesce("new_label", "label").alias("label"),
@@ -817,8 +827,6 @@ def lpa_first_noop(edges: DataFrame, n_rounds: int) -> int:
     bipartite graphs — Raghavan et al. 2007 §4), or -1. Labels are not
     monotone, so equality is checked per-node (an O(nodes) join counting
     differing labels), not by count."""
-    from pyspark.sql import Window
-
     e = edges.select(
         F.col("src").cast("long").alias("src"),
         F.col("dst").cast("long").alias("dst"),
@@ -830,7 +838,6 @@ def lpa_first_noop(edges: DataFrame, n_rounds: int) -> int:
         .select("node", F.col("node").alias("label"))
         .localCheckpoint(eager=True)
     )
-    w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("label").asc())
     hist: list[DataFrame] = [labels]
     for r in range(1, n_rounds + 1):
         votes = (
@@ -839,10 +846,12 @@ def lpa_first_noop(edges: DataFrame, n_rounds: int) -> int:
             .groupBy("node", "label")
             .agg(F.count("*").alias("c"))
         )
-        argmax = (
-            votes.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("node", F.col("label").alias("new_label"))
+        # same max_by argmax as label_propagation — the replayed dynamics
+        # must never drift from the shipped operator's
+        argmax = votes.groupBy("node").agg(
+            F.max_by(
+                "label", F.struct(F.col("c"), (-F.col("label")).alias("nl"))
+            ).alias("new_label")
         )
         labels = (
             labels.join(argmax, "node", "left")
