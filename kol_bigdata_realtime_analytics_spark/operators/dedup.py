@@ -369,23 +369,9 @@ def duplicate_clusters(
     # where |E| grows quadratically at pinned n_planes. As a lazy
     # projection of the pinned sym it just feeds each join's exchange.
     touched = sym.select(F.col("src").alias("node"))
-    labels = (
-        all_nodes.join(touched, "node", "left_semi")
-        .select("node", F.col("node").alias("label"))
-        .localCheckpoint(eager=True)
+    labels_plan = all_nodes.join(touched, "node", "left_semi").select(
+        "node", F.col("node").alias("label")
     )
-    # decimal(38,0) sum: exact at any node-count * id-magnitude, no overflow.
-    # Convergence state is (sum, row count), not sum alone: round 1 can ADD
-    # rows for edge endpoints absent from `nodes` (phantom dst nodes), and
-    # in theory their added labels could exactly offset label decreases —
-    # sum-equal while not at fixpoint (r5 advice). Count rides the same agg
-    # job, so the guard is free; labels are non-increasing per node AND the
-    # node set is non-shrinking, so (sum, count) unchanged <=> fixpoint.
-    row0 = labels.agg(
-        F.sum(F.col("label").cast("decimal(38,0)")).alias("s"),
-        F.count("*").alias("n"),
-    ).collect()[0]
-    label_state = (row0["s"], row0["n"])
     # Driver union-find short-circuit (r11 opt): when the SYMMETRIZED edge
     # list fits the driver comfortably, the min-label fixpoint is computed
     # with a union-find over the collected edges instead of iterated Spark
@@ -399,12 +385,16 @@ def duplicate_clusters(
     # single-machine union-find once the edge worklist collapses below
     # memory scale; a 100 TB corpus's edge set exceeds the bound and takes
     # the distributed loop below. Bound parameterised via env; the default
-    # (1M symmetrized edge rows) stays far under driver memory.
+    # (1M symmetrized edge rows) stays far under driver memory. Touched
+    # labels are a subset of edge endpoints, so |labels| <= n_sym and
+    # 2*n_sym bounds the total collected rows — the distributed loop's
+    # bookkeeping (label checkpoint + convergence aggregate) is deferred
+    # to its branch so the short-circuit never pays those two jobs.
     import os as _os
 
     cc_driver_max = int(_os.environ.get("SPARK_GRAFT_CC_DRIVER_MAX_EDGES", "1000000"))
     n_sym = sym.count()  # one tiny job on the already-checkpointed frame
-    if n_sym + label_state[1] <= cc_driver_max:
+    if 2 * n_sym <= cc_driver_max:
         parent: dict = {}
 
         def _find(x):
@@ -421,7 +411,7 @@ def duplicate_clusters(
                 parent[max(ra, rb)] = min(ra, rb)
         comp: dict = {}
         members: dict = {}
-        for r in labels.collect():  # touched INPUT nodes, <= cc_driver_max
+        for r in labels_plan.collect():  # touched INPUT nodes, <= n_sym
             node = r["node"]
             root = _find(node)
             comp[node] = root
@@ -442,6 +432,19 @@ def duplicate_clusters(
             F.lit(1).cast("int").alias("is_canonical"),
         )
         return clustered.unionByName(singletons)
+    labels = labels_plan.localCheckpoint(eager=True)
+    # decimal(38,0) sum: exact at any node-count * id-magnitude, no overflow.
+    # Convergence state is (sum, row count), not sum alone: round 1 can ADD
+    # rows for edge endpoints absent from `nodes` (phantom dst nodes), and
+    # in theory their added labels could exactly offset label decreases —
+    # sum-equal while not at fixpoint (r5 advice). Count rides the same agg
+    # job, so the guard is free; labels are non-increasing per node AND the
+    # node set is non-shrinking, so (sum, count) unchanged <=> fixpoint.
+    row0 = labels.agg(
+        F.sum(F.col("label").cast("decimal(38,0)")).alias("s"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    label_state = (row0["s"], row0["n"])
     for _ in range(max_iterations if label_state[0] is not None else 0):
         neighbor_labels = sym.join(
             labels, sym["src"] == labels["node"]
