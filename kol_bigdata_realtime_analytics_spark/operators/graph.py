@@ -531,16 +531,20 @@ def bfs_layers(edges: DataFrame, seed: DataFrame, n_hops: int) -> DataFrame:
     ).localCheckpoint(eager=True)
     frontier = visited.select("node")
     for hop in range(1, n_hops + 1):
+        # ONE pinned frame per hop (r11 opt): the new layer is computed
+        # inside the visited union's checkpoint job, and the next
+        # frontier is a filter over the pinned result — the former
+        # separate nxt checkpoint added a job + an O(frontier)
+        # materialization per hop for no plan benefit
         nxt = (
             frontier.join(e, frontier["node"] == e["src"])
             .select(F.col("dst").alias("node"))
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
             .select("node", F.lit(hop).cast("int").alias("dist"))
-            .localCheckpoint(eager=True)
         )
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
-        frontier = nxt.select("node")
+        frontier = visited.filter(F.col("dist") == hop).select("node")
     return visited
 
 
@@ -701,13 +705,18 @@ def fw_bw_classify(edges: DataFrame, pivot: DataFrame, n_rounds: int) -> DataFra
         .crossJoin(
             pivot.sparkSession.createDataFrame([("f",), ("b",)], "dir string")
         )
+        .select("node", "dir", F.lit(0).cast("int").alias("h"))
         .localCheckpoint(eager=True)
     )
-    frontier = visited
-    for _ in range(n_rounds):
+    frontier = visited.select("node", "dir")
+    for hop in range(1, n_rounds + 1):
         fr = frontier.select(
             F.col("node").alias("f_node"), F.col("dir").alias("f_dir")
         )
+        # ONE pinned frame per round (r11 opt, the bfs_layers fold): the
+        # new frontier is computed inside the visited union's checkpoint
+        # job, tagged with its hop; the emptiness probe and the next
+        # frontier are cheap reads of the pinned result
         nxt = (
             fr.join(
                 tagged,
@@ -715,17 +724,20 @@ def fw_bw_classify(edges: DataFrame, pivot: DataFrame, n_rounds: int) -> DataFra
             )
             .select(F.col("dst").alias("node"), tagged["dir"])
             .distinct()
-            .join(visited, ["node", "dir"], "left_anti")
+            .join(visited.select("node", "dir"), ["node", "dir"], "left_anti")
             # fresh exprIds before the checkpoint: the frame otherwise
             # carries tagged's attribute ids into the next round's join
             # against tagged itself (ambiguous-self-join analyzer error)
-            .select(F.col("node").alias("node"), F.col("dir").alias("dir"))
-            .localCheckpoint(eager=True)
+            .select(
+                F.col("node").alias("node"),
+                F.col("dir").alias("dir"),
+                F.lit(hop).cast("int").alias("h"),
+            )
         )
-        if nxt.isEmpty():  # fixpoint: remaining rounds are no-ops by definition
-            break
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
-        frontier = nxt
+        frontier = visited.filter(F.col("h") == hop).select("node", "dir")
+        if frontier.isEmpty():  # fixpoint: remaining rounds are no-ops
+            break
     # fresh exprIds per cone: both filters derive from the same visited
     # frame, and the downstream two-way membership join would otherwise
     # be an ambiguous self-join

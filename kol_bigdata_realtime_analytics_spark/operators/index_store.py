@@ -70,11 +70,18 @@ def ivf_centroids_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "cent_id long, dim_idx long, val double")
 
 
-def persist_index_artifacts(spark: SparkSession, sf_dir: str) -> dict[str, str]:
-    """Write all six index artifacts for `sf_dir` (overwrite — every
-    artifact is deterministic, so a rewrite is content-idempotent).
-    Returns {artifact: path}. Builds come from the session caches when
-    warm (the in-session analogue of an amortized production build)."""
+def persist_index_artifacts_async(spark: SparkSession, sf_dir: str):
+    """Start writing all six index artifacts for `sf_dir` (overwrite —
+    every artifact is deterministic, so a rewrite is content-idempotent)
+    on a 3-worker thread pool and return ({artifact: Future[path]}, pool).
+    The caller overlaps its own independent jobs with the write tails
+    (guide §2.6) and MUST consume every future (and shut the pool down);
+    `persist_index_artifacts` is the blocking wrapper. hnsw_base /
+    dedup_fp / dedup_bands are submitted first: they gate the
+    round-trip certificate's probe constructions, so they should own
+    the first pool slots."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from kol_bigdata_realtime_analytics_spark.plans.llm_ops import (
         _KNN_PROBE_BITS,
         _dedup_corpus_index,
@@ -87,27 +94,32 @@ def persist_index_artifacts(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     cfp, cbk = _dedup_corpus_index(spark, sf_dir)
     frames = {
         "hnsw_base": base,
-        "hnsw_graph": graph,
-        "knn_graph": knn,
         "dedup_fp": cfp,
         "dedup_bands": cbk,
+        "hnsw_graph": graph,
+        "knn_graph": knn,
         "ivf_centroids": ivf_centroids_frame(spark, sf_dir),
     }
-    # the six writes are independent jobs over already-materialized (or
-    # cheap) frames — submit them from a small thread pool so each job's
-    # straggler tail back-fills with the next write's tasks (guide §2.6);
-    # 3 in flight keeps the overlap without starving any single write
-    from concurrent.futures import ThreadPoolExecutor
 
-    def _write(item: tuple[str, DataFrame]) -> tuple[str, str]:
-        name, df = item
+    def _write(name: str, df: DataFrame) -> str:
         p = artifact_path(sf_dir, name)
         df.write.mode("overwrite").parquet(p)
-        return name, p
+        return p
 
-    with ThreadPoolExecutor(max_workers=3) as pool:
-        paths = dict(pool.map(_write, frames.items()))
-    return paths
+    pool = ThreadPoolExecutor(max_workers=3)
+    futures = {n: pool.submit(_write, n, df) for n, df in frames.items()}
+    return futures, pool
+
+
+def persist_index_artifacts(spark: SparkSession, sf_dir: str) -> dict[str, str]:
+    """Write all six index artifacts and block until done. Returns
+    {artifact: path}. Builds come from the session caches when warm (the
+    in-session analogue of an amortized production build)."""
+    futures, pool = persist_index_artifacts_async(spark, sf_dir)
+    try:
+        return {n: f.result() for n, f in futures.items()}
+    finally:
+        pool.shutdown(wait=True)
 
 
 def load_artifact(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

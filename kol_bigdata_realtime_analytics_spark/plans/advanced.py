@@ -1588,10 +1588,11 @@ def ohlc_events_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = table(spark, sf_dir, "events")
     us = F.unix_micros(F.col("ts"))
-    ord_key = F.concat(
-        F.lpad(us.cast("string"), 20, "0"),
-        F.lpad(F.col("event_id").cast("string"), 12, "0"),
-    )
+    # struct (us, event_id) compares field-by-field — the same total
+    # order as the zero-padded string concat (fixed-width non-negative
+    # decimals), without allocating a 32-char string per row (r11 opt,
+    # guide §1.2 per-task work); min_by/max_by pick the identical rows
+    ord_key = F.struct(us.alias("us"), F.col("event_id").alias("eid"))
     bucket = (F.expr("unix_micros(ts) div 900000000") * 900000000).alias(
         "bucket_start_us"
     )
@@ -1930,10 +1931,23 @@ def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).over(w),
         )
     )
-    agg = staged.agg(
-        F.countDistinct(F.when(F.col("v_t").isNotNull(), F.col("user_id"))).alias("v"),
-        F.countDistinct(F.when(F.col("c_t").isNotNull(), F.col("user_id"))).alias("c"),
-        F.countDistinct(F.when(F.col("p_t").isNotNull(), F.col("user_id"))).alias("p"),
+    # fold to one row per user FIRST: the window output is already
+    # hash-partitioned by user_id, so this groupBy adds NO exchange, and
+    # the three countDistincts (which would Expand the event stream 3x
+    # through another shuffle) become plain conditional sums over the
+    # per-user frame (r11 opt, guide §2.3 aggregate before you shuffle).
+    # countDistinct ignores NULL user_ids, so the per-user form counts
+    # only non-null users too.
+    per_user = staged.groupBy("user_id").agg(
+        F.max("v_t").isNotNull().alias("has_v"),
+        F.max("c_t").isNotNull().alias("has_c"),
+        F.max("p_t").isNotNull().alias("has_p"),
+    )
+    nn = F.col("user_id").isNotNull()
+    agg = per_user.agg(
+        F.coalesce(F.sum((nn & F.col("has_v")).cast("long")), F.lit(0)).alias("v"),
+        F.coalesce(F.sum((nn & F.col("has_c")).cast("long")), F.lit(0)).alias("c"),
+        F.coalesce(F.sum((nn & F.col("has_p")).cast("long")), F.lit(0)).alias("p"),
     )
     # ONE explode of the single agg row, not a 3-arm union (each union arm
     # would re-plan the whole aggregate lineage)
@@ -2013,9 +2027,13 @@ def distinctive_terms_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kol_bigdata_realtime_analytics_spark.plans.domain import trunc6
 
     docs = table(spark, sf_dir, "documents")
-    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
+    # split on the separator class directly: one regex pass instead of
+    # regexp_replace (which materializes a normalized copy of every
+    # document) followed by a second split pass (r11 opt, guide §1.2
+    # per-task work). Leading/trailing separators yield '' tokens, which
+    # the same filter already drops — token multiset identical.
     terms = docs.select(
-        "source", F.explode(F.split(norm, " ")).alias("term")
+        "source", F.explode(F.split(F.lower(F.col("text")), "[^a-z0-9]+")).alias("term")
     ).filter(F.col("term") != "")
     # materialize the vocab-sized (source, term, count) frame ONCE: the
     # marginals need it twice (keyed window sums + the global scalar), and
@@ -3510,9 +3528,13 @@ def _purchase_edges_sym(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # no second distinct (r11 opt, guide §2.4): e0 is already distinct
+    # and its src (custkey) / dst (suppkey + 1e7) domains are disjoint,
+    # so the flipped copy can never collide with a forward row — the
+    # union IS the distinct symmetrized set, one full shuffle cheaper
     return e0.unionByName(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    )
 
 
 def _kcore_edges_sym(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3531,9 +3553,11 @@ def _kcore_edges_sym(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # same disjoint-domain argument as _purchase_edges_sym: the union of
+    # a distinct set with its flip is already distinct (r11 opt)
     return e0.unionByName(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    )
 
 
 def _bfs_oracle_sql(n_hops: int) -> str:
@@ -4202,7 +4226,10 @@ def _scc_edges_pivot(
         )
         .distinct()
     )
-    edges = ep.unionByName(er).distinct().localCheckpoint(eager=True)
+    # ep's src domain (custkeys) and er's (suppkeys + 1e7) are disjoint
+    # and each side is already distinct, so the union needs no third
+    # distinct shuffle (r11 opt, guide §2.4)
+    edges = ep.unionByName(er).localCheckpoint(eager=True)
     pivot = (
         edges.select("src")
         .join(edges.select(F.col("dst").alias("src")), "src", "left_semi")

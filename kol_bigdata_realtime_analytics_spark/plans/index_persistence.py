@@ -33,7 +33,6 @@ from pyspark.sql import functions as F
 
 from kol_bigdata_realtime_analytics_spark.operators.index_store import (
     load_artifact,
-    persist_index_artifacts,
 )
 from kol_bigdata_realtime_analytics_spark.plans.registry import (
     hash52,
@@ -182,13 +181,43 @@ def index_persistence_roundtrip_check(
     source data (plus the offline quantizer refit), so hash-green ==
     the persisted index round-trips bit-faithfully AND drives identical
     incremental maintenance — the production continuous-ingest contract."""
+    from kol_bigdata_realtime_analytics_spark.operators.index_store import (
+        persist_index_artifacts_async,
+    )
     from kol_bigdata_realtime_analytics_spark.plans.llm_ops import (
         _dedup_incremental_core,
         _hnsw_insert_from_base,
     )
 
-    persist_index_artifacts(spark, sf_dir)
-    lbase = load_artifact(spark, sf_dir, "hnsw_base").localCheckpoint(eager=True)
+    # overlap the six artifact writes with the probe constructions'
+    # eager jobs (guide §2.6): each probe only needs ITS artifacts on
+    # disk (read schema resolution + the load scan), so it starts as
+    # soon as its gating writes complete while the remaining writes'
+    # straggler tails back-fill. Results are identical — this reorders
+    # independent jobs, never the data.
+    futures, pool = persist_index_artifacts_async(spark, sf_dir)
+    try:
+        futures["hnsw_base"].result()
+        lbase = load_artifact(spark, sf_dir, "hnsw_base").localCheckpoint(
+            eager=True
+        )
+        # insert-probe construction: census collect over lbase + the
+        # fused-kernel plan — runs while graph/knn/centroid writes finish
+        insert_probe = _hnsw_insert_from_base(spark, lbase)
+        futures["dedup_fp"].result()
+        futures["dedup_bands"].result()
+        # dedup-probe construction: the batch minhash checkpoint inside
+        # the core overlaps the remaining write tails too
+        dedup_probe = _dedup_incremental_core(
+            spark,
+            sf_dir,
+            load_artifact(spark, sf_dir, "dedup_fp"),
+            load_artifact(spark, sf_dir, "dedup_bands"),
+        )
+        for f in futures.values():
+            f.result()
+    finally:
+        pool.shutdown(wait=True)
     c6 = F.lit(1000000)
     graph_key = F.concat_ws(
         "|", F.col("level"), F.col("vec_id"), F.col("neighbor_id"), F.col("rank")
@@ -238,18 +267,13 @@ def index_persistence_roundtrip_check(
             "ivf_centroids",
         ),
         _cks(
-            _hnsw_insert_from_base(spark, lbase),
+            insert_probe,
             graph_key,
             F.floor(F.col("cosine") * c6),
             "probe_hnsw_insert",
         ),
         _cks(
-            _dedup_incremental_core(
-                spark,
-                sf_dir,
-                load_artifact(spark, sf_dir, "dedup_fp"),
-                load_artifact(spark, sf_dir, "dedup_bands"),
-            ),
+            dedup_probe,
             dedup_key,
             F.col("survives").cast("int"),
             "probe_dedup_incremental",

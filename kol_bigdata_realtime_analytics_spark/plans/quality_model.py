@@ -87,25 +87,25 @@ def _qc_inputs(
         .filter(F.trim(F.coalesce("text", F.lit(""))) != "")
         .select("doc_id", F.lower(F.trim(F.col("text"))).alias("t"), "text")
     )
-    tok = docs.select(
-        "doc_id",
-        F.posexplode(F.split(F.col("t"), r"\s+")).alias("pos", "tok"),
-    ).filter(F.col("pos") < _QC_CAP)
-    uni = tok.select("doc_id", (hash52(F.col("tok")) % _QC_FEATS).alias("f"))
-    a, b = tok.alias("a"), tok.alias("b")
-    big = a.join(
-        b,
-        (F.col("b.doc_id") == F.col("a.doc_id"))
-        & (F.col("b.pos") == F.col("a.pos") + 1),
-    ).select(
-        F.col("a.doc_id").alias("doc_id"),
-        (
-            hash52(F.concat(F.col("a.tok"), F.lit(" "), F.col("b.tok")))
-            % _QC_FEATS
-        ).alias("f"),
+    # unigrams = the first _QC_CAP tokens; bigrams = adjacent pairs within
+    # that cap, built by zipping the capped array against itself shifted
+    # by one (r11 opt: the former positional self-join shuffled the
+    # exploded token stream against itself; the zip produces the exact
+    # same "a b" strings with zero shuffles and ONE corpus scan). Only
+    # the cheap concat runs in the interpreted lambda — the md5 hash
+    # runs codegen'd on the exploded column.
+    ts = F.col("ts")
+    big_str = F.zip_with(
+        F.slice(ts, 1, F.size(ts) - 1),
+        F.slice(ts, 2, F.size(ts) - 1),
+        lambda x, y: F.concat(x, F.lit(" "), y),
     )
+    grams = docs.select(
+        "doc_id",
+        F.slice(F.split(F.col("t"), r"\s+"), 1, _QC_CAP).alias("ts"),
+    ).select("doc_id", F.explode(F.concat(ts, big_str)).alias("g"))
     cnt = (
-        uni.unionByName(big)
+        grams.select("doc_id", (hash52(F.col("g")) % _QC_FEATS).alias("f"))
         .groupBy("doc_id", "f")
         .agg(F.count("*").cast("long").alias("c"))
     )
