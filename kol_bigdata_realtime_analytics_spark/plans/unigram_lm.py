@@ -113,16 +113,40 @@ def _viterbi_segments(
         )
         .localCheckpoint(eager=True)
     )
-    max_len = vocab.agg(F.max(F.length("w"))).collect()[0][0]
-    segments = _viterbi_dp(vocab, costs, int(max_len))
+    mrow = vocab.agg(
+        F.max(F.length("w")).alias("ml"), F.count("*").alias("n")
+    ).collect()[0]  # one bounded probe: DP depth + driver-path bound
+    segments = _viterbi_dp(vocab, costs, int(mrow["ml"]), n_vocab=int(mrow["n"]))
     return segments, vocab
 
 
-def _viterbi_dp(vocab: DataFrame, costs: DataFrame, max_len: int) -> DataFrame:
+def _viterbi_dp(
+    vocab: DataFrame, costs: DataFrame, max_len: int, n_vocab: int | None = None
+) -> DataFrame:
     """The DP loop itself, shared by the seed round and the pruned
     retrain round: (w, c, path) per vocabulary word under the given
     (piece, cost) table. Pieces absent from `costs` drop out of the
-    candidate join — pruning needs no special casing here."""
+    candidate join — pruning needs no special casing here.
+
+    Driver short-circuit (r11 opt, the bpe_vocab_train discipline): the
+    DP state is VOCABULARY-sized (distinct words, ~1e5-1e6 at 100 TB by
+    Heaps' law — the same bound the BPE trainer collects under), yet the
+    distributed loop pays max(len(w)) rounds of join + window + eager
+    checkpoint — pure scheduler floor at bench scale. Below
+    $SPARK_GRAFT_UNIGRAM_DRIVER_MAX_WORDS (default 200k) the identical
+    integer DP (same candidates, same (cost, j) tie-break, same
+    reachability semantics) runs over the collected vocab and the
+    SPARK-computed integer cost table — no float op is re-implemented,
+    so results are bit-identical; equality of the two paths is pinned in
+    tests/test_unigram_lm_model.py. Above the bound the distributed loop
+    runs unchanged."""
+    import os as _os
+
+    driver_max = int(
+        _os.environ.get("SPARK_GRAFT_UNIGRAM_DRIVER_MAX_WORDS", "200000")
+    )
+    if (vocab.count() if n_vocab is None else n_vocab) <= driver_max:
+        return _viterbi_dp_driver(vocab, costs, max_len)
     # state: best cost + path per (word, position); position 0 = empty
     state = vocab.select(
         "w",
@@ -175,6 +199,45 @@ def _viterbi_dp(vocab: DataFrame, costs: DataFrame, max_len: int) -> DataFrame:
         )
         state = state.unionByName(nxt).localCheckpoint(eager=True)
     return state.filter(F.col("pos") == F.length("w")).select("w", "c", "path")
+
+
+def _viterbi_dp_driver(
+    vocab: DataFrame, costs: DataFrame, max_len: int
+) -> DataFrame:
+    """Driver-side twin of the distributed DP (see _viterbi_dp): the same
+    best[i] = min over j in [i-_MAX_PIECE, i-1] of best[j] + cost(piece)
+    recursion with the (nbest, pos) tie-break, over the collected
+    vocabulary and the Spark-computed INTEGER cost table — exact integer
+    arithmetic only, so the segmentations are bit-identical to the
+    distributed loop's. Words whose final position is unreachable under
+    the piece inventory drop out, exactly like the pos == len(w) filter."""
+    spark = vocab.sparkSession
+    cost_map = {r["piece"]: int(r["cost"]) for r in costs.collect()}
+    out = []
+    for row in vocab.collect():
+        w, c = row["w"], int(row["c"])
+        n = len(w)
+        best: list[int | None] = [0] + [None] * n
+        path: list[str] = [""] + [""] * n
+        for i in range(1, n + 1):
+            nb, nj, npiece = None, None, None
+            for j in range(max(0, i - _MAX_PIECE), i):
+                if best[j] is None:
+                    continue
+                piece = w[j:i]
+                cost = cost_map.get(piece)
+                if cost is None:
+                    continue
+                cand = best[j] + cost
+                if nb is None or cand < nb or (cand == nb and j < nj):
+                    nb, nj, npiece = cand, j, piece
+            if nb is not None:
+                best[i] = nb
+                # mirrors concat(path, IF(path = '', '', '|'), piece)
+                path[i] = path[nj] + ("" if path[nj] == "" else "|") + npiece
+        if best[n] is not None:
+            out.append((w, c, path[n]))
+    return spark.createDataFrame(out, "w string, c long, path string")
 
 
 def _unigram_oracle_sql(sf_dir: str) -> str:
@@ -442,8 +505,10 @@ def unigram_lm_prune_round(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    max_len = vocab.agg(F.max(F.length("w"))).collect()[0][0]
-    seg2 = _viterbi_dp(vocab, costs2, int(max_len))
+    mrow = vocab.agg(
+        F.max(F.length("w")).alias("ml"), F.count("*").alias("n")
+    ).collect()[0]
+    seg2 = _viterbi_dp(vocab, costs2, int(mrow["ml"]), n_vocab=int(mrow["n"]))
 
     n_pieces = lambda seg: F.sum(  # noqa: E731 — local reducer alias
         F.col("c") * F.size(F.split("path", r"\|"))

@@ -135,3 +135,18 @@ def test_viterbi_dp_formulation_is_optimal():
                     yield cost[w[rem_start : rem_start + l]] + tail
 
         assert best[len(w)] == min(seg_costs(0)), (w, trial)
+
+
+def test_viterbi_driver_and_distributed_paths_agree(spark, sf_small, monkeypatch):
+    """The r11 driver short-circuit must produce bit-identical
+    segmentations to the distributed loop (same candidates, same integer
+    costs, same (cost, j) tie-break) — forced by dropping the word bound
+    to 0 so the second run takes the distributed path on the same data."""
+    from kol_bigdata_realtime_analytics_spark.plans import unigram_lm as ul
+
+    segs_drv, _ = ul._viterbi_segments(spark, sf_small)
+    drv = sorted((r["w"], r["c"], r["path"]) for r in segs_drv.collect())
+    monkeypatch.setenv("SPARK_GRAFT_UNIGRAM_DRIVER_MAX_WORDS", "0")
+    segs_dist, _ = ul._viterbi_segments(spark, sf_small)
+    dist = sorted((r["w"], r["c"], r["path"]) for r in segs_dist.collect())
+    assert drv == dist and len(drv) > 0
