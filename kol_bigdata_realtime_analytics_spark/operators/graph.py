@@ -630,9 +630,17 @@ def label_propagation(
     # hint is dropped and both sides co-shuffle (r11 opt, guide §3.1)
     bc = F.broadcast if labels.count() <= broadcast_node_limit else (lambda df: df)
     for _ in range(n_rounds):
+        # ONE exchange per round (r11 opt, guide §2.4): repartition the
+        # vote stream by node, then BOTH aggregations below are
+        # exchange-free — HashPartitioning(node) satisfies the clustering
+        # requirement of groupBy(node, label) (subset key) and of
+        # groupBy(node). The former shape exchanged twice, once per
+        # grouping. Measured 1.2-1.4x per round interleaved at sf0.1;
+        # results identical (partitioning never changes an aggregate).
         votes = (
             e.join(bc(labels), e["src"] == labels["node"])
             .select(F.col("dst").alias("node"), "label")
+            .repartition("node")
             .groupBy("node", "label")
             .agg(F.count("*").alias("c"))
         )
@@ -855,11 +863,13 @@ def lpa_first_noop(edges: DataFrame, n_rounds: int) -> int:
         votes = (
             e.join(labels, e["src"] == labels["node"])
             .select(F.col("dst").alias("node"), "label")
+            .repartition("node")
             .groupBy("node", "label")
             .agg(F.count("*").alias("c"))
         )
-        # same max_by argmax as label_propagation — the replayed dynamics
-        # must never drift from the shipped operator's
+        # same max_by argmax (and single vote exchange) as
+        # label_propagation — the replayed dynamics must never drift
+        # from the shipped operator's
         argmax = votes.groupBy("node").agg(
             F.max_by(
                 "label", F.struct(F.col("c"), (-F.col("label")).alias("nl"))
