@@ -530,21 +530,46 @@ def bfs_layers(edges: DataFrame, seed: DataFrame, n_hops: int) -> DataFrame:
         F.col("node").cast("long").alias("node"), F.lit(0).cast("int").alias("dist")
     ).localCheckpoint(eager=True)
     frontier = visited.select("node")
-    for hop in range(1, n_hops + 1):
-        # ONE pinned frame per hop (r11 opt): the new layer is computed
-        # inside the visited union's checkpoint job, and the next
-        # frontier is a filter over the pinned result — the former
-        # separate nxt checkpoint added a job + an O(frontier)
-        # materialization per hop for no plan benefit
-        nxt = (
+    hop = 1
+    while hop <= n_hops:
+        # TWO hops per pinned frame (r12 opt, guide §2/§5 — fewer rounds ⇒
+        # fewer barrier jobs; each round was pure scheduler floor at the
+        # bench sf). Hop k is built lazily and localCheckpoint-MARKED
+        # (persisted at first materialization, so the three consumers —
+        # hop k+1's frontier, its anti-join, and the visited union — share
+        # ONE computation inside the single eager checkpoint job), and hop
+        # k+1 is layer(k+1) = neighbors(layer k) minus visited minus
+        # layer k: exactly the sequential recurrence, since visited holds
+        # layers 0..k-1 at that point. Content is therefore identical to
+        # the one-hop-per-frame form; only the pinning cadence changed.
+        nxt1 = (
             frontier.join(e, frontier["node"] == e["src"])
             .select(F.col("dst").alias("node"))
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
             .select("node", F.lit(hop).cast("int").alias("dist"))
         )
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
-        frontier = visited.filter(F.col("dist") == hop).select("node")
+        if hop + 1 <= n_hops:
+            nxt1 = nxt1.localCheckpoint(eager=False)
+            f1 = nxt1.select("node")
+            nxt2 = (
+                f1.join(e, f1["node"] == e["src"])
+                .select(F.col("dst").alias("node"))
+                .distinct()
+                .join(visited.select("node"), "node", "left_anti")
+                .join(nxt1.select("node"), "node", "left_anti")
+                .select("node", F.lit(hop + 1).cast("int").alias("dist"))
+            )
+            visited = (
+                visited.unionByName(nxt1)
+                .unionByName(nxt2)
+                .localCheckpoint(eager=True)
+            )
+            hop += 2
+        else:
+            visited = visited.unionByName(nxt1).localCheckpoint(eager=True)
+            hop += 1
+        frontier = visited.filter(F.col("dist") == hop - 1).select("node")
     return visited
 
 
@@ -571,16 +596,21 @@ def k_core(edges: DataFrame, k: int, n_rounds: int) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
-    for _ in range(n_rounds):
+    # TWO peel rounds per pinned frame (r12 opt, the bfs_layers fold):
+    # the intermediate round's live set is lazily checkpoint-MARKED so
+    # both of the next round's semi-joins and the eager pin share one
+    # computation — identical per-round algebra, half the barrier jobs.
+    for r in range(n_rounds):
         alive = e.join(
             live.select(F.col("node").alias("src")), "src", "left_semi"
         ).join(live.select(F.col("node").alias("dst")), "dst", "left_semi")
+        eager = (r % 2 == 1) or (r == n_rounds - 1)
         live = (
             alive.groupBy("src")
             .agg(F.count("*").alias("deg"))
             .filter(F.col("deg") >= k)
             .select(F.col("src").alias("node"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=eager)
         )
     core = e.join(
         live.select(F.col("node").alias("src")), "src", "left_semi"
@@ -629,7 +659,13 @@ def label_propagation(
     # so the edge list never shuffles inside the loop; above the limit the
     # hint is dropped and both sides co-shuffle (r11 opt, guide §3.1)
     bc = F.broadcast if labels.count() <= broadcast_node_limit else (lambda df: df)
-    for _ in range(n_rounds):
+    # TWO rounds per pinned frame (r12 opt, the bfs_layers fold): the
+    # intermediate round's label frame is lazily checkpoint-MARKED, so the
+    # next round's vote join and carry join share one computation inside
+    # the single eager checkpoint job — identical per-round algebra, half
+    # the barrier jobs.
+    for r in range(n_rounds):
+        eager = (r % 2 == 1) or (r == n_rounds - 1)
         # ONE exchange per round (r11 opt, guide §2.4): repartition the
         # vote stream by node, then BOTH aggregations below are
         # exchange-free — HashPartitioning(node) satisfies the clustering
@@ -661,7 +697,7 @@ def label_propagation(
                 "node",
                 F.coalesce("new_label", "label").alias("label"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=eager)
         )
     return labels
 
@@ -717,33 +753,58 @@ def fw_bw_classify(edges: DataFrame, pivot: DataFrame, n_rounds: int) -> DataFra
         .localCheckpoint(eager=True)
     )
     frontier = visited.select("node", "dir")
-    for hop in range(1, n_rounds + 1):
-        fr = frontier.select(
-            F.col("node").alias("f_node"), F.col("dir").alias("f_dir")
-        )
-        # ONE pinned frame per round (r11 opt, the bfs_layers fold): the
-        # new frontier is computed inside the visited union's checkpoint
-        # job, tagged with its hop; the emptiness probe and the next
-        # frontier are cheap reads of the pinned result
-        nxt = (
+
+    def _cone_hop(fro: DataFrame, vis: DataFrame, hop: int) -> DataFrame:
+        """One fused fwd+bwd frontier hop: neighbors of `fro` along the
+        dir-tagged edges, minus `vis`, with fresh exprIds (the frame
+        otherwise carries tagged's attribute ids into the next hop's join
+        against tagged itself — ambiguous-self-join analyzer error)."""
+        fr = fro.select(F.col("node").alias("f_node"), F.col("dir").alias("f_dir"))
+        return (
             fr.join(
                 tagged,
                 (fr["f_node"] == tagged["src"]) & (fr["f_dir"] == tagged["dir"]),
             )
             .select(F.col("dst").alias("node"), tagged["dir"])
             .distinct()
-            .join(visited.select("node", "dir"), ["node", "dir"], "left_anti")
-            # fresh exprIds before the checkpoint: the frame otherwise
-            # carries tagged's attribute ids into the next round's join
-            # against tagged itself (ambiguous-self-join analyzer error)
+            .join(vis.select("node", "dir"), ["node", "dir"], "left_anti")
             .select(
                 F.col("node").alias("node"),
                 F.col("dir").alias("dir"),
                 F.lit(hop).cast("int").alias("h"),
             )
         )
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
-        frontier = visited.filter(F.col("h") == hop).select("node", "dir")
+
+    hop = 1
+    while hop <= n_rounds:
+        # TWO hops per pinned frame (r12 opt, the bfs_layers fold): hop k
+        # is lazily checkpoint-MARKED so hop k+1's frontier join, its
+        # anti-join and the visited union share one computation inside the
+        # single eager checkpoint job. Hop k+1 subtracts visited AND hop k
+        # — exactly the sequential recurrence (visited holds hops 0..k-1
+        # here), so content is identical; only the pinning cadence and the
+        # emptiness-probe cadence changed (probing every 2nd hop is pure
+        # early-exit: rounds past the fixpoint are no-ops either way).
+        nxt1 = _cone_hop(frontier, visited, hop)
+        if hop + 1 <= n_rounds:
+            nxt1 = nxt1.localCheckpoint(eager=False)
+            nxt2 = _cone_hop(
+                nxt1.select("node", "dir"),
+                visited.select("node", "dir").unionByName(
+                    nxt1.select("node", "dir")
+                ),
+                hop + 1,
+            )
+            visited = (
+                visited.unionByName(nxt1)
+                .unionByName(nxt2)
+                .localCheckpoint(eager=True)
+            )
+            hop += 2
+        else:
+            visited = visited.unionByName(nxt1).localCheckpoint(eager=True)
+            hop += 1
+        frontier = visited.filter(F.col("h") == hop - 1).select("node", "dir")
         if frontier.isEmpty():  # fixpoint: remaining rounds are no-ops
             break
     # fresh exprIds per cone: both filters derive from the same visited
