@@ -590,13 +590,19 @@ def jaccard_pairs(
     """
     if not 0 < threshold <= 1:
         raise ValueError(f"jaccard_pairs requires 0 < threshold <= 1, got {threshold}")
+    # pinned: the corpus scan + tokenize + per-token xxhash64 ran FOUR times
+    # inside the ranked frame's lineage (once per tokrows consumer, with no
+    # exchange reuse across the DF aggregation and its join probe side —
+    # measured in the r12 plan dump); one eager pin makes it ONE scan and
+    # one tokenize pass, and every downstream explode re-reads the cached
+    # array frame (r12 opt, guide §6 scan reuse / r11 verdict ask #3)
     base = df.select(
         F.col(id_col).alias("doc"),
         *[F.col(c) for c in block_cols],
         F.array_distinct(
             F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t))
         ).alias("tok"),
-    )
+    ).localCheckpoint(eager=True)
     tokrows = base.select("doc", *block_cols, F.explode("tok").alias("tk"))
     tokdf = tokrows.groupBy("tk").agg(F.count("*").alias("tdf"))
     # per doc: tokens sorted rarest-first under the global (df, token) order;

@@ -4256,16 +4256,26 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.trim(F.coalesce("text", F.lit(""))) != ""
     )
     occ = docs.select("source", F.explode(tokens("text")).alias("w"))
+    # aggregate-first dictionary encode (r12 opt, guide §2.3 aggregate
+    # before you shuffle / §1.2 don't compute what repeats): the replace
+    # chain is a pure function of the WORD, so fold occurrences to
+    # (source, word, cnt) — map-side partial aggregation means the
+    # corpus never shuffles, only each task's distinct (source, word)
+    # partials (vocabulary-sized by Heaps' law, the bpe_roundtrip_check
+    # argument) — and run the 40-step chain once per distinct row,
+    # weighting the sums by cnt. Integer-weighted sums of the same
+    # per-word integers: totals identical to the per-occurrence form.
+    wc = occ.groupBy("source", "w").agg(F.count("*").alias("cnt"))
     enc = bpe_encode_expr(F.col("w"), merges)
     n_sub = F.size(
         F.split(F.substring(enc, 2, F.length(enc) - 2), _BPE_C3 + _BPE_C2)
     ).cast("long")
     return (
-        occ.select("source", n_sub.alias("n_sub"))
+        wc.select("source", "cnt", n_sub.alias("n_sub"))
         .groupBy("source")
         .agg(
-            F.count("*").alias("n_words"),
-            F.sum("n_sub").alias("n_subwords"),
+            F.sum("cnt").alias("n_words"),
+            F.sum(F.col("n_sub") * F.col("cnt")).alias("n_subwords"),
         )
         .select(
             "source",
@@ -4385,11 +4395,16 @@ def bpe_encode_fallback_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").filter(
         F.trim(F.coalesce("text", F.lit(""))) != ""
     )
-    # alphabet artifact: distinct chars of the len>=2 training words
+    # alphabet artifact: distinct chars of the len>=2 training words.
+    # Dedup WORDS before exploding chars (r12 opt, §2.3): the word-level
+    # distinct partial-aggregates map-side, so the char explode runs over
+    # the vocabulary instead of every corpus occurrence — same set either
+    # way (char set of distinct words == char set of all occurrences).
     alphabet = sorted(
         r["ch"]
         for r in docs.select(F.explode(tokens("text")).alias("w"))
         .filter(F.length("w") >= 2)
+        .distinct()
         .select(F.explode(F.split("w", "")).alias("ch"))
         .distinct()
         .collect()
@@ -4403,6 +4418,13 @@ def bpe_encode_fallback_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(probe)
         .select("source", F.explode(tokens("text")).alias("w"))
     )
+    # aggregate-first dictionary encode (r12 opt, §2.3 — the
+    # bpe_encode_stats shape): chain + fallback accounting are pure
+    # functions of the word, so fold to (source, word, cnt) with map-side
+    # partial aggregation and price each distinct row once, weighted by
+    # cnt. Integer-weighted sums of the same per-word integers — totals
+    # identical to the per-occurrence form.
+    wc = occ.groupBy("source", "w").agg(F.count("*").alias("cnt"))
     enc = bpe_encode_expr(F.col("w"), merges)
     n_sub = F.size(
         F.split(F.substring(enc, 2, F.length(enc) - 2), _BPE_C3 + _BPE_C2)
@@ -4415,16 +4437,17 @@ def bpe_encode_fallback_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         unknown, F.lit(0).cast("long"), lambda acc, c: acc + F.octet_length(c)
     )
     return (
-        occ.select(
+        wc.select(
             "source",
+            "cnt",
             (n_sub - n_unknown + n_bytes).alias("tok"),
             n_bytes.alias("fb"),
         )
         .groupBy("source")
         .agg(
-            F.count("*").alias("n_words"),
-            F.sum("tok").alias("n_tokens"),
-            F.sum("fb").alias("n_byte_fallback_tokens"),
+            F.sum("cnt").alias("n_words"),
+            F.sum(F.col("tok") * F.col("cnt")).alias("n_tokens"),
+            F.sum(F.col("fb") * F.col("cnt")).alias("n_byte_fallback_tokens"),
         )
     )
 
