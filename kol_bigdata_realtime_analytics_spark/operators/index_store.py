@@ -67,7 +67,12 @@ def ivf_centroids_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, c in enumerate(cents)
         for j, v in enumerate(c)
     ]
-    return spark.createDataFrame(rows, "cent_id long, dim_idx long, val double")
+    # one partition: k x dim rows (512 here) otherwise spread over every
+    # default-parallelism slot and write 32 near-empty parquet files —
+    # 32 write tasks + a 32-file listing on every load (r12 opt, guide §6)
+    return spark.createDataFrame(
+        rows, "cent_id long, dim_idx long, val double"
+    ).coalesce(1)
 
 
 def persist_index_artifacts_async(spark: SparkSession, sf_dir: str):

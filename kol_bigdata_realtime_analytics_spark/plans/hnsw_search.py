@@ -91,9 +91,17 @@ def _descend_fin(
         fwd = graph.filter(F.col("level") == l).select(
             F.col("vec_id").alias("a"), F.col("neighbor_id").alias("b")
         )
-        ed = fwd.unionByName(
-            fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))
-        ).distinct()
+        # lazily pinned (r12 opt, guide §5): the symmetrize+distinct ran
+        # once per HOP before (6x per layer, + the probe-neighbor read on
+        # layer 0); the checkpoint mark materializes it at the first hop's
+        # job and every later hop reads the cached frame
+        ed = (
+            fwd.unionByName(
+                fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))
+            )
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
         if l == 0:
             ed0 = ed
         for _h in range(_HNSW_HOPS):
@@ -117,11 +125,23 @@ def _descend_fin(
             w = Window.partitionBy("q_id").orderBy(
                 F.col("cosine").desc(), F.col("node").asc()
             )
+            # TWO hops per eager pin (r12 opt, r11 verdict ask #6): odd
+            # hops are checkpoint-MARKED lazily — the even hop's eager job
+            # materializes and persists the odd beam mid-plan, so its two
+            # consumers (the neighbor join and the candidate union) share
+            # one computation and the job count on the certificate path
+            # halves. EQUIVALENCE: each hop's beam is a pure function of
+            # the previous beam (join -> union -> distinct -> score ->
+            # top-8 window); eager vs lazy checkpointing changes only WHEN
+            # the identical RDD materializes, never its rows, and lineage
+            # still truncates at every hop, so hop k's plan never re-runs
+            # hops 1..k-2. The descent trajectory — and therefore fin,
+            # the top-k page, and the recall certificate — is unchanged.
             beam = (
                 scored.withColumn("rk", F.row_number().over(w))
                 .filter(F.col("rk") <= _HNSW_BEAM)
                 .select("q_id", "node", "cosine")
-                .localCheckpoint(eager=True)  # probes x beam rows
+                .localCheckpoint(eager=(_h % 2 == 1))  # probes x beam rows
             )
     probe_neigh = (
         beam.filter(F.col("node") == F.col("q_id"))

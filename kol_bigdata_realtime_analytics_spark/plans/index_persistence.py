@@ -189,35 +189,17 @@ def index_persistence_roundtrip_check(
         _hnsw_insert_from_base,
     )
 
-    # overlap the six artifact writes with the probe constructions'
-    # eager jobs (guide §2.6): each probe only needs ITS artifacts on
-    # disk (read schema resolution + the load scan), so it starts as
-    # soon as its gating writes complete while the remaining writes'
-    # straggler tails back-fill. Results are identical — this reorders
-    # independent jobs, never the data.
-    futures, pool = persist_index_artifacts_async(spark, sf_dir)
-    try:
-        futures["hnsw_base"].result()
-        lbase = load_artifact(spark, sf_dir, "hnsw_base").localCheckpoint(
-            eager=True
-        )
-        # insert-probe construction: census collect over lbase + the
-        # fused-kernel plan — runs while graph/knn/centroid writes finish
-        insert_probe = _hnsw_insert_from_base(spark, lbase)
-        futures["dedup_fp"].result()
-        futures["dedup_bands"].result()
-        # dedup-probe construction: the batch minhash checkpoint inside
-        # the core overlaps the remaining write tails too
-        dedup_probe = _dedup_incremental_core(
-            spark,
-            sf_dir,
-            load_artifact(spark, sf_dir, "dedup_fp"),
-            load_artifact(spark, sf_dir, "dedup_bands"),
-        )
-        for f in futures.values():
-            f.result()
-    finally:
-        pool.shutdown(wait=True)
+    # overlap EVERYTHING independent (guide §2.6): the six artifact
+    # writes run on the store's 3-worker pool; as soon as an artifact's
+    # write lands, its loaded-scan checksum (a one-row aggregate) is
+    # EXECUTED on a second pool and pinned — and the two probe kernels,
+    # which only need THEIR gating artifacts on disk, run the same way.
+    # The returned frame is then a union of pinned one-row frames, so
+    # write tails, artifact checksums and probe executions back-fill each
+    # other's idle cores. Results are identical — this reorders
+    # independent jobs, never the data (the r11 overlap, completed).
+    from concurrent.futures import ThreadPoolExecutor
+
     c6 = F.lit(1000000)
     graph_key = F.concat_ws(
         "|", F.col("level"), F.col("vec_id"), F.col("neighbor_id"), F.col("rank")
@@ -232,51 +214,95 @@ def index_persistence_roundtrip_check(
     dedup_key = F.concat_ws(
         "|", F.col("doc_id"), *[F.col(b).cast("int") for b in bools]
     )
-    parts = [
-        _cks(
-            lbase,
-            F.concat_ws("|", F.col("vec_id"), F.col("level")),
-            F.floor(F.col("nrm") * c6),
-            "hnsw_base",
-        ),
-        _cks(
-            load_artifact(spark, sf_dir, "hnsw_graph"),
-            graph_key,
-            F.floor(F.col("cosine") * c6),
-            "hnsw_graph",
-        ),
-        _cks(
-            load_artifact(spark, sf_dir, "knn_graph"),
-            F.concat_ws("|", F.col("vec_id"), F.col("neighbor_id"), F.col("rank")),
-            F.floor(F.col("cosine") * c6),
-            "knn_graph",
-        ),
-        _cks(
-            load_artifact(spark, sf_dir, "dedup_fp"), F.col("fp"), F.lit(0), "dedup_fp"
-        ),
-        _cks(
-            load_artifact(spark, sf_dir, "dedup_bands"),
+
+    def _pinned_cks(name: str, key: Column, val: Column):
+        df = _cks(load_artifact(spark, sf_dir, name), key, val, name)
+        return df.localCheckpoint(eager=True)  # 1 row
+
+    futures, pool = persist_index_artifacts_async(spark, sf_dir)
+    cpool = ThreadPoolExecutor(max_workers=4)
+    try:
+        futures["hnsw_base"].result()
+        lbase = load_artifact(spark, sf_dir, "hnsw_base").localCheckpoint(
+            eager=True
+        )
+        cks_futs = {
+            "hnsw_base": cpool.submit(
+                lambda: _cks(
+                    lbase,
+                    F.concat_ws("|", F.col("vec_id"), F.col("level")),
+                    F.floor(F.col("nrm") * c6),
+                    "hnsw_base",
+                ).localCheckpoint(eager=True)
+            ),
+            # insert probe: census collect + the fused kernel over lbase —
+            # executes while the graph/knn/centroid writes finish
+            "probe_hnsw_insert": cpool.submit(
+                lambda: _cks(
+                    _hnsw_insert_from_base(spark, lbase),
+                    graph_key,
+                    F.floor(F.col("cosine") * c6),
+                    "probe_hnsw_insert",
+                ).localCheckpoint(eager=True)
+            ),
+        }
+        futures["dedup_fp"].result()
+        futures["dedup_bands"].result()
+        cks_futs["dedup_fp"] = cpool.submit(
+            _pinned_cks, "dedup_fp", F.col("fp"), F.lit(0)
+        )
+        cks_futs["dedup_bands"] = cpool.submit(
+            _pinned_cks,
+            "dedup_bands",
             F.concat_ws("|", F.col("band"), F.col("bucket")),
             F.lit(0),
-            "dedup_bands",
-        ),
-        _cks(
-            load_artifact(spark, sf_dir, "ivf_centroids"),
+        )
+        cks_futs["probe_dedup_incremental"] = cpool.submit(
+            lambda: _cks(
+                _dedup_incremental_core(
+                    spark,
+                    sf_dir,
+                    load_artifact(spark, sf_dir, "dedup_fp"),
+                    load_artifact(spark, sf_dir, "dedup_bands"),
+                ),
+                dedup_key,
+                F.col("survives").cast("int"),
+                "probe_dedup_incremental",
+            ).localCheckpoint(eager=True)
+        )
+        futures["hnsw_graph"].result()
+        cks_futs["hnsw_graph"] = cpool.submit(
+            _pinned_cks, "hnsw_graph", graph_key, F.floor(F.col("cosine") * c6)
+        )
+        futures["knn_graph"].result()
+        cks_futs["knn_graph"] = cpool.submit(
+            _pinned_cks,
+            "knn_graph",
+            F.concat_ws("|", F.col("vec_id"), F.col("neighbor_id"), F.col("rank")),
+            F.floor(F.col("cosine") * c6),
+        )
+        futures["ivf_centroids"].result()
+        cks_futs["ivf_centroids"] = cpool.submit(
+            _pinned_cks,
+            "ivf_centroids",
             F.concat_ws("|", F.col("cent_id"), F.col("dim_idx")),
             F.floor(F.col("val") * F.lit(1000000000)),
+        )
+        for f in futures.values():
+            f.result()
+        # same output order as the sequential form
+        order = [
+            "hnsw_base",
+            "hnsw_graph",
+            "knn_graph",
+            "dedup_fp",
+            "dedup_bands",
             "ivf_centroids",
-        ),
-        _cks(
-            insert_probe,
-            graph_key,
-            F.floor(F.col("cosine") * c6),
             "probe_hnsw_insert",
-        ),
-        _cks(
-            dedup_probe,
-            dedup_key,
-            F.col("survives").cast("int"),
             "probe_dedup_incremental",
-        ),
-    ]
+        ]
+        parts = [cks_futs[n].result() for n in order]
+    finally:
+        cpool.shutdown(wait=True)
+        pool.shutdown(wait=True)
     return functools.reduce(lambda a, b: a.unionByName(b), parts)

@@ -1125,7 +1125,15 @@ def _dedup_incremental_core(
         bcfp, bcbk = _dedup_corpus_index(spark, sf_dir)
         cfp = bcfp if cfp is None else cfp
         cbk = bcbk if cbk is None else cbk
-    bfp = batch.select("doc_id", doc_fingerprint_md5(F.col("text")).alias("fp"))
+    # pinned: bfp feeds FOUR consumers (bmin, the corpus semi-join, the
+    # within-batch filter join, and the final decision-vector spine) —
+    # unpinned, each re-ran the batch parquet scan + md5 fingerprint
+    # (4 scans in the r12 before-plan dump). Batch-sized rows of
+    # (doc_id, 32-char fp) — the materialization is the probe frame a
+    # production batch run holds anyway (r12 opt, guide §6 scan reuse)
+    bfp = batch.select(
+        "doc_id", doc_fingerprint_md5(F.col("text")).alias("fp")
+    ).localCheckpoint(eager=True)
     bband = minhash_portable_banded(batch, "text", "doc_id").localCheckpoint(
         eager=True
     )  # feeds the corpus probe AND the within-batch self-join
@@ -7993,10 +8001,16 @@ def hnsw_descent_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         fwd = graph.filter(F.col("level") == l).select(
             F.col("vec_id").alias("a"), F.col("neighbor_id").alias("b")
         )
-        # undirected view — HNSW links are bidirectional
-        ed = fwd.unionByName(
-            fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))
-        ).distinct()
+        # undirected view — HNSW links are bidirectional; lazily pinned so
+        # the symmetrize+distinct runs once per layer, not once per hop
+        # (r12 opt, the hnsw_search._descend_fin discipline)
+        ed = (
+            fwd.unionByName(
+                fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))
+            )
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
         if l == 0:
             ed0 = ed
         for _h in range(_HNSW_HOPS):
@@ -8020,11 +8034,15 @@ def hnsw_descent_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             w = Window.partitionBy("q_id").orderBy(
                 F.col("cosine").desc(), F.col("node").asc()
             )
+            # TWO hops per eager pin — see hnsw_search._descend_fin for
+            # the equivalence argument (pure per-hop function; eager vs
+            # lazy checkpointing changes only when the identical RDD
+            # materializes, never its rows; lineage still truncates)
             beam = (
                 scored.withColumn("rk", F.row_number().over(w))
                 .filter(F.col("rk") <= _HNSW_BEAM)
                 .select("q_id", "node", "cosine")
-                .localCheckpoint(eager=True)  # probes x beam rows
+                .localCheckpoint(eager=(_h % 2 == 1))  # probes x beam rows
             )
     # final selection excludes the probe's own node (the walk may — and
     # usually does — route to it, cosine 1.0); if the probe IS in the
