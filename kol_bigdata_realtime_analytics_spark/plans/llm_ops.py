@@ -8452,15 +8452,31 @@ def skipgram_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p.center", "p.context")
     wc = w.select(F.col("t").alias("center"), F.col("sw").alias("sw_c"))
     wx = w.select(F.col("t").alias("context"), F.col("sw").alias("sw_x"))
+    # aggregate-first (r12 opt, guide §2.3): the summand sw_c * sw_x is
+    # CONSTANT per (center, context), so count the raw pairs before the
+    # weight joins — the joins and the decimal arithmetic then run over
+    # the vocab^2-bounded pair table instead of every corpus pair row.
+    # n_raw * d == the former SUM of n_raw copies of d exactly, PROVIDED
+    # the multiply itself is exact: d <= 1, so decimal(13,12) holds the
+    # identical scale-12 rounding of the double product as the former
+    # decimal(28,12) cast, and bigint(= decimal(20,0)) x decimal(13,12)
+    # has result precision 34 <= 38 — no scale truncation (a direct
+    # decimal(28,12) multiplicand overflowed to precision 49 and Spark
+    # silently dropped scale digits: 481 rows off by 1e-6 at sf0.001).
+    pc = pairs.groupBy("center", "context").agg(
+        F.count("*").cast("long").alias("n_raw")
+    )
     return (
-        pairs.join(F.broadcast(wc), "center")
+        pc.join(F.broadcast(wc), "center")
         .join(F.broadcast(wx), "context")
-        .groupBy("center", "context")
-        .agg(
-            F.count("*").cast("long").alias("n_raw"),
+        .select(
+            "center",
+            "context",
+            "n_raw",
             trunc6(
-                F.sum(
-                    (F.col("sw_c") * F.col("sw_x")).cast("decimal(28,12)")
+                (
+                    F.col("n_raw")
+                    * (F.col("sw_c") * F.col("sw_x")).cast("decimal(13,12)")
                 ).cast("double")
             ).alias("weighted_t6"),
         )
