@@ -111,8 +111,30 @@ def persist_index_artifacts_async(spark: SparkSession, sf_dir: str):
         df.write.mode("overwrite").parquet(p)
         return p
 
+    class _FutureMap(dict):
+        """plain dict is not weakref-able; the finalizer below needs one"""
+
     pool = ThreadPoolExecutor(max_workers=3)
-    futures = {n: pool.submit(_write, n, df) for n, df in frames.items()}
+    futures = _FutureMap(
+        {n: pool.submit(_write, n, df) for n, df in frames.items()}
+    )
+    # safety net (r11 advice): a caller that drops the pair without
+    # consuming every future would otherwise leak a non-daemon executor
+    # and swallow write failures. The finalizer fires at GC/interpreter
+    # exit, drains the pool, and re-raises the first failed write so an
+    # abandoned artifact write can never fail silently. Well-behaved
+    # callers (both in-tree) still .result() everything and shut down
+    # explicitly; the finalizer is then a no-op shutdown.
+    import weakref
+
+    def _drain(p=pool, fs=tuple(futures.values())):
+        p.shutdown(wait=True)
+        for f in fs:
+            exc = f.exception()
+            if exc is not None:
+                raise exc
+
+    weakref.finalize(futures, _drain)
     return futures, pool
 
 

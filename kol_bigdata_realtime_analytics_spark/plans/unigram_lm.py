@@ -114,14 +114,26 @@ def _viterbi_segments(
         .localCheckpoint(eager=True)
     )
     mrow = vocab.agg(
-        F.max(F.length("w")).alias("ml"), F.count("*").alias("n")
-    ).collect()[0]  # one bounded probe: DP depth + driver-path bound
-    segments = _viterbi_dp(vocab, costs, int(mrow["ml"]), n_vocab=int(mrow["n"]))
+        F.max(F.length("w")).alias("ml"),
+        F.count("*").alias("n"),
+        F.sum(F.length("w")).alias("chars"),
+    ).collect()[0]  # one bounded probe: DP depth + driver-path bounds
+    segments = _viterbi_dp(
+        vocab,
+        costs,
+        int(mrow["ml"]),
+        n_vocab=int(mrow["n"]),
+        n_chars=int(mrow["chars"]),
+    )
     return segments, vocab
 
 
 def _viterbi_dp(
-    vocab: DataFrame, costs: DataFrame, max_len: int, n_vocab: int | None = None
+    vocab: DataFrame,
+    costs: DataFrame,
+    max_len: int,
+    n_vocab: int | None = None,
+    n_chars: int | None = None,
 ) -> DataFrame:
     """The DP loop itself, shared by the seed round and the pruned
     retrain round: (w, c, path) per vocabulary word under the given
@@ -145,7 +157,16 @@ def _viterbi_dp(
     driver_max = int(
         _os.environ.get("SPARK_GRAFT_UNIGRAM_DRIVER_MAX_WORDS", "200000")
     )
-    if (vocab.count() if n_vocab is None else n_vocab) <= driver_max:
+    # char-volume bound (r11 advice): word COUNT alone under-estimates the
+    # driver DP's latency/memory on long-word vocabularies (state is
+    # O(total chars), work O(total chars x _MAX_PIECE)); both bounds must
+    # hold before the collect. Unknown char volume (no probe) counts as
+    # over-bound, falling back to the distributed loop.
+    char_max = int(
+        _os.environ.get("SPARK_GRAFT_UNIGRAM_DRIVER_MAX_CHARS", "20000000")
+    )
+    n = vocab.count() if n_vocab is None else n_vocab
+    if n <= driver_max and n_chars is not None and n_chars <= char_max:
         return _viterbi_dp_driver(vocab, costs, max_len)
     # state: best cost + path per (word, position); position 0 = empty
     state = vocab.select(
@@ -506,9 +527,17 @@ def unigram_lm_prune_round(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     mrow = vocab.agg(
-        F.max(F.length("w")).alias("ml"), F.count("*").alias("n")
+        F.max(F.length("w")).alias("ml"),
+        F.count("*").alias("n"),
+        F.sum(F.length("w")).alias("chars"),
     ).collect()[0]
-    seg2 = _viterbi_dp(vocab, costs2, int(mrow["ml"]), n_vocab=int(mrow["n"]))
+    seg2 = _viterbi_dp(
+        vocab,
+        costs2,
+        int(mrow["ml"]),
+        n_vocab=int(mrow["n"]),
+        n_chars=int(mrow["chars"]),
+    )
 
     n_pieces = lambda seg: F.sum(  # noqa: E731 — local reducer alias
         F.col("c") * F.size(F.split("path", r"\|"))

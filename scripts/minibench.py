@@ -21,6 +21,10 @@ from kol_bigdata_realtime_analytics_spark.session import get_spark  # noqa: E402
 
 def main() -> None:
     names = sys.argv[1:]
+    # validate BEFORE paying Spark session startup + calibration (r11 advice)
+    unknown = [n for n in names if n not in REGISTRY]
+    if unknown:
+        raise SystemExit(f"unknown queries (not in REGISTRY): {unknown}")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     n_runs = int(os.environ.get("N_RUNS", "3"))
     spark = get_spark(app_name="minibench")
