@@ -4222,9 +4222,26 @@ def _scc_edges_pivot(
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_quantity", "l_returnflag", "l_discount"
     )
-    j = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+    # ONE lineitem⋈orders pass for both edge directions (r12 opt, guide
+    # §2.4): ep and er previously each embedded their own copy of the
+    # join, so the corpus join + scan executed twice inside the edges
+    # checkpoint. The filtered (custkey, suppkey, flags) frame is
+    # checkpoint-marked lazily; both orientations read the cached rows.
+    # _SCC_ER implies l_quantity > 45, so the OR-filter equals the union
+    # of the two original filters row-for-row.
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .filter(F.expr(f"({_SCC_EP}) OR ({_SCC_ER})"))
+        .select(
+            "o_custkey",
+            "l_suppkey",
+            F.expr(_SCC_EP).alias("is_p"),
+            F.expr(_SCC_ER).alias("is_r"),
+        )
+        .localCheckpoint(eager=False)
+    )
     ep = (
-        j.filter(F.expr(_SCC_EP))
+        j.filter(F.col("is_p"))
         .select(
             F.col("o_custkey").alias("src"),
             (F.col("l_suppkey") + F.lit(10_000_000)).alias("dst"),
@@ -4232,7 +4249,7 @@ def _scc_edges_pivot(
         .distinct()
     )
     er = (
-        j.filter(F.expr(_SCC_ER))
+        j.filter(F.col("is_r"))
         .select(
             (F.col("l_suppkey") + F.lit(10_000_000)).alias("src"),
             F.col("o_custkey").alias("dst"),
