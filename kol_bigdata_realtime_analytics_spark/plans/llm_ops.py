@@ -4750,16 +4750,30 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_DSIR_BUCKET_SQL.format(g="g", pos="instr")).alias("b"),
         )
     )
+    # (doc, bucket)-grouped feature counts, pinned (r12 opt, guide §6):
+    # the raw feature frame previously re-ran the tokenize + bigram
+    # explode + per-bigram md5 for BOTH the bucket-count aggregation and
+    # the scoring join. pg is <= n_docs x 256 rows of four integers —
+    # far smaller than the corpus text at any scale (the raw exploded
+    # frame is bigger than the corpus, which is why THAT was never
+    # pinned) — so one pinned pass feeds both branches.
+    pg = (
+        feats.groupBy("doc_id", "source", "b")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
     counts = (
-        feats.groupBy("b")
+        pg.groupBy("b")
         .agg(
-            F.count("*").alias("s_cnt"),
+            F.sum("cnt").alias("s_cnt"),
             F.sum(
-                (F.col("source") == _DSIR_TARGET_SOURCE).cast("long")
+                F.when(
+                    F.col("source") == _DSIR_TARGET_SOURCE, F.col("cnt")
+                ).otherwise(F.lit(0))
             ).alias("t_cnt"),
         )
         # tiny (<=256 rows) but feeds two branches (totals + the scoring
-        # join): pinned so neither re-runs the corpus aggregation
+        # join): pinned so neither re-runs the aggregation
         .localCheckpoint(eager=True)
     )
     tot = counts.agg(
@@ -4772,12 +4786,17 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     lr = counts.crossJoin(F.broadcast(tot)).select(
         "b", trunc6(F.log(lw)).alias("lw")
     )
+    # per-doc sums weight each bucket's lw by cnt: cnt x d equals the
+    # former per-feature-row decimal sum exactly — lw is trunc6'd with
+    # |lw| < 1e3, so decimal(9,6) holds the identical value and
+    # bigint x decimal(9,6) stays at precision 30 <= 38 (no silent
+    # scale truncation; the skipgram lesson)
     return (
-        feats.join(F.broadcast(lr), "b")
+        pg.join(F.broadcast(lr), "b")
         .groupBy("doc_id", "source")
         .agg(
-            F.count("*").alias("n_features"),
-            F.sum(F.col("lw").cast("decimal(18,6)"))
+            F.sum("cnt").alias("n_features"),
+            F.sum(F.col("cnt") * F.col("lw").cast("decimal(9,6)"))
             .cast("double")
             .alias("log_weight"),
         )
@@ -5752,11 +5771,20 @@ def bigram_xent_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("b"),
     ).select("doc_id", "b.w1", "b.w2")
     tok = docs.select(F.explode(tokens("text")).alias("t"))
-    cb = big.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    # ONE bigram-extraction pass (r12 opt, guide §6 — the
+    # kneser_ney_xent_scores shape): cb is a strict rollup of the
+    # checkpoint-marked db, dropping the second tokenize + explode pass.
+    # The unigram pass stays separate — it must count every token,
+    # including single-token docs db never sees.
+    db = (
+        big.groupBy("doc_id", "w1", "w2")
+        .agg(F.count("*").alias("k"))
+        .localCheckpoint(eager=False)
+    )
+    cb = db.groupBy("w1", "w2").agg(F.sum("k").alias("c"))
     cw = cb.groupBy("w1").agg(F.sum("c").alias("n1"))
     uni = tok.groupBy("t").agg(F.count("*").alias("cnt"))
     tot = uni.agg(F.sum("cnt").alias("n"))
-    db = big.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("k"))
     lam = _BIGRAM_LAMBDA
     p = F.lit(lam) * (F.col("c").cast("double") / F.col("n1")) + F.lit(
         1.0 - lam
@@ -5874,13 +5902,23 @@ def kneser_ney_xent_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "b.w1", "b.w2")
-    cb = big.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    # ONE bigram-extraction pass (r12 opt, guide §6 scan reuse): cb is a
+    # strict rollup of db (sum of per-doc k == corpus bigram count), so
+    # deriving it from the checkpoint-marked db drops the second
+    # tokenize + explode pass the separate big.groupBy(w1, w2) paid. db
+    # is the frame the scoring join shuffles anyway; pinning it after
+    # its aggregation materializes post-shuffle, deduplicated rows.
+    db = (
+        big.groupBy("doc_id", "w1", "w2")
+        .agg(F.count("*").alias("k"))
+        .localCheckpoint(eager=False)
+    )
+    cb = db.groupBy("w1", "w2").agg(F.sum("k").alias("c"))
     cb = cb.localCheckpoint(eager=False)  # feeds cw/fw/bw + the scoring join
     cw = cb.groupBy("w1").agg(F.sum("c").alias("n1"))
     fw = cb.groupBy("w1").agg(F.count("*").alias("nf"))
     bw = cb.groupBy("w2").agg(F.count("*").alias("nb"))
     nt = cb.agg(F.count("*").alias("nt"))
-    db = big.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("k"))
     d = _KN_D
     p = F.greatest(F.col("c").cast("double") - F.lit(d), F.lit(0.0)) / F.col(
         "n1"
